@@ -1,0 +1,233 @@
+"""Deterministic synthetic corpus of interleaved text+media span documents.
+
+Implements the fixture classes from FIXTURES.md §2. Every document is a pure
+function of (seed, index) so generation is reproducible under any Spark
+partitioning — the cluster path generates docs with mapInPandas over
+spark.range(n), each task generating only its own index range (no driver-side
+materialization, scales linearly with executors).
+
+No external data; media are identified by sha256 hex of deterministic fake
+bytes (the captioner is a pure function of media_ref + context, so blobs are
+not needed for the invariant path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Iterator
+
+import pandas as pd
+
+WORDS = (
+    "spark arrow batch column vector shuffle partition broadcast join filter "
+    "window agg sort merge hash scan parquet iceberg schema span page figure "
+    "table text media document extract sanitize dedupe caption markdown"
+).split()
+
+GREEK = "α β γ δ ∑ ∏ √ ≤ ≥ ≈ ∞ π"  # unicode_math fixture material
+
+DOC_CLASSES = (
+    "hello_docx",
+    "multi_page_pdf",
+    "empty_pages_pdf",
+    "tables_docx",
+    "slides_pptx",
+    "sheets_xlsx",
+    "dup_spans",
+    "dirty_text",
+    "interleaved_media",
+    "repeated_logo",
+    "rasterized_doc",
+    "html_boiler",
+    "unicode_math",
+    "mega_doc",
+)
+
+# relative frequency per class (mega_doc rare — it is the skew fixture)
+CLASS_WEIGHTS = (4, 10, 4, 8, 8, 6, 6, 6, 10, 4, 3, 10, 4, 1)
+_CUM = [sum(CLASS_WEIGHTS[: i + 1]) for i in range(len(CLASS_WEIGHTS))]
+_TOTAL_W = _CUM[-1]
+
+# Shared logo ref: the corpus-wide hot key for the media-dedupe skew path.
+LOGO_REF = hashlib.sha256(b"docproc_spark:logo").hexdigest()
+
+
+def _media_ref(tag: str) -> str:
+    return hashlib.sha256(f"docproc_spark:{tag}".encode()).hexdigest()
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _sentence(rng: random.Random) -> str:
+    return _words(rng, rng.randint(6, 18)).capitalize() + "."
+
+
+def _span(kind: str, text, media_ref, page: int, offset: int) -> dict:
+    return {"kind": kind, "text": text, "media_ref": media_ref,
+            "page": page, "offset": offset}
+
+
+def doc_class_for_index(idx: int) -> str:
+    r = idx % _TOTAL_W
+    for i, c in enumerate(_CUM):
+        if r < c:
+            return DOC_CLASSES[i]
+    return DOC_CLASSES[-1]
+
+
+def gen_doc(idx: int, seed: int = 42, mega_spans: int = 2000) -> dict:
+    """Generate one deterministic document row."""
+    cls = doc_class_for_index(idx)
+    rng = random.Random((seed << 24) ^ idx)
+    doc_id = f"doc_{idx:08d}"
+    spans: list[dict] = []
+    raw_html = None
+    off = 0
+
+    def add(kind, text=None, ref=None, page=0):
+        nonlocal off
+        spans.append(_span(kind, text, ref, page, off))
+        off += 1
+
+    if cls == "hello_docx":
+        add("text", "Hello world")
+
+    elif cls == "multi_page_pdf":
+        for p in range(3):
+            for _ in range(rng.randint(2, 4)):
+                add("text", _sentence(rng), page=p)
+
+    elif cls == "empty_pages_pdf":
+        for p in range(5):
+            if p in (1, 3):
+                # whitespace-only block: sanitizes to blank → page skipped
+                add("text", "   \n\t  ", page=p)
+            else:
+                add("text", _sentence(rng), page=p)
+                add("text", _sentence(rng), page=p)
+
+    elif cls == "tables_docx":
+        for _ in range(rng.randint(2, 3)):
+            add("text", _sentence(rng))
+        rows = [" | ".join(_words(rng, 2) for _ in range(3)) for _ in range(3)]
+        add("table", "\n".join(rows))
+
+    elif cls == "slides_pptx":
+        titles = [_sentence(rng) + "\n" + _sentence(rng) for _ in range(3)]
+        for p, t in enumerate(titles):
+            add("text", t, page=p)
+        rows = [" | ".join(_words(rng, 2) for _ in range(2)) for _ in range(2)]
+        add("table", "\n".join(rows), page=1)
+        add("text", "Thank you!", page=3)           # boilerplate slide → dropped
+        add("text", "Questions?", page=3)           # thank_you by pattern order
+
+    elif cls == "sheets_xlsx":
+        for sheet in range(2):
+            rows = [
+                " | ".join(("" if rng.random() < 0.2 else _words(rng, 1)) for _ in range(4))
+                for _ in range(rng.randint(2, 4))
+            ]
+            add("table", "\n".join(rows), page=sheet)
+
+    elif cls == "dup_spans":
+        a, b, c = _sentence(rng), _sentence(rng), _sentence(rng)
+        for i, t in enumerate([a, b, a, c, b]):
+            add("text", t)
+
+    elif cls == "dirty_text":
+        add("text", "​zero‌ width‍ here﻿­ ok")
+        add("text", "ctrl\x00chars\x07 gone\x1f now")
+        add("text", "  lots\t\tof   space \n\n\n\n\n many newlines  ")
+        add("text", "x")                            # < 2 chars → blank → dropped
+        add("text", "café nfc")               # NFC: e + U+0301 → é
+
+    elif cls == "interleaved_media":
+        for p in range(3):
+            add("text", _sentence(rng), page=p)
+            add("image", None, _media_ref(f"img:{idx}:{p}:a"), page=p)
+            add("text", _sentence(rng), page=p)
+            if rng.random() < 0.5:
+                add("image", None, _media_ref(f"img:{idx}:{p}:b"), page=p)
+
+    elif cls == "repeated_logo":
+        for p in range(10):
+            add("text", _sentence(rng), page=p)
+            add("image", None, LOGO_REF, page=p)    # same ref on every page
+            if p % 3 == 0:
+                add("image", None, _media_ref(f"uniq:{idx}:{p}"), page=p)
+
+    elif cls == "rasterized_doc":
+        for p in range(3):
+            if p == 1:
+                add("text", _sentence(rng), page=p)
+            else:
+                add("raster", None, _media_ref(f"raster:{idx}:{p}"), page=p)
+
+    elif cls == "html_boiler":
+        main_paras = [_sentence(rng) + " " + _sentence(rng) for _ in range(3)]
+        nav = "".join(f'<li><a href="/{w}">{w}</a></li>' for w in rng.sample(WORDS, 4))
+        raw_html = (
+            "<html><head><title>t</title></head><body>"
+            f"<nav><ul>{nav}</ul></nav>"
+            f"<header><p>Site chrome banner text that is long enough to pass.</p></header>"
+            f"<div id='main'><h1>{_words(rng, 3).title()}</h1>"
+            + "".join(f"<p>{t}</p>" for t in main_paras)
+            + f"<p>Read more at <a href='/x'>{_words(rng, 12)}</a> linkfarm</p>"
+            + "</div>"
+            f"<footer><p>Copyright {_words(rng, 6)}</p></footer>"
+            "</body></html>"
+        )
+        spans = []
+
+    elif cls == "unicode_math":
+        add("text", f"Energy {GREEK.split()[0]}E = mc2 with {rng.choice(GREEK.split())} factor")
+        add("equation", f"∑ x_i ≥ √({_words(rng, 1)})")
+        add("text", _sentence(rng))
+
+    elif cls == "mega_doc":
+        n = mega_spans
+        per_page = 40
+        for i in range(n):
+            p = i // per_page
+            if i % 97 == 0:
+                add("image", None, LOGO_REF, page=p)
+            else:
+                add("text", _sentence(rng), page=p)
+
+    return {"doc_id": doc_id, "doc_type": cls, "raw_html": raw_html, "spans": spans}
+
+
+def gen_pandas(start: int, end: int, seed: int = 42, mega_spans: int = 2000) -> pd.DataFrame:
+    rows = [gen_doc(i, seed=seed, mega_spans=mega_spans) for i in range(start, end)]
+    return pd.DataFrame(rows, columns=["doc_id", "doc_type", "raw_html", "spans"])
+
+
+def corpus_df(spark, n_docs: int, seed: int = 42, mega_spans: int = 2000,
+              partitions: int | None = None):
+    """Distributed deterministic corpus: each task generates its index range."""
+    from docproc_spark.schema import DOCUMENTS_SCHEMA
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                lo, hi = int(row["lo"]), int(row["hi"])
+                # emit in chunks to keep Arrow batches bounded
+                step = 512
+                for s in range(lo, hi, step):
+                    out = gen_pandas(s, min(s + step, hi), seed=seed, mega_spans=mega_spans)
+                    if len(out):
+                        yield out
+
+    bounds = [
+        (i * n_docs // parts, (i + 1) * n_docs // parts) for i in range(parts)
+    ]
+    bdf = spark.createDataFrame(pd.DataFrame(bounds, columns=["lo", "hi"]))
+    return (
+        bdf.repartition(parts, "lo")
+        .mapInPandas(gen_batches, schema=DOCUMENTS_SCHEMA)
+    )

@@ -1,0 +1,127 @@
+"""HTML main-content extraction (boilerplate stripping).
+
+The reference has NO HTML loader (its EXT_TO_LOADER covers only
+pdf/docx/pptx/xlsx — /root/reference/docproc/doc/loaders/factory.py:12-18),
+so this kernel is built from the published Readability / Boilerpipe
+heuristic family: block-level segmentation, then keep blocks by TEXT
+DENSITY (enough non-markup characters) and LINK DENSITY (fraction of the
+block's characters that sit inside anchors).
+
+Deterministic, stdlib-only (html.parser), shared verbatim by the oracle and
+by the Spark mapInPandas kernel so both sides produce identical spans.
+
+Rules (fixed constants — part of this engine's invariant):
+  - ignore subtrees: script, style, noscript, nav, aside, form, iframe,
+    svg, head, footer, header (site chrome; an in-article <header> tag is
+    rare enough that Boilerpipe-style strippers drop it too)
+  - block boundaries: p, div, section, article, li, td, th, tr, h1-h6,
+    blockquote, pre, br
+  - a heading block (h1-h6) is kept as kind='header' if it has ≥ 3 chars
+    and zero link characters
+  - any other block is kept as kind='text' if it has ≥ MIN_BLOCK_CHARS
+    (25) characters and link_density ≤ MAX_LINK_DENSITY (0.35)
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+IGNORE_TAGS = frozenset(
+    {"script", "style", "noscript", "nav", "aside", "form", "iframe", "svg",
+     "head", "footer", "header"}
+)
+BLOCK_TAGS = frozenset(
+    {"p", "div", "section", "article", "li", "td", "th", "tr", "blockquote",
+     "pre", "br", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "table",
+     "body", "html", "main"}
+)
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 0.35
+MIN_HEADING_CHARS = 3
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str, int]] = []  # (kind, text, link_chars)
+        self._ignore_depth = 0
+        self._link_depth = 0
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._heading: str | None = None
+
+    def _flush(self) -> None:
+        text = "".join(self._buf).strip()
+        if text:
+            kind = "header" if self._heading else "text"
+            self.blocks.append((kind, text, self._link_chars))
+        self._buf = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in IGNORE_TAGS:
+            if tag not in VOID_TAGS:
+                self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._heading = tag if tag in HEADING_TAGS else None
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in IGNORE_TAGS and tag not in VOID_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag in HEADING_TAGS:
+                self._heading = None
+
+    def handle_data(self, data):
+        if self._ignore_depth or not data:
+            return
+        self._buf.append(data)
+        if self._link_depth:
+            self._link_chars += len(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def html_main_blocks(raw_html: str) -> list[tuple[str, str]]:
+    """Extract main-content blocks from raw HTML → [(kind, text), ...].
+
+    kind ∈ {header, text}; order preserved; boilerplate (nav/footer/link
+    farms/short chrome) dropped by the density rules above.
+    """
+    if not raw_html:
+        return []
+    parser = _BlockParser()
+    try:
+        parser.feed(raw_html)
+        parser.close()
+    except Exception:
+        return []
+    kept: list[tuple[str, str]] = []
+    for kind, text, link_chars in parser.blocks:
+        n = len(text)
+        if kind == "header":
+            if n >= MIN_HEADING_CHARS and link_chars == 0:
+                kept.append((kind, text))
+            continue
+        if n >= MIN_BLOCK_CHARS and (link_chars / n) <= MAX_LINK_DENSITY:
+            kept.append((kind, text))
+    return kept

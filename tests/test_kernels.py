@@ -1,0 +1,191 @@
+"""Kernel unit tests — no SparkSession needed.
+
+Ports the reference's own sanitize/dedupe/boilerplate assertions
+(/root/reference/tests/test_sanitize.py) and adds scalar↔vectorized
+equivalence checks.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docproc_spark.kernels.assembly import assemble_document
+from docproc_spark.kernels.html import html_main_blocks
+from docproc_spark.kernels.sanitize import (
+    boilerplate_kind,
+    boilerplate_kind_series,
+    sanitize_series,
+    sanitize_text,
+)
+
+
+class TestSanitize:
+    def test_whitespace_collapse(self):
+        assert sanitize_text("a  \t b") == "a b"
+
+    def test_none_and_empty(self):
+        assert sanitize_text(None) == ""
+        assert sanitize_text("") == ""
+        assert sanitize_text("x") == ""  # below min length
+
+    def test_newline_cap(self):
+        assert sanitize_text("a\n\n\n\n\nb") == "a\n\nb"
+
+    def test_newline_padding(self):
+        assert sanitize_text("a   \n   b") == "a\nb"
+
+    def test_control_chars(self):
+        assert sanitize_text("a\x00b\x07c") == "abc"
+        assert sanitize_text("a\tb") == "a b"  # tab collapses to space
+        assert sanitize_text("a\nb") == "a\nb"  # newline survives
+
+    def test_zero_width(self):
+        assert sanitize_text("a​b‌c﻿d­e") == "abcde"
+
+    def test_nfc(self):
+        assert sanitize_text("café x") == "café x"
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def test_vectorized_matches_scalar(self, s):
+        got = sanitize_series(pd.Series([s], dtype=object)).iloc[0]
+        assert got == sanitize_text(s)
+
+
+class TestBoilerplate:
+    @pytest.mark.parametrize(
+        "text,kind",
+        [
+            ("Thank you!", "thank_you"),
+            ("THANKS", "thank_you"),
+            ("gracias", "thank_you"),
+            ("Questions?", "thank_you"),  # pattern-list order invariant
+            ("q & a", "thank_you"),
+            # NB: the reference's pattern ^append(i|x)(ces)?$ does not match
+            # "appendix" itself — it falls through to the title rule.
+            ("Appendix", "title"),
+            ("Appendices", "appendix"),
+            ("References", "appendix"),
+            ("Agenda", "agenda"),
+            ("Learning outcomes", "objectives"),
+            ("", "blank"),
+            ("   \n  ", "blank"),
+            ("Short title", "title"),
+            ("This is substantive content that carries real information.", "none"),
+        ],
+    )
+    def test_kinds(self, text, kind):
+        assert boilerplate_kind(text) == kind
+
+    def test_multiline_substantive_kept(self):
+        text = "Agenda\nitem one is long enough\nitem two is long enough\nmore"
+        assert boilerplate_kind(text) == "agenda"  # first-line match
+
+    @given(st.text(max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def test_vectorized_matches_scalar(self, s):
+        sanitized = sanitize_text(s)
+        got = boilerplate_kind_series(pd.Series([sanitized], dtype=object)).iloc[0]
+        assert got == boilerplate_kind(s)
+
+
+class TestAssembly:
+    def _t(self, text, page=0, offset=0, kind="text", ref=None):
+        return {"kind": kind, "text": text, "media_ref": ref, "page": page, "offset": offset}
+
+    def test_single_text(self):
+        md, spans = assemble_document([self._t("Hello world")])
+        assert md == "[Page 1]\nHello world"
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans] == [
+            ("text", "Hello world", None, 0)
+        ]
+
+    def test_page_join_and_skip_empty(self):
+        spans = [
+            self._t("First page content here", 0, 0),
+            self._t("   ", 1, 0),
+            self._t("Third page content here", 2, 0),
+        ]
+        md, out = assemble_document(spans)
+        assert md == "[Page 1]\nFirst page content here\n\n[Page 3]\nThird page content here"
+        assert [s["offset"] for s in out] == [0, 1]
+
+    def test_first_wins_dedupe(self):
+        a, b, c = "Alpha content here.", "Beta content here.", "Gamma content here."
+        spans = [self._t(t, 0, i) for i, t in enumerate([a, b, a, c, b])]
+        md, out = assemble_document(spans)
+        assert [s["text"] for s in out] == [a, b, c]
+
+    def test_boilerplate_drop(self):
+        spans = [
+            self._t("Real substantive content block.", 0, 0),
+            self._t("Thank you!", 0, 1),
+            self._t("Questions?", 0, 2),
+        ]
+        md, out = assemble_document(spans)
+        assert [s["text"] for s in out] == ["Real substantive content block."]
+
+    def test_interleaved_media_and_logo_dedupe(self):
+        logo = "f" * 64
+        uniq = "a" * 64
+        spans = [
+            self._t("Page one text content.", 0, 0),
+            self._t(None, 0, 1, kind="image", ref=logo),
+            self._t("Page two text content.", 1, 0),
+            self._t(None, 1, 1, kind="image", ref=logo),
+            self._t(None, 1, 2, kind="image", ref=uniq),
+        ]
+        md, out = assemble_document(spans)
+        cap_logo = f"Figure {logo[:12]}: Page 1, image 1."
+        cap_uniq = f"Figure {uniq[:12]}: Page 2, image 2."
+        assert md == (
+            f"[Page 1]\nPage one text content.\n[Figures: {cap_logo}]"
+            f"\n\n[Page 2]\nPage two text content.\n[Figures: {cap_logo} ; {cap_uniq}]"
+        )
+        figs = [(s["text"], s["media_ref"]) for s in out if s["kind"] == "figure"]
+        assert figs == [(cap_logo, logo), (cap_logo, logo), (cap_uniq, uniq)]
+
+    def test_rasterized_fallback(self):
+        r = "b" * 64
+        spans = [
+            self._t(None, 0, 0, kind="raster", ref=r),
+            self._t("Real text on page two.", 1, 0),
+        ]
+        md, out = assemble_document(spans)
+        assert "[Figures: Figure bbbbbbbbbbbb: Page 1 of 2.]" in md
+
+    def test_raw_fallback_when_all_dropped(self):
+        spans = [self._t("x", 0, 0), self._t("  ", 0, 1)]
+        md, out = assemble_document(spans)
+        assert md == "x\n\n  "
+        assert out == []
+
+
+class TestHtml:
+    def test_boilerplate_stripped(self):
+        html = (
+            "<html><body><nav><a href='/'>home</a><a href='/a'>about</a></nav>"
+            "<div><h1>Article Title</h1>"
+            "<p>This is the main article content, long enough to keep around.</p>"
+            "<p>tiny</p>"
+            "<p>Visit <a href='/x'>this link here with many words inside the anchor</a> ok</p>"
+            "</div><footer><p>Copyright notice in the footer, long enough too.</p></footer>"
+            "</body></html>"
+        )
+        blocks = html_main_blocks(html)
+        kinds = [k for k, _ in blocks]
+        texts = [t for _, t in blocks]
+        assert ("header", "Article Title") in blocks
+        assert any("main article content" in t for t in texts)
+        assert not any("Copyright" in t for t in texts)  # footer ignored
+        assert not any("home" in t for t in texts)  # nav ignored
+        assert not any(t == "tiny" for t in texts)  # below min length
+        assert not any("this link here" in t for t in texts)  # link-dense
+
+    def test_empty_and_garbage(self):
+        assert html_main_blocks("") == []
+        assert html_main_blocks(None) == []
+        assert isinstance(html_main_blocks("<p>" * 10), list)

@@ -1,0 +1,74 @@
+"""Span-sequence equality: Spark pipeline vs single-process oracle.
+
+The driver-checked invariant (BASELINE.json): per document, the ordered
+sequence of (kind, text, media_ref, order) must be identical between the
+distributed pipeline and the reference-semantics oracle, across every
+fixture class in the deterministic corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from docproc_spark import corpus, oracle
+from docproc_spark.pipeline import extract
+
+N_DOCS = 180  # ≥2× the class-weight cycle → every fixture class ≥2 instances
+MEGA_SPANS = 600  # scaled-down mega_doc for test speed
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    docs = corpus.corpus_df(spark, N_DOCS, seed=42, mega_spans=MEGA_SPANS, partitions=8)
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in extract(docs).collect()
+    }
+    want = oracle.extract_corpus(
+        corpus.gen_doc(i, seed=42, mega_spans=MEGA_SPANS) for i in range(N_DOCS)
+    )
+    return got, want
+
+
+def _tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_all_docs_present(results):
+    got, want = results
+    assert set(got) == set(want)
+
+
+def test_span_sequence_equality(results):
+    got, want = results
+    mismatches = []
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        if _tuples(g["spans"]) != _tuples(w["spans"]):
+            mismatches.append(doc_id)
+    assert not mismatches, (
+        f"{len(mismatches)} docs mismatch, first: {mismatches[0]}\n"
+        f"spark={_tuples(got[mismatches[0]]['spans'])[:8]}\n"
+        f"oracle={_tuples(want[mismatches[0]]['spans'])[:8]}"
+    )
+
+
+def test_markdown_equality(results):
+    got, want = results
+    bad = [d for d in want if got[d]["markdown"] != want[d]["markdown"]]
+    assert not bad, (
+        f"{len(bad)} docs markdown mismatch, first: {bad[0]}\n"
+        f"spark={got[bad[0]]['markdown'][:400]!r}\n"
+        f"oracle={want[bad[0]]['markdown'][:400]!r}"
+    )
+
+
+def test_n_pages_equality(results):
+    got, want = results
+    bad = [d for d in want if got[d]["n_pages"] != want[d]["n_pages"]]
+    assert not bad, f"first mismatch {bad[:3]}"
+
+
+def test_every_fixture_class_covered():
+    classes = {corpus.doc_class_for_index(i) for i in range(N_DOCS)}
+    assert classes == set(corpus.DOC_CLASSES)
