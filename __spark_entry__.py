@@ -1,38 +1,677 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship extraction pipeline over the deterministic
+                    synthetic span corpus (sf0.001 scale).
+queries()         — one callable per implemented operator (SURVEY.md §2 +
+                    the training-data-pipeline operator families).
+oracle_sql()      — DuckDB-equivalent ANSI SQL per query (omitted only for
+                    genuinely non-SQL-expressible ops → rows-only check).
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name before value-hashing).
 """
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COUNTER = itertools.count()
+
+# corpus size per driver scale factor (deterministic from the dir name)
+_CORPUS_SIZE = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
 
 
+def _corpus_docs(spark: SparkSession, sf_dir: str):
+    from docproc_spark.corpus import corpus_df
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _CORPUS_SIZE.get(key, 2000)
+    return corpus_df(spark, n, seed=42, mega_spans=2000)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline on the sf0.001-scale corpus."""
+    from docproc_spark.pipeline import extract
+
+    docs = _corpus_docs(spark, "/root/testdata/sf0.001")
+    return extract(docs)
+
+
+# ---------------------------------------------------------------------------
+# queries — relational core
+# ---------------------------------------------------------------------------
+def _q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(avg(l_quantity), 4)                                AS avg_qty,
+       count(*)                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q3(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q5(spark, sf):
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    dims = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def _q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def _top3_orders(spark, sf):
+    from docproc_spark.operators.topk import topk_per_group
+
+    o = _t(spark, sf, "orders")
+    return topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def _pivot_returnflag(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("o_cnt"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("f_cnt"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_cnt,
+       count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _orders_rollup(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — events (sessionization, time windows)
+# ---------------------------------------------------------------------------
+def _session_stats(spark, sf):
+    from docproc_spark.operators.sessionize import session_stats
+
+    return session_stats(_t(spark, sf, "events"), gap_minutes=30)
+
+
+_SESSION_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id,
+       CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events,
+       round(count(*) / max(session_id), 4) AS avg_events_per_session
+FROM t GROUP BY user_id
+"""
+
+
+def _events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _events_windowed_stream(spark, sf):
+    """Structured Streaming tumbling-window counts, driven to completion —
+    checked against a plain batch SQL oracle (stream/batch parity)."""
+    from docproc_spark.streaming.events import run_stream_once, windowed_counts
+
+    name = f"stream_out_{next(_COUNTER)}"
+    return run_stream_once(
+        spark, f"{sf}/events.parquet", windowed_counts, query_name=name
+    )
+
+
+_EVENTS_WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — documents: text analysis
+# ---------------------------------------------------------------------------
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+_LTOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+
+def _doc_stats(spark, sf):
+    from docproc_spark.functions.text import token_count_col
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        "lang",
+        "source",
+    )
+
+
+_DOC_STATS_SQL = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       length(text) AS n_chars_calc,
+       lang, source
+FROM documents
+"""
+
+
+def _doc_quality(spark, sf):
+    from docproc_spark.functions.text import (
+        avg_token_len_col,
+        punct_ratio_col,
+        quality_score_col,
+        stopword_ratio_col,
+        token_count_col,
+    )
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens"),
+        avg_token_len_col(t).alias("avg_token_len"),
+        stopword_ratio_col(t).alias("stopword_ratio"),
+        punct_ratio_col(t).alias("punct_ratio"),
+        quality_score_col(t).alias("quality"),
+    )
+
+
+_DOC_QUALITY_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         {_TOKS} AS toks,
+         {_LTOKS} AS ltoks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') / len(toks), 4)
+              ELSE 0.0 END AS avg_token_len,
+         CASE WHEN len(ltoks) > 0
+              THEN round(len(list_filter(ltoks, t -> t IN ('the','a','of','and','to','in','is','it'))) / len(ltoks), 4)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN length(text) > 0
+              THEN round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 4)
+              ELSE 0.0 END AS punct_ratio
+  FROM b
+)
+SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+       round(greatest(least(
+         0.5 * least(n_tokens / 100.0, 1.0)
+         + 0.5 * least(stopword_ratio * 4.0, 1.0)
+         - greatest(punct_ratio - 0.2, 0.0), 1.0), 0.0), 4) AS quality
+FROM m
+"""
+
+
+def _lang_pred(spark, sf):
+    from docproc_spark.functions.text import lang_id_col
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+_LANG_PRED_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang, {_LTOKS} AS ltoks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    len(list_filter(ltoks, t -> t IN ('der','die','das','und','nicht'))) AS s_de,
+    len(list_filter(ltoks, t -> t IN ('the','and','of','to','a')))       AS s_en,
+    len(list_filter(ltoks, t -> t IN ('el','la','de','que','los')))      AS s_es,
+    len(list_filter(ltoks, t -> t IN ('le','la','les','des','et')))      AS s_fr
+  FROM b
+)
+SELECT doc_id, lang,
+  CASE WHEN s_fr > 0 AND s_fr > s_de AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+       WHEN s_es > 0 AND s_es > s_de AND s_es > s_en AND s_es > s_fr THEN 'es'
+       WHEN s_en > 0 AND s_en > s_de AND s_en > s_es AND s_en > s_fr THEN 'en'
+       WHEN s_de > 0 AND s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+       ELSE 'unk' END AS lang_pred
+FROM m
+"""
+
+
+def _fingerprints(spark, sf):
+    from docproc_spark.functions.text import doc_fingerprint_col
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", doc_fingerprint_col(F.col("text")).alias("fp"))
+
+
+_FP_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def _rolling_fp(spark, sf):
+    from docproc_spark.functions.text import rolling_hash_col
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", rolling_hash_col(F.col("text"), 16).alias("rfp"))
+
+
+_ROLLING_FP_SQL = f"""
+SELECT doc_id,
+  list_aggregate(
+    list_transform(range(0, greatest(len({_TOKS}) - 16, 0) + 1),
+                   i -> md5(array_to_string(({_TOKS})[i+1:i+16], ' '))),
+    'min') AS rfp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup family
+# ---------------------------------------------------------------------------
+def _exact_dup_groups(spark, sf):
+    from docproc_spark.operators.dedupe import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf, "documents"))
+
+
+_EXACT_DUP_SQL = """
+WITH f AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM f GROUP BY fp HAVING count(*) > 1
+"""
+
+
+def _first_wins(spark, sf):
+    from docproc_spark.operators.dedupe import first_wins_dedupe
+
+    return first_wins_dedupe(_t(spark, sf, "documents")).select("doc_id")
+
+
+_FIRST_WINS_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def _minhash_signatures(spark, sf):
+    from docproc_spark.operators.dedupe import minhash_signature
+
+    return minhash_signature(_t(spark, sf, "documents"), k=4).select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3"
+    )
+
+
+def _mh_sql_expr(i: int) -> str:
+    return (
+        f"list_aggregate(list_transform(list_distinct({_TOKS}), "
+        f"t -> md5('{i}:' || t)), 'min')"
+    )
+
+
+_MINHASH_SQL = f"""
+SELECT doc_id,
+       {_mh_sql_expr(0)} AS mh0,
+       {_mh_sql_expr(1)} AS mh1,
+       {_mh_sql_expr(2)} AS mh2,
+       {_mh_sql_expr(3)} AS mh3
+FROM documents
+"""
+
+
+def _minhash_bands(spark, sf):
+    from docproc_spark.operators.dedupe import minhash_band_histogram
+
+    return minhash_band_histogram(_t(spark, sf, "documents"), k=4, rows_per_band=2)
+
+
+_MINHASH_BANDS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {_mh_sql_expr(0)} AS mh0, {_mh_sql_expr(1)} AS mh1,
+         {_mh_sql_expr(2)} AS mh2, {_mh_sql_expr(3)} AS mh3
+  FROM documents
+), bands AS (
+  SELECT 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT 1 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+), buckets AS (
+  SELECT band_id, band_key, count(*) AS n FROM bands GROUP BY 1, 2
+)
+SELECT band_id, count(*) AS n_buckets,
+       CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs
+FROM buckets GROUP BY band_id
+"""
+
+
+def _ngram_jaccard(spark, sf):
+    from docproc_spark.operators.dedupe import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    return ngram_jaccard_pairs(d, n=3, min_jaccard=0.01)
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 80
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(toks[i+1:i+3], ' ')))) AS shingle
+  FROM d
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, shared,
+       round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.01
+"""
+
+
+def _simhash(spark, sf):
+    from docproc_spark.operators.dedupe import simhash64
+
+    return simhash64(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# queries — similarity search
+# ---------------------------------------------------------------------------
+def _cosine_topk(spark, sf):
+    from docproc_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+_COSINE_SQL = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(
+         list_reduce(list_transform(list_zip(embedding::DOUBLE[], qv),
+                                    p -> p[1] * p[2]), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b))),
+         4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def _lsh_ann_topk(spark, sf):
+    from docproc_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# queries — extraction pipeline (non-SQL-expressible → rows-only checks)
+# ---------------------------------------------------------------------------
+def _extract_flagship(spark, sf):
+    from docproc_spark.pipeline import extract
+
+    res = extract(_corpus_docs(spark, sf))
+    return res.select("doc_id", "n_pages", F.size("spans").alias("n_spans"))
+
+
+def _media_meta(spark, sf):
+    """Multimodal plumbing: binary blobs → typed metadata (decode stubbed)."""
+    from docproc_spark.functions.media import extract_media_meta
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+        F.lit("image").alias("media_kind"),
+    )
+    return extract_media_meta(d)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": _q1,
+    "q3_top_revenue_orders": _q3,
+    "q5_region_revenue": _q5,
+    "q6_forecast_revenue": _q6,
+    "top3_orders_per_customer": _top3_orders,
+    "pivot_returnflag": _pivot_returnflag,
+    "orders_rollup": _orders_rollup,
+    "session_stats": _session_stats,
+    "events_hourly": _events_hourly,
+    "events_windowed_stream": _events_windowed_stream,
+    "doc_stats": _doc_stats,
+    "doc_quality": _doc_quality,
+    "lang_pred_markers": _lang_pred,
+    "doc_fingerprints": _fingerprints,
+    "doc_rolling_fingerprint": _rolling_fp,
+    "exact_dup_groups": _exact_dup_groups,
+    "first_wins_dedupe": _first_wins,
+    "minhash_signatures": _minhash_signatures,
+    "minhash_band_stats": _minhash_bands,
+    "ngram_jaccard_pairs": _ngram_jaccard,
+    "simhash64": _simhash,
+    "cosine_topk": _cosine_topk,
+    "lsh_ann_topk": _lsh_ann_topk,
+    "extract_flagship": _extract_flagship,
+    "media_meta_stub": _media_meta,
+}
+
+_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_top_revenue_orders": _Q3_SQL,
+    "q5_region_revenue": _Q5_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "top3_orders_per_customer": _TOP3_SQL,
+    "pivot_returnflag": _PIVOT_SQL,
+    "orders_rollup": _ROLLUP_SQL,
+    "session_stats": _SESSION_SQL,
+    "events_hourly": _EVENTS_HOURLY_SQL,
+    "events_windowed_stream": _EVENTS_WINDOWED_SQL,
+    "doc_stats": _DOC_STATS_SQL,
+    "doc_quality": _DOC_QUALITY_SQL,
+    "lang_pred_markers": _LANG_PRED_SQL,
+    "doc_fingerprints": _FP_SQL,
+    "doc_rolling_fingerprint": _ROLLING_FP_SQL,
+    "exact_dup_groups": _EXACT_DUP_SQL,
+    "first_wins_dedupe": _FIRST_WINS_SQL,
+    "minhash_signatures": _MINHASH_SQL,
+    "minhash_band_stats": _MINHASH_BANDS_SQL,
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "cosine_topk": _COSINE_SQL,
+    # rows-only (non-SQL-expressible): simhash64 (bit-fold), lsh_ann_topk
+    # (xxhash64 planes), extract_flagship (span pipeline), media_meta_stub
+    # (binary kernel), — the pytest oracle covers extraction exactly.
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

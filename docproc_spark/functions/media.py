@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The container has no image/audio codecs, so the DECODE step is a stub
+(deterministic fake or NotImplementedError) — but the Spark-side plumbing
+is real and tested: schemas, Arrow batch shapes, mapInPandas signatures,
+and partitioning are exactly what a production pipeline with PIL/ffmpeg
+plugged in would use.
+
+Reference parity: the reference treats media as raw bytes identified by
+sha256 (vision_llm.py:292-294) with per-batch extraction (batch size 5,
+vision_llm.py:349-352) — here batching is the Arrow batch and parallelism
+is partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_kind", T.StringType(), True),   # image|audio|video
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_ref_col(blob: F.Column) -> F.Column:
+    """sha256 hex identity of media bytes (the reference's dedupe key)."""
+    return F.sha2(blob, 256)
+
+
+def _fake_decode(blob: bytes) -> dict:
+    """Deterministic stand-in for a real decoder (PIL/ffmpeg not in this
+    container). Derives plausible metadata purely from the bytes' hash so
+    tests are stable. Replace with a real decoder in production."""
+    h = hashlib.sha256(blob or b"").digest()
+    return {
+        "width": 64 + h[0] * 4,
+        "height": 64 + h[1] * 4,
+        "duration_ms": int.from_bytes(h[2:4], "big"),
+    }
+
+
+def extract_media_meta(media: DataFrame, blob_col: str = "blob", kind_col: str = "media_kind") -> DataFrame:
+    """mapInPandas media metadata extraction: binary in → typed meta out.
+
+    Iterator form so a real decoder initializes once per partition.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            metas = blobs.map(lambda b: _fake_decode(b if b is not None else b""))
+            out = pd.DataFrame(
+                {
+                    "media_ref": blobs.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "media_kind": pdf[kind_col] if kind_col in pdf else "image",
+                    "n_bytes": blobs.map(lambda b: len(b or b"")),
+                    "width": metas.map(lambda m: m["width"]),
+                    "height": metas.map(lambda m: m["height"]),
+                    "duration_ms": metas.map(lambda m: m["duration_ms"]),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(kernel, schema=MEDIA_META_SCHEMA)
+
+
+def extract_media_features(media: DataFrame, blob_col: str = "blob", dims: int = 16) -> DataFrame:
+    """Feature extraction stub: binary → fixed-dim float vector.
+
+    Deterministic fake features (bytes of sha256, scaled) — the REAL part
+    is the plumbing: Arrow batches of binary in, array<float> out, ready
+    for the similarity operators.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+
+            def feat(b):
+                h = hashlib.sha256(b or b"").digest()
+                return [(h[i % 32] - 128) / 128.0 for i in range(dims)]
+
+            yield pd.DataFrame(
+                {
+                    "media_ref": blobs.map(lambda b: hashlib.sha256(b or b"").hexdigest()),
+                    "feature": blobs.map(feat),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def decode_image(blob: bytes):
+    """Real image decode — requires PIL, not present in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv which are not installed here; "
+        "the pipeline treats media as opaque binary + extract_media_meta stubs"
+    )

@@ -1,0 +1,159 @@
+"""Text-analysis functions for a training-data pipeline.
+
+All JVM-side Column expressions (whole-stage codegen; no Python in the hot
+path): token counting, quality scoring, marker-based language ID, document
+fingerprinting. A richer n-gram language profiler (pandas UDF) is provided
+for cases the marker heuristic can't separate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docproc_spark.operators.dedupe import fingerprint_col, tokens_col
+
+# Marker stopwords per language — deliberately tiny and fixed; the SQL
+# oracle reproduces the same counts.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "et"),
+    "de": ("der", "die", "das", "und", "nicht"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def avg_token_len_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, F.round(total / F.size(toks), 4)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    toks = tokens_col(F.lower(text))
+    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, F.round(stops / F.size(toks), 4)).otherwise(F.lit(0.0))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return F.when(n > 0, F.round(punct / n, 4)).otherwise(F.lit(0.0))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality in [0,1]: length band + stopword presence − punct
+    excess. A fixed formula (documented constants) so the oracle matches."""
+    n_tok = token_count_col(text)
+    len_band = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    stop = stopword_ratio_col(text)
+    punct = punct_ratio_col(text)
+    # coefficient 4.0 (not 5.0): every term then carries ≤4 decimal places,
+    # so round(…, 4) never lands on a half — Spark rounds HALF_UP while
+    # other engines (the DuckDB oracle) round doubles half-to-even.
+    raw = 0.5 * len_band + 0.5 * F.least(stop * 4.0, F.lit(1.0)) - F.greatest(
+        punct - F.lit(0.2), F.lit(0.0)
+    )
+    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 4)
+
+
+def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    # single-arg lambda only: F.filter treats a two-arg lambda as
+    # (element, index) and would shadow a captured default with the index
+    ms = list(markers)
+    return F.size(F.filter(toks, lambda t: t.isin(*ms)))
+
+
+def lang_marker_scores(text: Column) -> dict[str, Column]:
+    toks = tokens_col(F.lower(text))
+    return {lang: _marker_count(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over marker counts; ties and zero-evidence → 'unk'.
+
+    Deterministic tie-break: higher count wins; equal counts → language
+    earlier in (de, en, es, fr) alphabetical order loses to none — we
+    require a STRICT maximum, else 'unk' (stable across engines).
+    """
+    scores = lang_marker_scores(text)
+    langs = sorted(scores)
+    expr = F.lit("unk")
+    # strict-argmax: lang L wins iff its score > every other score
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] > scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when((scores[lang] > 0) & cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint_col(text: Column) -> Column:
+    return fingerprint_col(text)
+
+
+def rolling_hash_col(text: Column, window: int = 16) -> Column:
+    """Winnowing-style document fingerprint: md5 of each ``window``-token
+    shingle, keep the lexicographic minimum — one representative hash that
+    is robust to small edits away from the minimum position."""
+    toks = tokens_col(text)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+    return F.array_min(shingles)
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text-analysis projection over a corpus."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_col(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        avg_token_len_col(t).alias("avg_token_len"),
+        stopword_ratio_col(t).alias("stopword_ratio"),
+        punct_ratio_col(t).alias("punct_ratio"),
+        quality_score_col(t).alias("quality"),
+        lang_id_col(t).alias("lang_pred"),
+        doc_fingerprint_col(t).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram language profiler (pandas UDF) — the non-SQL path for real corpora
+# ---------------------------------------------------------------------------
+_NGRAM_PROFILES = {
+    # top character trigrams per language (public knowledge frequency lists)
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ed "),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "que", " qu", "as "),
+    "fr": (" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"),
+    "de": ("en ", "er ", " de", "der", "ie ", " di", "die", "sch", "ein", "ch "),
+}
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_ngram_udf(text: pd.Series) -> pd.Series:
+    """Character-trigram profile vote; vectorized via pandas str.count."""
+    s = " " + text.fillna("").str.lower() + " "
+    best_lang = pd.Series("unk", index=s.index, dtype=object)
+    best_score = pd.Series(0, index=s.index, dtype="int64")
+    for lang in sorted(_NGRAM_PROFILES):
+        score = pd.Series(0, index=s.index, dtype="int64")
+        for g in _NGRAM_PROFILES[lang]:
+            score = score + s.str.count(g.replace(" ", r"\ "), flags=0)
+        better = score > best_score
+        best_lang[better] = lang
+        best_score[better] = score[better]
+    return best_lang

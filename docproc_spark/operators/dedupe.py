@@ -1,0 +1,227 @@
+"""Deduplication operators over a corpus of text documents.
+
+Four families, each a standard large-scale training-data-pipeline primitive:
+
+  exact            — content fingerprint groupBy (hash shuffle, one pass)
+  first_wins       — order-preserving exact dedupe (window, deterministic
+                     keeper — dropDuplicates would pick an arbitrary row)
+  minhash          — MinHash signatures + banded LSH candidate pairs
+  simhash          — 64-bit SimHash (bitwise majority of token hashes)
+  ngram_jaccard    — exact n-gram Jaccard on a bounded candidate set
+
+Scale notes: exact/fingerprint dedupe shuffles once on the hash (AQE
+coalesces small partitions); MinHash banding turns O(n²) similarity into
+per-band groupBys — the band histogram (sum of C(n,2) per bucket) never
+materializes the pair list, so a hot band (skewed bucket) cannot explode
+the plan. Pair materialization is offered separately and should be run
+per-band with salting if a band is pathological.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    return F.filter(F.split(F.trim(text), TOKEN_SPLIT), lambda t: t != "")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Normalization fingerprint: md5 of lowercased whitespace-collapsed text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact (normalized) duplicates: fingerprint, n_docs, keeper id."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint_col(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def first_wins_dedupe(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the first doc (by id) of every exact-duplicate class.
+
+    Window form — NOT dropDuplicates — so the keeper is deterministic.
+    """
+    w = Window.partitionBy(fingerprint_col(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signature(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """k-permutation MinHash over distinct whitespace tokens.
+
+    Permutation i is simulated by md5("{i}:{token}") and taking the
+    lexicographic minimum — stable across engines (md5 hex is canonical),
+    which is what lets a plain-SQL oracle reproduce it bit-for-bit.
+    Entirely JVM-side: split → array_distinct → transform → array_min.
+    """
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+
+    def _mh(i: int):
+        # NB: the lambda must stay single-arg — a two-arg lambda makes
+        # F.transform pass (element, index) and silently shadows defaults.
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(F.lit(prefix), t)))
+        ).alias(f"mh{i}")
+
+    cols = [_mh(i) for i in range(k)]
+    return docs.select(F.col(id_col).alias("doc_id"), *cols).withColumn(
+        "signature", F.concat_ws("|", *[f"mh{i}" for i in range(k)])
+    )
+
+
+def minhash_band_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH band → candidate-pair count, without materializing pairs.
+
+    Returns one row per (band_id) with the number of buckets and the total
+    candidate pairs sum(C(n,2)) — the skew-safe summary used to decide
+    whether pair materialization needs salting.
+    """
+    sig = minhash_signature(docs, text_col, id_col, k)
+    bands = []
+    n_bands = k // rows_per_band
+    for b in range(n_bands):
+        key = F.concat_ws("|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])
+        bands.append(sig.select(F.lit(b).alias("band_id"), key.alias("band_key")))
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    return (
+        all_bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("n"))
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from LSH bands.
+
+    Buckets larger than ``max_bucket`` are dropped (a bucket of size m adds
+    m² pairs — at web scale a degenerate band key, like an all-stopword
+    shingle, must be capped, mirroring the skew guard any production
+    near-dup pipeline ships with).
+    """
+    sig = minhash_signature(docs, text_col, id_col, k)
+    n_bands = k // rows_per_band
+    pairs = None
+    for b in range(n_bands):
+        key = F.concat_ws("|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])
+        banded = sig.select("doc_id", key.alias("bk"))
+        counts = banded.groupBy("bk").agg(F.count("*").alias("n")).filter(
+            (F.col("n") > 1) & (F.col("n") <= max_bucket)
+        )
+        small = banded.join(F.broadcast(counts.select("bk")), "bk")
+        left = small.select(F.col("bk"), F.col("doc_id").alias("a"))
+        right = small.select(F.col("bk"), F.col("doc_id").alias("b"))
+        p = left.join(right, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
+) -> DataFrame:
+    """SimHash: majority vote per bit over token hashes (60 bits so the
+    value fits a signed int64 exactly; token hash = first 15 hex chars of
+    md5 via conv base-16→10).
+
+    Plan shape: explode tokens → 60 vectorized bit columns (shiftright
+    needs a literal shift, hence the Python loop over bit positions, which
+    unrolls into one codegen'd projection) → single groupBy(doc_id) with
+    61 sums → signature fold. One shuffle, map-side partial aggregation.
+    """
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).withColumn("h", h)
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)).cast("long")).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    counts = toks.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(n_bits):
+        sig = sig + F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    with_sig = counts.select("doc_id", sig.alias("simhash"))
+    # docs with zero tokens get signature 0
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(with_sig, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram (token shingle) Jaccard for all pairs of the input.
+
+    O(pairs) via shingle equi-join — run on a bounded candidate set (e.g.
+    the output of minhash_candidate_pairs), never the raw corpus.
+    """
+    toks = tokens_col(F.col(text_col))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    sh = docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "shared", "jaccard")
+    )

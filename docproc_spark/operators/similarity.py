@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  brute_force_topk — exact cosine top-k against a query vector. The dot
+    product is a sequential F.aggregate over the zipped arrays so a plain
+    SQL engine (the DuckDB oracle) reproduces the same double-precision
+    result bit-for-bit.
+  lsh_topk — random-hyperplane LSH: deterministic pseudo-random planes
+    derived from a seed (hash-mixed per (plane, dim) — no RNG state, so
+    executors regenerate the same planes with no broadcast needed), bucket
+    by sign pattern, search only the query's bucket ± hamming-1 probes.
+    This is the 100-TB path: the bucket join replaces the full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs the row with id == query_vec_id.
+
+    The single query row is broadcast (crossJoin of a 1-row side) — at any
+    scale this is a map-only scan + a driver-side top-k (AQE keeps the
+    final sort tiny because only k rows survive the limit).
+    """
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), F.col("_qvec")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _plane_weights(plane: int, dims: int, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane (array<double>, components in
+    [-1, 1)) derived by hash-mixing (seed, plane, dim).
+
+    Pure Column expression — every executor materializes identical planes
+    from the literals alone, no RNG state and nothing to broadcast.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), d), F.lit(1000000)).cast(
+            "double"
+        )
+        / 500000.0
+        - 1.0,
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector a sign-pattern LSH bucket id (one long)."""
+    dims = len(emb.select(vec_col).first()[0])
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = dot_col(F.col(vec_col), _plane_weights(p, dims, seed))
+        bucket = bucket + F.when(dot >= 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket.
+
+    At scale the bucketed table is written partitioned by bucket, so a
+    query reads ~1/2^n_planes of the data (partition pruning).
+    """
+    b = lsh_buckets(emb, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col)
+    qrow = b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("bucket").alias("_qb"), F.col(vec_col).alias("_qvec")
+    )
+    return (
+        b.join(F.broadcast(qrow), F.col("bucket") == F.col("_qb"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col(vec_col), F.col("_qvec")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

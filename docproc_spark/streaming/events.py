@@ -1,0 +1,83 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only (a CLI); these exist because the engine's
+north-star corpus is continuously ingested in production. Local smoke runs
+drive them with a file source + Trigger.AvailableNow-style synchronous
+processing (memory sink), using the same column logic as the batch
+operators so batch/stream parity is testable.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window event counts with late-data watermark.
+
+    Parquet naive timestamps arrive as TIMESTAMP_NTZ; watermarks require
+    TIMESTAMP_LTZ — the cast is wall-time-preserving under the UTC session.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (streaming analog of operators.sessionize)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    events_path: str,
+    transform,
+    query_name: str = "stream_out",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a streaming transform over a static parquet dir to completion
+    (memory sink), return the result as a batch DataFrame.
+
+    Default output mode is "complete": with a finite file source nothing
+    ever advances the watermark past the last window, so append mode would
+    hold every window back — complete emits the current aggregate state.
+    """
+    schema = spark.read.parquet(events_path).schema
+    src = events_path
+    if os.path.isfile(events_path):
+        # FileStreamSource requires a directory — stage a symlink dir
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
+        src = d
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = transform(stream)
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
