@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "extract_docs_per_sec", "value": N, "unit": "docs/sec",
+   "queries": {...sec...}, "sf": ..., "scaling": {...}}
+
+Headline metric (BASELINE.json): documents/sec extraction throughput of the
+flagship pipeline on the deterministic interleaved corpus, plus scaling
+efficiency between two parallelism levels (local[N] vs local[4N]) on the
+SAME input — the sandbox stand-in for N vs 4N executors.
+
+Env:
+  SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     high parallelism level (default 32)
+  BENCH_SCALING        "0" to skip the scaling pair (default on)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# corpus size keyed to the sf dir (same map as __spark_entry__)
+_CORPUS_SIZE = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+
+BENCH_QUERIES = (
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "top3_orders_per_customer",
+    "session_stats",
+    "events_hourly",
+    "doc_quality",
+    "lang_pred_markers",
+    "first_wins_dedupe",
+    "minhash_band_stats",
+    "simhash64",
+    "cosine_topk",
+    "ngram_jaccard_pairs",
+)
+
+
+def _force(df):
+    """Materialize every column (count() alone lets Catalyst prune work)."""
+    from pyspark.sql import functions as F
+
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_000_007))
+    df.select(F.sum(h)).collect()
+
+
+def _corpus_cache(spark, n_docs: int) -> str:
+    path = os.path.join(CACHE_ROOT, f"corpus_{n_docs}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from docproc_spark.corpus import corpus_df
+
+        shutil.rmtree(path, ignore_errors=True)
+        corpus_df(spark, n_docs, seed=42, mega_spans=2000).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _extract_run(
+    master: str, corpus_path: str, shuffle: int, repeats: int = 2
+) -> tuple[float, int]:
+    """Fresh session at the given parallelism; returns (best wall_s, n_docs).
+
+    A warmup run spawns Python workers + JIT; min-of-k resists the noisy
+    shared host this sandbox runs on (load from other tenants shows up in
+    the load average with no local process attached).
+    """
+    from docproc_spark.pipeline import extract
+    from docproc_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name=f"bench_{master}", master=master, shuffle_partitions=shuffle)
+    try:
+        docs = spark.read.parquet(corpus_path)
+        extract(docs.limit(200)).agg(F.count("*")).collect()  # warmup
+        best, n = float("inf"), 0
+        for _ in range(repeats):
+            t0 = time.time()
+            row = extract(docs).agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("markdown")).alias("mdlen"),
+                F.sum(F.size("spans")).alias("ns"),
+            ).collect()[0]
+            best = min(best, time.time() - t0)
+            n = int(row["n"])
+        return best, n
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from docproc_spark.session import get_spark
+
+    sf_key = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    n_docs = _CORPUS_SIZE.get(sf_key, 2000)
+
+    # stage the corpus once (generation excluded from all timings)
+    spark = get_spark(app_name="bench_stage", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    corpus_path = _corpus_cache(spark, n_docs)
+
+    # per-query timings at the high parallelism level
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # headline extraction throughput at local[CPUS]
+    wall_hi, n = _extract_run(f"local[{CPUS}]", corpus_path, CPUS)
+    docs_per_sec = n / wall_hi if wall_hi > 0 else 0.0
+    qtimes["extract_flagship"] = round(wall_hi, 3)
+
+    result = {
+        "metric": "extract_docs_per_sec",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": qtimes,
+        "sf": sf_key,
+        "n_docs": n,
+    }
+
+    if DO_SCALING:
+        # N vs 4N on the SAME input. Defaults to (2, 8): this sandbox host
+        # is shared (load average ~10 with no local process attached), so
+        # thread counts beyond ~8 contend with other tenants and measure
+        # the neighbours, not the plan. See BASELINE.md for methodology.
+        lo = int(os.environ.get("SCALE_LOW", "2"))
+        hi = int(os.environ.get("SCALE_HIGH", str(lo * 4)))
+        wall_lo, _ = _extract_run(f"local[{lo}]", corpus_path, lo)
+        wall_hi2, _ = _extract_run(f"local[{hi}]", corpus_path, hi)
+        dps_lo = n / wall_lo if wall_lo > 0 else 0.0
+        dps_hi = n / wall_hi2 if wall_hi2 > 0 else 0.0
+        eff = (dps_hi / dps_lo) / (hi / lo) if dps_lo > 0 else 0.0
+        result["scaling"] = {
+            "low_parallelism": lo,
+            "high_parallelism": hi,
+            "docs_per_sec_low": round(dps_lo, 2),
+            "docs_per_sec_high": round(dps_hi, 2),
+            "speedup": round(dps_hi / dps_lo, 3) if dps_lo else 0.0,
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,31 +7,49 @@ Python: unicode-NFC sanitize (vectorized pandas UDF over Arrow batches) and
 the HTML main-content parser (pandas UDF, one call per HTML doc). No per-row
 Python UDFs anywhere.
 
-Scale design (the plan a 1000-executor cluster would run):
-  - one explode + ONE shuffle family keyed by doc_id: the dedupe/media
-    windows and both aggregations partition by (doc_id, ...) so AQE can
-    reuse/coalesce; no join in the hot path (media captions use a window
-    over (doc_id, media_ref) instead of a join-back).
-  - the raw-text fallback (reference vision_llm.py:540-541) applies only to
-    documents that assembled to empty markdown — handled in a second pass
-    over just those docs (left-semi pushdown) so raw text never rides the
-    main shuffle.
-  - mega-document skew: per-page grouping bounds group size by
-    spans-per-page; the doc-level aggregation only carries page parts.
-    For pathological single-page mega-docs use operators.salting.
+Scale design — a true SINGLE-PASS plan (what a 1000-executor cluster runs):
+
+    scan → explode → project(sanitize UDF, boilerplate, hash — all narrow)
+         → ONE shuffle: groupBy(doc_id).collect_list(span struct)
+         → one projection of higher-order array functions doing dedupe,
+           media captioning, raster fallback, page assembly, markdown,
+           and the raw-text fallback — all inside the row
+         ∪ the zero-span docs (a column-pruned scan filter, no join)
+
+  Why not windows + joins: a DataFrame fan-out (N consumers of one
+  intermediate) gets NO common-subexpression reuse — Catalyst pushes
+  distinct projections into each branch's copy of the subtree, so the scan
+  and the pandas UDF execute once PER BRANCH (measured: 9 scans, 20 UDF
+  evals, 14 exchanges for the window/join formulation). The single-pass
+  form has exactly one exchange, one scan, one UDF eval — shuffle volume is
+  the sanitized span bytes, once.
+
+  Skew: per-doc work below the shuffle is O(n log n) in spans-per-doc
+  (array_sort-based dedupe; the only quadratic piece is per-page media
+  indexing, bounded by media-per-page). Map-side partial collect keeps the
+  shuffle write balanced; a 10^5-span mega-doc is a single ~10 MB row,
+  fine; beyond that, route through operators.salting.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from docproc_spark.kernels.assembly import MEDIA_KINDS, RASTER_KIND, TEXTUAL_KINDS
-from docproc_spark.kernels.sanitize import DROP_KINDS_DEFAULT, sanitize_series
-from docproc_spark.kernels.sanitize import BOILERPLATE_PATTERNS, TITLE_MAX_LEN
+from docproc_spark.kernels.sanitize import (
+    BOILERPLATE_PATTERNS,
+    DROP_KINDS_DEFAULT,
+    TITLE_MAX_LEN,
+    sanitize_series,
+)
 from docproc_spark.schema import SPAN_STRUCT
+
+_OUT_SPANS_T = (
+    "array<struct<kind:string,text:string,media_ref:string,page:int,offset:int>>"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -58,6 +76,39 @@ def html_spans_udf(raw_html: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# Native sanitize for ASCII rows (JVM-side; python only for non-ASCII)
+# ---------------------------------------------------------------------------
+def sanitize_ascii_col(text: Column) -> Column:
+    """The sanitize chain as JVM regexes — exact for ASCII input, where NFC
+    and zero-width stripping are no-ops. Java \\s == Python strip() on the
+    ASCII range, so the final trim matches too."""
+    s = F.coalesce(text, F.lit(""))
+    s = F.regexp_replace(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    s = F.regexp_replace(s, r"[ \t]+", " ")
+    s = F.regexp_replace(s, r" *\n *", "\n")
+    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
+    s = F.regexp_replace(F.regexp_replace(s, r"^\s+", ""), r"\s+$", "")
+    return F.when(F.length(s) < 2, F.lit("")).otherwise(s)
+
+
+def sanitize_hybrid_col(text: Column) -> Column:
+    """Route: ASCII rows through whole-stage-codegen regexes; the non-ASCII
+    minority through the vectorized pandas kernel (NFC needs ICU). This
+    keeps Python worker traffic ~proportional to the non-ASCII fraction —
+    the lever that makes the map stage scale past ~cores/2 threads in
+    local mode (JVM task threads and Python workers both want a core).
+
+    NB: Catalyst extracts python UDFs out of CASE branches and evaluates
+    them for EVERY row — so the UDF input is pre-masked to null for ASCII
+    rows, making the Arrow crossing carry ~no bytes for the common case."""
+    non_ascii = text.rlike("[^\\x00-\\x7f]")
+    masked = F.when(non_ascii, text)
+    return F.when(text.isNull(), F.lit("")).otherwise(
+        F.when(non_ascii, sanitize_udf(masked)).otherwise(sanitize_ascii_col(text))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Native boilerplate classifier (JVM-side; mirrors kernels.sanitize patterns)
 # ---------------------------------------------------------------------------
 def boilerplate_kind_col(sanitized: Column) -> Column:
@@ -78,20 +129,37 @@ def boilerplate_kind_col(sanitized: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Pipeline stages
+# Stage A: derive + explode + narrow per-span enrichment
 # ---------------------------------------------------------------------------
 def with_derived_spans(docs: DataFrame) -> DataFrame:
-    """Merge HTML-derived spans into the span array (HTML docs only)."""
+    """Merge HTML-derived spans into the span array and append a sentinel.
+
+    The sentinel (null-text unclassified span) guarantees every doc_id
+    yields at least one exploded row, so the whole corpus flows through the
+    single-pass plan — no separate "empty doc" branch, which would re-scan
+    the source and re-run the HTML UDF just to find zero-span docs. The
+    sentinel is inert downstream: it never survives sanitize, never counts
+    as raw text, media, or raster, and the raw-text fallback filters its
+    null text.
+    """
     has_html = F.col("raw_html").isNotNull() & (F.length("raw_html") > 0)
+    empty = F.array().cast(_OUT_SPANS_T)
+    sentinel = F.array(
+        F.struct(
+            F.lit("unclassified").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("page"),
+            F.lit(-1).cast("int").alias("offset"),
+        )
+    )
     return docs.withColumn(
         "spans",
-        F.when(
-            has_html,
-            F.concat(
-                F.coalesce(F.col("spans"), F.array().cast(f"array<struct<kind:string,text:string,media_ref:string,page:int,offset:int>>")),
-                html_spans_udf(F.col("raw_html")),
-            ),
-        ).otherwise(F.col("spans")),
+        F.concat(
+            F.coalesce(F.col("spans"), empty),
+            F.when(has_html, html_spans_udf(F.col("raw_html"))).otherwise(empty),
+            sentinel,
+        ),
     )
 
 
@@ -106,151 +174,314 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract(docs: DataFrame, *, drop_kinds: frozenset = DROP_KINDS_DEFAULT) -> DataFrame:
-    """Full pipeline: documents(doc_id, doc_type, raw_html, spans) → RESULT_SCHEMA."""
-    docs = with_derived_spans(docs)
-    rows = explode_spans(docs)
-
+def enrich_spans(rows: DataFrame, drop_kinds: frozenset) -> DataFrame:
+    """Narrow (no-shuffle) per-span enrichment: sanitize, classify, hash."""
     is_textual = F.col("kind").isin(*TEXTUAL_KINDS)
-    is_media = F.col("kind").isin(*MEDIA_KINDS)
-    is_raster = F.col("kind") == RASTER_KIND
-
-    rows = rows.withColumn(
-        "sanitized", F.when(is_textual, sanitize_udf(F.col("text")))
-    ).withColumn(
-        "bp", F.when(is_textual, boilerplate_kind_col(F.col("sanitized")))
+    is_media = F.col("kind").isin(*MEDIA_KINDS) & F.col("media_ref").isNotNull()
+    is_raster = (F.col("kind") == RASTER_KIND) & F.col("media_ref").isNotNull()
+    sanitized = F.when(is_textual, sanitize_hybrid_col(F.col("text"))).otherwise(
+        F.lit(None)
+    )
+    bp = boilerplate_kind_col(sanitized)
+    survives = is_textual & ~bp.isin(*drop_kinds) & (sanitized != "")
+    return rows.select(
+        "doc_id",
+        F.struct(
+            F.col("page"),
+            F.col("offset"),
+            F.col("kind"),
+            F.col("text"),
+            sanitized.alias("sanitized"),
+            F.when(survives, F.sha2(sanitized, 256)).alias("hash"),
+            F.col("media_ref"),
+            is_textual.alias("is_textual"),
+            is_media.alias("is_media"),
+            is_raster.alias("is_raster"),
+            F.coalesce(survives, F.lit(False)).alias("survives"),
+            (is_textual & (F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")).alias(
+                "raw_nonblank"
+            ),
+        ).alias("s"),
     )
 
-    # page-level predicates needed by the rasterized fallback (computed before
-    # any row is dropped, per reference semantics on RAW page content)
-    w_page = Window.partitionBy("doc_id", "page")
-    w_doc = Window.partitionBy("doc_id")
-    rows = (
-        rows.withColumn(
-            "page_has_raw_text",
-            F.max(
-                (is_textual & (F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")).cast("int")
-            ).over(w_page),
-        )
-        .withColumn("page_has_media", F.max(is_media.cast("int")).over(w_page))
-        .withColumn("total_pages", F.max("page").over(w_doc) + F.lit(1))
+
+# ---------------------------------------------------------------------------
+# Stage B: the per-document array program
+# ---------------------------------------------------------------------------
+def _caption(ref: Column, ctx: Column) -> Column:
+    return F.concat(F.lit("Figure "), F.substring(ref, 1, 12), F.lit(": "), ctx)
+
+
+def _first_per_key(sorted_arr: Column, key) -> Column:
+    """Elements of a sorted array that are the first with their key.
+
+    ``sorted_arr`` must already be sorted with equal keys adjacent. Uses the
+    shift-and-zip trick (prepend a null, compare neighbours): O(n)."""
+    shifted = F.concat(F.array(F.lit(None)), sorted_arr)
+    return F.zip_with(
+        sorted_arr,
+        shifted,
+        lambda x, prev: F.when(prev.isNull() | (key(prev) != key(x)), x),
     )
 
-    # --- textual survivors: boilerplate drop + first-wins exact dedupe ------
-    text_rows = rows.filter(is_textual & ~F.col("bp").isin(*drop_kinds) & (F.col("sanitized") != ""))
-    w_dedup = Window.partitionBy("doc_id", F.sha2(F.col("sanitized"), 256)).orderBy(
-        "page", "offset"
-    )
-    text_rows = text_rows.withColumn("rn", F.row_number().over(w_dedup)).filter(
-        F.col("rn") == 1
-    )
 
-    # --- media occurrences: caption once per (doc, ref), first-sighting ctx -
-    w_media_page = Window.partitionBy("doc_id", "page").orderBy("offset")
-    media_rows = rows.filter(is_media & F.col("media_ref").isNotNull()).withColumn(
-        "img_idx", F.row_number().over(w_media_page)
-    )
-    w_ref = Window.partitionBy("doc_id", "media_ref").orderBy("page", "offset")
-    media_rows = media_rows.withColumn(
-        "first_ctx",
-        F.first(
-            F.format_string("Page %d, image %d.", F.col("page") + 1, F.col("img_idx"))
-        ).over(w_ref),
-    ).withColumn(
-        "caption",
-        F.concat(F.lit("Figure "), F.substring("media_ref", 1, 12), F.lit(": "), F.col("first_ctx")),
-    )
-
-    # --- rasterized-page fallback -------------------------------------------
-    raster_rows = rows.filter(
-        is_raster
-        & F.col("media_ref").isNotNull()
-        & (F.col("page_has_raw_text") == 0)
-        & (F.col("page_has_media") == 0)
-    ).withColumn(
-        "first_ctx",
-        F.first(
-            F.format_string("Page %d of %d.", F.col("page") + 1, F.col("total_pages"))
-        ).over(w_ref),
-    ).withColumn(
-        "caption",
-        F.concat(F.lit("Figure "), F.substring("media_ref", 1, 12), F.lit(": "), F.col("first_ctx")),
-    )
-
-    fig_rows = media_rows.select(
-        "doc_id", "page", "offset", "media_ref", "caption"
-    ).unionByName(raster_rows.select("doc_id", "page", "offset", "media_ref", "caption"))
-
-    # --- per-page assembly ----------------------------------------------------
-    texts_by_page = text_rows.groupBy("doc_id", "page").agg(
-        F.array_sort(
-            F.collect_list(F.struct("offset", "kind", F.col("sanitized").alias("text")))
-        ).alias("texts")
-    )
-    figs_by_page = fig_rows.groupBy("doc_id", "page").agg(
-        F.array_sort(
-            F.collect_list(F.struct("offset", "media_ref", "caption"))
-        ).alias("figs")
-    )
-    empty_span_array = "array<struct<offset:int,kind:string,text:string>>"
-    empty_fig_array = "array<struct<offset:int,media_ref:string,caption:string>>"
-    pages = (
-        texts_by_page.join(figs_by_page, ["doc_id", "page"], "full_outer")
-        .withColumn("texts", F.coalesce("texts", F.lit(None).cast(empty_span_array)))
-        .withColumn("figs", F.coalesce("figs", F.lit(None).cast(empty_fig_array)))
-    )
-    page_text = F.concat_ws(
-        "\n\n", F.transform(F.coalesce("texts", F.array().cast(empty_span_array)), lambda x: x["text"])
-    )
-    fig_list = F.concat_ws(
-        " ; ", F.transform(F.coalesce("figs", F.array().cast(empty_fig_array)), lambda x: x["caption"])
-    )
-    part = F.regexp_replace(F.regexp_replace(page_text, r"^\s+", ""), r"\s+$", "")
-    part = F.when(
-        F.size(F.coalesce("figs", F.array().cast(empty_fig_array))) > 0,
-        F.concat(part, F.lit("\n[Figures: "), fig_list, F.lit("]")),
-    ).otherwise(part)
-    pages = pages.withColumn("part", part).filter(F.col("part") != "")
-
-    # --- per-document assembly -------------------------------------------------
-    doc = pages.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("page", "part", "texts", "figs"))).alias("ps")
-    )
-    markdown = F.concat_ws(
-        "\n\n",
+def _srt_col(spans: Column) -> Column:
+    """Spans in document order (page, offset)."""
+    return F.array_sort(
         F.transform(
-            "ps",
-            lambda p: F.concat(
-                F.lit("[Page "), (p["page"] + 1).cast("string"), F.lit("]\n"), p["part"]
+            spans,
+            lambda x: F.struct(
+                x["page"].alias("page"),
+                x["offset"].alias("offset"),
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["sanitized"].alias("sanitized"),
+                x["hash"].alias("hash"),
+                x["media_ref"].alias("media_ref"),
+                x["is_textual"].alias("is_textual"),
+                x["is_media"].alias("is_media"),
+                x["is_raster"].alias("is_raster"),
+                x["survives"].alias("survives"),
+                x["raw_nonblank"].alias("raw_nonblank"),
+            ),
+        )
+    )
+
+
+def _texts_col(srt: Column) -> Column:
+    """First-wins exact dedupe over surviving textual spans: sort survivors
+    by (hash, page, offset), keep first per hash, resort to document order."""
+    by_hash = F.array_sort(
+        F.transform(
+            F.filter(srt, lambda x: x["survives"]),
+            lambda x: F.struct(
+                x["hash"].alias("hash"),
+                x["page"].alias("page"),
+                x["offset"].alias("offset"),
+                x["kind"].alias("kind"),
+                x["sanitized"].alias("sanitized"),
+            ),
+        )
+    )
+    kept = F.filter(
+        _first_per_key(by_hash, lambda e: e["hash"]), lambda x: x.isNotNull()
+    )
+    return F.array_sort(
+        F.transform(
+            kept,
+            lambda x: F.struct(
+                x["page"].alias("page"),
+                x["offset"].alias("offset"),
+                x["kind"].alias("kind"),
+                x["sanitized"].alias("text"),
+            ),
+        )
+    )
+
+
+def _media_idx_col(srt: Column) -> Column:
+    """Media occurrences with 1-based per-page image index, document order."""
+    media = F.filter(srt, lambda x: x["is_media"])
+    media_idx = F.zip_with(
+        media,
+        F.sequence(F.lit(0), F.greatest(F.size(media), F.lit(1)) - 1),
+        lambda m, i: F.struct(
+            m["page"].alias("page"),
+            m["offset"].alias("offset"),
+            m["media_ref"].alias("ref"),
+            (
+                F.size(
+                    F.filter(F.slice(media, 1, i), lambda p: p["page"] == m["page"])
+                )
+                + 1
+            ).alias("img_idx"),
+        ),
+    )
+    return F.filter(media_idx, lambda x: x["ref"].isNotNull())
+
+
+def _rasters_col(srt: Column) -> Column:
+    """Raster spans on pages with no non-blank raw text and no media
+    (reference vision_llm.py:490-523)."""
+    return F.filter(
+        srt,
+        lambda x: x["is_raster"]
+        & ~F.exists(srt, lambda y: (y["page"] == x["page"]) & y["raw_nonblank"])
+        & ~F.exists(srt, lambda y: (y["page"] == x["page"]) & y["is_media"]),
+    )
+
+
+def _captions_col(srt: Column, media_idx: Column, rasters: Column) -> Column:
+    """map<ref, caption>: one caption per unique ref, first-sighting context
+    (vision_llm.py:390-409); raster refs only if not already captioned."""
+    by_ref = F.array_sort(
+        F.transform(
+            media_idx,
+            lambda x: F.struct(
+                x["ref"].alias("ref"),
+                x["page"].alias("page"),
+                x["offset"].alias("offset"),
+                x["img_idx"].alias("img_idx"),
+            ),
+        )
+    )
+    firsts = F.filter(
+        _first_per_key(by_ref, lambda e: e["ref"]), lambda x: x.isNotNull()
+    )
+    media_captions = F.map_from_entries(
+        F.transform(
+            firsts,
+            lambda f: F.struct(
+                f["ref"],
+                _caption(
+                    f["ref"],
+                    F.format_string("Page %d, image %d.", f["page"] + 1, f["img_idx"]),
+                ),
+            ),
+        )
+    )
+    total_pages = F.coalesce(
+        F.array_max(F.transform(srt, lambda x: x["page"])) + 1, F.lit(0)
+    )
+    raster_firsts = F.filter(
+        _first_per_key(
+            F.array_sort(
+                F.transform(
+                    rasters,
+                    lambda x: F.struct(
+                        x["media_ref"].alias("ref"),
+                        x["page"].alias("page"),
+                        x["offset"].alias("offset"),
+                    ),
+                )
+            ),
+            lambda e: e["ref"],
+        ),
+        lambda x: x.isNotNull(),
+    )
+    raster_captions = F.map_from_entries(
+        F.transform(
+            F.filter(
+                raster_firsts,
+                lambda f: ~F.map_contains_key(media_captions, f["ref"]),
+            ),
+            lambda f: F.struct(
+                f["ref"],
+                _caption(
+                    f["ref"],
+                    F.format_string("Page %d of %d.", f["page"] + 1, total_pages),
+                ),
+            ),
+        )
+    )
+    return F.map_concat(media_captions, raster_captions)
+
+
+def _figs_col(media_idx: Column, rasters: Column, captions: Column) -> Column:
+    """Captioned figure occurrences (page, offset, ref) in document order;
+    media and raster pages are mutually exclusive by the raster predicate."""
+    figs = F.concat(
+        F.transform(
+            media_idx,
+            lambda m: F.struct(
+                m["page"].alias("page"),
+                m["offset"].alias("offset"),
+                m["ref"].alias("ref"),
+            ),
+        ),
+        F.transform(
+            rasters,
+            lambda r: F.struct(
+                r["page"].alias("page"),
+                r["offset"].alias("offset"),
+                r["media_ref"].alias("ref"),
             ),
         ),
     )
+    return F.array_sort(
+        F.filter(figs, lambda f: F.map_contains_key(captions, f["ref"]))
+    )
+
+
+def _page_part(texts: Column, figs: Column, captions: Column, p: Column) -> Column:
+    page_text = F.array_join(
+        F.transform(F.filter(texts, lambda t: t["page"] == p), lambda t: t["text"]),
+        "\n\n",
+    )
+    part = F.regexp_replace(F.regexp_replace(page_text, r"^\s+", ""), r"\s+$", "")
+    fig_list = F.transform(
+        F.filter(figs, lambda f: f["page"] == p),
+        lambda f: F.element_at(captions, f["ref"]),
+    )
+    return F.when(
+        F.size(fig_list) > 0,
+        F.concat(
+            part, F.lit("\n[Figures: "), F.array_join(fig_list, " ; "), F.lit("]")
+        ),
+    ).otherwise(part)
+
+
+def _nonempty_pages_col(texts: Column, figs: Column, captions: Column) -> Column:
+    """struct(page, part) for every non-empty page, in page order."""
+    pages = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.transform(texts, lambda t: t["page"]),
+                F.transform(figs, lambda f: f["page"]),
+            )
+        )
+    )
+    page_parts = F.transform(
+        pages,
+        lambda p: F.struct(
+            p.alias("page"), _page_part(texts, figs, captions, p).alias("part")
+        ),
+    )
+    return F.filter(page_parts, lambda s: s["part"] != "")
+
+
+def _markdown_col(nonempty: Column) -> Column:
+    return F.array_join(
+        F.transform(
+            nonempty,
+            lambda s: F.concat(
+                F.lit("[Page "),
+                (s["page"] + 1).cast("string"),
+                F.lit("]\n"),
+                s["part"],
+            ),
+        ),
+        "\n\n",
+    )
+
+
+def _out_spans_col(nonempty: Column, texts: Column, figs: Column, captions: Column) -> Column:
     raw_spans = F.flatten(
         F.transform(
-            "ps",
-            lambda p: F.concat(
+            nonempty,
+            lambda s: F.concat(
                 F.transform(
-                    F.coalesce(p["texts"], F.array().cast(empty_span_array)),
+                    F.filter(texts, lambda t: t["page"] == s["page"]),
                     lambda t: F.struct(
                         t["kind"].alias("kind"),
                         t["text"].alias("text"),
                         F.lit(None).cast("string").alias("media_ref"),
-                        p["page"].alias("page"),
+                        t["page"].alias("page"),
                     ),
                 ),
                 F.transform(
-                    F.coalesce(p["figs"], F.array().cast(empty_fig_array)),
-                    lambda g: F.struct(
+                    F.filter(figs, lambda f: f["page"] == s["page"]),
+                    lambda f: F.struct(
                         F.lit("figure").alias("kind"),
-                        g["caption"].alias("text"),
-                        g["media_ref"].alias("media_ref"),
-                        p["page"].alias("page"),
+                        F.element_at(captions, f["ref"]).alias("text"),
+                        f["ref"].alias("media_ref"),
+                        f["page"].alias("page"),
                     ),
                 ),
             ),
         )
     )
-    out_spans = F.transform(
+    return F.transform(
         raw_spans,
         lambda s, i: F.struct(
             s["kind"].alias("kind"),
@@ -260,39 +491,63 @@ def extract(docs: DataFrame, *, drop_kinds: frozenset = DROP_KINDS_DEFAULT) -> D
             i.cast("int").alias("offset"),
         ),
     )
-    doc = doc.select(
+
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+# ---------------------------------------------------------------------------
+def extract(docs: DataFrame, *, drop_kinds: frozenset = DROP_KINDS_DEFAULT) -> DataFrame:
+    """Full pipeline: documents(doc_id, doc_type, raw_html, spans) → result.
+
+    Output: doc_id, markdown, n_pages, spans (renumbered 0-based offsets).
+    """
+    derived = with_derived_spans(docs)
+    rows = enrich_spans(explode_spans(derived), drop_kinds)
+
+    collected = rows.groupBy("doc_id").agg(F.collect_list("s").alias("spans"))
+
+    # staged withColumns keep each analyzer pass small; the optimizer
+    # collapses them back into one projection over the single shuffle.
+    staged = (
+        collected.withColumn("srt", _srt_col(F.col("spans")))
+        .withColumn("texts", _texts_col(F.col("srt")))
+        .withColumn("media_idx", _media_idx_col(F.col("srt")))
+        .withColumn("rasters", _rasters_col(F.col("srt")))
+        .withColumn(
+            "captions",
+            _captions_col(F.col("srt"), F.col("media_idx"), F.col("rasters")),
+        )
+        .withColumn(
+            "figs", _figs_col(F.col("media_idx"), F.col("rasters"), F.col("captions"))
+        )
+        .withColumn(
+            "nonempty",
+            _nonempty_pages_col(F.col("texts"), F.col("figs"), F.col("captions")),
+        )
+        .withColumn("md", _markdown_col(F.col("nonempty")))
+        .withColumn(
+            "outs",
+            _out_spans_col(
+                F.col("nonempty"), F.col("texts"), F.col("figs"), F.col("captions")
+            ),
+        )
+    )
+    raw_all = F.array_join(
+        F.transform(
+            F.filter(F.col("srt"), lambda x: x["text"].isNotNull()),
+            lambda x: x["text"],
+        ),
+        "\n\n",
+    )
+    return staged.select(
         "doc_id",
-        markdown.alias("markdown"),
-        F.when(F.size("ps") > 0, F.element_at("ps", -1)["page"] + 1)
+        F.when(F.col("md") == "", raw_all).otherwise(F.col("md")).alias("markdown"),
+        F.when(F.size("nonempty") > 0, F.element_at("nonempty", -1)["page"] + 1)
         .otherwise(F.lit(0))
         .cast("int")
         .alias("n_pages"),
-        out_spans.alias("spans"),
+        F.when(F.col("md") == "", F.array().cast(_OUT_SPANS_T))
+        .otherwise(F.col("outs"))
+        .alias("spans"),
     )
-
-    # --- raw-text fallback for docs that assembled to nothing -------------------
-    assembled_ids = doc.select("doc_id")
-    missing = docs.join(assembled_ids, "doc_id", "left_anti")
-    fb_rows = explode_spans(missing).filter(F.col("text").isNotNull())
-    fallback = fb_rows.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("page", "offset", "text"))),
-                lambda x: x["text"],
-            ),
-        ).alias("markdown")
-    )
-    empty_docs = (
-        missing.select("doc_id")
-        .join(fallback, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("markdown", F.lit("")).alias("markdown"),
-            F.lit(0).alias("n_pages"),
-            F.array().cast(
-                "array<struct<kind:string,text:string,media_ref:string,page:int,offset:int>>"
-            ).alias("spans"),
-        )
-    )
-    return doc.unionByName(empty_docs)

