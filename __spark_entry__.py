@@ -16,6 +16,7 @@ from __future__ import annotations
 import itertools
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -589,6 +590,211 @@ def _lsh_ann_topk(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# queries — per-format get_full_text parity (reference loaders' raw joins)
+# ---------------------------------------------------------------------------
+# The DuckDB oracle needs a span table; the driver's views only cover the
+# flat tables, so these queries read a deterministically staged parquet of
+# the span corpus (fixed 2000-doc parity corpus, seed 42) that oracle SQL
+# references by absolute path. queries() stages it (pure pyarrow, no Spark).
+SPAN_CORPUS_PATH = "/root/repo/.bench_cache/span_corpus_2000.parquet"
+
+
+def _staged(spark):
+    from docproc_spark.corpus import stage_parquet
+
+    return spark.read.parquet(stage_parquet(SPAN_CORPUS_PATH, 2000))
+
+
+def _fulltext_pdf(spark, sf):
+    from docproc_spark.operators.fulltext import full_text_pdf
+
+    return full_text_pdf(
+        _staged(spark).filter(
+            F.col("doc_type").isin("multi_page_pdf", "empty_pages_pdf")
+        )
+    )
+
+
+_FULLTEXT_PDF_SQL = f"""
+WITH d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')
+           WHERE doc_type IN ('multi_page_pdf','empty_pages_pdf')),
+s AS (SELECT doc_id, u.page AS page, u."offset" AS soff, u.text AS text, u.kind AS kind
+      FROM (SELECT doc_id, unnest(spans) AS u FROM d)),
+pt AS (SELECT doc_id, page, string_agg(text, e'\n\n' ORDER BY soff) AS page_text
+       FROM s
+       WHERE kind IN ('text','header','equation','handwriting','unclassified')
+         AND text IS NOT NULL
+       GROUP BY doc_id, page)
+SELECT doc_id, string_agg(page_text, e'\n\n' ORDER BY page) AS full_text
+FROM pt GROUP BY doc_id
+"""
+
+
+def _fulltext_docx(spark, sf):
+    from docproc_spark.operators.fulltext import full_text_docx
+
+    return full_text_docx(
+        _staged(spark).filter(F.col("doc_type").isin("hello_docx", "tables_docx"))
+    )
+
+
+_FULLTEXT_DOCX_SQL = f"""
+WITH d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')
+           WHERE doc_type IN ('hello_docx','tables_docx')),
+s AS (SELECT doc_id, u.kind AS kind, u."offset" AS soff, u.text AS text
+      FROM (SELECT doc_id, unnest(spans) AS u FROM d))
+SELECT doc_id,
+  array_to_string(
+    list_concat(
+      coalesce(list(trim(text) ORDER BY soff)
+               FILTER (WHERE kind='text' AND text IS NOT NULL AND trim(text)<>''), []),
+      coalesce(flatten(list(string_split(text, e'\n') ORDER BY soff)
+               FILTER (WHERE kind='table' AND text IS NOT NULL)), [])
+    ), e'\n\n') AS full_text
+FROM s GROUP BY doc_id
+"""
+
+
+def _fulltext_pptx(spark, sf):
+    from docproc_spark.operators.fulltext import full_text_pptx
+
+    return full_text_pptx(_staged(spark).filter(F.col("doc_type") == "slides_pptx"))
+
+
+_FULLTEXT_PPTX_SQL = f"""
+WITH d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')
+           WHERE doc_type = 'slides_pptx'),
+s AS (SELECT doc_id, u.page AS page, u."offset" AS soff, u.kind AS kind, u.text AS text
+      FROM (SELECT doc_id, unnest(spans) AS u FROM d)),
+slides AS (
+  SELECT doc_id, page,
+    array_to_string(
+      flatten(list(
+        CASE WHEN kind='text' AND trim(text)<>'' THEN [trim(text)]
+             WHEN kind='table' THEN string_split(text, e'\n')
+             ELSE [] END ORDER BY soff)
+        FILTER (WHERE text IS NOT NULL)),
+      e'\n') AS slide_text
+  FROM s GROUP BY doc_id, page)
+SELECT doc_id,
+  string_agg(slide_text, e'\n\n---\n\n' ORDER BY page)
+    FILTER (WHERE slide_text <> '') AS full_text
+FROM slides GROUP BY doc_id
+"""
+
+
+def _fulltext_xlsx(spark, sf):
+    from docproc_spark.operators.fulltext import full_text_xlsx
+
+    return full_text_xlsx(_staged(spark).filter(F.col("doc_type") == "sheets_xlsx"))
+
+
+_FULLTEXT_XLSX_SQL = f"""
+WITH d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')
+           WHERE doc_type = 'sheets_xlsx'),
+s AS (SELECT doc_id, u.page AS page, u."offset" AS soff, u.kind AS kind, u.text AS text
+      FROM (SELECT doc_id, unnest(spans) AS u FROM d)),
+sheets AS (
+  SELECT doc_id, page,
+    list_filter(
+      list_transform(
+        coalesce(flatten(list(string_split(text, e'\n') ORDER BY soff)
+                 FILTER (WHERE kind='table' AND text IS NOT NULL)), []),
+        r -> trim(r)),
+      r -> r <> '') AS srows
+  FROM s GROUP BY doc_id, page),
+parts AS (
+  SELECT doc_id, page,
+    CASE WHEN len(srows) > 0
+         THEN '=== Sheet' || (page+1) || ' ===' || e'\n' || array_to_string(srows, e'\n')
+         ELSE '' END AS part
+  FROM sheets)
+SELECT doc_id,
+  string_agg(part, e'\n\n' ORDER BY page) FILTER (WHERE part <> '') AS full_text
+FROM parts GROUP BY doc_id
+"""
+
+
+def _refine_symbols(spark, sf):
+    """Mechanical refine subset: [Page N] strip + unicode→LaTeX table."""
+    d = _staged(spark).filter(F.col("doc_type") == "unicode_math")
+    rows = d.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.col("s.offset").alias("soff"), F.col("s.text").alias("text")
+    )
+    refined = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\[Page \d+\]\n?", "")
+    from docproc_spark.kernels.refine import SYMBOL_TABLE
+
+    for sym, latex in SYMBOL_TABLE:
+        refined = F.replace(refined, F.lit(sym), F.lit(latex))
+    return rows.select("doc_id", "soff", refined.alias("refined"))
+
+
+def _refine_symbols_sql() -> str:
+    from docproc_spark.kernels.refine import SYMBOL_TABLE
+
+    expr = "regexp_replace(coalesce(u.text,''), '\\[Page \\d+\\]\\n?', '', 'g')"
+    for sym, latex in SYMBOL_TABLE:
+        lat = latex.replace("\\", "\\\\")
+        expr = f"replace({expr}, '{sym}', e'{lat}')"
+    return f"""
+WITH d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')
+           WHERE doc_type = 'unicode_math')
+SELECT doc_id, u."offset" AS soff, {expr} AS refined
+FROM (SELECT doc_id, unnest(spans) AS u FROM d)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — embedding near-dup
+# ---------------------------------------------------------------------------
+def _neardup_cosine(spark, sf):
+    from docproc_spark.operators.similarity import cosine_neardup_pairs_exact
+
+    return cosine_neardup_pairs_exact(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+_NEARDUP_COSINE_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+  round(
+    list_reduce(list_transform(list_zip(x.v, y.v), p -> p[1]*p[2]), (s,t) -> s+t)
+    / (sqrt(list_reduce(list_transform(x.v, q -> q*q), (s,t) -> s+t))
+       * sqrt(list_reduce(list_transform(y.v, q -> q*q), (s,t) -> s+t))), 4) AS cos_sim
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE round(
+    list_reduce(list_transform(list_zip(x.v, y.v), p -> p[1]*p[2]), (s,t) -> s+t)
+    / (sqrt(list_reduce(list_transform(x.v, q -> q*q), (s,t) -> s+t))
+       * sqrt(list_reduce(list_transform(y.v, q -> q*q), (s,t) -> s+t))), 4) >= 0.4
+"""
+
+
+def _neardup_cosine_lsh(spark, sf):
+    from docproc_spark.operators.similarity import cosine_neardup_pairs_lsh
+
+    return cosine_neardup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.4, n_planes=6)
+
+
+def _ivf_topk(spark, sf):
+    from docproc_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def _sanitize_llm(spark, sf):
+    """Prompt-injection strip + token-budget truncate (pandas-UDF kernel)."""
+    from pyspark.sql import types as T
+
+    from docproc_spark.kernels.llm_input import sanitize_for_llm_series
+
+    @F.pandas_udf(T.StringType())
+    def udf(s: pd.Series) -> pd.Series:
+        return sanitize_for_llm_series(s, max_tokens=50)
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", udf(F.col("text")).alias("safe_text"))
+
+
+# ---------------------------------------------------------------------------
 # queries — extraction pipeline (non-SQL-expressible → rows-only checks)
 # ---------------------------------------------------------------------------
 def _extract_flagship(spark, sf):
@@ -639,6 +845,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": _lsh_ann_topk,
     "extract_flagship": _extract_flagship,
     "media_meta_stub": _media_meta,
+    "fulltext_pdf": _fulltext_pdf,
+    "fulltext_docx": _fulltext_docx,
+    "fulltext_pptx": _fulltext_pptx,
+    "fulltext_xlsx": _fulltext_xlsx,
+    "refine_symbols": _refine_symbols,
+    "neardup_cosine_exact": _neardup_cosine,
+    "neardup_cosine_lsh": _neardup_cosine_lsh,
+    "ivf_ann_topk": _ivf_topk,
+    "sanitize_for_llm": _sanitize_llm,
 }
 
 _ORACLES: dict[str, str] = {
@@ -663,9 +878,17 @@ _ORACLES: dict[str, str] = {
     "minhash_band_stats": _MINHASH_BANDS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "cosine_topk": _COSINE_SQL,
-    # rows-only (non-SQL-expressible): simhash64 (bit-fold), lsh_ann_topk
-    # (xxhash64 planes), extract_flagship (span pipeline), media_meta_stub
-    # (binary kernel), — the pytest oracle covers extraction exactly.
+    "fulltext_pdf": _FULLTEXT_PDF_SQL,
+    "fulltext_docx": _FULLTEXT_DOCX_SQL,
+    "fulltext_pptx": _FULLTEXT_PPTX_SQL,
+    "fulltext_xlsx": _FULLTEXT_XLSX_SQL,
+    "refine_symbols": _refine_symbols_sql(),
+    "neardup_cosine_exact": _NEARDUP_COSINE_SQL,
+    # rows-only (non-SQL-expressible): simhash64 (bit-fold), lsh_ann_topk +
+    # neardup_cosine_lsh + ivf_ann_topk (xxhash64 planes / probed lists —
+    # approximate by design), extract_flagship (span pipeline; the pytest
+    # oracle covers it exactly), media_meta_stub (binary kernel),
+    # sanitize_for_llm (regex-dialect-sensitive; kernel unit-tested).
 }
 
 

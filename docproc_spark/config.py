@@ -1,0 +1,134 @@
+"""Engine configuration (analog of the reference's config loader).
+
+Reference search order (docproc/config/loader.py:59-70): explicit path →
+$DOCPROC_CONFIG → ./docproc.yaml → ./docproc.yml → ~/.config/docproc/
+docproc.yml → ~/.docproc.yaml; env vars override file values. The ingest
+flags (schema.py:40-48) become pipeline-stage toggles here.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class IngestConfig:
+    sanitize: bool = True
+    drop_exact_duplicates: bool = True
+    drop_boilerplate: bool = True
+    boilerplate_kinds: tuple = ("thank_you", "questions", "blank")
+    use_vision: bool = False       # deterministic caption stub stands in
+    use_llm_refine: bool = False   # mechanical refine only by default
+
+
+@dataclass
+class SparkConfig:
+    shuffle_partitions: int | None = None
+    arrow_batch: int = 32768
+    master: str | None = None
+
+
+@dataclass
+class EngineConfig:
+    ingest: IngestConfig = field(default_factory=IngestConfig)
+    spark: SparkConfig = field(default_factory=SparkConfig)
+
+    @property
+    def drop_kinds(self) -> frozenset:
+        if not self.ingest.drop_boilerplate:
+            return frozenset()
+        return frozenset(self.ingest.boilerplate_kinds)
+
+
+_SEARCH = (
+    lambda: os.environ.get("DOCPROC_SPARK_CONFIG"),
+    lambda: "./docproc_spark.yaml" if os.path.exists("./docproc_spark.yaml") else None,
+    lambda: "./docproc_spark.yml" if os.path.exists("./docproc_spark.yml") else None,
+    lambda: os.path.expanduser("~/.config/docproc_spark/config.yml")
+    if os.path.exists(os.path.expanduser("~/.config/docproc_spark/config.yml"))
+    else None,
+)
+
+
+def _apply(dc, data: dict):
+    for f in fields(dc):
+        if f.name in data:
+            v = data[f.name]
+            cur = getattr(dc, f.name)
+            if hasattr(cur, "__dataclass_fields__") and isinstance(v, dict):
+                _apply(cur, v)
+            else:
+                setattr(dc, f.name, tuple(v) if isinstance(v, list) else v)
+
+
+def parse_config(path: str | None = None) -> EngineConfig:
+    """Pure: returns a fresh config, no global mutation (reference
+    facade.py tests assert the same purity)."""
+    cfg = EngineConfig()
+    chosen = path
+    if chosen is None:
+        for probe in _SEARCH:
+            p = probe()
+            if p and os.path.exists(p):
+                chosen = p
+                break
+    if chosen:
+        try:
+            import yaml  # type: ignore
+
+            with open(chosen) as fh:
+                data = yaml.safe_load(fh) or {}
+        except ImportError:
+            data = _parse_minimal_yaml(chosen)
+        _apply(cfg, data)
+    # env overrides
+    env_map = {
+        "DOCPROC_SPARK_SANITIZE": ("ingest", "sanitize"),
+        "DOCPROC_SPARK_DROP_DUPES": ("ingest", "drop_exact_duplicates"),
+        "DOCPROC_SPARK_DROP_BOILERPLATE": ("ingest", "drop_boilerplate"),
+        "DOCPROC_SPARK_SHUFFLE_PARTITIONS": ("spark", "shuffle_partitions"),
+        "DOCPROC_SPARK_MASTER": ("spark", "master"),
+    }
+    for env, (sec, name) in env_map.items():
+        if env in os.environ:
+            raw = os.environ[env]
+            val: object = raw
+            if raw.lower() in ("true", "false"):
+                val = raw.lower() == "true"
+            elif raw.isdigit():
+                val = int(raw)
+            setattr(getattr(cfg, sec), name, val)
+    return cfg
+
+
+def _parse_minimal_yaml(path: str) -> dict:
+    """Two-level key: value YAML subset (no external dependency needed)."""
+    out: dict = {}
+    section = None
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip() or line.strip().startswith("#"):
+                continue
+            indent = len(line) - len(line.lstrip())
+            key, _, val = line.strip().partition(":")
+            val = val.strip()
+            if indent == 0:
+                if val == "":
+                    section = key
+                    out[section] = {}
+                else:
+                    out[key] = _coerce(val)
+                    section = None
+            elif section is not None:
+                out[section][key] = _coerce(val)
+    return out
+
+
+def _coerce(v: str):
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    try:
+        return int(v)
+    except ValueError:
+        return v

@@ -205,6 +205,46 @@ def gen_pandas(start: int, end: int, seed: int = 42, mega_spans: int = 2000) -> 
     return pd.DataFrame(rows, columns=["doc_id", "doc_type", "raw_html", "spans"])
 
 
+def stage_parquet(path: str, n_docs: int, seed: int = 42, mega_spans: int = 2000) -> str:
+    """Write the corpus to one parquet file WITHOUT Spark (pure pyarrow).
+
+    Used to give the DuckDB oracle a span table to read: the driver's
+    pre-registered views only cover the flat tables, so span-level oracle
+    SQL reads this staged file via read_parquet(path). Idempotent.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    span_t = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("page", pa.int32()),
+            ("offset", pa.int32()),
+        ]
+    )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("doc_type", pa.string()),
+            ("raw_html", pa.string()),
+            ("spans", pa.list_(span_t)),
+        ]
+    )
+    rows = [gen_doc(i, seed=seed, mega_spans=mega_spans) for i in range(n_docs)]
+    table = pa.Table.from_pylist(rows, schema=schema)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def corpus_df(spark, n_docs: int, seed: int = 42, mega_spans: int = 2000,
               partitions: int | None = None):
     """Distributed deterministic corpus: each task generates its index range."""

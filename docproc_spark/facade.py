@@ -1,0 +1,60 @@
+"""Engine facade — the library API (analog of docproc/facade.py:21-99).
+
+The reference facade wraps one document; this one wraps a corpus table:
+
+    eng = DocprocSpark.from_config_path("engine.yml")
+    result = eng.extract_table(docs_df)          # doc_id, markdown, n_pages, spans
+    eng.extract_to_files(docs_df, "/out/md")     # one .md per doc, PAGES prefix
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from docproc_spark.config import EngineConfig, parse_config
+
+
+class DocprocSpark:
+    def __init__(self, spark: SparkSession | None = None, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        if spark is None:
+            from docproc_spark.session import get_spark
+
+            spark = get_spark(
+                master=self.config.spark.master,
+                shuffle_partitions=self.config.spark.shuffle_partitions,
+            )
+        self.spark = spark
+
+    @classmethod
+    def from_config_path(cls, path: str, spark: SparkSession | None = None) -> "DocprocSpark":
+        return cls(spark=spark, config=parse_config(path))
+
+    @classmethod
+    def from_env(cls, spark: SparkSession | None = None) -> "DocprocSpark":
+        return cls(spark=spark, config=parse_config(None))
+
+    # ------------------------------------------------------------------
+    def extract_table(self, docs: DataFrame) -> DataFrame:
+        """Span table in → (doc_id, markdown, n_pages, spans) out."""
+        from docproc_spark.pipeline import extract
+
+        return extract(docs, drop_kinds=self.config.drop_kinds)
+
+    def extract_to_files(self, docs: DataFrame, out_dir: str) -> int:
+        """Extract and write one .md per document with the reference's
+        "<!-- PAGES: n -->" prefix (facade.py:92-96)."""
+        from docproc_spark.sources.writers import export_markdown_files, with_pages_prefix
+
+        result = with_pages_prefix(self.extract_table(docs))
+        return export_markdown_files(result, out_dir)
+
+    def extract_resumable(
+        self, docs: DataFrame, out_path: str, lineage_path: str, n_parts: int = 8
+    ):
+        """Checkpointed extraction with per-partition lineage + resume."""
+        from docproc_spark.sources.lineage import run_with_lineage
+
+        return run_with_lineage(
+            docs, out_path, lineage_path, self.extract_table, n_parts=n_parts
+        )

@@ -1,0 +1,66 @@
+"""spark-submit job entry (analog of the reference CLI, cli.py:115-241).
+
+    spark-submit --py-files docproc_spark.zip docproc_spark/job.py \
+        --input  /data/documents_spans.parquet \
+        --output /data/extracted \
+        --lineage /data/extracted_lineage \
+        --n-parts 256
+
+Arguments are tables/locations, not files — the per-document CLI of the
+reference becomes a partition-parallel batch job with checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="docproc-spark", description=__doc__)
+    p.add_argument("--input", required=True, help="input span-table parquet path")
+    p.add_argument("--output", required=True, help="output table path")
+    p.add_argument("--lineage", default=None, help="lineage table path (enables resume)")
+    p.add_argument("--n-parts", type=int, default=8, help="checkpoint buckets")
+    p.add_argument("--config", default=None, help="engine config yaml")
+    p.add_argument("--master", default=None, help="override spark master")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from docproc_spark.config import parse_config
+    from docproc_spark.facade import DocprocSpark
+    from docproc_spark.session import get_spark
+
+    cfg = parse_config(args.config)
+    if args.master:
+        cfg.spark.master = args.master
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(master=cfg.spark.master, shuffle_partitions=cfg.spark.shuffle_partitions)
+    eng = DocprocSpark(spark=spark, config=cfg)
+    docs = spark.read.parquet(args.input)
+
+    if args.lineage:
+        processed = eng.extract_resumable(docs, args.output, args.lineage, args.n_parts)
+        summary = {"mode": "resumable", "buckets_processed": processed}
+    else:
+        eng.extract_table(docs).write.mode("overwrite").parquet(args.output)
+        summary = {"mode": "oneshot"}
+
+    print(json.dumps(summary))
+    if not preexisting:
+        spark.stop()  # only stop a session this job created
+    return 0
+
+
+if __name__ == "__main__":
+    # self-locate when run as a plain script (spark-submit ships the package
+    # via --py-files; direct `python docproc_spark/job.py` needs the parent)
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.exit(main())

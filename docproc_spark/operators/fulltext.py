@@ -1,0 +1,150 @@
+"""Per-format get_full_text variants over the span table.
+
+The reference exposes, besides the page-assembled markdown path, a raw
+``get_full_text`` per format with distinct join semantics (all reproduced
+exactly; file:line cites from /root/reference):
+
+  pdf   "\\n\\n".join(raw page texts), empty pages INCLUDED, no stripping
+        (doc/loaders/pdf_loader.py:56-61)
+  docx  stripped non-empty paragraphs, then ALL table rows (flattened,
+        one row per part), joined "\\n\\n" — paragraphs before tables
+        regardless of interleaving (docx_loader.py:58-69)
+  pptx  per slide: stripped non-empty texts and table rows INTERLEAVED in
+        shape order, joined "\\n"; empty slides skipped; slides joined
+        "\\n\\n---\\n\\n" (pptx_loader.py:66-81)
+  xlsx  per sheet: rows trimmed, empties dropped, "=== {title} ===\\n"
+        header, rows joined "\\n", sheets joined "\\n\\n"
+        (xlsx_loader.py:44-61); span corpus has no sheet titles, so the
+        title is defined as "Sheet{page+1}" (engine + oracle agree)
+
+In the span model a table span's text holds its rows joined "\\n" (each row
+already " | "-joined), page == slide == sheet. All implementations are
+native higher-order array functions over one groupBy(doc_id) — the same
+single-shuffle shape as the flagship pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TEXT_KINDS = ("text", "header", "equation", "handwriting", "unclassified")
+
+
+def _collected(docs: DataFrame) -> DataFrame:
+    rows = docs.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        F.struct(
+            F.coalesce(F.col("s.page"), F.lit(0)).alias("page"),
+            F.coalesce(F.col("s.offset"), F.lit(0)).alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+        ).alias("s"),
+    )
+    return rows.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("ss")
+    )
+
+
+def _is_text(x) -> Column:
+    return x["kind"].isin(*_TEXT_KINDS)
+
+
+def full_text_pdf(docs: DataFrame) -> DataFrame:
+    """Raw page texts joined "\\n\\n"; pages = distinct pages present."""
+    c = _collected(docs)
+    pages = F.array_sort(F.array_distinct(F.transform(F.col("ss"), lambda x: x["page"])))
+    page_text = lambda p: F.array_join(  # noqa: E731
+        F.transform(
+            F.filter(F.col("ss"), lambda x: (x["page"] == p) & _is_text(x) & x["text"].isNotNull()),
+            lambda x: x["text"],
+        ),
+        "\n\n",
+    )
+    full = F.array_join(F.transform(pages, page_text), "\n\n")
+    return c.select("doc_id", full.alias("full_text"))
+
+
+def full_text_docx(docs: DataFrame) -> DataFrame:
+    """Stripped non-empty paragraphs, then all table rows, joined "\\n\\n"."""
+    c = _collected(docs)
+    paras = F.filter(
+        F.transform(
+            F.filter(F.col("ss"), lambda x: (x["kind"] == "text") & x["text"].isNotNull()),
+            lambda x: F.trim(x["text"]),
+        ),
+        lambda t: t != "",
+    )
+    rows = F.flatten(
+        F.transform(
+            F.filter(F.col("ss"), lambda x: (x["kind"] == "table") & x["text"].isNotNull()),
+            lambda x: F.split(x["text"], "\n"),
+        )
+    )
+    full = F.array_join(F.concat(paras, rows), "\n\n")
+    return c.select("doc_id", full.alias("full_text"))
+
+
+def full_text_pptx(docs: DataFrame) -> DataFrame:
+    """Per slide: texts + table rows interleaved in offset order joined
+    "\\n"; empty slides skipped; slides joined "\\n\\n---\\n\\n"."""
+    c = _collected(docs)
+    pages = F.array_sort(F.array_distinct(F.transform(F.col("ss"), lambda x: x["page"])))
+
+    def slide_items(p):
+        per_span = F.transform(
+            F.filter(F.col("ss"), lambda x: (x["page"] == p) & x["text"].isNotNull()),
+            lambda x: F.when(
+                (x["kind"] == "text") & (F.trim(x["text"]) != ""),
+                F.array(F.trim(x["text"])),
+            )
+            .when(x["kind"] == "table", F.split(x["text"], "\n"))
+            .otherwise(F.array().cast("array<string>")),
+        )
+        return F.flatten(per_span)
+
+    slide_texts = F.filter(
+        F.transform(pages, lambda p: F.array_join(slide_items(p), "\n")),
+        lambda t: t != "",
+    )
+    return c.select("doc_id", F.array_join(slide_texts, "\n\n---\n\n").alias("full_text"))
+
+
+def full_text_xlsx(docs: DataFrame) -> DataFrame:
+    """Per sheet: trimmed non-empty rows with a === Sheet{n+1} === header."""
+    c = _collected(docs)
+    pages = F.array_sort(F.array_distinct(F.transform(F.col("ss"), lambda x: x["page"])))
+
+    def sheet_part(p):
+        rows = F.filter(
+            F.transform(
+                F.flatten(
+                    F.transform(
+                        F.filter(
+                            F.col("ss"),
+                            lambda x: (x["page"] == p)
+                            & (x["kind"] == "table")
+                            & x["text"].isNotNull(),
+                        ),
+                        lambda x: F.split(x["text"], "\n"),
+                    )
+                ),
+                lambda r: F.trim(r),
+            ),
+            lambda r: r != "",
+        )
+        return F.when(
+            F.size(rows) > 0,
+            F.concat(
+                F.lit("=== Sheet"),
+                (p + 1).cast("string"),
+                F.lit(" ===\n"),
+                F.array_join(rows, "\n"),
+            ),
+        ).otherwise(F.lit(""))
+
+    parts = F.filter(F.transform(pages, sheet_part), lambda t: t != "")
+    return c.select("doc_id", F.array_join(parts, "\n\n").alias("full_text"))

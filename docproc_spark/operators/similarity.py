@@ -14,7 +14,7 @@ Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -101,6 +101,113 @@ def lsh_buckets(
             F.lit(0).cast("long")
         )
     return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col), bucket.alias("bucket"))
+
+
+def cosine_neardup_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
+
+    O(n²) self-join — the correctness baseline for the LSH variant; run it
+    only on bounded inputs (the LSH path is the 100-TB route)."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: exact cosine only within LSH buckets.
+
+    Bucket equi-join replaces the O(n²) cross join: candidate volume is
+    sum of bucket sizes squared. High-cosine pairs land in the same bucket
+    with probability (1 - θ/π)^n_planes."""
+    b = lsh_buckets(emb, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col)
+    left = b.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("va"), "bucket")
+    right = b.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer + probed inverted lists.
+
+    Centroids are the first n_lists vectors by id (deterministic seed set —
+    a stand-in for a k-means fit, which would be run offline at scale).
+    Every vector is assigned to its nearest centroid (the inverted list);
+    a query searches only the n_probe nearest lists. At scale the assigned
+    table is written partitioned by list id → partition pruning makes a
+    query touch n_probe/n_lists of the data.
+    """
+    cents = emb.orderBy(id_col).limit(n_lists).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("dist", -cosine_col(F.col(vec_col), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col), F.col("cent_id"))
+    )
+    qrow = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    probe_lists = (
+        cents.crossJoin(F.broadcast(qrow))
+        .select("cent_id", cosine_col(F.col("cvec"), F.col("_qvec")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe_lists), "cent_id")
+        .crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col(vec_col), F.col("_qvec")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
 
 
 def lsh_topk(

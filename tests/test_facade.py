@@ -1,0 +1,125 @@
+"""Facade / config / job / writer tests (mirrors the reference's
+tests/test_facade.py + test_config.py + test_cli.py shapes)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from docproc_spark import corpus
+from docproc_spark.config import EngineConfig, parse_config
+from docproc_spark.facade import DocprocSpark
+
+
+def _docs(spark, n=30, seed=5):
+    return corpus.corpus_df(spark, n, seed=seed, mega_spans=100, partitions=2)
+
+
+class TestConfig:
+    def test_defaults(self):
+        cfg = EngineConfig()
+        assert cfg.ingest.sanitize and cfg.ingest.drop_exact_duplicates
+        assert cfg.drop_kinds == frozenset({"thank_you", "questions", "blank"})
+        assert cfg.ingest.use_vision is False
+
+    def test_parse_is_pure(self, tmp_path):
+        p = tmp_path / "a.yml"
+        p.write_text("ingest:\n  drop_boilerplate: false\n")
+        a = parse_config(str(p))
+        b = parse_config(None)
+        assert a.ingest.drop_boilerplate is False
+        assert b.ingest.drop_boilerplate is True  # no global mutation
+        assert a.drop_kinds == frozenset()
+
+    def test_env_override(self, monkeypatch):
+        monkeypatch.setenv("DOCPROC_SPARK_SHUFFLE_PARTITIONS", "7")
+        cfg = parse_config(None)
+        assert cfg.spark.shuffle_partitions == 7
+
+
+class TestFacade:
+    def test_extract_table(self, spark):
+        eng = DocprocSpark(spark=spark)
+        res = eng.extract_table(_docs(spark))
+        assert res.count() == 30
+        assert set(res.columns) == {"doc_id", "markdown", "n_pages", "spans"}
+
+    def test_extract_to_files_with_pages_prefix(self, spark, tmp_path):
+        eng = DocprocSpark(spark=spark)
+        out = str(tmp_path / "md")
+        n = eng.extract_to_files(_docs(spark, n=10), out)
+        assert n == 10
+        files = sorted(os.listdir(out))
+        assert len(files) == 10
+        # hello_docx (idx 0..3) → "[Page 1]\nHello world" with PAGES prefix
+        body = open(os.path.join(out, "doc_00000000.md")).read()
+        assert body == "<!-- PAGES: 1 -->\n[Page 1]\nHello world"
+
+    def test_boilerplate_toggle(self, spark, tmp_path):
+        p = tmp_path / "cfg.yml"
+        p.write_text("ingest:\n  drop_boilerplate: false\n")
+        eng = DocprocSpark.from_config_path(str(p), spark=spark)
+        # "Thank you!" survives when the drop is disabled
+        import pandas as pd
+
+        from docproc_spark.schema import DOCUMENTS_SCHEMA
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "doc_id": "d1",
+                        "doc_type": "x",
+                        "raw_html": None,
+                        "spans": [
+                            {"kind": "text", "text": "Thank you!", "media_ref": None,
+                             "page": 0, "offset": 0}
+                        ],
+                    }
+                ],
+                columns=["doc_id", "doc_type", "raw_html", "spans"],
+            ),
+            schema=DOCUMENTS_SCHEMA,
+        )
+        res = eng.extract_table(docs).collect()[0]
+        assert "Thank you!" in res["markdown"]
+
+
+class TestJob:
+    def test_job_main_resumable(self, spark, tmp_path):
+        src = str(tmp_path / "in")
+        corpus.corpus_df(spark, 20, seed=11, mega_spans=100, partitions=2).write.parquet(src)
+        out = str(tmp_path / "out")
+        lin = str(tmp_path / "lin")
+        from docproc_spark.job import main
+
+        rc = main(["--input", src, "--output", out, "--lineage", lin, "--n-parts", "3"])
+        assert rc == 0
+        assert spark.read.parquet(out).select("doc_id").distinct().count() == 20
+        assert spark.read.parquet(lin).count() == 3
+
+
+class TestWriters:
+    def test_csv_newline_escape(self, spark, tmp_path):
+        from docproc_spark.sources.writers import csv_escaped
+
+        df = spark.createDataFrame([("a\nb", 1)], ["t", "n"])
+        out = str(tmp_path / "csv")
+        csv_escaped(df, out)
+        back = spark.read.option("header", True).csv(out).collect()[0]
+        assert back["t"] == r"a\nb"  # literal backslash-n, reference semantics
+
+    def test_jsonl(self, spark, tmp_path):
+        from docproc_spark.sources.writers import jsonl
+
+        df = spark.createDataFrame([("x", 1), ("y", 2)], ["t", "n"])
+        out = str(tmp_path / "jl")
+        jsonl(df, out)
+        lines = []
+        for f in os.listdir(out):
+            if f.endswith(".json"):
+                lines += [json.loads(l) for l in open(os.path.join(out, f)) if l.strip()]
+        assert sorted(l["t"] for l in lines) == ["x", "y"]
