@@ -780,6 +780,14 @@ def _ivf_topk(spark, sf):
     return ivf_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _lang_pred_ngram(spark, sf):
+    """Character-trigram language profiler (pandas-UDF path)."""
+    from docproc_spark.functions.text import lang_id_ngram_udf
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang", lang_id_ngram_udf(F.col("text")).alias("lang_pred"))
+
+
 def _sanitize_llm(spark, sf):
     """Prompt-injection strip + token-budget truncate (pandas-UDF kernel)."""
     from pyspark.sql import types as T
@@ -854,6 +862,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_cosine_lsh": _neardup_cosine_lsh,
     "ivf_ann_topk": _ivf_topk,
     "sanitize_for_llm": _sanitize_llm,
+    "lang_pred_ngram": _lang_pred_ngram,
 }
 
 _ORACLES: dict[str, str] = {

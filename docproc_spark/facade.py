@@ -35,6 +35,27 @@ class DocprocSpark:
         return cls(spark=spark, config=parse_config(None))
 
     # ------------------------------------------------------------------
+    SUPPORTED_DOC_TYPES = frozenset(
+        {
+            "hello_docx", "multi_page_pdf", "empty_pages_pdf", "tables_docx",
+            "slides_pptx", "sheets_xlsx", "dup_spans", "dirty_text",
+            "interleaved_media", "repeated_logo", "rasterized_doc",
+            "html_boiler", "unicode_math", "mega_doc",
+            "pdf", "docx", "pptx", "xlsx", "html", "mixed",
+        }
+    )
+
+    def split_supported(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Route unsupported doc types to a quarantine table instead of
+        raising (the reference throws ValueError per file,
+        factory.py:29-31 — a cluster job must never die on one row)."""
+        from pyspark.sql import functions as F
+
+        known = F.col("doc_type").isNull() | F.col("doc_type").isin(
+            *self.SUPPORTED_DOC_TYPES
+        )
+        return docs.filter(known), docs.filter(~known)
+
     def extract_table(self, docs: DataFrame) -> DataFrame:
         """Span table in → (doc_id, markdown, n_pages, spans) out."""
         from docproc_spark.pipeline import extract

@@ -44,12 +44,18 @@ def main(argv: list[str] | None = None) -> int:
     eng = DocprocSpark(spark=spark, config=cfg)
     docs = spark.read.parquet(args.input)
 
+    docs, quarantined = eng.split_supported(docs)
+    n_quarantined = quarantined.count()
+    if n_quarantined:
+        quarantined.write.mode("overwrite").parquet(args.output + "_quarantine")
+
     if args.lineage:
         processed = eng.extract_resumable(docs, args.output, args.lineage, args.n_parts)
         summary = {"mode": "resumable", "buckets_processed": processed}
     else:
         eng.extract_table(docs).write.mode("overwrite").parquet(args.output)
         summary = {"mode": "oneshot"}
+    summary["quarantined"] = n_quarantined
 
     print(json.dumps(summary))
     if not preexisting:

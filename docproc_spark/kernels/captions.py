@@ -29,3 +29,38 @@ def caption_stub(media_ref: str, ctx: str) -> str:
 def caption_series(media_ref: pd.Series, ctx: pd.Series) -> pd.Series:
     """Vectorized caption stub (pandas-UDF path)."""
     return "Figure " + media_ref.str.slice(0, 12) + ": " + ctx
+
+
+# ---------------------------------------------------------------------------
+# Vision-output post-processing (reference vision_llm.py:107-123, 167-183)
+# ---------------------------------------------------------------------------
+_FENCE_RE = r"^```(?:json)?\s*\n?|\n?```\s*$"
+
+
+def strip_md_fences_series(s: pd.Series) -> pd.Series:
+    """Strip markdown ``` fences wrapping a model's JSON reply
+    (vision_llm.py:107-118) — vectorized regex."""
+    return s.fillna("").str.strip().str.replace(_FENCE_RE, "", regex=True).str.strip()
+
+
+def flatten_extraction(d: dict) -> str:
+    """Extraction dict → readable text, reference-exact field order and
+    separators (vision_llm.py:167-183)."""
+    parts = []
+    if d.get("text"):
+        parts.append(str(d["text"]))
+    if d.get("equations"):
+        eqs = d["equations"] if isinstance(d["equations"], list) else [d["equations"]]
+        parts.append("Equations: " + " ; ".join(str(e) for e in eqs if e))
+    if d.get("tables"):
+        parts.append(str(d["tables"]))
+    if d.get("figures_descriptions"):
+        figs = (
+            d["figures_descriptions"]
+            if isinstance(d["figures_descriptions"], list)
+            else [d["figures_descriptions"]]
+        )
+        parts.append("Figures: " + " ; ".join(str(f) for f in figs if f))
+    if d.get("data_points") and isinstance(d["data_points"], dict):
+        parts.append("Data: " + str(d["data_points"]))
+    return "\n".join(parts) if parts else ""

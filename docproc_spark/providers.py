@@ -1,0 +1,71 @@
+"""Caption/chat provider interface (analog of docproc/providers/*).
+
+The reference ships 5 thin HTTP providers behind an ABC with an instance
+cache (providers/factory.py:18-131, base.py:26-52). This engine's
+invariant path uses the deterministic stub (the reference's own tests run
+vision-off); real providers plug in behind the same batch signature and
+run inside mapInPandas — one provider instance per executor partition,
+Arrow-batched, never per-row.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import pandas as pd
+
+
+class CaptionProvider(ABC):
+    """Batch captioner: (media_ref, context) series in → caption series out."""
+
+    provider_id: str = "base"
+
+    @abstractmethod
+    def caption_batch(self, media_ref: pd.Series, context: pd.Series) -> pd.Series: ...
+
+
+class DeterministicStubProvider(CaptionProvider):
+    """Pure function of (media_ref, context) — the invariant-path default."""
+
+    provider_id = "stub"
+
+    def caption_batch(self, media_ref: pd.Series, context: pd.Series) -> pd.Series:
+        from docproc_spark.kernels.captions import caption_series
+
+        return caption_series(media_ref, context)
+
+
+class HttpVisionProvider(CaptionProvider):
+    """Placeholder for an OpenAI/Azure/Anthropic/Ollama-style vision API.
+
+    Deliberately NOT implemented in this container (no network, no keys);
+    the class documents the integration point: instantiate per partition
+    inside the iterator-form kernel, batch ≤ N images per request
+    (reference VISION_BATCH_SIZE=5), timeout + skip-and-log per batch.
+    """
+
+    provider_id = "http"
+
+    def __init__(self, endpoint: str = "", api_key: str = "", model: str = ""):
+        self.endpoint, self.api_key, self.model = endpoint, api_key, model
+
+    def caption_batch(self, media_ref: pd.Series, context: pd.Series) -> pd.Series:
+        raise NotImplementedError(
+            "network vision providers are a deployment concern; "
+            "use DeterministicStubProvider for the invariant path"
+        )
+
+
+_CACHE: dict[str, CaptionProvider] = {}
+
+
+def get_provider(provider_id: str = "stub", **kwargs) -> CaptionProvider:
+    """Instance cache keyed by provider id (reference factory.py:73-80)."""
+    if provider_id not in _CACHE:
+        if provider_id == "stub":
+            _CACHE[provider_id] = DeterministicStubProvider()
+        elif provider_id == "http":
+            _CACHE[provider_id] = HttpVisionProvider(**kwargs)
+        else:
+            raise ValueError(f"Unsupported provider: {provider_id}")
+    return _CACHE[provider_id]

@@ -123,3 +123,85 @@ class TestWriters:
             if f.endswith(".json"):
                 lines += [json.loads(l) for l in open(os.path.join(out, f)) if l.strip()]
         assert sorted(l["t"] for l in lines) == ["x", "y"]
+
+
+class TestQuarantine:
+    def test_split_supported(self, spark):
+        import pandas as pd
+
+        from docproc_spark.schema import DOCUMENTS_SCHEMA
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {"doc_id": "ok", "doc_type": "pdf", "raw_html": None, "spans": []},
+                    {"doc_id": "bad", "doc_type": "exe", "raw_html": None, "spans": []},
+                    {"doc_id": "untyped", "doc_type": None, "raw_html": None, "spans": []},
+                ],
+                columns=["doc_id", "doc_type", "raw_html", "spans"],
+            ),
+            schema=DOCUMENTS_SCHEMA,
+        )
+        eng = DocprocSpark(spark=spark)
+        ok, bad = eng.split_supported(docs)
+        assert {r["doc_id"] for r in ok.collect()} == {"ok", "untyped"}
+        assert {r["doc_id"] for r in bad.collect()} == {"bad"}
+
+
+class TestProviders:
+    def test_stub_provider_cached_and_deterministic(self):
+        import pandas as pd
+
+        from docproc_spark.providers import get_provider
+
+        p1 = get_provider("stub")
+        p2 = get_provider("stub")
+        assert p1 is p2
+        refs = pd.Series(["a" * 64])
+        ctx = pd.Series(["Page 1, image 1."])
+        assert list(p1.caption_batch(refs, ctx)) == [
+            "Figure aaaaaaaaaaaa: Page 1, image 1."
+        ]
+
+    def test_http_provider_stubbed(self):
+        import pandas as pd
+        import pytest as _pytest
+
+        from docproc_spark.providers import get_provider
+
+        with _pytest.raises(NotImplementedError):
+            get_provider("http").caption_batch(pd.Series(["x"]), pd.Series(["y"]))
+
+    def test_unknown_provider(self):
+        import pytest as _pytest
+
+        from docproc_spark.providers import get_provider
+
+        with _pytest.raises(ValueError, match="Unsupported provider"):
+            get_provider("nope")
+
+
+class TestVisionKernels:
+    def test_strip_md_fences(self):
+        import pandas as pd
+
+        from docproc_spark.kernels.captions import strip_md_fences_series
+
+        s = pd.Series(['```json\n{"a": 1}\n```', "plain", "```\nx\n```"])
+        assert list(strip_md_fences_series(s)) == ['{"a": 1}', "plain", "x"]
+
+    def test_flatten_extraction_field_order(self):
+        from docproc_spark.kernels.captions import flatten_extraction
+
+        d = {
+            "text": "body",
+            "equations": ["e=mc2", ""],
+            "tables": "| a |",
+            "figures_descriptions": ["fig one"],
+            "data_points": {"k": 1},
+        }
+        assert flatten_extraction(d) == (
+            "body\nEquations: e=mc2\n| a |\nFigures: fig one\nData: {'k': 1}"
+        )
+        assert flatten_extraction({}) == ""
+        assert flatten_extraction({"text": "", "equations": None}) == ""
