@@ -49,6 +49,10 @@ CLASS_WEIGHTS = (4, 10, 4, 8, 8, 6, 6, 6, 10, 4, 3, 10, 4, 1)
 _CUM = [sum(CLASS_WEIGHTS[: i + 1]) for i in range(len(CLASS_WEIGHTS))]
 _TOTAL_W = _CUM[-1]
 
+# Bump when gen_doc semantics change — keys every on-disk corpus cache so a
+# stale staged parquet can never silently poison oracle comparisons.
+CORPUS_VERSION = 1
+
 # Shared logo ref: the corpus-wide hot key for the media-dedupe skew path.
 LOGO_REF = hashlib.sha256(b"docproc_spark:logo").hexdigest()
 
@@ -217,8 +221,12 @@ def stage_parquet(path: str, n_docs: int, seed: int = 42, mega_spans: int = 2000
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.exists(path):
+    marker = path + f".v{CORPUS_VERSION}"
+    if os.path.exists(path) and os.path.exists(marker):
         return path
+    for stale in (path, marker):
+        if os.path.exists(stale):
+            os.remove(stale)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     span_t = pa.struct(
         [
@@ -242,6 +250,7 @@ def stage_parquet(path: str, n_docs: int, seed: int = 42, mega_spans: int = 2000
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
+    open(marker, "w").close()
     return path
 
 

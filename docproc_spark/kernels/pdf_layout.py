@@ -1,0 +1,99 @@
+"""PDF layout kernels: text-block reading order + region detection.
+
+The reference consumes PyMuPDF's block tuples (x0, y0, x1, y1, text, …) and
+keeps PyMuPDF's block order (doc/loaders/pdf_loader.py:22-36); for synthetic
+fixtures the order is defined as sort by (y0, x0) — top-to-bottom then
+left-to-right (SURVEY §2.1 S4). Region types beyond TEXT come from vision in
+the reference; here deterministic layout heuristics stand in:
+
+  table   ≥2 lines each containing the " | " cell separator
+  header  block's vertical center in the top HEADER_BAND of the page
+  footer  block's vertical center in the bottom HEADER_BAND of the page
+  text    everything else
+
+Blocks with blank text are dropped (pdf_loader.py:27). Both a pure-python
+kernel (oracle/tests) and a native Column implementation (cluster path)
+are provided; they must agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEADER_BAND = 0.08  # fraction of page height treated as header/footer zone
+
+
+def classify_block(text: str, y_center: float, page_height: float) -> str:
+    lines = [l for l in (text or "").split("\n") if l.strip()]
+    if sum(1 for l in lines if " | " in l) >= 2:
+        return "table"
+    if page_height > 0:
+        if y_center < HEADER_BAND * page_height:
+            return "header"
+        if y_center > (1 - HEADER_BAND) * page_height:
+            return "footer"
+    return "text"
+
+
+def blocks_to_spans(blocks: list[dict], page_height: float = 0.0) -> list[dict]:
+    """Pure kernel: PyMuPDF-style block dicts → ordered span dicts.
+
+    Each block: {page, x0, y0, x1, y1, text}. Output spans carry 0-based
+    offsets in (page, y0, x0) reading order; blank blocks dropped.
+    """
+    kept = [b for b in blocks if b.get("text") and str(b["text"]).strip()]
+    kept.sort(key=lambda b: (int(b.get("page", 0)), float(b["y0"]), float(b["x0"])))
+    out = []
+    for i, b in enumerate(kept):
+        yc = (float(b["y0"]) + float(b["y1"])) / 2
+        out.append(
+            {
+                "kind": classify_block(str(b["text"]), yc, page_height),
+                "text": str(b["text"]).strip(),
+                "media_ref": None,
+                "page": int(b.get("page", 0)),
+                "offset": i,
+            }
+        )
+    return out
+
+
+def classify_block_col(text: Column, y_center: Column, page_height: Column) -> Column:
+    lines = F.filter(F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l) != "")
+    n_table_lines = F.size(F.filter(lines, lambda l: l.contains(" | ")))
+    return (
+        F.when(n_table_lines >= 2, F.lit("table"))
+        .when(
+            (page_height > 0) & (y_center < HEADER_BAND * page_height), F.lit("header")
+        )
+        .when(
+            (page_height > 0) & (y_center > (1 - HEADER_BAND) * page_height),
+            F.lit("footer"),
+        )
+        .otherwise(F.lit("text"))
+    )
+
+
+def blocks_df_to_spans(
+    blocks: DataFrame, page_height: float = 0.0, doc_col: str = "doc_id"
+) -> DataFrame:
+    """Native path: DataFrame of (doc_id, page, x0, y0, x1, y1, text) →
+    (doc_id, kind, text, media_ref, page, offset) in reading order.
+
+    One window keyed by doc_id — same clustering as the extraction shuffle,
+    so this stage composes with pipeline.extract with no extra exchange.
+    """
+    kept = blocks.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    w = Window.partitionBy(doc_col).orderBy("page", "y0", "x0")
+    yc = (F.col("y0") + F.col("y1")) / 2
+    return kept.select(
+        F.col(doc_col),
+        classify_block_col(F.col("text"), yc, F.lit(float(page_height))).alias("kind"),
+        F.trim(F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.col("page").cast("int").alias("page"),
+        (F.row_number().over(w) - 1).alias("offset"),
+    )

@@ -22,7 +22,9 @@ Scale design — a true SINGLE-PASS plan (what a 1000-executor cluster runs):
   and the pandas UDF execute once PER BRANCH (measured: 9 scans, 20 UDF
   evals, 14 exchanges for the window/join formulation). The single-pass
   form has exactly one exchange, one scan, one UDF eval — shuffle volume is
-  the sanitized span bytes, once.
+  the raw+sanitized text bytes, once (the dedupe hash, boilerplate class
+  and flags are pure functions of those and are recomputed post-shuffle;
+  raw text must ride along because the in-row raw-text fallback needs it).
 
   Skew: per-doc work below the shuffle is O(n log n) in spans-per-doc
   (array_sort-based dedupe; the only quadratic piece is per-page media
@@ -175,15 +177,18 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 
 
 def enrich_spans(rows: DataFrame, drop_kinds: frozenset) -> DataFrame:
-    """Narrow (no-shuffle) per-span enrichment: sanitize, classify, hash."""
+    """Narrow (no-shuffle) per-span enrichment.
+
+    Only what the map side MUST produce goes through the shuffle: the
+    sanitized text (the Python kernel) plus the raw span fields. Everything
+    derivable from them — dedupe hash (64 hex bytes/span!), boilerplate
+    class, survival flags — is recomputed post-shuffle in _srt_col, keeping
+    shuffle bytes to raw+sanitized text only.
+    """
     is_textual = F.col("kind").isin(*TEXTUAL_KINDS)
-    is_media = F.col("kind").isin(*MEDIA_KINDS) & F.col("media_ref").isNotNull()
-    is_raster = (F.col("kind") == RASTER_KIND) & F.col("media_ref").isNotNull()
     sanitized = F.when(is_textual, sanitize_hybrid_col(F.col("text"))).otherwise(
         F.lit(None)
     )
-    bp = boilerplate_kind_col(sanitized)
-    survives = is_textual & ~bp.isin(*drop_kinds) & (sanitized != "")
     return rows.select(
         "doc_id",
         F.struct(
@@ -192,15 +197,7 @@ def enrich_spans(rows: DataFrame, drop_kinds: frozenset) -> DataFrame:
             F.col("kind"),
             F.col("text"),
             sanitized.alias("sanitized"),
-            F.when(survives, F.sha2(sanitized, 256)).alias("hash"),
             F.col("media_ref"),
-            is_textual.alias("is_textual"),
-            is_media.alias("is_media"),
-            is_raster.alias("is_raster"),
-            F.coalesce(survives, F.lit(False)).alias("survives"),
-            (is_textual & (F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")).alias(
-                "raw_nonblank"
-            ),
         ).alias("s"),
     )
 
@@ -225,27 +222,39 @@ def _first_per_key(sorted_arr: Column, key) -> Column:
     )
 
 
-def _srt_col(spans: Column) -> Column:
-    """Spans in document order (page, offset)."""
-    return F.array_sort(
-        F.transform(
-            spans,
-            lambda x: F.struct(
-                x["page"].alias("page"),
-                x["offset"].alias("offset"),
-                x["kind"].alias("kind"),
-                x["text"].alias("text"),
-                x["sanitized"].alias("sanitized"),
-                x["hash"].alias("hash"),
-                x["media_ref"].alias("media_ref"),
-                x["is_textual"].alias("is_textual"),
-                x["is_media"].alias("is_media"),
-                x["is_raster"].alias("is_raster"),
-                x["survives"].alias("survives"),
-                x["raw_nonblank"].alias("raw_nonblank"),
+def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
+    """Spans in document order (page, offset), with the derived per-span
+    fields (hash, boilerplate class, flags) recomputed post-shuffle —
+    they're pure functions of (kind, text, sanitized) and would otherwise
+    ride the exchange."""
+
+    def build(x):
+        is_textual = x["kind"].isin(*TEXTUAL_KINDS)
+        is_media = x["kind"].isin(*MEDIA_KINDS) & x["media_ref"].isNotNull()
+        is_raster = (x["kind"] == RASTER_KIND) & x["media_ref"].isNotNull()
+        bp = boilerplate_kind_col(x["sanitized"])
+        survives = F.coalesce(
+            is_textual & ~bp.isin(*drop_kinds) & (x["sanitized"] != ""),
+            F.lit(False),
+        )
+        return F.struct(
+            x["page"].alias("page"),
+            x["offset"].alias("offset"),
+            x["kind"].alias("kind"),
+            x["text"].alias("text"),
+            x["sanitized"].alias("sanitized"),
+            F.when(survives, F.sha2(x["sanitized"], 256)).alias("hash"),
+            x["media_ref"].alias("media_ref"),
+            is_textual.alias("is_textual"),
+            is_media.alias("is_media"),
+            is_raster.alias("is_raster"),
+            survives.alias("survives"),
+            (is_textual & (F.trim(F.coalesce(x["text"], F.lit(""))) != "")).alias(
+                "raw_nonblank"
             ),
         )
-    )
+
+    return F.array_sort(F.transform(spans, build))
 
 
 def _texts_col(srt: Column) -> Column:
@@ -510,7 +519,7 @@ def extract(docs: DataFrame, *, drop_kinds: frozenset = DROP_KINDS_DEFAULT) -> D
     # staged withColumns keep each analyzer pass small; the optimizer
     # collapses them back into one projection over the single shuffle.
     staged = (
-        collected.withColumn("srt", _srt_col(F.col("spans")))
+        collected.withColumn("srt", _srt_col(F.col("spans"), drop_kinds))
         .withColumn("texts", _texts_col(F.col("srt")))
         .withColumn("media_idx", _media_idx_col(F.col("srt")))
         .withColumn("rasters", _rasters_col(F.col("srt")))

@@ -12,9 +12,9 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from docproc_spark.plans import plan_summary
+from docproc_spark.plans.explain import executed_plan as _plan
+from docproc_spark.plans.explain import pushed_filters, read_schemas
 
 
 def test_extract_is_single_pass(spark, tmp_path):
@@ -24,23 +24,21 @@ def test_extract_is_single_pass(spark, tmp_path):
     src = str(tmp_path / "docs")
     corpus.corpus_df(spark, 50, seed=3, mega_spans=100, partitions=2).write.parquet(src)
     docs = spark.read.parquet(src)  # real parquet scan as the source
-    plan = _plan(extract(docs))
-    assert len(re.findall(r"Scan parquet", plan)) == 1, "source scanned once"
-    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, (
-        "extract must shuffle exactly once (by doc_id)"
-    )
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
-    assert "Union" not in plan
-    assert len(re.findall(r"\bWindow\b", plan)) == 0
+    s = plan_summary(extract(docs))
+    assert s["scans"] == 1, "source scanned once"
+    assert s["exchanges"] == 1, "extract must shuffle exactly once (by doc_id)"
+    assert s["sort_merge_joins"] == 0 and s["broadcast_joins"] == 0
+    assert s["unions"] == 0
+    assert s["windows"] == 0
 
 
 def test_parquet_scan_pushdown(spark):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     q = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
-    plan = _plan(q)
-    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)" in plan
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m and set(m.group(1).split(",")) == {
+    pf = pushed_filters(q)
+    assert pf and "LessThan(l_quantity,5.0)" in pf[0]
+    rs = read_schemas(q)
+    assert rs and set(rs[0].split(",")) == {
         "l_orderkey:bigint",
         "l_quantity:double",
     }, "column pruning must reach the scan"
