@@ -232,6 +232,70 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def _q10_returned_revenue(spark, sf):
+    """Top 20 customers by revenue on returned items (q10-style)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _customers_without_orders(spark, sf):
+    """Anti join: NOT EXISTS customers."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _customers_with_urgent(spark, sf):
+    """Semi join: EXISTS an urgent order."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+_SEMI_SQL = """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — events (sessionization, time windows)
 # ---------------------------------------------------------------------------
@@ -274,6 +338,36 @@ _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def _sessions_stream(spark, sf):
+    """Structured Streaming session_window — checked against the batch
+    lag/cumsum sessionization SQL (stream/batch parity on session starts)."""
+    from docproc_spark.streaming.events import run_stream_once, session_windows
+
+    name = f"sessions_out_{next(_COUNTER)}"
+    return run_stream_once(
+        spark, f"{sf}/events.parquet", session_windows, query_name=name
+    )
+
+
+_SESSIONS_STREAM_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM t GROUP BY user_id, session_id
 """
 
 
@@ -835,9 +929,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top3_orders_per_customer": _top3_orders,
     "pivot_returnflag": _pivot_returnflag,
     "orders_rollup": _orders_rollup,
+    "q10_returned_revenue": _q10_returned_revenue,
+    "customers_without_orders": _customers_without_orders,
+    "customers_with_urgent_orders": _customers_with_urgent,
     "session_stats": _session_stats,
     "events_hourly": _events_hourly,
     "events_windowed_stream": _events_windowed_stream,
+    "sessions_stream": _sessions_stream,
     "doc_stats": _doc_stats,
     "doc_quality": _doc_quality,
     "lang_pred_markers": _lang_pred,
@@ -873,9 +971,13 @@ _ORACLES: dict[str, str] = {
     "top3_orders_per_customer": _TOP3_SQL,
     "pivot_returnflag": _PIVOT_SQL,
     "orders_rollup": _ROLLUP_SQL,
+    "q10_returned_revenue": _Q10_SQL,
+    "customers_without_orders": _ANTI_SQL,
+    "customers_with_urgent_orders": _SEMI_SQL,
     "session_stats": _SESSION_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_windowed_stream": _EVENTS_WINDOWED_SQL,
+    "sessions_stream": _SESSIONS_STREAM_SQL,
     "doc_stats": _DOC_STATS_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "lang_pred_markers": _LANG_PRED_SQL,
