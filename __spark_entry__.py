@@ -341,6 +341,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _events_quantiles(spark, sf):
+    """Exact percentiles + distinct users per event type (both engines use
+    linear-interpolated exact quantiles, verified bit-equal)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.9), 4)  AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def _lineitem_cube(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def _sessions_stream(spark, sf):
     """Structured Streaming session_window — checked against the batch
     lag/cumsum sessionization SQL (stream/batch parity on session starts)."""
@@ -934,6 +970,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_with_urgent_orders": _customers_with_urgent,
     "session_stats": _session_stats,
     "events_hourly": _events_hourly,
+    "events_quantiles": _events_quantiles,
+    "lineitem_cube": _lineitem_cube,
     "events_windowed_stream": _events_windowed_stream,
     "sessions_stream": _sessions_stream,
     "doc_stats": _doc_stats,
@@ -976,6 +1014,8 @@ _ORACLES: dict[str, str] = {
     "customers_with_urgent_orders": _SEMI_SQL,
     "session_stats": _SESSION_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    "events_quantiles": _EVENTS_QUANTILES_SQL,
+    "lineitem_cube": _CUBE_SQL,
     "events_windowed_stream": _EVENTS_WINDOWED_SQL,
     "sessions_stream": _SESSIONS_STREAM_SQL,
     "doc_stats": _DOC_STATS_SQL,
