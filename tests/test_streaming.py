@@ -31,3 +31,27 @@ def test_session_windows_counts(spark):
     assert len(rows) > 0
     total = sum(r["n_events"] for r in rows)
     assert total == spark.read.parquet(EVENTS).count()
+
+
+def test_stateful_running_totals(spark):
+    from docproc_spark.streaming.events import run_stream_once, running_user_totals
+
+    got = run_stream_once(
+        spark, EVENTS, running_user_totals, query_name="t_state", output_mode="update"
+    )
+    rows = got.collect()
+    assert rows, "stateful operator emitted nothing"
+    # final state per user must equal the batch aggregate
+    final = {}
+    for r in rows:  # update mode: later emissions supersede earlier ones
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = (
+        spark.read.parquet(EVENTS)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    )
+    for b in batch:
+        n, v = final[b["user_id"]]
+        assert n == b["n"]
+        assert abs(v - b["v"]) < 0.011  # per-batch rounding in the operator
