@@ -433,12 +433,13 @@ _LTOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <
 
 
 def _doc_stats(spark, sf):
-    from docproc_spark.functions.text import token_count_col
+    from docproc_spark.functions.text import bpe_token_count_col, token_count_col
 
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_calc"),
         "lang",
         "source",
@@ -448,6 +449,7 @@ def _doc_stats(spark, sf):
 _DOC_STATS_SQL = f"""
 SELECT doc_id,
        len({_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
        length(text) AS n_chars_calc,
        lang, source
 FROM documents

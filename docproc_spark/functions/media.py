@@ -111,6 +111,63 @@ def extract_media_features(media: DataFrame, blob_col: str = "blob", dims: int =
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
+    """Resize stub: binary in → binary out with target-dim metadata.
+
+    The real kernel is PIL `Image.resize` inside this same mapInPandas
+    shape; here the bytes pass through untouched (deterministic) while the
+    schema/batching contract — what a swap-in implementation must honor —
+    is exercised for real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            yield pd.DataFrame(
+                {
+                    "media_ref": blobs.map(lambda b: hashlib.sha256(b or b"").hexdigest()),
+                    "resized": blobs,  # PIL resize goes here
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_ref string, resized binary, width int, height int",
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, blob_col: str = "blob") -> DataFrame:
+    """Video frame-sampling stub: one row per sampled frame.
+
+    Real implementation: ffmpeg/pyav seek every ``every_ms`` inside the
+    iterator kernel. The deterministic fake derives a frame count from the
+    (fake) duration metadata so downstream explode/partitioning logic is
+    tested with realistic shapes.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "frame_idx": [], "ts_ms": [], "frame_ref": []}
+            for b in pdf[blob_col]:
+                ref = hashlib.sha256(b or b"").hexdigest()
+                duration = _fake_decode(b or b"")["duration_ms"]
+                for i, ts in enumerate(range(0, int(duration), every_ms)):
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["frame_ref"].append(
+                        hashlib.sha256(f"{ref}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_ref string, frame_idx int, ts_ms long, frame_ref string",
+    )
+
+
 def decode_image(blob: bytes):
     """Real image decode — requires PIL, not present in this container."""
     raise NotImplementedError(

@@ -31,6 +31,16 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-family pre-tokenizer shape, simplified to an engine-portable class
+# form (letters / digits / other-symbol runs, each absorbing one leading
+# space). Counts approximate BPE token counts for budget estimation.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def avg_token_len_col(text: Column) -> Column:
     toks = tokens_col(text)
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))

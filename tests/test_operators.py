@@ -125,3 +125,25 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"")
+
+
+def test_media_resize_and_frame_sample_stubs(spark):
+    from docproc_spark.functions.media import resize_images, sample_frames
+
+    df = spark.createDataFrame([(b"video-bytes-a",), (b"video-bytes-b",)], ["blob"])
+    resized = resize_images(df, 224, 224).collect()
+    assert all(r["width"] == 224 and r["height"] == 224 for r in resized)
+    assert all(r["resized"] is not None for r in resized)
+
+    frames = sample_frames(df, every_ms=5000).collect()
+    assert frames, "frame sampling emitted nothing"
+    by_ref = {}
+    for f in frames:
+        by_ref.setdefault(f["media_ref"], []).append(f)
+    for ref, fs in by_ref.items():
+        idxs = sorted(x["frame_idx"] for x in fs)
+        assert idxs == list(range(len(fs)))  # contiguous frame indices
+        assert len({x["frame_ref"] for x in fs}) == len(fs)  # unique frame ids
+    # determinism
+    again = sample_frames(df, every_ms=5000).collect()
+    assert sorted(map(str, frames)) == sorted(map(str, again))
