@@ -412,14 +412,66 @@ def _figs_col(media_idx: Column, rasters: Column, captions: Column) -> Column:
     )
 
 
-def _page_part(texts: Column, figs: Column, captions: Column, p: Column) -> Column:
+def _page_slices(arr: Column) -> Column:
+    """map<page, struct(start, len)> over an array SORTED by (page, …).
+
+    Boundary-scan (O(n)) instead of per-page filters (O(pages × n)) — the
+    difference between ~linear and quadratic work on mega-documents.
+    Slice positions are 1-based for F.slice.
+    """
+    n = F.size(arr)
+    starts = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.when(
+                (i <= n)
+                & (
+                    (i == 1)
+                    | (F.element_at(arr, i - 1)["page"] != F.element_at(arr, i)["page"])
+                ),
+                F.struct(F.element_at(arr, i)["page"].alias("page"), i.alias("start")),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    shifted = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                       F.array(F.lit(None)))
+    entries = F.zip_with(
+        starts,
+        shifted,
+        lambda s, nxt: F.struct(
+            s["page"],
+            F.struct(
+                s["start"].alias("start"),
+                (F.coalesce(nxt["start"], n + 1) - s["start"]).alias("len"),
+            ),
+        ),
+    )
+    # an empty input makes zip_with pad a null entry → drop null keys
+    return F.map_from_entries(F.filter(entries, lambda e: e["page"].isNotNull()))
+
+
+def _slice_for(arr: Column, slices: Column, p: Column, empty_type: str) -> Column:
+    e = F.element_at(slices, p)
+    return F.when(e.isNotNull(), F.slice(arr, e["start"], e["len"])).otherwise(
+        F.array().cast(empty_type)
+    )
+
+
+_TEXTS_T = "array<struct<page:int,offset:int,kind:string,text:string>>"
+_FIGS_T = "array<struct<page:int,offset:int,ref:string>>"
+
+
+def _page_part(
+    texts: Column, figs: Column, captions: Column, tmap: Column, fmap: Column, p: Column
+) -> Column:
     page_text = F.array_join(
-        F.transform(F.filter(texts, lambda t: t["page"] == p), lambda t: t["text"]),
+        F.transform(_slice_for(texts, tmap, p, _TEXTS_T), lambda t: t["text"]),
         "\n\n",
     )
     part = F.regexp_replace(F.regexp_replace(page_text, r"^\s+", ""), r"\s+$", "")
     fig_list = F.transform(
-        F.filter(figs, lambda f: f["page"] == p),
+        _slice_for(figs, fmap, p, _FIGS_T),
         lambda f: F.element_at(captions, f["ref"]),
     )
     return F.when(
@@ -430,8 +482,17 @@ def _page_part(texts: Column, figs: Column, captions: Column, p: Column) -> Colu
     ).otherwise(part)
 
 
-def _nonempty_pages_col(texts: Column, figs: Column, captions: Column) -> Column:
-    """struct(page, part) for every non-empty page, in page order."""
+def _nonempty_pages_col(
+    texts: Column, figs: Column, captions: Column, tmap: Column, fmap: Column
+) -> Column:
+    """struct(page, part) for every non-empty page, in page order.
+
+    ``tmap``/``fmap`` MUST be materialized columns (withColumn), not inline
+    expressions: a higher-order function re-evaluates embedded subtrees per
+    element, which would rebuild the O(n) slice map once per page —
+    O(pages·n) again, exactly what the maps exist to avoid. As column
+    references they are computed once per row and read O(1) in the lambda.
+    """
     pages = F.array_sort(
         F.array_distinct(
             F.concat(
@@ -443,7 +504,8 @@ def _nonempty_pages_col(texts: Column, figs: Column, captions: Column) -> Column
     page_parts = F.transform(
         pages,
         lambda p: F.struct(
-            p.alias("page"), _page_part(texts, figs, captions, p).alias("part")
+            p.alias("page"),
+            _page_part(texts, figs, captions, tmap, fmap, p).alias("part"),
         ),
     )
     return F.filter(page_parts, lambda s: s["part"] != "")
@@ -464,13 +526,20 @@ def _markdown_col(nonempty: Column) -> Column:
     )
 
 
-def _out_spans_col(nonempty: Column, texts: Column, figs: Column, captions: Column) -> Column:
+def _out_spans_col(
+    nonempty: Column,
+    texts: Column,
+    figs: Column,
+    captions: Column,
+    tmap: Column,
+    fmap: Column,
+) -> Column:
     raw_spans = F.flatten(
         F.transform(
             nonempty,
             lambda s: F.concat(
                 F.transform(
-                    F.filter(texts, lambda t: t["page"] == s["page"]),
+                    _slice_for(texts, tmap, s["page"], _TEXTS_T),
                     lambda t: F.struct(
                         t["kind"].alias("kind"),
                         t["text"].alias("text"),
@@ -479,7 +548,7 @@ def _out_spans_col(nonempty: Column, texts: Column, figs: Column, captions: Colu
                     ),
                 ),
                 F.transform(
-                    F.filter(figs, lambda f: f["page"] == s["page"]),
+                    _slice_for(figs, fmap, s["page"], _FIGS_T),
                     lambda f: F.struct(
                         F.lit("figure").alias("kind"),
                         F.element_at(captions, f["ref"]).alias("text"),
@@ -530,15 +599,23 @@ def extract(docs: DataFrame, *, drop_kinds: frozenset = DROP_KINDS_DEFAULT) -> D
         .withColumn(
             "figs", _figs_col(F.col("media_idx"), F.col("rasters"), F.col("captions"))
         )
+        # page→(start,len) slice maps, materialized ONCE per row (see
+        # _nonempty_pages_col docstring for why these must be columns)
+        .withColumn("tmap", _page_slices(F.col("texts")))
+        .withColumn("fmap", _page_slices(F.col("figs")))
         .withColumn(
             "nonempty",
-            _nonempty_pages_col(F.col("texts"), F.col("figs"), F.col("captions")),
+            _nonempty_pages_col(
+                F.col("texts"), F.col("figs"), F.col("captions"),
+                F.col("tmap"), F.col("fmap"),
+            ),
         )
         .withColumn("md", _markdown_col(F.col("nonempty")))
         .withColumn(
             "outs",
             _out_spans_col(
-                F.col("nonempty"), F.col("texts"), F.col("figs"), F.col("captions")
+                F.col("nonempty"), F.col("texts"), F.col("figs"), F.col("captions"),
+                F.col("tmap"), F.col("fmap"),
             ),
         )
     )
