@@ -903,7 +903,9 @@ WHERE round(
 def _neardup_cosine_lsh(spark, sf):
     from docproc_spark.operators.similarity import cosine_neardup_pairs_lsh
 
-    return cosine_neardup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.4, n_planes=6)
+    return cosine_neardup_pairs_lsh(
+        _t(spark, sf, "embeddings"), threshold=0.4, n_bands=6, planes_per_band=3
+    )
 
 
 def _ivf_topk(spark, sf):

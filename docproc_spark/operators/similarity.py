@@ -128,23 +128,44 @@ def cosine_neardup_pairs_exact(
 
 def cosine_neardup_pairs_lsh(
     emb: DataFrame,
-    threshold: float = 0.2,
-    n_planes: int = 6,
+    threshold: float = 0.9,
+    n_bands: int = 4,
+    planes_per_band: int = 6,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate near-dup pairs: exact cosine only within LSH buckets.
+    """Approximate near-dup pairs with band-OR amplification.
 
-    Bucket equi-join replaces the O(n²) cross join: candidate volume is
-    sum of bucket sizes squared. High-cosine pairs land in the same bucket
-    with probability (1 - θ/π)^n_planes."""
-    b = lsh_buckets(emb, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col)
-    left = b.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("va"), "bucket")
-    right = b.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    A single sign-pattern bucket catches a pair of angle θ with probability
+    p^r where p = 1 - θ/π — only ~8% at θ≈66° with r=6. Banding ORs b
+    independent plane sets: recall = 1 - (1 - p^r)^b. With the defaults
+    (r=6, b=4) a true near-dup (sim ≥ 0.9, θ ≤ 26°) is caught with ~87%
+    probability while each band still partitions the space 2^6 ways.
+    Candidate volume scales with b — the r/b trade is recall vs join size;
+    exact cosine then confirms within candidates. Selectivity only pays at
+    near-dup thresholds (low θ); at loose thresholds prefer the exact
+    operator on a bounded candidate set.
+    """
+    pairs = None
+    for band in range(n_bands):
+        b = lsh_buckets(
+            emb,
+            n_planes=planes_per_band,
+            seed=seed + band * 7919,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        left = b.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("va"), "bucket")
+        right = b.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("vb"), "bucket")
+        p = (
+            left.join(right, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "va", "vb")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
     return (
-        left.join(right, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        pairs.dropDuplicates(["a", "b"])
         .select(
             "a",
             "b",

@@ -147,3 +147,38 @@ def test_media_resize_and_frame_sample_stubs(spark):
     # determinism
     again = sample_frames(df, every_ms=5000).collect()
     assert sorted(map(str, frames)) == sorted(map(str, again))
+
+
+def test_lsh_neardup_recall_on_planted_clusters(spark):
+    """Band-OR LSH must recover ≥80% of planted near-duplicate pairs
+    (theory: 1-(1-p^6)^4 ≈ 0.87 at sim≥0.9)."""
+    import numpy as np
+
+    from docproc_spark.operators.similarity import (
+        cosine_neardup_pairs_exact,
+        cosine_neardup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(123)
+    rows = []
+    vid = 0
+    # 30 clusters of 3 near-identical vectors + 110 random distractors
+    for c in range(30):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.normal(scale=0.03, size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(110):
+        v = rng.normal(size=32)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["a"], r["b"]) for r in cosine_neardup_pairs_exact(emb, 0.9).collect()}
+    approx = {(r["a"], r["b"]) for r in cosine_neardup_pairs_lsh(emb, 0.9).collect()}
+    assert exact, "planted clusters must produce exact near-dup pairs"
+    assert approx <= exact  # no false positives (exact cosine confirms)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} below 0.8 ({len(approx)}/{len(exact)})"
