@@ -718,7 +718,12 @@ LIMIT 10
 def _lsh_ann_topk(spark, sf):
     from docproc_spark.operators.similarity import lsh_topk
 
-    return lsh_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10, n_planes=6)
+    # r=3, b=12 suits the loose-similarity regime of random embeddings
+    # (recall@10 = 10/10 vs brute force at sf0.01); tighter corpora with
+    # true near neighbours use the steeper default (r=6, b=4)
+    return lsh_topk(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10, n_bands=12, planes_per_band=3
+    )
 
 
 # ---------------------------------------------------------------------------

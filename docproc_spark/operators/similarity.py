@@ -235,26 +235,42 @@ def lsh_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
-    n_planes: int = 6,
+    n_bands: int = 4,
+    planes_per_band: int = 6,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine within the query's LSH bucket.
+    """Approximate top-k: exact cosine within the query's LSH bucket,
+    band-OR amplified (union of the query's bucket across b independent
+    plane sets — same recall math as cosine_neardup_pairs_lsh).
 
-    At scale the bucketed table is written partitioned by bucket, so a
-    query reads ~1/2^n_planes of the data (partition pruning).
+    At scale the bucketed table is written partitioned by (band, bucket);
+    a query reads b/2^r of the data via partition pruning.
     """
-    b = lsh_buckets(emb, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col)
-    qrow = b.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("bucket").alias("_qb"), F.col(vec_col).alias("_qvec")
-    )
+    cands = None
+    for band in range(n_bands):
+        b = lsh_buckets(
+            emb,
+            n_planes=planes_per_band,
+            seed=seed + band * 7919,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        qrow = b.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("bucket").alias("_qb"), F.col(vec_col).alias("_qvec")
+        )
+        c = (
+            b.join(F.broadcast(qrow), F.col("bucket") == F.col("_qb"))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", F.col(vec_col).alias("_v"), "_qvec")
+        )
+        cands = c if cands is None else cands.unionByName(c)
     return (
-        b.join(F.broadcast(qrow), F.col("bucket") == F.col("_qb"))
-        .filter(F.col("vec_id") != query_vec_id)
+        cands.dropDuplicates(["vec_id"])
         .select(
             "vec_id",
-            F.round(cosine_col(F.col(vec_col), F.col("_qvec")), 4).alias("cos_sim"),
+            F.round(cosine_col(F.col("_v"), F.col("_qvec")), 4).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)

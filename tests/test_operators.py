@@ -63,7 +63,7 @@ def test_lsh_topk_subset_of_brute_force_universe(spark):
     from docproc_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    got = lsh_topk(emb, 0, 10, n_planes=4).collect()
+    got = lsh_topk(emb, 0, 10, n_bands=3, planes_per_band=4).collect()
     assert 0 < len(got) <= 10
     assert all(r["vec_id"] != 0 for r in got)
     # approximate recall: the bucket must contain genuinely similar vectors
