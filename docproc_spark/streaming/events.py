@@ -88,6 +88,8 @@ def run_stream_once(
     transform,
     query_name: str = "stream_out",
     output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
+    n_chunks: int = 1,
 ) -> DataFrame:
     """Drive a streaming transform over a static parquet dir to completion
     (memory sink), return the result as a batch DataFrame.
@@ -95,15 +97,28 @@ def run_stream_once(
     Default output mode is "complete": with a finite file source nothing
     ever advances the watermark past the last window, so append mode would
     hold every window back — complete emits the current aggregate state.
+
+    ``n_chunks`` > 1 re-stages the input as that many files and (with
+    ``max_files_per_trigger=1``) forces multiple micro-batches — the way to
+    exercise cross-batch state in stateful operators.
     """
     schema = spark.read.parquet(events_path).schema
     src = events_path
-    if os.path.isfile(events_path):
+    if n_chunks > 1:
+        d = tempfile.mkdtemp(prefix="stream_chunks_")
+        spark.read.parquet(events_path).repartition(n_chunks).write.mode(
+            "overwrite"
+        ).parquet(d)
+        src = d
+    elif os.path.isfile(events_path):
         # FileStreamSource requires a directory — stage a symlink dir
         d = tempfile.mkdtemp(prefix="stream_src_")
         os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
         src = d
-    stream = spark.readStream.schema(schema).parquet(src)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(src)
     out = transform(stream)
     q = (
         out.writeStream.outputMode(output_mode)

@@ -55,3 +55,31 @@ def test_stateful_running_totals(spark):
         n, v = final[b["user_id"]]
         assert n == b["n"]
         assert abs(v - b["v"]) < 0.011  # per-batch rounding in the operator
+
+
+def test_stateful_state_crosses_micro_batches(spark):
+    """With maxFilesPerTrigger=1 over 4 chunks, the GroupState must carry
+    across micro-batches: users emit multiple, increasing running totals."""
+    from docproc_spark.streaming.events import run_stream_once, running_user_totals
+
+    got = run_stream_once(
+        spark, EVENTS, running_user_totals,
+        query_name="t_state_mb", output_mode="update",
+        max_files_per_trigger=1, n_chunks=4,
+    )
+    rows = got.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    # at least some users appear in >1 micro-batch with growing counts
+    multi = {u: v for u, v in by_user.items() if len(v) > 1}
+    assert multi, "no user emitted across multiple micro-batches"
+    for u, counts in multi.items():
+        assert counts == sorted(counts), f"user {u} totals not monotone: {counts}"
+    # final totals equal the batch aggregate
+    final = {u: max(v) for u, v in by_user.items()}
+    batch = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(EVENTS).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == batch
