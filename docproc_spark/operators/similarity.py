@@ -175,26 +175,87 @@ def cosine_neardup_pairs_lsh(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_lists: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations, pure DataFrame ops.
+
+    Init = the n_lists lowest-id vectors (a fixed seed set); each round
+    assigns every vector to its max-cosine centroid (crossJoin with the
+    BROADCAST centroid table — tiny) and recomputes centroids as the
+    element-wise mean of their members. Empty clusters keep their previous
+    centroid. Deterministic: ties break on cent_id; no RNG anywhere.
+    Returns (cent_id, cvec as array<double>).
+    """
+    dims = len(emb.select(vec_col).first()[0])
+    cents = emb.orderBy(id_col).limit(n_lists).select(
+        F.col(id_col).alias("cent_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+    )
+    for _ in range(n_iter):
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("sim", cosine_col(F.col(vec_col), F.col("cvec")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("sim").desc(), F.col("cent_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        # element-wise mean per cluster: explode dims, avg, regroup
+        means = (
+            assigned.select(
+                "cent_id", F.posexplode(F.col(vec_col)).alias("d", "x")
+            )
+            .groupBy("cent_id", "d")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_cvec")
+            )
+        )
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce("new_cvec", "cvec").alias("cvec"),  # keep empty clusters
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
     n_lists: int = 16,
     n_probe: int = 4,
+    kmeans_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: coarse quantizer + probed inverted lists.
+    """IVF ANN: k-means coarse quantizer + probed inverted lists.
 
-    Centroids are the first n_lists vectors by id (deterministic seed set —
-    a stand-in for a k-means fit, which would be run offline at scale).
-    Every vector is assigned to its nearest centroid (the inverted list);
+    Centroids come from deterministic Lloyd iterations (kmeans_centroids);
+    every vector is assigned to its nearest centroid (the inverted list);
     a query searches only the n_probe nearest lists. At scale the assigned
     table is written partitioned by list id → partition pruning makes a
-    query touch n_probe/n_lists of the data.
+    query touch ~n_probe/n_lists of the data, and the k-means fit is an
+    offline job over a sample.
     """
-    cents = emb.orderBy(id_col).limit(n_lists).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    cents = kmeans_centroids(
+        emb, n_lists=n_lists, n_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
     )
     assigned = (
         emb.crossJoin(F.broadcast(cents))

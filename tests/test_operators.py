@@ -182,3 +182,32 @@ def test_lsh_neardup_recall_on_planted_clusters(spark):
     assert approx <= exact  # no false positives (exact cosine confirms)
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"recall {recall:.2f} below 0.8 ({len(approx)}/{len(exact)})"
+
+
+def test_ivf_with_kmeans_recall_on_clusters(spark):
+    """IVF with Lloyd centroids must find planted near neighbours."""
+    import numpy as np
+
+    from docproc_spark.operators.similarity import brute_force_topk, ivf_topk, kmeans_centroids
+
+    rng = np.random.default_rng(77)
+    rows, vid = [], 0
+    for c in range(8):
+        base = rng.normal(size=16); base /= np.linalg.norm(base)
+        for _ in range(12):
+            rows.append((vid, [float(x) for x in base + rng.normal(scale=0.05, size=16)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(emb, n_lists=8, n_iter=3)
+    assert cents.count() == 8
+    # determinism
+    again = kmeans_centroids(emb, n_lists=8, n_iter=3)
+    a = sorted(str(r) for r in cents.collect())
+    b = sorted(str(r) for r in again.collect())
+    assert a == b
+
+    bf = [r["vec_id"] for r in brute_force_topk(emb, 0, 5).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(emb, 0, 5, n_lists=8, n_probe=2).collect()]
+    recall = len(set(bf) & set(ivf)) / 5
+    assert recall >= 0.8, f"IVF recall {recall} (bf={bf} ivf={ivf})"
