@@ -42,16 +42,17 @@ DOC_CLASSES = (
     "html_boiler",
     "unicode_math",
     "mega_doc",
+    "nullref_media",
 )
 
 # relative frequency per class (mega_doc rare — it is the skew fixture)
-CLASS_WEIGHTS = (4, 10, 4, 8, 8, 6, 6, 6, 10, 4, 3, 10, 4, 1)
+CLASS_WEIGHTS = (4, 10, 4, 8, 8, 6, 6, 6, 10, 4, 3, 10, 4, 1, 3)
 _CUM = [sum(CLASS_WEIGHTS[: i + 1]) for i in range(len(CLASS_WEIGHTS))]
 _TOTAL_W = _CUM[-1]
 
 # Bump when gen_doc semantics change — keys every on-disk corpus cache so a
 # stale staged parquet can never silently poison oracle comparisons.
-CORPUS_VERSION = 1
+CORPUS_VERSION = 2
 
 # Shared logo ref: the corpus-wide hot key for the media-dedupe skew path.
 LOGO_REF = hashlib.sha256(b"docproc_spark:logo").hexdigest()
@@ -190,6 +191,22 @@ def gen_doc(idx: int, seed: int = 42, mega_spans: int = 2000) -> dict:
         add("text", f"Energy {GREEK.split()[0]}E = mc2 with {rng.choice(GREEK.split())} factor")
         add("equation", f"∑ x_i ≥ √({_words(rng, 1)})")
         add("text", _sentence(rng))
+
+    elif cls == "nullref_media":
+        # ref-less / empty-ref media: counted in the per-page image index,
+        # never captioned; a ref-less media span still blocks the raster
+        # fallback (oracle assembly.py:108-114,128; reference
+        # vision_llm.py:395-399,494-496)
+        add("text", _sentence(rng), page=0)
+        add("image", None, None, page=0)                      # counts as img 1
+        add("image", None, "", page=0)                        # counts as img 2
+        add("image", None, _media_ref(f"nr:{idx}:0"), page=0)  # img_idx == 3
+        # page 1: ONLY a ref-less media span → raster fallback stays blocked
+        add("image", None, None, page=1)
+        add("raster", None, _media_ref(f"nrr:{idx}:1"), page=1)
+        # page 2: empty-ref raster is inert; the real one gets a caption
+        add("raster", None, "", page=2)
+        add("raster", None, _media_ref(f"nrr:{idx}:2"), page=2)
 
     elif cls == "mega_doc":
         n = mega_spans

@@ -21,6 +21,13 @@ In the span model a table span's text holds its rows joined "\\n" (each row
 already " | "-joined), page == slide == sheet. All implementations are
 native higher-order array functions over one groupBy(doc_id) — the same
 single-shuffle shape as the flagship pipeline.
+
+Scale note: per-page work uses the same page→(start,len) boundary-scan
+slice maps as the flagship (pipeline._page_slices) — O(n) per document
+instead of re-filtering the full span array once per page (O(pages·n),
+which is quadratic on mega-documents). The slice maps are materialized as
+withColumn columns because a higher-order function re-evaluates embedded
+subtrees once PER ELEMENT.
 """
 
 from __future__ import annotations
@@ -28,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from docproc_spark.pipeline import _page_slices, _slice_for
+
 _TEXT_KINDS = ("text", "header", "equation", "handwriting", "unclassified")
+
+_SS_T = "array<struct<page:int,offset:int,kind:string,text:string>>"
+_ITEMS_T = "array<struct<page:int,item:string>>"
 
 
 def _collected(docs: DataFrame) -> DataFrame:
@@ -54,17 +66,32 @@ def _is_text(x) -> Column:
 
 
 def full_text_pdf(docs: DataFrame) -> DataFrame:
-    """Raw page texts joined "\\n\\n"; pages = distinct pages present."""
-    c = _collected(docs)
-    pages = F.array_sort(F.array_distinct(F.transform(F.col("ss"), lambda x: x["page"])))
-    page_text = lambda p: F.array_join(  # noqa: E731
+    """Raw page texts joined "\\n\\n"; pages = distinct pages present
+    (pages with no text spans contribute an empty part — empties kept)."""
+    c = (
+        _collected(docs)
+        .withColumn(
+            "txt",
+            F.filter(F.col("ss"), lambda x: _is_text(x) & x["text"].isNotNull()),
+        )
+        .withColumn("tmap", _page_slices(F.col("txt")))
+    )
+    pages = F.array_sort(
+        F.array_distinct(F.transform(F.col("ss"), lambda x: x["page"]))
+    )
+    full = F.array_join(
         F.transform(
-            F.filter(F.col("ss"), lambda x: (x["page"] == p) & _is_text(x) & x["text"].isNotNull()),
-            lambda x: x["text"],
+            pages,
+            lambda p: F.array_join(
+                F.transform(
+                    _slice_for(F.col("txt"), F.col("tmap"), p, _SS_T),
+                    lambda x: x["text"],
+                ),
+                "\n\n",
+            ),
         ),
         "\n\n",
     )
-    full = F.array_join(F.transform(pages, page_text), "\n\n")
     return c.select("doc_id", full.alias("full_text"))
 
 
@@ -88,63 +115,90 @@ def full_text_docx(docs: DataFrame) -> DataFrame:
     return c.select("doc_id", full.alias("full_text"))
 
 
+def _page_items(c: DataFrame, per_span) -> DataFrame:
+    """Flatten spans into (page, item) string items (document order kept:
+    ``ss`` is (page, offset)-sorted and flatten preserves order), plus the
+    materialized page→(start,len) slice map."""
+    items = F.flatten(
+        F.transform(
+            F.filter(F.col("ss"), lambda x: x["text"].isNotNull()),
+            lambda x: F.transform(
+                per_span(x),
+                lambda s: F.struct(x["page"].alias("page"), s.alias("item")),
+            ),
+        )
+    )
+    return c.withColumn("items", items).withColumn(
+        "pmap", _page_slices(F.col("items"))
+    )
+
+
+def _per_page_join(sep: str) -> Column:
+    """Join each page's items with ``sep`` — O(1) slice lookups per page."""
+    return F.transform(
+        F.array_sort(F.map_keys(F.col("pmap"))),
+        lambda p: F.struct(
+            p.alias("page"),
+            F.array_join(
+                F.transform(
+                    _slice_for(F.col("items"), F.col("pmap"), p, _ITEMS_T),
+                    lambda s: s["item"],
+                ),
+                sep,
+            ).alias("part"),
+        ),
+    )
+
+
 def full_text_pptx(docs: DataFrame) -> DataFrame:
     """Per slide: texts + table rows interleaved in offset order joined
     "\\n"; empty slides skipped; slides joined "\\n\\n---\\n\\n"."""
-    c = _collected(docs)
-    pages = F.array_sort(F.array_distinct(F.transform(F.col("ss"), lambda x: x["page"])))
 
-    def slide_items(p):
-        per_span = F.transform(
-            F.filter(F.col("ss"), lambda x: (x["page"] == p) & x["text"].isNotNull()),
-            lambda x: F.when(
+    def per_span(x):
+        return (
+            F.when(
                 (x["kind"] == "text") & (F.trim(x["text"]) != ""),
                 F.array(F.trim(x["text"])),
             )
             .when(x["kind"] == "table", F.split(x["text"], "\n"))
-            .otherwise(F.array().cast("array<string>")),
+            .otherwise(F.array().cast("array<string>"))
         )
-        return F.flatten(per_span)
 
+    c = _page_items(_collected(docs), per_span)
     slide_texts = F.filter(
-        F.transform(pages, lambda p: F.array_join(slide_items(p), "\n")),
-        lambda t: t != "",
+        F.transform(_per_page_join("\n"), lambda s: s["part"]), lambda t: t != ""
     )
-    return c.select("doc_id", F.array_join(slide_texts, "\n\n---\n\n").alias("full_text"))
+    return c.select(
+        "doc_id", F.array_join(slide_texts, "\n\n---\n\n").alias("full_text")
+    )
 
 
 def full_text_xlsx(docs: DataFrame) -> DataFrame:
     """Per sheet: trimmed non-empty rows with a === Sheet{n+1} === header."""
-    c = _collected(docs)
-    pages = F.array_sort(F.array_distinct(F.transform(F.col("ss"), lambda x: x["page"])))
 
-    def sheet_part(p):
-        rows = F.filter(
-            F.transform(
-                F.flatten(
-                    F.transform(
-                        F.filter(
-                            F.col("ss"),
-                            lambda x: (x["page"] == p)
-                            & (x["kind"] == "table")
-                            & x["text"].isNotNull(),
-                        ),
-                        lambda x: F.split(x["text"], "\n"),
-                    )
-                ),
-                lambda r: F.trim(r),
-            ),
-            lambda r: r != "",
-        )
+    def per_span(x):
         return F.when(
-            F.size(rows) > 0,
-            F.concat(
-                F.lit("=== Sheet"),
-                (p + 1).cast("string"),
-                F.lit(" ===\n"),
-                F.array_join(rows, "\n"),
+            x["kind"] == "table",
+            F.filter(
+                F.transform(F.split(x["text"], "\n"), lambda r: F.trim(r)),
+                lambda r: r != "",
             ),
-        ).otherwise(F.lit(""))
+        ).otherwise(F.array().cast("array<string>"))
 
-    parts = F.filter(F.transform(pages, sheet_part), lambda t: t != "")
+    c = _page_items(_collected(docs), per_span)
+    parts = F.filter(
+        F.transform(
+            _per_page_join("\n"),
+            lambda s: F.when(
+                s["part"] != "",
+                F.concat(
+                    F.lit("=== Sheet"),
+                    (s["page"] + 1).cast("string"),
+                    F.lit(" ===\n"),
+                    s["part"],
+                ),
+            ).otherwise(F.lit("")),
+        ),
+        lambda t: t != "",
+    )
     return c.select("doc_id", F.array_join(parts, "\n\n").alias("full_text"))

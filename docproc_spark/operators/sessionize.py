@@ -21,9 +21,15 @@ def sessionize(
     the previous event exceeds gap_minutes)."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     prev_ts = F.lag(ts_col).over(w)
+    # microsecond gap arithmetic — unix_timestamp() truncates to whole
+    # seconds, misclassifying gaps that straddle the threshold within the
+    # truncation window (events carry microsecond timestamps; the DuckDB
+    # oracle compares epoch_us). TIMESTAMP_NTZ→timestamp keeps wall time
+    # under the UTC session timezone.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.unix_micros(prev_ts.cast("timestamp"))
     new_session = (
-        prev_ts.isNull()
-        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts) > gap_minutes * 60)
+        prev_ts.isNull() | (us - prev_us > gap_minutes * 60 * 1_000_000)
     ).cast("int")
     return events.withColumn(
         "session_id",

@@ -230,8 +230,18 @@ def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
 
     def build(x):
         is_textual = x["kind"].isin(*TEXTUAL_KINDS)
-        is_media = x["kind"].isin(*MEDIA_KINDS) & x["media_ref"].isNotNull()
-        is_raster = (x["kind"] == RASTER_KIND) & x["media_ref"].isNotNull()
+        # any media-KIND span counts for per-page enumeration and the
+        # raster-fallback gate, even with a null/empty ref — the oracle
+        # (kernels/assembly.py:108-114,128) and reference
+        # (vision_llm.py:395-399,494-496) enumerate raw_images themselves
+        is_media = x["kind"].isin(*MEDIA_KINDS)
+        # ref-less rasters are inert (oracle assembly.py:133-134: '' or null
+        # refs are skipped before captioning)
+        is_raster = (
+            (x["kind"] == RASTER_KIND)
+            & x["media_ref"].isNotNull()
+            & (x["media_ref"] != "")
+        )
         bp = boilerplate_kind_col(x["sanitized"])
         survives = F.coalesce(
             is_textual & ~bp.isin(*drop_kinds) & (x["sanitized"] != ""),
@@ -288,25 +298,29 @@ def _texts_col(srt: Column) -> Column:
     )
 
 
-def _media_idx_col(srt: Column) -> Column:
-    """Media occurrences with 1-based per-page image index, document order."""
-    media = F.filter(srt, lambda x: x["is_media"])
-    media_idx = F.zip_with(
-        media,
-        F.sequence(F.lit(0), F.greatest(F.size(media), F.lit(1)) - 1),
+def _media_idx_col(media_all: Column, mmap: Column) -> Column:
+    """Media occurrences with 1-based per-page image index, document order.
+
+    ``media_all`` = every media-KIND span (page, offset)-sorted, including
+    ref-less ones — they consume an index exactly like the oracle's
+    enumerate() over raw_images (assembly.py:109-114) — and ``mmap`` its
+    page→(start,len) slice map (a materialized column; see
+    _nonempty_pages_col for why). img_idx = global_pos − page_start + 1 is
+    an O(1) lookup per element, O(n) total — replaces the O(m²)
+    slice-and-filter prefix scan. Ref-less/empty-ref entries are dropped
+    AFTER indexing (oracle: `if not ref: continue`)."""
+    media_idx = F.transform(
+        media_all,
         lambda m, i: F.struct(
             m["page"].alias("page"),
             m["offset"].alias("offset"),
             m["media_ref"].alias("ref"),
-            (
-                F.size(
-                    F.filter(F.slice(media, 1, i), lambda p: p["page"] == m["page"])
-                )
-                + 1
-            ).alias("img_idx"),
+            (i + F.lit(2) - F.element_at(mmap, m["page"])["start"]).cast("int").alias(
+                "img_idx"
+            ),
         ),
     )
-    return F.filter(media_idx, lambda x: x["ref"].isNotNull())
+    return F.filter(media_idx, lambda x: x["ref"].isNotNull() & (x["ref"] != ""))
 
 
 def _rasters_col(srt: Column) -> Column:
@@ -590,7 +604,9 @@ def extract(docs: DataFrame, *, drop_kinds: frozenset = DROP_KINDS_DEFAULT) -> D
     staged = (
         collected.withColumn("srt", _srt_col(F.col("spans"), drop_kinds))
         .withColumn("texts", _texts_col(F.col("srt")))
-        .withColumn("media_idx", _media_idx_col(F.col("srt")))
+        .withColumn("media_all", F.filter(F.col("srt"), lambda x: x["is_media"]))
+        .withColumn("mmap", _page_slices(F.col("media_all")))
+        .withColumn("media_idx", _media_idx_col(F.col("media_all"), F.col("mmap")))
         .withColumn("rasters", _rasters_col(F.col("srt")))
         .withColumn(
             "captions",

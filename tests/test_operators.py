@@ -211,3 +211,23 @@ def test_ivf_with_kmeans_recall_on_clusters(spark):
     ivf = [r["vec_id"] for r in ivf_topk(emb, 0, 5, n_lists=8, n_probe=2).collect()]
     recall = len(set(bf) & set(ivf)) / 5
     assert recall >= 0.8, f"IVF recall {recall} (bf={bf} ivf={ivf})"
+
+
+def test_sessionize_subsecond_gap_precision(spark):
+    """Gaps that straddle the threshold inside one second must classify at
+    microsecond precision (matching the DuckDB oracle's epoch_us), not the
+    whole-second truncation unix_timestamp() would apply."""
+    import datetime as dt
+
+    from docproc_spark.operators.sessionize import sessionize
+
+    rows = [
+        ("u1", "e1", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        # 1800.4 s > 1800 s -> new session (truncation would say 1800, same)
+        ("u1", "e2", dt.datetime(2024, 1, 1, 0, 30, 0, 400_000)),
+        # 1799.9 s -> same session (truncation would say 1799, same — control)
+        ("u1", "e3", dt.datetime(2024, 1, 1, 1, 0, 0, 300_000)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id string, ts timestamp_ntz")
+    out = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
+    assert out == {"e1": 1, "e2": 2, "e3": 2}, out
