@@ -688,6 +688,103 @@ def _simhash(spark, sf):
     return simhash64(_t(spark, sf, "documents"))
 
 
+def _simhash_sql(n_bits: int = 60) -> str:
+    """DuckDB SimHash: token hash = first 15 md5 hex chars as int (matches
+    Spark's conv(substring(md5, 1, 15), 16, 10)), per-bit majority vote,
+    zero-token docs → 0."""
+    bit_sums = ",\n         ".join(
+        f"sum(CAST((h >> {j}) & 1 AS BIGINT)) AS b{j}" for j in range(n_bits)
+    )
+    sig_terms = "\n       + ".join(
+        f"(CASE WHEN b{j} * 2 > n THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), hs AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), c AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_sums}
+  FROM hs GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+         {sig_terms} AS s
+  FROM c
+)
+SELECT d.doc_id, CAST(coalesce(sig.s, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+"""
+
+
+def _lang_ngram_sql() -> str:
+    """DuckDB trigram profile vote — non-overlapping literal counts via the
+    length/replace trick (same left-to-right scan as pandas str.count);
+    winner = first language in sorted order attaining the strict max > 0."""
+    from docproc_spark.functions.text import _NGRAM_PROFILES
+
+    langs = sorted(_NGRAM_PROFILES)
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(s) - length(replace(s, '{g}', ''))) // 3"
+            for g in _NGRAM_PROFILES[lang]
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    cases = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join([f"s_{lang} > 0"] + later)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "\n       ".join(cases)
+    scores_sql = ",\n         ".join(score_cols)
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, ' ' || lower(coalesce(text, '')) || ' ' AS s
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         {scores_sql}
+  FROM b
+)
+SELECT doc_id, lang,
+  CASE {case_sql}
+       ELSE 'unk' END AS lang_pred
+FROM m
+"""
+
+
+def _sanitize_llm_sql(max_tokens: int = 50) -> str:
+    """DuckDB mirror of kernels.llm_input.sanitize_for_llm: the 16 injection
+    regexes applied in order (RE2 'gi' ≡ re.IGNORECASE here: patterns and
+    the documents table are pure ASCII), whitespace collapse, truncate to
+    max_tokens*4 chars at the last space, trim."""
+    from docproc_spark.kernels.llm_input import INJECTION_PATTERNS
+
+    expr = "trim(coalesce(text, ''))"
+    for p in INJECTION_PATTERNS:
+        expr = f"regexp_replace({expr}, '{p}', ' ', 'gi')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    mc = max(1, max_tokens * 4)
+    return f"""
+WITH o AS (
+  SELECT doc_id, {expr} AS t FROM documents
+)
+SELECT doc_id,
+  CASE WHEN length(t) > {mc} THEN
+    trim(CASE WHEN strpos(substr(t, 1, {mc}), ' ') > 0
+              THEN substr(t, 1, {mc} - strpos(reverse(substr(t, 1, {mc})), ' '))
+              ELSE substr(t, 1, {mc}) END)
+  ELSE t END AS safe_text
+FROM o
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — similarity search
 # ---------------------------------------------------------------------------
@@ -944,11 +1041,46 @@ def _sanitize_llm(spark, sf):
 # ---------------------------------------------------------------------------
 # queries — extraction pipeline (non-SQL-expressible → rows-only checks)
 # ---------------------------------------------------------------------------
+FLAGSHIP_EXPECTED_PATH = "/root/repo/.bench_cache/flagship_expected_2000.parquet"
+
+
 def _extract_flagship(spark, sf):
+    """Flagship pipeline, hash-checked against the staged single-process
+    oracle output: md_hash covers the exact markdown bytes, span_hash the
+    full ordered (kind, text, media_ref, offset) span sequence."""
+    from docproc_spark.corpus import corpus_df
+    from docproc_spark.oracle import stage_flagship_expected
     from docproc_spark.pipeline import extract
 
-    res = extract(_corpus_docs(spark, sf))
-    return res.select("doc_id", "n_pages", F.size("spans").alias("n_spans"))
+    # fixed 2000-doc parity corpus at every sf (same convention as the
+    # fulltext queries' staged span corpus — the static oracle SQL must
+    # read one known table); staging is pure-python, idempotent,
+    # version-keyed. Throughput at scale is bench.py's separate job.
+    stage_flagship_expected(FLAGSHIP_EXPECTED_PATH, 2000)
+    res = extract(corpus_df(spark, 2000, seed=42, mega_spans=2000))
+    span_strs = F.transform(
+        F.col("spans"),
+        lambda s: F.concat_ws(
+            "\x1f",
+            s["kind"],
+            s["text"],
+            F.coalesce(s["media_ref"], F.lit("")),
+            s["offset"].cast("string"),
+        ),
+    )
+    return res.select(
+        "doc_id",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.md5(F.col("markdown")).alias("md_hash"),
+        F.md5(F.array_join(span_strs, "\x1e")).alias("span_hash"),
+    )
+
+
+_FLAGSHIP_SQL = f"""
+SELECT doc_id, n_pages, n_spans, md_hash, span_hash
+FROM read_parquet('{FLAGSHIP_EXPECTED_PATH}')
+"""
 
 
 def _media_meta(spark, sf):
@@ -1044,11 +1176,13 @@ _ORACLES: dict[str, str] = {
     "fulltext_xlsx": _FULLTEXT_XLSX_SQL,
     "refine_symbols": _refine_symbols_sql(),
     "neardup_cosine_exact": _NEARDUP_COSINE_SQL,
-    # rows-only (non-SQL-expressible): simhash64 (bit-fold), lsh_ann_topk +
-    # neardup_cosine_lsh + ivf_ann_topk (xxhash64 planes / probed lists —
-    # approximate by design), extract_flagship (span pipeline; the pytest
-    # oracle covers it exactly), media_meta_stub (binary kernel),
-    # sanitize_for_llm (regex-dialect-sensitive; kernel unit-tested).
+    "simhash64": _simhash_sql(),
+    "lang_pred_ngram": _lang_ngram_sql(),
+    "sanitize_for_llm": _sanitize_llm_sql(),
+    "extract_flagship": _FLAGSHIP_SQL,
+    # rows-only (non-SQL-expressible): lsh_ann_topk + neardup_cosine_lsh +
+    # ivf_ann_topk (xxhash64 planes / probed lists — approximate by design),
+    # media_meta_stub (binary kernel).
 }
 
 
