@@ -1016,6 +1016,24 @@ def _ivf_topk(spark, sf):
     return ivf_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _lsh_index_ann(spark, sf):
+    """Persisted-index ANN: build once (partitioned by band/bucket), then a
+    partition-PRUNED scan + exact re-rank — the 100-TB query path."""
+    import os
+
+    from docproc_spark.operators.similarity import build_lsh_index, lsh_index_topk
+
+    key = sf.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/.bench_cache/lsh_index_{key}"
+    emb = _t(spark, sf, "embeddings")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_lsh_index(emb, path, n_bands=12, planes_per_band=3)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_index_topk(
+        spark, path, qvec, k=10, n_bands=12, planes_per_band=3, exclude_vec_id=0
+    )
+
+
 def _lang_pred_ngram(spark, sf):
     """Character-trigram language profiler (pandas-UDF path)."""
     from docproc_spark.functions.text import lang_id_ngram_udf
@@ -1138,6 +1156,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_cosine_exact": _neardup_cosine,
     "neardup_cosine_lsh": _neardup_cosine_lsh,
     "ivf_ann_topk": _ivf_topk,
+    "lsh_index_ann_topk": _lsh_index_ann,
     "sanitize_for_llm": _sanitize_llm,
     "lang_pred_ngram": _lang_pred_ngram,
 }

@@ -68,6 +68,18 @@ def brute_force_topk(
     )
 
 
+def _dims_of(emb: DataFrame, vec_col: str, dims: int | None = None) -> int:
+    """Embedding dimensionality — ONE probe job, only when not supplied.
+
+    ArrayType carries no length, so the schema alone can't answer; callers
+    that know dims pass it and no job runs. Band loops must resolve dims
+    once up front — a probe inside lsh_buckets would launch one Spark job
+    per band (12× for the 12-band ANN query)."""
+    if dims is not None:
+        return dims
+    return len(emb.select(vec_col).first()[0])
+
+
 def _plane_weights(plane: int, dims: int, seed: int) -> Column:
     """Deterministic pseudo-random hyperplane (array<double>, components in
     [-1, 1)) derived by hash-mixing (seed, plane, dim).
@@ -85,22 +97,32 @@ def _plane_weights(plane: int, dims: int, seed: int) -> Column:
     )
 
 
-def lsh_buckets(
-    emb: DataFrame,
-    n_planes: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign each vector a sign-pattern LSH bucket id (one long)."""
-    dims = len(emb.select(vec_col).first()[0])
+def _bucket_expr(vec_col: str, n_planes: int, dims: int, seed: int) -> Column:
+    """Sign-pattern LSH bucket id (one long) as a pure Column expression."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         dot = dot_col(F.col(vec_col), _plane_weights(p, dims, seed))
         bucket = bucket + F.when(dot >= 0, F.lit(2**p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col), bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Assign each vector a sign-pattern LSH bucket id (one long)."""
+    dims = _dims_of(emb, vec_col, dims)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        _bucket_expr(vec_col, n_planes, dims, seed).alias("bucket"),
+    )
 
 
 def cosine_neardup_pairs_exact(
@@ -147,6 +169,7 @@ def cosine_neardup_pairs_lsh(
     near-dup thresholds (low θ); at loose thresholds prefer the exact
     operator on a bounded candidate set.
     """
+    dims = _dims_of(emb, vec_col)  # one probe for all bands
     pairs = None
     for band in range(n_bands):
         b = lsh_buckets(
@@ -155,6 +178,7 @@ def cosine_neardup_pairs_lsh(
             seed=seed + band * 7919,
             id_col=id_col,
             vec_col=vec_col,
+            dims=dims,
         )
         left = b.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("va"), "bucket")
         right = b.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("vb"), "bucket")
@@ -191,7 +215,6 @@ def kmeans_centroids(
     centroid. Deterministic: ties break on cent_id; no RNG anywhere.
     Returns (cent_id, cvec as array<double>).
     """
-    dims = len(emb.select(vec_col).first()[0])
     cents = emb.orderBy(id_col).limit(n_lists).select(
         F.col(id_col).alias("cent_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
@@ -257,18 +280,7 @@ def ivf_topk(
     cents = kmeans_centroids(
         emb, n_lists=n_lists, n_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
     )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("dist", -cosine_col(F.col(vec_col), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_id"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col).alias("vec_id"), F.col(vec_col), F.col("cent_id"))
-    )
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
     qrow = emb.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qvec")
     )
@@ -306,9 +318,11 @@ def lsh_topk(
     band-OR amplified (union of the query's bucket across b independent
     plane sets — same recall math as cosine_neardup_pairs_lsh).
 
-    At scale the bucketed table is written partitioned by (band, bucket);
-    a query reads b/2^r of the data via partition pruning.
+    At scale the bucketed table is written partitioned by (band, bucket) —
+    build_lsh_index + lsh_index_topk below — and a query reads b/2^r of
+    the data via partition pruning.
     """
+    dims = _dims_of(emb, vec_col)  # one probe for all bands
     cands = None
     for band in range(n_bands):
         b = lsh_buckets(
@@ -317,6 +331,7 @@ def lsh_topk(
             seed=seed + band * 7919,
             id_col=id_col,
             vec_col=vec_col,
+            dims=dims,
         )
         qrow = b.filter(F.col("vec_id") == query_vec_id).select(
             F.col("bucket").alias("_qb"), F.col(vec_col).alias("_qvec")
@@ -332,6 +347,172 @@ def lsh_topk(
         .select(
             "vec_id",
             F.round(cosine_col(F.col("_v"), F.col("_qvec")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN indexes — the 100-TB query path
+# ---------------------------------------------------------------------------
+# Build once (one scan of the corpus), write partitioned by the coarse key;
+# every query is then a partition-PRUNED scan of ~b/2^r (LSH) or
+# ~n_probe/n_lists (IVF) of the data plus an exact-cosine re-rank. Index
+# parameters (bands/planes/seed, n_lists) are the caller's contract — at
+# scale they live in a catalog entry next to the table.
+
+
+def build_lsh_index(
+    emb: DataFrame,
+    path: str,
+    n_bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> int:
+    """Write the band-OR bucket table partitioned by (band, bucket).
+
+    Single corpus scan: all band buckets are computed in one projection and
+    posexploded — NOT one union branch (= one scan) per band. Returns dims
+    so the caller can thread it into queries without another probe."""
+    dims = _dims_of(emb, vec_col, dims)
+    buckets = F.array(
+        *[
+            _bucket_expr(vec_col, planes_per_band, dims, seed + band * 7919)
+            for band in range(n_bands)
+        ]
+    )
+    rows = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        F.posexplode(buckets).alias("band", "bucket"),
+    )
+    rows.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+    return dims
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_bands: int = 4,
+    planes_per_band: int = 6,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Top-k against a built LSH index: exact cosine within the query's
+    bucket per band, read via partition pruning (band, bucket) — the scan
+    touches ~n_bands/2^planes_per_band of the index files."""
+    dims = len(query_vec)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    # the query's bucket per band: ONE tiny 1-row job (plane weights are
+    # deterministic hash-mixes, so this reproduces the build's buckets)
+    qrow = (
+        spark.range(1)
+        .select(qlit.alias(vec_col))
+        .select(
+            *[
+                _bucket_expr(vec_col, planes_per_band, dims, seed + band * 7919)
+                .alias(f"b{band}")
+                for band in range(n_bands)
+            ]
+        )
+        .first()
+    )
+    pred = None
+    for band in range(n_bands):
+        c = (F.col("band") == band) & (F.col("bucket") == int(qrow[f"b{band}"]))
+        pred = c if pred is None else (pred | c)
+    idx = spark.read.parquet(path).filter(pred)
+    if exclude_vec_id is not None:
+        idx = idx.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        idx.dropDuplicates(["vec_id"])
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col(vec_col), qlit), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _assign_to_centroids(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment; deterministic tie-break."""
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("dist", -cosine_col(F.col(vec_col), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col), F.col("cent_id"))
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    kmeans_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fit the coarse quantizer and write the inverted lists partitioned by
+    cent_id (plus the tiny centroid table at <path>_centroids). At scale
+    the k-means fit runs over a sample; the assignment is one scan."""
+    cents = kmeans_centroids(
+        emb, n_lists=n_lists, n_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
+    )
+    cents = cents.cache()
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    cents.write.mode("overwrite").parquet(path + "_centroids")
+    cents.unpersist()
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Top-k against a built IVF index: pick the n_probe nearest centroids
+    driver-side (the centroid table is tiny — n_lists rows), then an exact
+    cosine re-rank over a cent_id-PRUNED scan of the inverted lists."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos(c):
+        num = sum(x * y for x, y in zip(c, q))
+        return num / (math.sqrt(sum(x * x for x in c)) * qn)
+
+    cents = spark.read.parquet(path + "_centroids").collect()
+    ranked = sorted(((cos(r["cvec"]), -r["cent_id"]) for r in cents), reverse=True)
+    probes = [int(-c) for _, c in ranked[:n_probe]]
+    qlit = F.array(*[F.lit(x) for x in q])
+    idx = spark.read.parquet(path).filter(F.col("cent_id").isin(probes))
+    if exclude_vec_id is not None:
+        idx = idx.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        idx.select(
+            "vec_id",
+            F.round(cosine_col(F.col(vec_col), qlit), 4).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)

@@ -231,3 +231,59 @@ def test_sessionize_subsecond_gap_precision(spark):
     df = spark.createDataFrame(rows, "user_id string, event_id string, ts timestamp_ntz")
     out = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
     assert out == {"e1": 1, "e2": 2, "e3": 2}, out
+
+
+def test_lsh_index_build_and_pruned_query(spark, tmp_path):
+    """Persisted LSH index: query reads only the query's (band, bucket)
+    partitions (partition pruning), result matches the inline lsh_topk."""
+    from docproc_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(emb, path, n_bands=12, planes_per_band=3)
+
+    got = lsh_index_topk(
+        spark, path, qvec, k=10, n_bands=12, planes_per_band=3, exclude_vec_id=0
+    )
+    # partition pruning: the scan carries (band, bucket) partition filters
+    # (inputFiles() lists pre-pruning files, so inspect the executed plan)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert pf and "bucket" in pf.group(1), plan[:800]
+    inline = lsh_topk(emb, query_vec_id=0, k=10, n_bands=12, planes_per_band=3)
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in inline.collect()
+    ]
+
+
+def test_ivf_index_build_and_pruned_query(spark, tmp_path):
+    """Persisted IVF index: probed-list query is a cent_id-pruned scan with
+    recall vs brute force matching the inline operator."""
+    from docproc_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, path, n_lists=16, kmeans_iter=2)
+
+    got = ivf_index_topk(spark, path, qvec, k=10, n_probe=4, exclude_vec_id=0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert pf and "cent_id" in pf.group(1), plan[:800]
+    bf = {r["vec_id"] for r in brute_force_topk(emb, 0, 10).collect()}
+    idx = {r["vec_id"] for r in got.collect()}
+    recall = len(bf & idx) / 10
+    assert recall >= 0.8, f"IVF index recall {recall}"
