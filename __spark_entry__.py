@@ -963,6 +963,44 @@ def _refine_symbols(spark, sf):
     return rows.select("doc_id", "soff", refined.alias("refined"))
 
 
+def _refine_full(spark, sf):
+    """Full refine orchestration (chunk → provider.chat → "\\n\\n" rejoin →
+    failure fallback, reference llm_refine.py:156-201) with the stub chat
+    model over documents marked into two synthetic pages; chunk_chars=150
+    forces a chunk boundary between the pages."""
+    from docproc_spark.operators.refine import refine_table
+
+    d = _t(spark, sf, "documents")
+    marked = F.concat(
+        F.lit("[Page 1]\n"),
+        F.substring("text", 1, 200),
+        F.when(
+            F.length("text") > 200,
+            F.concat(F.lit("\n[Page 2]\n"), F.expr("substring(text, 201)")),
+        ).otherwise(F.lit("")),
+    )
+    docs = d.select("doc_id", marked.alias("markdown"))
+    return refine_table(docs, chunk_chars=150)
+
+
+# The stub chat model applies the mechanical rules per chunk; on this ASCII
+# corpus (no LaTeX symbols, no literal "[Page" in the text — verified) the
+# expected output reduces to trimmed page halves rejoined with "\n\n".
+_REFINE_FULL_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         trim(substr(text, 1, 200), e' \t\n\r') AS p1,
+         CASE WHEN length(text) > 200
+              THEN trim(substr(text, 201, length(text)), e' \t\n\r')
+              ELSE '' END AS p2
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN p2 <> '' THEN p1 || e'\n\n' || p2 ELSE p1 END AS refined
+FROM m
+"""
+
+
 def _refine_symbols_sql() -> str:
     from docproc_spark.kernels.refine import SYMBOL_TABLE
 
@@ -1153,6 +1191,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fulltext_pptx": _fulltext_pptx,
     "fulltext_xlsx": _fulltext_xlsx,
     "refine_symbols": _refine_symbols,
+    "refine_full": _refine_full,
     "neardup_cosine_exact": _neardup_cosine,
     "neardup_cosine_lsh": _neardup_cosine_lsh,
     "ivf_ann_topk": _ivf_topk,
@@ -1194,6 +1233,7 @@ _ORACLES: dict[str, str] = {
     "fulltext_pptx": _FULLTEXT_PPTX_SQL,
     "fulltext_xlsx": _FULLTEXT_XLSX_SQL,
     "refine_symbols": _refine_symbols_sql(),
+    "refine_full": _REFINE_FULL_SQL,
     "neardup_cosine_exact": _NEARDUP_COSINE_SQL,
     "simhash64": _simhash_sql(),
     "lang_pred_ngram": _lang_ngram_sql(),

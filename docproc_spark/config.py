@@ -14,7 +14,10 @@ from dataclasses import dataclass, field, fields
 
 @dataclass
 class IngestConfig:
-    sanitize: bool = True
+    # NB: the reference also exposes a `sanitize` toggle (schema.py:40-48);
+    # this engine always sanitizes (the span-sequence invariant is defined
+    # over sanitized text), so the toggle is deliberately NOT offered — a
+    # config knob must never promise behavior the engine doesn't implement.
     drop_exact_duplicates: bool = True
     drop_boilerplate: bool = True
     boilerplate_kinds: tuple = ("thank_you", "questions", "blank")
@@ -84,7 +87,6 @@ def parse_config(path: str | None = None) -> EngineConfig:
         _apply(cfg, data)
     # env overrides
     env_map = {
-        "DOCPROC_SPARK_SANITIZE": ("ingest", "sanitize"),
         "DOCPROC_SPARK_DROP_DUPES": ("ingest", "drop_exact_duplicates"),
         "DOCPROC_SPARK_DROP_BOILERPLATE": ("ingest", "drop_boilerplate"),
         "DOCPROC_SPARK_SHUFFLE_PARTITIONS": ("spark", "shuffle_partitions"),

@@ -60,7 +60,11 @@ class DocprocSpark:
         """Span table in → (doc_id, markdown, n_pages, spans) out."""
         from docproc_spark.pipeline import extract
 
-        return extract(docs, drop_kinds=self.config.drop_kinds)
+        return extract(
+            docs,
+            drop_kinds=self.config.drop_kinds,
+            drop_exact_duplicates=self.config.ingest.drop_exact_duplicates,
+        )
 
     def extract_to_files(self, docs: DataFrame, out_dir: str) -> int:
         """Extract and write one .md per document with the reference's

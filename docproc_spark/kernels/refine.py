@@ -83,3 +83,42 @@ def refine_series(s: pd.Series) -> pd.Series:
     for sym, latex in SYMBOL_TABLE:
         out = out.str.replace(sym, latex, regex=False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full refine orchestration (reference llm_refine.py:156-201)
+# ---------------------------------------------------------------------------
+# Short stand-ins for the reference's prompt constants (llm_refine.py:33-127);
+# only the fenced CONTENT structure is semantically load-bearing — the stub
+# provider parses it back out, a real provider forwards the whole prompt.
+REFINE_SYSTEM = "Refine extracted document content into clean markdown."
+REFINE_USER_TEMPLATE = (
+    "Refine the following extracted content into clean markdown.\n\n"
+    "CONTENT:\n```\n{content}\n```"
+)
+
+
+def refine_with_provider(raw_text, provider, chunk_chars: int = CHUNK_CHARS) -> str:
+    """Chunk → per-chunk chat → strip → "\\n\\n" rejoin, with the reference's
+    fallbacks: blank input unchanged, blank chunks skipped, empty responses
+    dropped, zero refined parts → raw text, ANY provider failure → raw text
+    (llm_refine.py:156-201 exactly; only the model behind provider.chat is
+    pluggable)."""
+    if not raw_text or not str(raw_text).strip():
+        return raw_text if raw_text is not None else ""
+    raw_text = str(raw_text)
+    try:
+        chunks = chunk_by_pages(raw_text, chunk_chars)
+        refined_parts: list[str] = []
+        for chunk in chunks:
+            if not chunk.strip():
+                continue
+            user = REFINE_USER_TEMPLATE.format(content=chunk.strip())
+            out = (provider.chat(REFINE_SYSTEM, user) or "").strip()
+            if out:
+                refined_parts.append(out)
+        if refined_parts:
+            return "\n\n".join(refined_parts)
+        return raw_text
+    except Exception:
+        return raw_text

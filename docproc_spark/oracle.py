@@ -24,12 +24,14 @@ def html_to_spans(raw_html: str) -> list[dict]:
     ]
 
 
-def extract_doc(doc: dict) -> dict:
+def extract_doc(doc: dict, *, drop_exact_duplicates: bool = True) -> dict:
     """Oracle extraction for one document row (dict with doc_id/raw_html/spans)."""
     spans = doc.get("spans") or []
     if doc.get("raw_html"):
         spans = list(spans) + html_to_spans(doc["raw_html"])
-    markdown, out_spans = assemble_document(spans)
+    markdown, out_spans = assemble_document(
+        spans, drop_exact_duplicates=drop_exact_duplicates
+    )
     n_pages = (max((s["page"] for s in out_spans), default=-1) + 1) if out_spans else 0
     return {
         "doc_id": doc["doc_id"],

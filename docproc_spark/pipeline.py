@@ -267,12 +267,27 @@ def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
     return F.array_sort(F.transform(spans, build))
 
 
-def _texts_col(srt: Column) -> Column:
+def _texts_col(srt: Column, drop_exact_duplicates: bool = True) -> Column:
     """First-wins exact dedupe over surviving textual spans: sort survivors
-    by (hash, page, offset), keep first per hash, resort to document order."""
+    by (hash, page, offset), keep first per hash, resort to document order.
+    With drop_exact_duplicates=False (config toggle, mirrors the oracle
+    kernel's parameter) every surviving span is kept."""
+    survivors = F.filter(srt, lambda x: x["survives"])
+    if not drop_exact_duplicates:
+        return F.array_sort(
+            F.transform(
+                survivors,
+                lambda x: F.struct(
+                    x["page"].alias("page"),
+                    x["offset"].alias("offset"),
+                    x["kind"].alias("kind"),
+                    x["sanitized"].alias("text"),
+                ),
+            )
+        )
     by_hash = F.array_sort(
         F.transform(
-            F.filter(srt, lambda x: x["survives"]),
+            survivors,
             lambda x: F.struct(
                 x["hash"].alias("hash"),
                 x["page"].alias("page"),
@@ -589,7 +604,12 @@ def _out_spans_col(
 # ---------------------------------------------------------------------------
 # the pipeline
 # ---------------------------------------------------------------------------
-def extract(docs: DataFrame, *, drop_kinds: frozenset = DROP_KINDS_DEFAULT) -> DataFrame:
+def extract(
+    docs: DataFrame,
+    *,
+    drop_kinds: frozenset = DROP_KINDS_DEFAULT,
+    drop_exact_duplicates: bool = True,
+) -> DataFrame:
     """Full pipeline: documents(doc_id, doc_type, raw_html, spans) → result.
 
     Output: doc_id, markdown, n_pages, spans (renumbered 0-based offsets).
@@ -603,7 +623,7 @@ def extract(docs: DataFrame, *, drop_kinds: frozenset = DROP_KINDS_DEFAULT) -> D
     # collapses them back into one projection over the single shuffle.
     staged = (
         collected.withColumn("srt", _srt_col(F.col("spans"), drop_kinds))
-        .withColumn("texts", _texts_col(F.col("srt")))
+        .withColumn("texts", _texts_col(F.col("srt"), drop_exact_duplicates))
         .withColumn("media_all", F.filter(F.col("srt"), lambda x: x["is_media"]))
         .withColumn("mmap", _page_slices(F.col("media_all")))
         .withColumn("media_idx", _media_idx_col(F.col("media_all"), F.col("mmap")))

@@ -56,16 +56,70 @@ class HttpVisionProvider(CaptionProvider):
         )
 
 
-_CACHE: dict[str, CaptionProvider] = {}
+class ChatProvider(ABC):
+    """Chat model for the LLM refine stage (reference providers/base.py:26-52
+    `chat`; the orchestration that calls it is refiners/llm_refine.py:156-201).
+    One instance per executor partition inside iterator-form mapInPandas."""
+
+    provider_id: str = "chat-base"
+
+    @abstractmethod
+    def chat(self, system: str, user: str) -> str: ...
 
 
-def get_provider(provider_id: str = "stub", **kwargs) -> CaptionProvider:
+class DeterministicStubChatProvider(ChatProvider):
+    """Stands in for the refine model on the invariant path: extracts the
+    fenced CONTENT block from the user prompt and applies the mechanical
+    refine rules (marker strip + symbol table) — a pure function, so the
+    full chunk→chat→rejoin orchestration is testable without a network."""
+
+    provider_id = "stub-chat"
+
+    def chat(self, system: str, user: str) -> str:
+        import re
+
+        from docproc_spark.kernels.refine import refine_mechanical
+
+        m = re.search(r"CONTENT:\n```\n(.*)\n```\s*$", user, re.S)
+        content = m.group(1) if m else user
+        return refine_mechanical(content)
+
+
+class FailingChatProvider(ChatProvider):
+    """Always raises — exercises the refine failure→raw-text fallback
+    (reference llm_refine.py:196-201)."""
+
+    provider_id = "failing-chat"
+
+    def chat(self, system: str, user: str) -> str:
+        raise ConnectionError("synthetic provider failure")
+
+
+class EmptyChatProvider(ChatProvider):
+    """Always returns "" — exercises the no-refined-parts→raw fallback
+    (reference llm_refine.py:193-195)."""
+
+    provider_id = "empty-chat"
+
+    def chat(self, system: str, user: str) -> str:
+        return ""
+
+
+_CACHE: dict[str, CaptionProvider | ChatProvider] = {}
+
+_FACTORIES = {
+    "stub": DeterministicStubProvider,
+    "http": HttpVisionProvider,
+    "stub-chat": DeterministicStubChatProvider,
+    "failing-chat": FailingChatProvider,
+    "empty-chat": EmptyChatProvider,
+}
+
+
+def get_provider(provider_id: str = "stub", **kwargs):
     """Instance cache keyed by provider id (reference factory.py:73-80)."""
     if provider_id not in _CACHE:
-        if provider_id == "stub":
-            _CACHE[provider_id] = DeterministicStubProvider()
-        elif provider_id == "http":
-            _CACHE[provider_id] = HttpVisionProvider(**kwargs)
-        else:
+        if provider_id not in _FACTORIES:
             raise ValueError(f"Unsupported provider: {provider_id}")
+        _CACHE[provider_id] = _FACTORIES[provider_id](**kwargs)
     return _CACHE[provider_id]

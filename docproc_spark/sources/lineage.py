@@ -82,11 +82,19 @@ def run_with_lineage(
             t0 = time.time()
             bucket = parted.filter(F.col("part") == p).drop("part")
             result = transform(bucket).withColumn("part", F.lit(p))
-            result.write.mode("overwrite").partitionBy("part").parquet(out_path)
-            stats = result.agg(
-                F.count("*").alias("n_docs"),
+            # Observation metrics piggyback on the write job itself — a
+            # separate result.agg() would re-run the whole extraction
+            # transform (nothing is cached), doubling checkpointed cost.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"lineage_part_{p}")
+            result = result.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
                 F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
-            ).collect()[0]
+            )
+            result.write.mode("overwrite").partitionBy("part").parquet(out_path)
+            stats = obs.get
             wall = time.time() - t0
             n_docs = stats["n_docs"] or 0
             lineage_row = spark.createDataFrame(

@@ -48,11 +48,108 @@ def with_pages_prefix(
     return df.withColumn(markdown_col, prefixed)
 
 
+def write_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    batch_size: int = 1000,
+    single_file: bool = True,
+) -> None:
+    """SQLite sink with the reference writer's semantics
+    (reference writer/sqlite.py:40-176): type map int/bool→INTEGER,
+    float→REAL, str/dict/list→TEXT with complex values JSON-encoded
+    (sqlite.py:65-74), batched executemany of ``batch_size`` rows per
+    transaction (sqlite.py:103-117). Types come from the Spark schema —
+    explicit, not first-row inference.
+
+    Executor-side via foreachPartition (no driver materialization).
+    single_file=True coalesces to ONE writing task (SQLite is a
+    single-writer file — the reference's single-process shape; assumes the
+    path is reachable from the executor, true in local/shared-fs deploys).
+    single_file=False writes one shard per partition
+    (``{db_path}.part-NNNNN``) — the parallel shape at scale.
+    """
+    from pyspark import TaskContext
+
+    def sqlite_type(dt: T.DataType) -> str:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                           T.BooleanType)):
+            return "INTEGER"
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return "REAL"
+        return "TEXT"  # str + JSON-encoded complex, like the reference
+
+    prep = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            prep = prep.withColumn(f.name, F.to_json(F.col(f.name)))
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType,
+                                     T.DateType)):
+            prep = prep.withColumn(f.name, F.col(f.name).cast("string"))
+    cols = prep.schema.fields
+    col_names = [f.name for f in cols]
+    cols_def = ", ".join(f"{f.name} {sqlite_type(f.dataType)}" for f in cols)
+    create_sql = f"CREATE TABLE IF NOT EXISTS {table} ({cols_def});"
+    insert_sql = (
+        f"INSERT INTO {table} ({', '.join(col_names)}) "
+        f"VALUES ({', '.join('?' * len(col_names))});"
+    )
+
+    def write_partition(rows):
+        import sqlite3
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        path = db_path if single_file else f"{db_path}.part-{pid:05d}"
+        con = sqlite3.connect(path)
+        try:
+            cur = con.cursor()
+            cur.execute(create_sql)
+            batch = []
+            for r in rows:
+                batch.append(tuple(r[c] for c in col_names))
+                if len(batch) >= batch_size:
+                    cur.executemany(insert_sql, batch)
+                    con.commit()
+                    batch = []
+            if batch:
+                cur.executemany(insert_sql, batch)
+            con.commit()
+        finally:
+            con.close()
+
+    target = prep.coalesce(1) if single_file else prep
+    target.foreachPartition(write_partition)
+
+
+def export_markdown_files_distributed(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    markdown_col: str = "markdown",
+) -> None:
+    """One .md file per document, written from EXECUTORS via
+    foreachPartition — the scale-safe variant of export_markdown_files
+    (no toLocalIterator; assumes out_dir is a shared filesystem, which is
+    what a one-file-per-doc layout requires on any cluster)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows):
+        for r in rows:
+            fname = os.path.join(out_dir, f"{r[id_col]}.md")
+            with open(fname, "w", encoding="utf-8") as fh:
+                fh.write(r[markdown_col] or "")
+
+    df.select(id_col, markdown_col).foreachPartition(write_partition)
+
+
 def export_markdown_files(df: DataFrame, out_dir: str) -> int:
     """Write one .md file per document (the reference CLI's output shape).
 
-    Driver-side convenience for small result sets; the table sink is the
-    real path at scale.
+    Driver-side convenience for small result sets; the table sink or
+    export_markdown_files_distributed is the real path at scale.
     """
     import os
 

@@ -21,7 +21,7 @@ def _docs(spark, n=30, seed=5):
 class TestConfig:
     def test_defaults(self):
         cfg = EngineConfig()
-        assert cfg.ingest.sanitize and cfg.ingest.drop_exact_duplicates
+        assert cfg.ingest.drop_exact_duplicates
         assert cfg.drop_kinds == frozenset({"thank_you", "questions", "blank"})
         assert cfg.ingest.use_vision is False
 
@@ -205,3 +205,67 @@ class TestVisionKernels:
         )
         assert flatten_extraction({}) == ""
         assert flatten_extraction({"text": "", "equations": None}) == ""
+
+
+class TestSqliteSink:
+    def test_roundtrip_types_and_batching(self, spark, tmp_path):
+        """W4: reference type map (int/bool->INTEGER, float->REAL,
+        str/complex->TEXT JSON), executemany batches, single-file mode."""
+        import sqlite3
+
+        from docproc_spark.sources.writers import write_sqlite
+
+        rows = [
+            (i, float(i) / 4, f"line\nbreak {i}", i % 2 == 0, [i, i + 1])
+            for i in range(2500)  # > 2 executemany batches of 1000
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, score double, text string, flag boolean, arr array<int>"
+        )
+        db = str(tmp_path / "out.sqlite")
+        write_sqlite(df, db, "results", batch_size=1000)
+
+        con = sqlite3.connect(db)
+        cols = {r[1]: r[2] for r in con.execute("PRAGMA table_info(results)")}
+        assert cols == {
+            "id": "INTEGER",
+            "score": "REAL",
+            "text": "TEXT",
+            "flag": "INTEGER",
+            "arr": "TEXT",
+        }
+        got = con.execute(
+            "SELECT id, score, text, flag, arr FROM results ORDER BY id"
+        ).fetchall()
+        assert len(got) == 2500
+        assert got[7] == (7, 1.75, "line\nbreak 7", 0, "[7,8]")
+        con.close()
+
+    def test_sharded_mode(self, spark, tmp_path):
+        import glob
+        import sqlite3
+
+        from docproc_spark.sources.writers import write_sqlite
+
+        df = spark.range(100).repartition(4)
+        base = str(tmp_path / "shard.sqlite")
+        write_sqlite(df, base, "t", single_file=False)
+        shards = sorted(glob.glob(base + ".part-*"))
+        assert len(shards) == 4
+        total = 0
+        for s in shards:
+            con = sqlite3.connect(s)
+            total += con.execute("SELECT count(*) FROM t").fetchone()[0]
+            con.close()
+        assert total == 100
+
+    def test_markdown_export_distributed(self, spark, tmp_path):
+        from docproc_spark.sources.writers import export_markdown_files_distributed
+
+        df = spark.createDataFrame(
+            [("a", "# A"), ("b", "# B"), ("c", None)], "doc_id string, markdown string"
+        ).repartition(3)
+        out = str(tmp_path / "md")
+        export_markdown_files_distributed(df, out)
+        assert (tmp_path / "md" / "a.md").read_text() == "# A"
+        assert (tmp_path / "md" / "c.md").read_text() == ""

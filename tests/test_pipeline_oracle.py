@@ -72,3 +72,27 @@ def test_n_pages_equality(results):
 def test_every_fixture_class_covered():
     classes = {corpus.doc_class_for_index(i) for i in range(N_DOCS)}
     assert classes == set(corpus.DOC_CLASSES)
+
+
+def test_drop_exact_duplicates_toggle(spark):
+    """Config toggle parity: with drop_exact_duplicates=False both engine
+    and oracle keep every surviving duplicate span."""
+    docs = [corpus.gen_doc(i, seed=11) for i in range(60)
+            if corpus.doc_class_for_index(i) == "dup_spans"]
+    assert docs
+    import pandas as pd
+
+    from docproc_spark.schema import DOCUMENTS_SCHEMA
+
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "doc_type", "raw_html", "spans"]),
+        schema=DOCUMENTS_SCHEMA,
+    )
+    got = {r["doc_id"]: r.asDict(recursive=True)
+           for r in extract(df, drop_exact_duplicates=False).collect()}
+    for d in docs:
+        want = oracle.extract_doc(d, drop_exact_duplicates=False)
+        assert _tuples(got[d["doc_id"]]["spans"]) == _tuples(want["spans"])
+        # and the duplicates really are kept: more spans than the deduped run
+        deduped = oracle.extract_doc(d)
+        assert len(want["spans"]) > len(deduped["spans"])

@@ -65,3 +65,75 @@ class TestLlmInput:
     def test_series_matches_scalar(self, s):
         got = sanitize_for_llm_series(pd.Series([s], dtype=object), max_tokens=20).iloc[0]
         assert got == sanitize_for_llm(s, max_tokens=20)
+
+
+class TestRefineOrchestration:
+    """Full chunk → chat → rejoin orchestration (reference
+    llm_refine.py:156-201) against the deterministic stub provider."""
+
+    def _mk_text(self):
+        return "".join(
+            f"[Page {i}]\npara α {i} " + "x" * 40 + "\n" for i in range(1, 6)
+        )
+
+    def test_chunk_boundaries_and_rejoin(self):
+        from docproc_spark.kernels.refine import (
+            chunk_by_pages,
+            refine_mechanical,
+            refine_with_provider,
+        )
+        from docproc_spark.providers import get_provider
+
+        text = self._mk_text()
+        provider = get_provider("stub-chat")
+        got = refine_with_provider(text, provider, chunk_chars=120)
+        chunks = chunk_by_pages(text, chunk_chars=120)
+        assert len(chunks) > 1  # the small budget must force multiple chunks
+        want = "\n\n".join(
+            refine_mechanical(c.strip()).strip() for c in chunks if c.strip()
+        )
+        assert got == want
+        assert "[Page" not in got and r"\alpha" in got
+
+    def test_failure_falls_back_to_raw(self):
+        from docproc_spark.kernels.refine import refine_with_provider
+        from docproc_spark.providers import get_provider
+
+        text = self._mk_text()
+        assert refine_with_provider(text, get_provider("failing-chat")) == text
+
+    def test_empty_responses_fall_back_to_raw(self):
+        from docproc_spark.kernels.refine import refine_with_provider
+        from docproc_spark.providers import get_provider
+
+        text = self._mk_text()
+        assert refine_with_provider(text, get_provider("empty-chat")) == text
+
+    def test_blank_input_unchanged(self):
+        from docproc_spark.kernels.refine import refine_with_provider
+        from docproc_spark.providers import get_provider
+
+        p = get_provider("stub-chat")
+        assert refine_with_provider("", p) == ""
+        assert refine_with_provider("   ", p) == "   "
+        assert refine_with_provider(None, p) == ""
+
+    def test_refine_table_matches_scalar(self, spark):
+        from docproc_spark.kernels.refine import refine_with_provider
+        from docproc_spark.operators.refine import refine_table
+        from docproc_spark.providers import get_provider
+
+        rows = [
+            (1, self._mk_text()),
+            (2, "plain text no markers ∑"),
+            (3, ""),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, markdown string")
+        got = {
+            r["doc_id"]: r["refined"]
+            for r in refine_table(df, chunk_chars=120).collect()
+        }
+        p = get_provider("stub-chat")
+        for doc_id, text in rows:
+            assert got[doc_id] == refine_with_provider(text, p, 120), doc_id
