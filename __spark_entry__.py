@@ -682,6 +682,74 @@ WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.01
 """
 
 
+def _neardup_minhash_verified(spark, sf):
+    """Composed dedup pipeline: plant near-duplicates (doc ⊕ one extra
+    token), then minhash_candidate_pairs → exact n-gram Jaccard verify —
+    candidates bound the pair space, Jaccard confirms."""
+    from docproc_spark.operators.dedupe import minhash_neardup_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select("doc_id", "text")
+    planted = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return minhash_neardup_pairs(
+        corpus, k=4, rows_per_band=2, n=3, min_jaccard=0.5, log_dropped=False
+    )
+
+
+_NEARDUP_MINHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' plantedtoken' AS text FROM base
+), sig AS (
+  SELECT doc_id,
+         {_mh_sql_expr(0)} AS mh0,
+         {_mh_sql_expr(1)} AS mh1,
+         {_mh_sql_expr(2)} AS mh2,
+         {_mh_sql_expr(3)} AS mh3
+  FROM corpus
+), bands AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS bk FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS bk FROM sig
+), ok AS (
+  SELECT band_id, bk FROM bands GROUP BY band_id, bk
+  HAVING count(*) > 1 AND count(*) <= 1000
+), cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN ok USING (band_id, bk)
+  JOIN bands y USING (band_id, bk)
+  WHERE x.doc_id < y.doc_id
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len({_TOKS}) - 3, 0) + 1),
+           i -> array_to_string(({_TOKS})[i+1:i+3], ' ')))) AS shingle
+  FROM corpus
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT c.a, c.b, count(*) AS shared
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, shared,
+       round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
+"""
+
+
 def _simhash(spark, sf):
     from docproc_spark.operators.dedupe import simhash64
 
@@ -1181,6 +1249,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": _minhash_signatures,
     "minhash_band_stats": _minhash_bands,
     "ngram_jaccard_pairs": _ngram_jaccard,
+    "neardup_minhash_verified": _neardup_minhash_verified,
     "simhash64": _simhash,
     "cosine_topk": _cosine_topk,
     "lsh_ann_topk": _lsh_ann_topk,
@@ -1227,6 +1296,7 @@ _ORACLES: dict[str, str] = {
     "minhash_signatures": _MINHASH_SQL,
     "minhash_band_stats": _MINHASH_BANDS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "neardup_minhash_verified": _NEARDUP_MINHASH_SQL,
     "cosine_topk": _COSINE_SQL,
     "fulltext_pdf": _FULLTEXT_PDF_SQL,
     "fulltext_docx": _FULLTEXT_DOCX_SQL,

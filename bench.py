@@ -83,6 +83,9 @@ def _extract_run(
     from pyspark.sql import functions as F
 
     spark = get_spark(app_name=f"bench_{master}", master=master, shuffle_partitions=shuffle)
+    # ERROR level: a benign PythonAccumulatorV2 WARN stack trace at worker
+    # teardown otherwise pollutes the captured tail and buries real failures
+    spark.sparkContext.setLogLevel("ERROR")
     try:
         docs = spark.read.parquet(corpus_path)
         extract(docs.limit(200)).agg(F.count("*")).collect()  # warmup
@@ -118,6 +121,7 @@ def main() -> None:
 
     # stage the corpus once (generation excluded from all timings)
     spark = get_spark(app_name="bench_stage", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
     corpus_path = _corpus_cache(spark, n_docs)
 
     # per-query timings at the high parallelism level
@@ -157,6 +161,7 @@ def main() -> None:
         n_scale = int(os.environ.get("SCALE_DOCS", str(3 * n_docs)))
         spark2 = get_spark(app_name="bench_scale_stage", master=f"local[{CPUS}]",
                            shuffle_partitions=CPUS)
+        spark2.sparkContext.setLogLevel("ERROR")
         scale_path = _corpus_cache(spark2, n_scale)
         spark2.stop()
         wall_lo, n_s = _extract_run(f"local[{lo}]", scale_path, lo)

@@ -80,7 +80,12 @@ def assemble_document(
             }
         )
     norm.sort(key=lambda d: (d["page"], d["offset"]))
-    pages = sorted({d["page"] for d in norm})
+    # group once — per-page list comprehensions over the full span list
+    # would be O(pages × spans), hopeless on a 10^6-span mega-doc
+    by_page: dict[int, list[dict]] = {}
+    for d in norm:
+        by_page.setdefault(d["page"], []).append(d)
+    pages = sorted(by_page)
     total_pages = (max(pages) + 1) if pages else 0
 
     # --- text path: sanitize → boilerplate drop → first-wins dedupe -------
@@ -105,7 +110,7 @@ def assemble_document(
     ref_ctx: dict[str, str] = {}
     page_figs: dict[int, list[tuple[int, str]]] = {p: [] for p in pages}
     for p in pages:
-        media_on_page = [d for d in norm if d["page"] == p and d["kind"] in MEDIA_KINDS]
+        media_on_page = [d for d in by_page[p] if d["kind"] in MEDIA_KINDS]
         for i, d in enumerate(media_on_page):
             ref = d["media_ref"]
             if not ref:
@@ -122,13 +127,12 @@ def assemble_document(
     for p in pages:
         has_raw_text = any(
             d["kind"] in TEXTUAL_KINDS and d["text"] and str(d["text"]).strip()
-            for d in norm
-            if d["page"] == p
+            for d in by_page[p]
         )
-        has_media = any(d["kind"] in MEDIA_KINDS for d in norm if d["page"] == p)
+        has_media = any(d["kind"] in MEDIA_KINDS for d in by_page[p])
         if has_raw_text or has_media:
             continue
-        rasters = [d for d in norm if d["page"] == p and d["kind"] == RASTER_KIND]
+        rasters = [d for d in by_page[p] if d["kind"] == RASTER_KIND]
         for i, d in enumerate(rasters):
             ref = d["media_ref"] or ""
             if not ref:

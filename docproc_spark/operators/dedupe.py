@@ -149,6 +149,117 @@ def minhash_candidate_pairs(
     return pairs.distinct()
 
 
+def _shingles_col(text: Column, n: int) -> Column:
+    toks = tokens_col(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_dropped_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Accounting for the candidate-pair skew guard: per band, how many
+    buckets (and docs) the ``max_bucket`` cap drops. Companion to
+    minhash_candidate_pairs so the cap is never a silent coverage hole."""
+    sig = minhash_signature(docs, text_col, id_col, k)
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        )
+        bands.append(sig.select(F.lit(b).alias("band_id"), key.alias("band_key")))
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    return (
+        all_bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_buckets_dropped"),
+            F.sum("n").cast("long").alias("n_docs_in_dropped"),
+        )
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_bucket: int = 1000,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """End-to-end near-dup detection: LSH candidates → exact verify.
+
+    The composition the docstrings promise: minhash_candidate_pairs bounds
+    the pair space (never O(n²) on the corpus), then n-gram Jaccard is
+    computed ONLY for candidate pairs by routing each candidate's shingles
+    through the pair list (cands ⋈ shingles(a) ⋈ shingles(b)) — work is
+    O(candidates × shingles-per-doc), not O(bounded-set²). Returns
+    (a, b, shared, jaccard) with jaccard ≥ min_jaccard.
+
+    The ``max_bucket`` skew cap is NOT silent: with log_dropped=True the
+    dropped-bucket accounting runs (one tiny extra agg job) and any loss is
+    logged as a warning.
+    """
+    if log_dropped:
+        import logging
+
+        dropped = minhash_dropped_buckets(
+            docs, text_col, id_col, k, rows_per_band, max_bucket
+        ).collect()
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "minhash_neardup_pairs: max_bucket=%d dropped %s — these "
+                "docs are NOT covered by candidate generation",
+                max_bucket,
+                [r.asDict() for r in dropped],
+            )
+    cands = minhash_candidate_pairs(
+        docs, text_col, id_col, k, rows_per_band, max_bucket
+    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    shared = (
+        cands.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "shared", "jaccard")
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
 ) -> DataFrame:

@@ -609,11 +609,37 @@ def extract(
     *,
     drop_kinds: frozenset = DROP_KINDS_DEFAULT,
     drop_exact_duplicates: bool = True,
+    mega_doc_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Full pipeline: documents(doc_id, doc_type, raw_html, spans) → result.
 
     Output: doc_id, markdown, n_pages, spans (renumbered 0-based offsets).
+
+    Documents with more than ``mega_doc_threshold`` input spans are routed
+    through the salted two-phase path (pipeline_salted.extract_salted) —
+    beyond ~10^5 spans the single collected row becomes a straggler task
+    (measured: 100k spans ≈ 17 s in one task). The routing predicate is a
+    cheap F.size on the source column, so normal corpora never pay for the
+    extra branch (it scans, finds zero mega docs, and the union's second
+    leg is empty). Pass None to disable routing.
     """
+    if mega_doc_threshold is not None:
+        from docproc_spark.pipeline_salted import extract_salted
+
+        is_mega = F.size(F.coalesce(F.col("spans"), F.array())) > mega_doc_threshold
+        normal = extract(
+            docs.filter(~is_mega),
+            drop_kinds=drop_kinds,
+            drop_exact_duplicates=drop_exact_duplicates,
+            mega_doc_threshold=None,
+        )
+        salted = extract_salted(
+            docs.filter(is_mega),
+            drop_kinds=drop_kinds,
+            drop_exact_duplicates=drop_exact_duplicates,
+        )
+        return normal.unionByName(salted)
+
     derived = with_derived_spans(docs)
     rows = enrich_spans(explode_spans(derived), drop_kinds)
 

@@ -56,6 +56,103 @@ class HttpVisionProvider(CaptionProvider):
         )
 
 
+class VisionTransport(ABC):
+    """One vision-API round trip: [(media_ref, context)] → [caption].
+
+    The seam between the engine's batching/error contract (below, fully
+    implemented and tested) and the actual HTTP client (a deployment
+    concern — no network in this container)."""
+
+    @abstractmethod
+    def describe_batch(self, items: list) -> list: ...
+
+
+class FakeVisionTransport(VisionTransport):
+    """Deterministic in-process transport with scriptable failure modes —
+    stands in for the HTTP client so the batching contract is testable."""
+
+    def __init__(self, fail_on_call: int | None = None,
+                 wrong_length_on_call: int | None = None,
+                 delay_s: float = 0.0):
+        self.calls: list = []
+        self._fail = fail_on_call
+        self._wrong = wrong_length_on_call
+        self._delay = delay_s
+
+    def describe_batch(self, items: list) -> list:
+        import time as _time
+
+        self.calls.append(list(items))
+        n_call = len(self.calls)
+        if self._delay:
+            _time.sleep(self._delay)
+        if self._fail is not None and n_call == self._fail:
+            raise ConnectionError("synthetic transport failure")
+        if self._wrong is not None and n_call == self._wrong:
+            return ["bogus"]  # wrong length on purpose
+        return [f"desc({ref[:8]}|{ctx})" for ref, ctx in items]
+
+
+class BatchingVisionProvider(CaptionProvider):
+    """The reference's vision request shape, transport-agnostic:
+
+    - ≤ ``batch_size`` images per call (VISION_BATCH_SIZE=5,
+      vision_llm.py:349-351, batching loop :128-165)
+    - ≤ ``max_parallel`` calls in flight (VISION_BATCH_PARALLEL=3,
+      :352,415-447) via a thread pool INSIDE the executor task — Spark
+      partitions give cross-machine parallelism, the pool overlaps HTTP
+      latency within one partition exactly like the reference's pool
+    - wrong-length reply → [""] * n for that batch (:157-158)
+    - per-call timeout + any transport error → skip-and-log, captions ""
+      for that batch only, never a failed task (:448-482)
+    """
+
+    provider_id = "batching-vision"
+
+    def __init__(self, transport: VisionTransport, batch_size: int = 5,
+                 max_parallel: int = 3, timeout_s: float = 120.0):
+        self.transport = transport
+        self.batch_size = batch_size
+        self.max_parallel = max_parallel
+        self.timeout_s = timeout_s
+
+    def caption_batch(self, media_ref: pd.Series, context: pd.Series) -> pd.Series:
+        import logging
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(zip(media_ref.fillna(""), context.fillna("")))
+        batches = [
+            items[i : i + self.batch_size]
+            for i in range(0, len(items), self.batch_size)
+        ]
+        if not batches:
+            return pd.Series([], dtype=object, index=media_ref.index)
+
+        def run(batch):
+            return self.transport.describe_batch(batch)
+
+        out: list = []
+        log = logging.getLogger(__name__)
+        with ThreadPoolExecutor(
+            max_workers=min(self.max_parallel, len(batches))
+        ) as pool:
+            futures = [pool.submit(run, b) for b in batches]
+            for b, fut in zip(batches, futures):
+                try:
+                    res = fut.result(timeout=self.timeout_s)
+                    if len(res) != len(b):
+                        log.warning(
+                            "vision reply length %d != batch %d — blanking",
+                            len(res), len(b),
+                        )
+                        res = [""] * len(b)
+                except Exception as exc:  # timeout or transport error
+                    log.warning("vision batch skipped: %s", exc)
+                    res = [""] * len(b)
+                out.extend(res)
+        return pd.Series(out, index=media_ref.index, dtype=object)
+
+
 class ChatProvider(ABC):
     """Chat model for the LLM refine stage (reference providers/base.py:26-52
     `chat`; the orchestration that calls it is refiners/llm_refine.py:156-201).

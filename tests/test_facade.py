@@ -269,3 +269,54 @@ class TestSqliteSink:
         export_markdown_files_distributed(df, out)
         assert (tmp_path / "md" / "a.md").read_text() == "# A"
         assert (tmp_path / "md" / "c.md").read_text() == ""
+
+
+class TestBatchingVisionProvider:
+    """Reference vision request shape (vision_llm.py:128-165,349-352,448-482)
+    against the fake transport: batch size 5, wrong-length blanking,
+    skip-and-log on failure/timeout."""
+
+    def _series(self, n):
+        import pandas as pd
+
+        refs = pd.Series([f"ref{i:04d}" for i in range(n)])
+        ctxs = pd.Series([f"Page {i // 5 + 1}, image {i % 5 + 1}." for i in range(n)])
+        return refs, ctxs
+
+    def test_batches_of_five(self):
+        from docproc_spark.providers import BatchingVisionProvider, FakeVisionTransport
+
+        t = FakeVisionTransport()
+        p = BatchingVisionProvider(t)
+        refs, ctxs = self._series(12)
+        out = p.caption_batch(refs, ctxs)
+        assert [len(b) for b in t.calls] == [5, 5, 2]
+        assert len(out) == 12 and out[0] == f"desc({refs[0][:8]}|{ctxs[0]})"
+
+    def test_wrong_length_reply_blanks_that_batch(self):
+        from docproc_spark.providers import BatchingVisionProvider, FakeVisionTransport
+
+        p = BatchingVisionProvider(FakeVisionTransport(wrong_length_on_call=2),
+                                   max_parallel=1)
+        refs, ctxs = self._series(12)
+        out = p.caption_batch(refs, ctxs)
+        assert list(out[5:10]) == [""] * 5          # batch 2 blanked
+        assert all(v != "" for v in out[:5]) and all(v != "" for v in out[10:])
+
+    def test_transport_failure_skips_batch_only(self):
+        from docproc_spark.providers import BatchingVisionProvider, FakeVisionTransport
+
+        p = BatchingVisionProvider(FakeVisionTransport(fail_on_call=1),
+                                   max_parallel=1)
+        refs, ctxs = self._series(7)
+        out = p.caption_batch(refs, ctxs)
+        assert list(out[:5]) == [""] * 5 and all(v != "" for v in out[5:])
+
+    def test_timeout_skips_batch(self):
+        from docproc_spark.providers import BatchingVisionProvider, FakeVisionTransport
+
+        p = BatchingVisionProvider(FakeVisionTransport(delay_s=0.5),
+                                   timeout_s=0.05, max_parallel=1)
+        refs, ctxs = self._series(3)
+        out = p.caption_batch(refs, ctxs)
+        assert list(out) == [""] * 3

@@ -287,3 +287,36 @@ def test_ivf_index_build_and_pruned_query(spark, tmp_path):
     idx = {r["vec_id"] for r in got.collect()}
     recall = len(bf & idx) / 10
     assert recall >= 0.8, f"IVF index recall {recall}"
+
+
+def test_minhash_neardup_composition_finds_planted_dups(spark):
+    """Composed candidates→verify pipeline: every planted near-dup pair is
+    found; unrelated pairs are rejected by the Jaccard verify; the
+    max_bucket skew cap has a visible accounting (no silent drop)."""
+    from docproc_spark.operators.dedupe import (
+        minhash_dropped_buckets,
+        minhash_neardup_pairs,
+    )
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    planted = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_neardup_pairs(
+            d.unionByName(planted), min_jaccard=0.5, log_dropped=False
+        ).collect()
+    }
+    want = {(i, i + 10000) for i in range(30)}
+    assert want <= pairs, f"missing planted pairs: {sorted(want - pairs)[:5]}"
+
+    # skew-cap accounting: with max_bucket=1 every >1 bucket is "dropped"
+    # and the histogram reports it
+    dropped = minhash_dropped_buckets(d.unionByName(planted), max_bucket=1).collect()
+    assert dropped and sum(r["n_docs_in_dropped"] for r in dropped) > 0

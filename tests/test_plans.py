@@ -24,12 +24,17 @@ def test_extract_is_single_pass(spark, tmp_path):
     src = str(tmp_path / "docs")
     corpus.corpus_df(spark, 50, seed=3, mega_spans=100, partitions=2).write.parquet(src)
     docs = spark.read.parquet(src)  # real parquet scan as the source
-    s = plan_summary(extract(docs))
+    # the hot path (no mega-doc routing): exactly one shuffle, one scan
+    s = plan_summary(extract(docs, mega_doc_threshold=None))
     assert s["scans"] == 1, "source scanned once"
     assert s["exchanges"] == 1, "extract must shuffle exactly once (by doc_id)"
     assert s["sort_merge_joins"] == 0 and s["broadcast_joins"] == 0
     assert s["unions"] == 0
     assert s["windows"] == 0
+    # the routed default adds the (normally empty) salted branch — unions
+    # appear (top-level split + the salted path's internal ones)
+    s2 = plan_summary(extract(docs))
+    assert s2["unions"] >= 1
 
 
 def test_parquet_scan_pushdown(spark):
