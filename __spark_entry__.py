@@ -327,6 +327,38 @@ FROM t GROUP BY user_id
 """
 
 
+def _events_asof(spark, sf):
+    """As-of join: for each click, the user's latest purchase at-or-before
+    it (point-in-time lookup, union-tag + running window — one shuffle)."""
+    from docproc_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    res = asof_join(
+        clicks, purchases, key="user_id", payload_cols=["event_id", "value"]
+    )
+    return res.select(
+        F.col("event_id").alias("click_id"),
+        F.col("asof.event_id").alias("purchase_id"),
+        F.col("asof.value").alias("purchase_value"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       p.value    AS purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def _events_hourly(spark, sf):
     e = _t(spark, sf, "events")
     return e.groupBy(
@@ -531,6 +563,67 @@ SELECT doc_id, lang,
        WHEN s_de > 0 AND s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
        ELSE 'unk' END AS lang_pred
 FROM m
+"""
+
+
+def _curation_pipeline(spark, sf):
+    """End-to-end training-data curation: exact first-wins dedupe → quality
+    + language scoring → keep docs with quality ≥ 0.3 and a confident
+    language — the selection pass a pretraining pipeline runs before
+    tokenization. Composition of the engine's own operators."""
+    from docproc_spark.functions.text import lang_id_col, quality_score_col
+    from docproc_spark.operators.dedupe import first_wins_dedupe
+
+    d = _t(spark, sf, "documents")
+    keep = first_wins_dedupe(d)
+    t = F.col("text")
+    scored = keep.select(
+        "doc_id",
+        quality_score_col(t).alias("quality"),
+        lang_id_col(t).alias("lang_pred"),
+    )
+    return scored.filter((F.col("quality") >= 0.3) & (F.col("lang_pred") != "unk"))
+
+
+_CURATION_SQL = f"""
+WITH keep AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), b AS (
+  SELECT doc_id, text, {_TOKS} AS toks, {_LTOKS} AS ltoks FROM keep
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(ltoks) > 0
+              THEN round(len(list_filter(ltoks, t -> t IN ('the','a','of','and','to','in','is','it'))) / len(ltoks), 4)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN length(text) > 0
+              THEN round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 4)
+              ELSE 0.0 END AS punct_ratio,
+         len(list_filter(ltoks, t -> t IN ('der','die','das','und','nicht'))) AS s_de,
+         len(list_filter(ltoks, t -> t IN ('the','and','of','to','a')))       AS s_en,
+         len(list_filter(ltoks, t -> t IN ('el','la','de','que','los')))      AS s_es,
+         len(list_filter(ltoks, t -> t IN ('le','la','les','des','et')))      AS s_fr
+  FROM b
+), scored AS (
+  SELECT doc_id,
+         round(greatest(least(
+           0.5 * least(n_tokens / 100.0, 1.0)
+           + 0.5 * least(stopword_ratio * 4.0, 1.0)
+           - greatest(punct_ratio - 0.2, 0.0), 1.0), 0.0), 4) AS quality,
+         CASE WHEN s_de > 0 AND s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+              WHEN s_en > 0 AND s_en > s_de AND s_en > s_es AND s_en > s_fr THEN 'en'
+              WHEN s_es > 0 AND s_es > s_de AND s_es > s_en AND s_es > s_fr THEN 'es'
+              WHEN s_fr > 0 AND s_fr > s_de AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+              ELSE 'unk' END AS lang_pred
+  FROM m
+)
+SELECT doc_id, quality, lang_pred
+FROM scored WHERE quality >= 0.3 AND lang_pred <> 'unk'
 """
 
 
@@ -1235,6 +1328,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_with_urgent_orders": _customers_with_urgent,
     "session_stats": _session_stats,
     "events_hourly": _events_hourly,
+    "events_asof_purchase": _events_asof,
     "events_quantiles": _events_quantiles,
     "lineitem_cube": _lineitem_cube,
     "events_windowed_stream": _events_windowed_stream,
@@ -1244,6 +1338,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_pred_markers": _lang_pred,
     "doc_fingerprints": _fingerprints,
     "doc_rolling_fingerprint": _rolling_fp,
+    "curation_pipeline": _curation_pipeline,
     "exact_dup_groups": _exact_dup_groups,
     "first_wins_dedupe": _first_wins,
     "minhash_signatures": _minhash_signatures,
@@ -1282,6 +1377,7 @@ _ORACLES: dict[str, str] = {
     "customers_with_urgent_orders": _SEMI_SQL,
     "session_stats": _SESSION_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    "events_asof_purchase": _EVENTS_ASOF_SQL,
     "events_quantiles": _EVENTS_QUANTILES_SQL,
     "lineitem_cube": _CUBE_SQL,
     "events_windowed_stream": _EVENTS_WINDOWED_SQL,
@@ -1291,6 +1387,7 @@ _ORACLES: dict[str, str] = {
     "lang_pred_markers": _LANG_PRED_SQL,
     "doc_fingerprints": _FP_SQL,
     "doc_rolling_fingerprint": _ROLLING_FP_SQL,
+    "curation_pipeline": _CURATION_SQL,
     "exact_dup_groups": _EXACT_DUP_SQL,
     "first_wins_dedupe": _FIRST_WINS_SQL,
     "minhash_signatures": _MINHASH_SQL,

@@ -164,8 +164,19 @@ def main() -> None:
         spark2.sparkContext.setLogLevel("ERROR")
         scale_path = _corpus_cache(spark2, n_scale)
         spark2.stop()
-        wall_lo, n_s = _extract_run(f"local[{lo}]", scale_path, lo)
-        wall_hi2, _ = _extract_run(f"local[{hi}]", scale_path, hi)
+        # Interleaved rounds, min wall per LEVEL: a tenant spike that lands
+        # inside one side of a single lo/hi pair skews the ratio by 2-3×
+        # (measured: back-to-back pairs gave eff 0.85 / 0.73 / 0.50 on
+        # identical input); taking each level's cleanest window measures
+        # the plan, not the neighbours.
+        rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
+        lo_walls, hi_walls, n_s = [], [], 0
+        for _ in range(rounds):
+            w_lo, n_s = _extract_run(f"local[{lo}]", scale_path, lo)
+            w_hi, _ = _extract_run(f"local[{hi}]", scale_path, hi)
+            lo_walls.append(w_lo)
+            hi_walls.append(w_hi)
+        wall_lo, wall_hi2 = min(lo_walls), min(hi_walls)
         dps_lo = n_s / wall_lo if wall_lo > 0 else 0.0
         dps_hi = n_s / wall_hi2 if wall_hi2 > 0 else 0.0
         eff = (dps_hi / dps_lo) / (hi / lo) if dps_lo > 0 else 0.0

@@ -320,3 +320,34 @@ def test_minhash_neardup_composition_finds_planted_dups(spark):
     # and the histogram reports it
     dropped = minhash_dropped_buckets(d.unionByName(planted), max_bucket=1).collect()
     assert dropped and sum(r["n_docs_in_dropped"] for r in dropped) > 0
+
+
+def test_asof_join_semantics(spark):
+    """As-of: latest right ts <= left ts per key; ties count; no-match left
+    rows survive with a null payload; one window, no range join."""
+    import datetime as dt
+
+    from docproc_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [("u1", "l1", T(2024, 1, 1, 10)), ("u1", "l2", T(2024, 1, 1, 12)),
+         ("u2", "l3", T(2024, 1, 1, 9)), ("u3", "l4", T(2024, 1, 1, 10))],
+        "user_id string, lid string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", T(2024, 1, 1, 9), "r1", 1.0), ("u1", T(2024, 1, 1, 12), "r2", 2.0),
+         ("u2", T(2024, 1, 1, 9, 30), "r3", 3.0)],
+        "user_id string, ts timestamp, rid string, value double",
+    )
+    got = {
+        r["lid"]: (r["asof"]["rid"] if r["asof"] else None)
+        for r in asof_join(left, right, key="user_id",
+                           payload_cols=["rid", "value"]).collect()
+    }
+    assert got == {
+        "l1": "r1",   # 9:00 <= 10:00, latest
+        "l2": "r2",   # tie at 12:00 counts (<=)
+        "l3": None,   # u2's only right row is later
+        "l4": None,   # u3 has no right rows
+    }
