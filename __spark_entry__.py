@@ -439,6 +439,36 @@ FROM t GROUP BY user_id, session_id
 """
 
 
+def _events_stream_dedupe(spark, sf):
+    """Streaming exactly-once dedupe: the events file is staged TWICE and
+    fed one file per micro-batch, so every event arrives again in a later
+    batch — dropDuplicates state must kill the replay. Batch oracle: each
+    event once."""
+    import os
+    import tempfile
+
+    from docproc_spark.streaming.events import dedupe_stream, run_stream_once
+
+    src = os.path.abspath(f"{sf}/events.parquet")
+    d = tempfile.mkdtemp(prefix="stream_dupes_")
+    os.symlink(src, os.path.join(d, "a.parquet"))
+    os.symlink(src, os.path.join(d, "b.parquet"))
+    name = f"dedupe_out_{next(_COUNTER)}"
+    return run_stream_once(
+        spark,
+        d,
+        dedupe_stream,
+        query_name=name,
+        output_mode="append",
+        max_files_per_trigger=1,
+    )
+
+
+_EVENTS_STREAM_DEDUPE_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
 def _events_windowed_stream(spark, sf):
     """Structured Streaming tumbling-window counts, driven to completion —
     checked against a plain batch SQL oracle (stream/batch parity)."""
@@ -840,6 +870,92 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
+"""
+
+
+def _dup_clusters(spark, sf):
+    """Full dedup chain: plant TRANSITIVE near-dup chains (base → +1 token →
+    +2 tokens; the ends may not pair directly), find pairs with
+    minhash→Jaccard, then cluster via connected components — keeping one
+    doc per CLUSTER needs the transitive closure, not the pair list."""
+    from docproc_spark.operators.dedupe import dup_components, minhash_neardup_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 25).select("doc_id", "text")
+    v1 = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
+    )
+    v2 = d.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedtoken plantedtwo")).alias("text"),
+    )
+    corpus = d.unionByName(v1).unionByName(v2)
+    pairs = minhash_neardup_pairs(
+        corpus, k=4, rows_per_band=2, n=3, min_jaccard=0.5, log_dropped=False
+    )
+    return dup_components(pairs.select("a", "b"))
+
+
+def _dup_clusters_sql() -> str:
+    # the _NEARDUP_MINHASH_SQL pair pipeline over a 3-variant corpus, then
+    # connected components via a recursive reachability CTE
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 25
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 10000, text || ' plantedtoken' FROM base
+  UNION ALL
+  SELECT doc_id + 20000, text || ' plantedtoken plantedtwo' FROM base
+), sig AS (
+  SELECT doc_id,
+         {_mh_sql_expr(0)} AS mh0,
+         {_mh_sql_expr(1)} AS mh1,
+         {_mh_sql_expr(2)} AS mh2,
+         {_mh_sql_expr(3)} AS mh3
+  FROM corpus
+), bands AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS bk FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS bk FROM sig
+), ok AS (
+  SELECT band_id, bk FROM bands GROUP BY band_id, bk
+  HAVING count(*) > 1 AND count(*) <= 1000
+), cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN ok USING (band_id, bk) JOIN bands y USING (band_id, bk)
+  WHERE x.doc_id < y.doc_id
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len({_TOKS}) - 3, 0) + 1),
+           i -> array_to_string(({_TOKS})[i+1:i+3], ' ')))) AS shingle
+  FROM corpus
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT c.a, c.b, count(*) AS shared
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+), pairs AS (
+  SELECT a, b FROM shared
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b, a FROM pairs
+), reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT v AS doc_id, min(r) AS component
+FROM reach GROUP BY v
 """
 
 
@@ -1333,6 +1449,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_cube": _lineitem_cube,
     "events_windowed_stream": _events_windowed_stream,
     "sessions_stream": _sessions_stream,
+    "events_stream_dedupe": _events_stream_dedupe,
     "doc_stats": _doc_stats,
     "doc_quality": _doc_quality,
     "lang_pred_markers": _lang_pred,
@@ -1345,6 +1462,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_band_stats": _minhash_bands,
     "ngram_jaccard_pairs": _ngram_jaccard,
     "neardup_minhash_verified": _neardup_minhash_verified,
+    "dup_clusters": _dup_clusters,
     "simhash64": _simhash,
     "cosine_topk": _cosine_topk,
     "lsh_ann_topk": _lsh_ann_topk,
@@ -1382,6 +1500,7 @@ _ORACLES: dict[str, str] = {
     "lineitem_cube": _CUBE_SQL,
     "events_windowed_stream": _EVENTS_WINDOWED_SQL,
     "sessions_stream": _SESSIONS_STREAM_SQL,
+    "events_stream_dedupe": _EVENTS_STREAM_DEDUPE_SQL,
     "doc_stats": _DOC_STATS_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "lang_pred_markers": _LANG_PRED_SQL,
@@ -1394,6 +1513,7 @@ _ORACLES: dict[str, str] = {
     "minhash_band_stats": _MINHASH_BANDS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "neardup_minhash_verified": _NEARDUP_MINHASH_SQL,
+    "dup_clusters": _dup_clusters_sql(),
     "cosine_topk": _COSINE_SQL,
     "fulltext_pdf": _FULLTEXT_PDF_SQL,
     "fulltext_docx": _FULLTEXT_DOCX_SQL,

@@ -260,6 +260,58 @@ def minhash_neardup_pairs(
     )
 
 
+def dup_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the verified near-dup pair graph —
+    (doc_id, component) where component = min doc_id of the cluster.
+
+    The cluster step of a dedupe pipeline (pairs only say x~y; keeping one
+    doc per GROUP needs transitive closure). Iterative min-label
+    propagation: each round every vertex takes the min of its own label and
+    its neighbours' labels — converges in graph-diameter rounds (near-dup
+    clusters are shallow). Each round is one join + one agg, O(E); no
+    driver-side graph. The convergence check is one count() action per
+    round — bounded by max_iter.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.v == neigh.src, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()  # no-op on the uncached round-0 frame
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
 ) -> DataFrame:

@@ -47,6 +47,19 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def dedupe_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedupe on event_id (first arrival wins).
+
+    The watermark bounds the dedupe state store: without it, every
+    event_id ever seen stays in state — unbounded on a continuous ingest.
+    With it, an id older than the lateness bound can be evicted; duplicates
+    arriving inside the bound (the realistic at-least-once-delivery case)
+    are dropped across micro-batches.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count + value sum,
     maintained across micro-batches with applyInPandasWithState.

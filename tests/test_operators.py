@@ -351,3 +351,15 @@ def test_asof_join_semantics(spark):
         "l3": None,   # u2's only right row is later
         "l4": None,   # u3 has no right rows
     }
+
+
+def test_dup_components_transitive_closure(spark):
+    """a~b and b~c (no direct a~c edge) must land in ONE component labeled
+    by the min id; disjoint pairs stay separate."""
+    from docproc_spark.operators.dedupe import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -83,3 +83,24 @@ def test_stateful_state_crosses_micro_batches(spark):
         for r in spark.read.parquet(EVENTS).groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert final == batch
+
+
+def test_stream_dedupe_across_micro_batches(spark, tmp_path):
+    """Replayed events (same file fed in a SECOND micro-batch) must be
+    dropped by the dedupe state, not re-emitted."""
+    import os
+
+    from docproc_spark.streaming.events import dedupe_stream, run_stream_once
+
+    src = os.path.abspath("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "dupes")
+    os.makedirs(d)
+    os.symlink(src, os.path.join(d, "a.parquet"))
+    os.symlink(src, os.path.join(d, "b.parquet"))
+    out = run_stream_once(
+        spark, d, dedupe_stream, query_name="dedupe_mb",
+        output_mode="append", max_files_per_trigger=1,
+    )
+    n_src = spark.read.parquet(src).count()
+    assert out.count() == n_src                      # replay fully suppressed
+    assert out.select("event_id").distinct().count() == n_src
