@@ -177,6 +177,38 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def _q14_promo_revenue(spark, sf):
+    """q14-style promo revenue share: lineitem ⋈ broadcast(part), one month."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
 def _top3_orders(spark, sf):
     from docproc_spark.operators.topk import topk_per_group
 
@@ -1436,6 +1468,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_top_revenue_orders": _q3,
     "q5_region_revenue": _q5,
     "q6_forecast_revenue": _q6,
+    "q14_promo_revenue": _q14_promo_revenue,
     "top3_orders_per_customer": _top3_orders,
     "pivot_returnflag": _pivot_returnflag,
     "orders_rollup": _orders_rollup,
@@ -1487,6 +1520,7 @@ _ORACLES: dict[str, str] = {
     "q3_top_revenue_orders": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
     "q6_forecast_revenue": _Q6_SQL,
+    "q14_promo_revenue": _Q14_SQL,
     "top3_orders_per_customer": _TOP3_SQL,
     "pivot_returnflag": _PIVOT_SQL,
     "orders_rollup": _ROLLUP_SQL,
