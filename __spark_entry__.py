@@ -628,6 +628,22 @@ FROM m
 """
 
 
+def _docs_hash_sample(spark, sf):
+    """Deterministic 25% sample by md5 bucket — reproducible across engines
+    (the DuckDB oracle selects the IDENTICAL subset)."""
+    from docproc_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf, "documents")
+    return hash_sample(d, 0.25).select("doc_id", "lang", "source")
+
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CAST(0.25 * 4294967296 AS BIGINT)
+"""
+
+
 def _curation_pipeline(spark, sf):
     """End-to-end training-data curation: exact first-wins dedupe → quality
     + language scoring → keep docs with quality ≥ 0.3 and a confident
@@ -997,10 +1013,58 @@ def _simhash(spark, sf):
     return simhash64(_t(spark, sf, "documents"))
 
 
-def _simhash_sql(n_bits: int = 60) -> str:
-    """DuckDB SimHash: token hash = first 15 md5 hex chars as int (matches
-    Spark's conv(substring(md5, 1, 15), 16, 10)), per-bit majority vote,
-    zero-token docs → 0."""
+def _simhash_pairs(spark, sf):
+    """SimHash hamming-≤3 near-dup pairs over a corpus with planted exact
+    copies (hamming 0) and one-token edits — pigeonhole banding gives
+    PERFECT recall below n_bands, so a plain SQL oracle reproduces it."""
+    from docproc_spark.operators.dedupe import simhash_neardup_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 30).select("doc_id", "text")
+    copies = d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    edits = d.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
+    )
+    corpus = d.unionByName(copies).unionByName(edits)
+    return simhash_neardup_pairs(corpus, max_hamming=3, n_bands=4)
+
+
+def _simhash_pairs_sql(n_bands: int = 4, n_bits: int = 60, max_hamming: int = 3) -> str:
+    bits_per = n_bits // n_bands
+    mask = (1 << bits_per) - 1
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, (simhash >> {b * bits_per}) & {mask} AS bk FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 30
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 10000, text FROM base
+  UNION ALL
+  SELECT doc_id + 20000, text || ' plantedtoken' FROM base
+), {_simhash_sig_ctes('corpus', n_bits)}, bands AS (
+{band_rows}
+), ok AS (
+  SELECT band, bk FROM bands GROUP BY band, bk
+  HAVING count(*) > 1 AND count(*) <= 1000
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+  FROM bands x JOIN ok USING (band, bk) JOIN bands y USING (band, bk)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def _simhash_sig_ctes(relation: str, n_bits: int = 60) -> str:
+    """The DuckDB SimHash signature CTE chain over ``relation``: token hash
+    = first 15 md5 hex chars as int (matches Spark's
+    conv(substring(md5, 1, 15), 16, 10)), per-bit majority vote; the final
+    CTE is ``sigs(doc_id, simhash)`` with zero-token docs → 0."""
     bit_sums = ",\n         ".join(
         f"sum(CAST((h >> {j}) & 1 AS BIGINT)) AS b{j}" for j in range(n_bits)
     )
@@ -1008,12 +1072,11 @@ def _simhash_sql(n_bits: int = 60) -> str:
         f"(CASE WHEN b{j} * 2 > n THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
         for j in range(n_bits)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                             t -> t <> '')) AS tok
-  FROM documents
+  FROM {relation}
 ), hs AS (
   SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
   FROM toks
@@ -1021,13 +1084,20 @@ WITH toks AS (
   SELECT doc_id, count(*) AS n,
          {bit_sums}
   FROM hs GROUP BY doc_id
-), sig AS (
+), rawsig AS (
   SELECT doc_id,
          {sig_terms} AS s
   FROM c
-)
-SELECT d.doc_id, CAST(coalesce(sig.s, 0) AS BIGINT) AS simhash
-FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+), sigs AS (
+  SELECT d.doc_id, CAST(coalesce(rawsig.s, 0) AS BIGINT) AS simhash
+  FROM {relation} d LEFT JOIN rawsig ON d.doc_id = rawsig.doc_id
+)"""
+
+
+def _simhash_sql(n_bits: int = 60) -> str:
+    return f"""
+WITH {_simhash_sig_ctes('documents', n_bits)}
+SELECT doc_id, simhash FROM sigs
 """
 
 
@@ -1489,6 +1559,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": _fingerprints,
     "doc_rolling_fingerprint": _rolling_fp,
     "curation_pipeline": _curation_pipeline,
+    "docs_hash_sample": _docs_hash_sample,
     "exact_dup_groups": _exact_dup_groups,
     "first_wins_dedupe": _first_wins,
     "minhash_signatures": _minhash_signatures,
@@ -1497,6 +1568,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_minhash_verified": _neardup_minhash_verified,
     "dup_clusters": _dup_clusters,
     "simhash64": _simhash,
+    "simhash_neardup_pairs": _simhash_pairs,
     "cosine_topk": _cosine_topk,
     "lsh_ann_topk": _lsh_ann_topk,
     "extract_flagship": _extract_flagship,
@@ -1541,6 +1613,7 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprints": _FP_SQL,
     "doc_rolling_fingerprint": _ROLLING_FP_SQL,
     "curation_pipeline": _CURATION_SQL,
+    "docs_hash_sample": _HASH_SAMPLE_SQL,
     "exact_dup_groups": _EXACT_DUP_SQL,
     "first_wins_dedupe": _FIRST_WINS_SQL,
     "minhash_signatures": _MINHASH_SQL,
@@ -1557,6 +1630,7 @@ _ORACLES: dict[str, str] = {
     "refine_full": _REFINE_FULL_SQL,
     "neardup_cosine_exact": _NEARDUP_COSINE_SQL,
     "simhash64": _simhash_sql(),
+    "simhash_neardup_pairs": _simhash_pairs_sql(),
     "lang_pred_ngram": _lang_ngram_sql(),
     "sanitize_for_llm": _sanitize_llm_sql(),
     "extract_flagship": _FLAGSHIP_SQL,

@@ -347,6 +347,63 @@ def simhash64(
     )
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_bits: int = 60,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs (a < b, hamming(sig_a, sig_b) ≤ max_hamming).
+
+    The Manku/Jain/Sarma WWW'07 trick: split the signature into n_bands
+    contiguous bit blocks; by pigeonhole, any pair within hamming distance
+    < n_bands agrees EXACTLY on ≥1 block — so block-equality groupBys
+    produce a candidate set with **perfect recall** (this is not an
+    approximation like MinHash banding), and bit_count(xor) verifies.
+    Work is per-band hash shuffles + bounded bucket joins; the ``max_bucket``
+    skew cap mirrors minhash_candidate_pairs.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    sig = simhash64(docs, text_col, id_col, n_bits)
+    bits_per = n_bits // n_bands
+    mask = (1 << bits_per) - 1
+    pairs = None
+    for b in range(n_bands):
+        key = F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask))
+        banded = sig.select("doc_id", key.alias("bk"), "simhash")
+        counts = (
+            banded.groupBy("bk")
+            .agg(F.count("*").alias("n"))
+            .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        )
+        small = banded.join(F.broadcast(counts.select("bk")), "bk")
+        left = small.select(
+            "bk", F.col("doc_id").alias("a"), F.col("simhash").alias("sa")
+        )
+        right = small.select(
+            "bk", F.col("doc_id").alias("b"), F.col("simhash").alias("sb")
+        )
+        p = (
+            left.join(right, "bk")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sa", "sb")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["a", "b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

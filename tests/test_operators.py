@@ -363,3 +363,19 @@ def test_dup_components_transitive_closure(spark):
     )
     got = {r["doc_id"]: r["component"] for r in dup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_hash_split_disjoint_and_deterministic(spark):
+    from docproc_spark.operators.sampling import hash_sample, hash_split
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train, val, test = hash_split(d, [0.8, 0.1, 0.1])
+    ids = [set(r["doc_id"] for r in s.collect()) for s in (train, val, test)]
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    assert sum(map(len, ids)) == d.count()  # fractions sum to 1 → partition
+    # determinism: same subset on a re-read
+    again = {r["doc_id"] for r in hash_split(d, [0.8, 0.1, 0.1])[1].collect()}
+    assert again == ids[1]
+    # sample ≈ fraction (binomial bound loose for 500 docs)
+    n = hash_sample(d, 0.25).count()
+    assert 75 <= n <= 175, n
