@@ -501,6 +501,32 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+def _events_stream_join(spark, sf):
+    """Stream-stream interval join driven to completion; batch oracle is
+    the plain SQL join with the same time bounds."""
+    from docproc_spark.streaming.events import clicks_purchases_join, run_stream_once
+
+    name = f"stream_join_{next(_COUNTER)}"
+    return run_stream_once(
+        spark,
+        f"{sf}/events.parquet",
+        clicks_purchases_join,
+        query_name=name,
+        output_mode="append",
+    )
+
+
+_EVENTS_STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       p.value    AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
+"""
+
+
 def _events_windowed_stream(spark, sf):
     """Structured Streaming tumbling-window counts, driven to completion —
     checked against a plain batch SQL oracle (stream/batch parity)."""
@@ -1553,6 +1579,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_stream": _events_windowed_stream,
     "sessions_stream": _sessions_stream,
     "events_stream_dedupe": _events_stream_dedupe,
+    "events_stream_join": _events_stream_join,
     "doc_stats": _doc_stats,
     "doc_quality": _doc_quality,
     "lang_pred_markers": _lang_pred,
@@ -1607,6 +1634,7 @@ _ORACLES: dict[str, str] = {
     "events_windowed_stream": _EVENTS_WINDOWED_SQL,
     "sessions_stream": _SESSIONS_STREAM_SQL,
     "events_stream_dedupe": _EVENTS_STREAM_DEDUPE_SQL,
+    "events_stream_join": _EVENTS_STREAM_JOIN_SQL,
     "doc_stats": _DOC_STATS_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "lang_pred_markers": _LANG_PRED_SQL,

@@ -17,19 +17,50 @@ import json
 import sys
 
 
+# default engine config written by --init-config (reference cli.py:22-72
+# writes ~/.config/docproc/docproc.yml; here the engine yaml)
+DEFAULT_CONFIG_YAML = """\
+# docproc_spark engine configuration
+ingest:
+  drop_exact_duplicates: true
+  drop_boilerplate: true
+  use_vision: false
+  use_llm_refine: false
+spark:
+  arrow_batch: 32768
+"""
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="docproc-spark", description=__doc__)
-    p.add_argument("--input", required=True, help="input span-table parquet path")
-    p.add_argument("--output", required=True, help="output table path")
+    p.add_argument("--input", help="input span-table parquet path")
+    p.add_argument("--output", help="output table path")
     p.add_argument("--lineage", default=None, help="lineage table path (enables resume)")
     p.add_argument("--n-parts", type=int, default=8, help="checkpoint buckets")
     p.add_argument("--config", default=None, help="engine config yaml")
     p.add_argument("--master", default=None, help="override spark master")
+    p.add_argument(
+        "--init-config",
+        default=None,
+        metavar="PATH",
+        help="write a default engine config yaml to PATH and exit",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.init_config:
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.init_config)), exist_ok=True)
+        with open(args.init_config, "w") as fh:
+            fh.write(DEFAULT_CONFIG_YAML)
+        print(json.dumps({"mode": "init-config", "path": args.init_config}))
+        return 0
+    if not args.input or not args.output:
+        parser.error("--input and --output are required (unless --init-config)")
     from docproc_spark.config import parse_config
     from docproc_spark.facade import DocprocSpark
     from docproc_spark.session import get_spark

@@ -153,6 +153,101 @@ class BatchingVisionProvider(CaptionProvider):
         return pd.Series(out, index=media_ref.index, dtype=object)
 
 
+class OcrTransport(ABC):
+    """Async-OCR round trips (the reference's Azure Read v3.2 shape,
+    vision_llm.py:214-255): submit a blob → operation id; poll the id →
+    (status, lines). The HTTP client is a deployment concern; the
+    submit/poll/skip contract below is implemented and tested."""
+
+    @abstractmethod
+    def submit(self, blob: bytes) -> str: ...
+
+    @abstractmethod
+    def poll(self, op_id: str) -> tuple: ...  # (status, lines, caption, tags)
+
+
+class FakeOcrTransport(OcrTransport):
+    """Deterministic in-process OCR with scriptable latency/failure."""
+
+    def __init__(self, polls_until_done: int = 2, fail_ids: set | None = None):
+        self._until = polls_until_done
+        self._fail = fail_ids or set()
+        self._polls: dict = {}
+        self.submitted: list = []
+
+    def submit(self, blob: bytes) -> str:
+        import hashlib
+
+        op = hashlib.sha256(blob).hexdigest()[:16]
+        self.submitted.append(op)
+        return op
+
+    def poll(self, op_id: str):
+        n = self._polls.get(op_id, 0) + 1
+        self._polls[op_id] = n
+        if op_id in self._fail:
+            return ("failed", [], "", [])
+        if n < self._until:
+            return ("running", [], "", [])
+        lines = [f"line1({op_id[:6]})", f"line2({op_id[:6]})"]
+        return ("succeeded", lines, f"caption({op_id[:6]})", ["tagA", "tagB", "tagC"])
+
+
+class PollingOcrProvider:
+    """The reference's OCR orchestration (vision_llm.py:214-289),
+    transport-agnostic:
+
+    - images smaller than ``min_bytes`` (100) are skipped outright (:223-224)
+    - submit → poll loop with ``poll_interval`` up to ``max_polls``; a
+      still-running or failed operation → "" for that image, never a failed
+      task (skip-and-log, :244-252)
+    - OCR lines joined "\\n" (:247)
+    - describe_and_ocr combines caption + OCR text + "Tags: " +
+      ", ".join(tags[:20]) (:258-289)
+    """
+
+    def __init__(self, transport: OcrTransport, min_bytes: int = 100,
+                 max_polls: int = 30, poll_interval_s: float = 0.0):
+        self.transport = transport
+        self.min_bytes = min_bytes
+        self.max_polls = max_polls
+        self.poll_interval_s = poll_interval_s
+
+    def _run_one(self, blob) -> tuple:
+        import logging
+        import time as _time
+
+        if blob is None or len(blob) < self.min_bytes:
+            return ("", "", [])
+        try:
+            op = self.transport.submit(bytes(blob))
+            for _ in range(self.max_polls):
+                status, lines, caption, tags = self.transport.poll(op)
+                if status == "succeeded":
+                    return ("\n".join(lines), caption, list(tags))
+                if status == "failed":
+                    raise RuntimeError(f"ocr operation {op} failed")
+                if self.poll_interval_s:
+                    _time.sleep(self.poll_interval_s)
+            raise TimeoutError(f"ocr operation {op} still running")
+        except Exception as exc:
+            logging.getLogger(__name__).warning("ocr skipped: %s", exc)
+            return ("", "", [])
+
+    def ocr_batch(self, blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: self._run_one(b)[0])
+
+    def describe_and_ocr_batch(self, blobs: pd.Series) -> pd.Series:
+        def combine(b):
+            text, caption, tags = self._run_one(b)
+            parts = [p for p in (caption, text) if p]
+            if tags:
+                parts.append("Tags: " + ", ".join(tags[:20]))
+            return "\n".join(parts)
+
+        return blobs.map(combine)
+
+
 class ChatProvider(ABC):
     """Chat model for the LLM refine stage (reference providers/base.py:26-52
     `chat`; the orchestration that calls it is refiners/llm_refine.py:156-201).

@@ -60,6 +60,46 @@ def dedupe_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def clicks_purchases_join(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join (attribution): every click matched to
+    the same user's purchases in the preceding ``lookback`` window.
+
+    The canonical two-stream join shape: watermarks on BOTH sides plus the
+    time-range predicate are what let Spark evict join state — without
+    them a stream-stream join buffers forever. Inner join, append mode
+    (matches emit as they arrive; the watermark only bounds state)."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user)
+        & (purchases.purchase_ts <= clicks.click_ts)
+        & (purchases.purchase_ts >= clicks.click_ts - F.expr(f"INTERVAL {lookback}"))
+    )
+    return clicks.join(purchases, cond).select(
+        "click_id", "purchase_id", "purchase_value"
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count + value sum,
     maintained across micro-batches with applyInPandasWithState.

@@ -320,3 +320,77 @@ class TestBatchingVisionProvider:
         refs, ctxs = self._series(3)
         out = p.caption_batch(refs, ctxs)
         assert list(out) == [""] * 3
+
+
+class TestInitConfig:
+    def test_init_config_writes_loadable_yaml(self, tmp_path):
+        from docproc_spark.config import parse_config
+        from docproc_spark.job import main
+
+        p = str(tmp_path / "cfg" / "engine.yml")
+        rc = main(["--init-config", p])
+        assert rc == 0 and os.path.exists(p)
+        cfg = parse_config(p)
+        assert cfg.ingest.drop_exact_duplicates is True
+        assert cfg.spark.arrow_batch == 32768
+
+    def test_missing_input_errors(self):
+        import pytest as _pytest
+
+        from docproc_spark.job import main
+
+        with _pytest.raises(SystemExit) as exc:
+            main([])
+        assert exc.value.code != 0
+
+
+class TestPollingOcrProvider:
+    """Reference OCR orchestration shape (vision_llm.py:214-289) against
+    the fake transport: <100-byte skip, poll-until-done, failure/timeout
+    skip-and-log, line join, describe+tags combine."""
+
+    def test_poll_until_done_and_line_join(self):
+        import pandas as pd
+
+        from docproc_spark.providers import FakeOcrTransport, PollingOcrProvider
+
+        p = PollingOcrProvider(FakeOcrTransport(polls_until_done=3))
+        blobs = pd.Series([b"x" * 200, b"y" * 300])
+        out = p.ocr_batch(blobs)
+        assert all("\n" in v and v.startswith("line1(") for v in out)
+
+    def test_small_images_skipped(self):
+        import pandas as pd
+
+        from docproc_spark.providers import FakeOcrTransport, PollingOcrProvider
+
+        t = FakeOcrTransport()
+        p = PollingOcrProvider(t)
+        out = p.ocr_batch(pd.Series([b"tiny", None, b"z" * 150]))
+        assert list(out[:2]) == ["", ""] and out[2] != ""
+        assert len(t.submitted) == 1  # skipped images never hit the API
+
+    def test_failed_and_timedout_operations_blank(self):
+        import hashlib
+
+        import pandas as pd
+
+        from docproc_spark.providers import FakeOcrTransport, PollingOcrProvider
+
+        bad = b"b" * 200
+        bad_op = hashlib.sha256(bad).hexdigest()[:16]
+        p = PollingOcrProvider(FakeOcrTransport(fail_ids={bad_op}))
+        assert list(p.ocr_batch(pd.Series([bad]))) == [""]
+        slow = PollingOcrProvider(FakeOcrTransport(polls_until_done=99), max_polls=3)
+        assert list(slow.ocr_batch(pd.Series([b"s" * 200]))) == [""]
+
+    def test_describe_and_ocr_combine(self):
+        import pandas as pd
+
+        from docproc_spark.providers import FakeOcrTransport, PollingOcrProvider
+
+        p = PollingOcrProvider(FakeOcrTransport(polls_until_done=1))
+        out = p.describe_and_ocr_batch(pd.Series([b"c" * 200]))[0]
+        cap, l1, l2, tags = out.split("\n")
+        assert cap.startswith("caption(") and l1.startswith("line1(")
+        assert tags == "Tags: tagA, tagB, tagC"
