@@ -13,9 +13,13 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import os
+
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for speed; set SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01
+# to mirror the driver's exact comparison scale
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
