@@ -1545,15 +1545,33 @@ FROM read_parquet('{FLAGSHIP_EXPECTED_PATH}')
 
 
 def _media_meta(spark, sf):
-    """Multimodal plumbing: binary blobs → typed metadata (decode stubbed)."""
+    """Multimodal plumbing: binary blobs → typed metadata. The decode is a
+    deterministic sha256-derived stub, so even this is ORACLED: DuckDB
+    recomputes width/height/duration from the same digest bytes."""
     from docproc_spark.functions.media import extract_media_meta
 
     d = _t(spark, sf, "documents").select(
         "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("blob"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("blob"),
         F.lit("image").alias("media_kind"),
     )
     return extract_media_meta(d)
+
+
+_MEDIA_META_SQL = """
+WITH b AS (
+  SELECT sha256(coalesce(text, '')) AS h,
+         octet_length(encode(coalesce(text, ''))) AS nb
+  FROM documents
+)
+SELECT h AS media_ref,
+       'image' AS media_kind,
+       CAST(nb AS BIGINT) AS n_bytes,
+       64 + CAST(concat('0x', substr(h, 1, 2)) AS INT) * 4 AS width,
+       64 + CAST(concat('0x', substr(h, 3, 2)) AS INT) * 4 AS height,
+       CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) AS duration_ms
+FROM b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1662,9 +1680,9 @@ _ORACLES: dict[str, str] = {
     "lang_pred_ngram": _lang_ngram_sql(),
     "sanitize_for_llm": _sanitize_llm_sql(),
     "extract_flagship": _FLAGSHIP_SQL,
-    # rows-only (non-SQL-expressible): lsh_ann_topk + neardup_cosine_lsh +
-    # ivf_ann_topk (xxhash64 planes / probed lists — approximate by design),
-    # media_meta_stub (binary kernel).
+    "media_meta_stub": _MEDIA_META_SQL,
+    # rows-only (approximate by design, xxhash64 planes / probed lists):
+    # lsh_ann_topk, neardup_cosine_lsh, ivf_ann_topk, lsh_index_ann_topk.
 }
 
 
