@@ -43,16 +43,17 @@ DOC_CLASSES = (
     "unicode_math",
     "mega_doc",
     "nullref_media",
+    "cjk_rtl_doc",
 )
 
 # relative frequency per class (mega_doc rare — it is the skew fixture)
-CLASS_WEIGHTS = (4, 10, 4, 8, 8, 6, 6, 6, 10, 4, 3, 10, 4, 1, 3)
+CLASS_WEIGHTS = (4, 10, 4, 8, 8, 6, 6, 6, 10, 4, 3, 10, 4, 1, 3, 3)
 _CUM = [sum(CLASS_WEIGHTS[: i + 1]) for i in range(len(CLASS_WEIGHTS))]
 _TOTAL_W = _CUM[-1]
 
 # Bump when gen_doc semantics change — keys every on-disk corpus cache so a
 # stale staged parquet can never silently poison oracle comparisons.
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 # Shared logo ref: the corpus-wide hot key for the media-dedupe skew path.
 LOGO_REF = hashlib.sha256(b"docproc_spark:logo").hexdigest()
@@ -207,6 +208,17 @@ def gen_doc(idx: int, seed: int = 42, mega_spans: int = 2000) -> dict:
         # page 2: empty-ref raster is inert; the real one gets a caption
         add("raster", None, "", page=2)
         add("raster", None, _media_ref(f"nrr:{idx}:2"), page=2)
+
+    elif cls == "cjk_rtl_doc":
+        # heavy non-ASCII through the pandas sanitize path: CJK (no spaces),
+        # RTL Arabic/Hebrew, emoji + ZWJ sequences, decomposed combining
+        # marks (NFC must compose), fullwidth forms, mixed-direction lines
+        add("text", "機械学習のパイプラインでは、データの品質が結果を決める。")
+        add("text", "النص العربي يتدفق من اليمين إلى اليسار ويختبر الاتجاه")
+        add("text", "שלום עולם — bidi mix with English inside", page=1)
+        add("text", "emoji: 👩‍👩‍👧‍👦 family, 🇺🇳 flag, café́ decomposed", page=1)
+        add("text", "Ｆｕｌｌｗｉｄｔｈ　ｆｏｒｍｓ and ｶﾀｶﾅ halfwidth", page=2)
+        add("text", "à́ stacked combining marks", page=2)
 
     elif cls == "mega_doc":
         n = mega_spans

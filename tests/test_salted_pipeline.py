@@ -151,3 +151,22 @@ def test_mega_doc_routes_salted_with_hash_parity(spark, tmp_path):
     assert row["n_spans"] == len(want["spans"])
     assert row["n_pages"] == want["n_pages"]
     assert row["mdh"] == mdh and row["sph"] == sph
+
+
+def test_salted_equals_array_path_fresh_seed(spark):
+    """The two physical plans are interchangeable: identical output on a
+    corpus seed no other test uses (cross-validation without the oracle)."""
+    docs = corpus.corpus_df(spark, 90, seed=99, mega_spans=300, partitions=4)
+    a = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in extract(docs, mega_doc_threshold=None).collect()
+    }
+    b = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in extract_salted(docs).collect()
+    }
+    assert set(a) == set(b)
+    for d in a:
+        assert a[d]["markdown"] == b[d]["markdown"], d
+        assert a[d]["n_pages"] == b[d]["n_pages"], d
+        assert _tuples(a[d]["spans"]) == _tuples(b[d]["spans"]), d
