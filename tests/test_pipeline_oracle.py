@@ -96,3 +96,26 @@ def test_drop_exact_duplicates_toggle(spark):
         # and the duplicates really are kept: more spans than the deduped run
         deduped = oracle.extract_doc(d)
         assert len(want["spans"]) > len(deduped["spans"])
+
+
+def test_extract_handles_empty_and_null_span_inputs(spark):
+    import pandas as pd
+
+    from docproc_spark.schema import DOCUMENTS_SCHEMA
+
+    empty = spark.createDataFrame([], schema=DOCUMENTS_SCHEMA)
+    assert extract(empty).count() == 0
+    nullish = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": "n1", "doc_type": "pdf", "raw_html": None, "spans": None},
+                {"doc_id": "n2", "doc_type": "pdf", "raw_html": None, "spans": []},
+            ],
+            columns=["doc_id", "doc_type", "raw_html", "spans"],
+        ),
+        schema=DOCUMENTS_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in extract(nullish).collect()}
+    assert set(rows) == {"n1", "n2"}
+    for r in rows.values():
+        assert r["markdown"] == "" and r["n_pages"] == 0 and r["spans"] == []

@@ -70,3 +70,23 @@ def test_minhash_band_histogram_no_pair_materialization(spark):
     plan = _plan(minhash_band_histogram(d))
     # the histogram is aggregation-only: a join would mean pairs materialized
     assert "Join" not in plan
+
+
+def test_asof_join_has_no_join_node(spark):
+    """The as-of operator must be the union-tag + window form — an actual
+    Join node would mean the O(left×right) range formulation snuck back."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["events_asof_purchase"](spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_minhash_candidates_broadcast_bucket_filter(spark):
+    """Candidate-pair generation joins against the (tiny) qualifying-bucket
+    list as a broadcast, never a shuffled big-big join."""
+    from docproc_spark.operators.dedupe import minhash_candidate_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_candidate_pairs(d))
+    assert "BroadcastHashJoin" in plan
