@@ -654,6 +654,56 @@ FROM m
 """
 
 
+def _gopher_quality(spark, sf):
+    """Gopher/MassiveText repetition + quality rules (Rae et al. 2021):
+    duplicate-line fraction, mean word length band, alphabetic-word
+    fraction, top-bigram character coverage → keep/drop verdict."""
+    from docproc_spark.functions.text import gopher_quality
+
+    return gopher_quality(_t(spark, sf, "documents"))
+
+
+_GOPHER_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         {_TOKS} AS toks,
+         list_filter(list_transform(string_split(coalesce(text, ''), e'\n'),
+                                    l -> trim(l)), l -> l <> '') AS lines
+  FROM documents
+), g AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(0, len(toks) - 2 + 1),
+                                  i -> array_to_string(list_transform(toks[i+1:i+2], t -> lower(t)), ' '))
+              ELSE [] END AS bg,
+         CASE WHEN len(lines) > 0
+              THEN round((len(lines) - len(list_distinct(lines))) / len(lines), 4)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN len(toks) > 0
+              THEN round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') / len(toks), 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0
+              THEN round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) / len(toks), 4)
+              ELSE 0.0 END AS alpha_word_frac
+  FROM b
+), m AS (
+  SELECT doc_id, dup_line_frac, mean_word_len, alpha_word_frac,
+         CASE WHEN length(coalesce(text, '')) > 0
+              THEN round(coalesce(list_max(list_transform(list_distinct(bg),
+                     v -> len(list_filter(bg, x -> x = v)) * length(v))), 0)
+                   / length(coalesce(text, '')), 4)
+              ELSE 0.0 END AS top_bigram_frac
+  FROM g
+)
+SELECT doc_id, dup_line_frac, mean_word_len, alpha_word_frac, top_bigram_frac,
+       (dup_line_frac <= 0.30
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_word_frac >= 0.80
+        AND top_bigram_frac <= 0.18) AS keep
+FROM m
+"""
+
+
 def _docs_hash_sample(spark, sf):
     """Deterministic 25% sample by md5 bucket — reproducible across engines
     (the DuckDB oracle selects the IDENTICAL subset)."""
@@ -1604,6 +1654,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": _fingerprints,
     "doc_rolling_fingerprint": _rolling_fp,
     "curation_pipeline": _curation_pipeline,
+    "gopher_quality_flags": _gopher_quality,
     "docs_hash_sample": _docs_hash_sample,
     "exact_dup_groups": _exact_dup_groups,
     "first_wins_dedupe": _first_wins,
@@ -1659,6 +1710,7 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprints": _FP_SQL,
     "doc_rolling_fingerprint": _ROLLING_FP_SQL,
     "curation_pipeline": _CURATION_SQL,
+    "gopher_quality_flags": _GOPHER_SQL,
     "docs_hash_sample": _HASH_SAMPLE_SQL,
     "exact_dup_groups": _EXACT_DUP_SQL,
     "first_wins_dedupe": _FIRST_WINS_SQL,

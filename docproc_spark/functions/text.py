@@ -142,6 +142,94 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 # ---------------------------------------------------------------------------
+# Gopher/MassiveText-style repetition + quality rules (Rae et al. 2021,
+# "Scaling Language Models", table A1 — public knowledge). Exactly
+# computable (counts and rational ratios, rounded to 4 decimals), so a SQL
+# oracle reproduces them bit-for-bit. All JVM-side Column expressions.
+# ---------------------------------------------------------------------------
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MEAN_WORD_LEN_RANGE = (3.0, 10.0)
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.18
+
+
+def dup_line_fraction_col(text: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.round((n - F.size(F.array_distinct(lines))) / n, 4)
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction_col(text: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n > 0, F.round(alpha / n, 4)).otherwise(F.lit(0.0))
+
+
+def _bigrams_col(text: Column) -> Column:
+    toks = tokens_col(F.lower(text))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    return F.when(F.size(toks) >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition/quality signals + the keep/drop verdict.
+
+    top_bigram_frac = characters covered by the most frequent word bigram /
+    total chars (the Gopher duplicate-n-gram family, n=2). The bigram array
+    is MATERIALIZED as a column first: the per-distinct-value occurrence
+    count references it inside a higher-order lambda, and an inline
+    expression there would re-run the O(n) construction once per distinct
+    value (silent O(n²) — the HOF re-evaluation trap). The counting scan
+    itself is O(distinct × n) per doc — fine for web-page-sized docs, the
+    rule's domain.
+    """
+    t = F.col(text_col)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_t"),
+        _bigrams_col(t).alias("_bg"),
+    )
+    bg = F.col("_bg")
+    counts = F.transform(
+        F.array_distinct(bg),
+        lambda b: F.size(F.filter(bg, lambda x: x == b)) * F.length(b),
+    )
+    covered = F.coalesce(F.array_max(counts), F.lit(0))
+    n_chars = F.length(F.coalesce(F.col("_t"), F.lit("")))
+    top_bigram = F.when(n_chars > 0, F.round(covered / n_chars, 4)).otherwise(
+        F.lit(0.0)
+    )
+    out = staged.select(
+        "doc_id",
+        dup_line_fraction_col(F.col("_t")).alias("dup_line_frac"),
+        avg_token_len_col(F.col("_t")).alias("mean_word_len"),
+        alpha_word_fraction_col(F.col("_t")).alias("alpha_word_frac"),
+        top_bigram.alias("top_bigram_frac"),
+    )
+    lo, hi = GOPHER_MEAN_WORD_LEN_RANGE
+    keep = (
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & F.col("mean_word_len").between(lo, hi)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+    )
+    return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
 # n-gram language profiler (pandas UDF) — the non-SQL path for real corpora
 # ---------------------------------------------------------------------------
 _NGRAM_PROFILES = {

@@ -379,3 +379,25 @@ def test_hash_split_disjoint_and_deterministic(spark):
     # sample ≈ fraction (binomial bound loose for 500 docs)
     n = hash_sample(d, 0.25).count()
     assert 75 <= n <= 175, n
+
+
+def test_gopher_quality_flags_fire(spark):
+    """Each Gopher rule must actually catch its pathology: repeated lines,
+    one-bigram boilerplate, non-alphabetic junk, degenerate word lengths."""
+    from docproc_spark.functions.text import gopher_quality
+
+    rows = [
+        (1, "A clean normal sentence with varied words here.\n"
+            "Another different line of reasonable prose follows."),
+        (2, "same line\n" * 10),                        # dup lines
+        (3, "click here click here click here click here"),  # top bigram
+        (4, "123 456 789 000 111 222 333 444"),         # no alpha words
+        (5, "a b c d e f g h i j"),                     # mean word len < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["dup_line_frac"] >= 0.8
+    assert got[3]["keep"] is False and got[3]["top_bigram_frac"] > 0.18
+    assert got[4]["keep"] is False and got[4]["alpha_word_frac"] == 0.0
+    assert got[5]["keep"] is False and got[5]["mean_word_len"] < 3.0
