@@ -169,7 +169,7 @@ def main() -> None:
         # (measured: back-to-back pairs gave eff 0.85 / 0.73 / 0.50 on
         # identical input); taking each level's cleanest window measures
         # the plan, not the neighbours.
-        rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
+        rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
         lo_walls, hi_walls, n_s = [], [], 0
         for _ in range(rounds):
             w_lo, n_s = _extract_run(f"local[{lo}]", scale_path, lo)
