@@ -124,15 +124,18 @@ def minhash_candidate_pairs(
     k: int = 4,
     rows_per_band: int = 2,
     max_bucket: int = 1000,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) from LSH bands.
 
     Buckets larger than ``max_bucket`` are dropped (a bucket of size m adds
     m² pairs — at web scale a degenerate band key, like an all-stopword
     shingle, must be capped, mirroring the skew guard any production
-    near-dup pipeline ships with).
+    near-dup pipeline ships with). Pass a precomputed ``sig`` to share the
+    signature computation with other consumers.
     """
-    sig = minhash_signature(docs, text_col, id_col, k)
+    if sig is None:
+        sig = minhash_signature(docs, text_col, id_col, k)
     n_bands = k // rows_per_band
     pairs = None
     for b in range(n_bands):
@@ -166,11 +169,15 @@ def minhash_dropped_buckets(
     k: int = 4,
     rows_per_band: int = 2,
     max_bucket: int = 1000,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Accounting for the candidate-pair skew guard: per band, how many
     buckets (and docs) the ``max_bucket`` cap drops. Companion to
-    minhash_candidate_pairs so the cap is never a silent coverage hole."""
-    sig = minhash_signature(docs, text_col, id_col, k)
+    minhash_candidate_pairs so the cap is never a silent coverage hole.
+    Pass a precomputed (ideally cached) ``sig`` to avoid recomputing the
+    signatures."""
+    if sig is None:
+        sig = minhash_signature(docs, text_col, id_col, k)
     n_bands = k // rows_per_band
     bands = []
     for b in range(n_bands):
@@ -214,14 +221,19 @@ def minhash_neardup_pairs(
     (a, b, shared, jaccard) with jaccard ≥ min_jaccard.
 
     The ``max_bucket`` skew cap is NOT silent: with log_dropped=True the
-    dropped-bucket accounting runs (one tiny extra agg job) and any loss is
+    dropped-bucket accounting runs (one extra agg job over the CACHED
+    signatures — computed once here and shared with candidate generation,
+    never a second tokenize+hash pass over the corpus) and any loss is
     logged as a warning.
     """
+    sig = minhash_signature(docs, text_col, id_col, k)
     if log_dropped:
         import logging
 
+        sig = sig.cache()  # the accounting action materializes it for the
+        # candidate job; signatures are k hex strings per doc — tiny
         dropped = minhash_dropped_buckets(
-            docs, text_col, id_col, k, rows_per_band, max_bucket
+            docs, text_col, id_col, k, rows_per_band, max_bucket, sig=sig
         ).collect()
         if dropped:
             logging.getLogger(__name__).warning(
@@ -231,7 +243,7 @@ def minhash_neardup_pairs(
                 [r.asDict() for r in dropped],
             )
     cands = minhash_candidate_pairs(
-        docs, text_col, id_col, k, rows_per_band, max_bucket
+        docs, text_col, id_col, k, rows_per_band, max_bucket, sig=sig
     )
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -309,6 +321,18 @@ def dup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means a cluster of
+        # diameter > max_iter got SPLIT — never return that silently
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dup_components: label propagation did not converge in %d "
+            "rounds (%d labels still changing) — components may be split; "
+            "raise max_iter",
+            max_iter,
+            changed,
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 

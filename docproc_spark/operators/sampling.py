@@ -39,12 +39,18 @@ def hash_split(
     Consecutive bucket ranges of one hash — membership of every row is a
     pure function of (salt, key), so the same split reproduces anywhere
     and splits stay disjoint by construction."""
-    if sum(fractions) > 1.0 + 1e-9:
+    total = sum(fractions)
+    if total > 1.0 + 1e-9:
         raise ValueError("fractions must sum to <= 1")
     bucket = hash_bucket_col(F.col(key_col), salt)
     out, lo = [], 0
-    for frac in fractions:
-        hi = lo + int(frac * _BUCKETS)
+    for i, frac in enumerate(fractions):
+        # boundaries from CUMULATIVE fractions — per-range int truncation
+        # would leave the top buckets of [0, 2^32) in no split (rows with
+        # an unlucky hash silently vanish from every output)
+        hi = int(sum(fractions[: i + 1]) * _BUCKETS)
+        if i == len(fractions) - 1 and total >= 1.0 - 1e-9:
+            hi = _BUCKETS  # a full partition must cover the whole range
         out.append(df.filter((bucket >= lo) & (bucket < hi)))
         lo = hi
     return out

@@ -220,19 +220,9 @@ def kmeans_centroids(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
     )
     for _ in range(n_iter):
-        assigned = (
-            emb.crossJoin(F.broadcast(cents))
-            .withColumn("sim", cosine_col(F.col(vec_col), F.col("cvec")))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(
-                        F.col("sim").desc(), F.col("cent_id")
-                    )
-                ),
-            )
-            .filter(F.col("rn") == 1)
-        )
+        # one assignment rule for fit AND index build — a second inline
+        # copy could silently drift on the tie-break
+        assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
         # element-wise mean per cluster: explode dims, avg, regroup
         means = (
             assigned.select(

@@ -47,7 +47,7 @@ from docproc_spark.pipeline import (
 _PAGE_SPANS_T = "array<struct<kind:string,text:string,media_ref:string>>"
 
 
-def _flat_rows(docs: DataFrame, drop_kinds: frozenset) -> DataFrame:
+def _flat_rows(docs: DataFrame, drop_kinds: frozenset, persist: bool = True) -> DataFrame:
     """Exploded enriched spans as flat columns with the per-span flags of
     pipeline._srt_col (same semantics, column form).
 
@@ -62,7 +62,12 @@ def _flat_rows(docs: DataFrame, drop_kinds: frozenset) -> DataFrame:
          common-subexpression reuse in Catalyst (each branch would re-run
          the scan + regex enrichment; serial per branch for a one-row
          source). The salted path only ever sees the >threshold slice of a
-         corpus, so the cache is small relative to the job.
+         corpus, so the cache is small relative to the job. NB the cache
+         is NOT unpersisted here (the returned plan is lazy); batch jobs —
+         the engine's primary mode — release it at session end, while a
+         long-lived service calling extract() per micro-batch should run
+         spark.catalog.clearCache() periodically or pass persist=False
+         (trading a 3× recompute of the enrichment).
     """
     from pyspark import StorageLevel
 
@@ -104,7 +109,7 @@ def _flat_rows(docs: DataFrame, drop_kinds: frozenset) -> DataFrame:
         ),
         F.when(survives, F.sha2(F.col("sanitized"), 256)).alias("hash"),
     )
-    return out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out.persist(StorageLevel.MEMORY_AND_DISK) if persist else out
 
 
 def _kept_texts(rows: DataFrame, drop_exact_duplicates: bool) -> DataFrame:
@@ -291,10 +296,12 @@ def extract_salted(
     *,
     drop_kinds: frozenset = DROP_KINDS_DEFAULT,
     drop_exact_duplicates: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Mega-doc-safe extraction; output schema and semantics identical to
-    pipeline.extract (span-sequence + markdown oracle parity)."""
-    rows = _flat_rows(docs, drop_kinds)
+    pipeline.extract (span-sequence + markdown oracle parity). See
+    _flat_rows on the ``persist`` cache's lifetime."""
+    rows = _flat_rows(docs, drop_kinds, persist=persist)
     kept = _kept_texts(rows, drop_exact_duplicates)
     figs = _caption_table(rows)
     partials = _page_partials(rows, kept, figs)

@@ -133,9 +133,12 @@ class BatchingVisionProvider(CaptionProvider):
 
         out: list = []
         log = logging.getLogger(__name__)
-        with ThreadPoolExecutor(
-            max_workers=min(self.max_parallel, len(batches))
-        ) as pool:
+        # NOT a context manager: `with` would shutdown(wait=True) and JOIN a
+        # hung transport thread after its future already timed out — the
+        # documented per-call timeout must bound wall time, so abandon
+        # stragglers (daemon threads) instead of waiting on them
+        pool = ThreadPoolExecutor(max_workers=min(self.max_parallel, len(batches)))
+        try:
             futures = [pool.submit(run, b) for b in batches]
             for b, fut in zip(batches, futures):
                 try:
@@ -150,6 +153,8 @@ class BatchingVisionProvider(CaptionProvider):
                     log.warning("vision batch skipped: %s", exc)
                     res = [""] * len(b)
                 out.extend(res)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
         return pd.Series(out, index=media_ref.index, dtype=object)
 
 

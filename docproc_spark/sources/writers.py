@@ -68,6 +68,12 @@ def write_sqlite(
     path is reachable from the executor, true in local/shared-fs deploys).
     single_file=False writes one shard per partition
     (``{db_path}.part-NNNNN``) — the parallel shape at scale.
+
+    Idempotent: each task writes to a task-attempt temp file and
+    atomically renames over the target on success — a job re-run REPLACES
+    the table instead of appending duplicates, and a Spark task retry
+    after a partial write leaves no half-committed rows behind (the temp
+    file of the dead attempt is simply abandoned).
     """
     from pyspark import TaskContext
 
@@ -96,12 +102,17 @@ def write_sqlite(
     )
 
     def write_partition(rows):
+        import os
         import sqlite3
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
+        attempt = tc.taskAttemptId() if tc is not None else 0
         path = db_path if single_file else f"{db_path}.part-{pid:05d}"
-        con = sqlite3.connect(path)
+        tmp = f"{path}.tmp-{attempt}"
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        con = sqlite3.connect(tmp)
         try:
             cur = con.cursor()
             cur.execute(create_sql)
@@ -117,6 +128,7 @@ def write_sqlite(
             con.commit()
         finally:
             con.close()
+        os.replace(tmp, path)  # atomic commit of the whole partition
 
     target = prep.coalesce(1) if single_file else prep
     target.foreachPartition(write_partition)
