@@ -1335,8 +1335,8 @@ s AS (SELECT doc_id, u.kind AS kind, u."offset" AS soff, u.text AS text
 SELECT doc_id,
   array_to_string(
     list_concat(
-      coalesce(list(trim(text) ORDER BY soff)
-               FILTER (WHERE kind='text' AND text IS NOT NULL AND trim(text)<>''), []),
+      coalesce(list(trim(text, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f') ORDER BY soff)
+               FILTER (WHERE kind='text' AND text IS NOT NULL AND trim(text, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f')<>''), []),
       coalesce(flatten(list(string_split(text, e'\n') ORDER BY soff)
                FILTER (WHERE kind='table' AND text IS NOT NULL)), [])
     ), e'\n\n') AS full_text
@@ -1359,7 +1359,7 @@ slides AS (
   SELECT doc_id, page,
     array_to_string(
       flatten(list(
-        CASE WHEN kind='text' AND trim(text)<>'' THEN [trim(text)]
+        CASE WHEN kind='text' AND trim(text, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f')<>'' THEN [trim(text, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f')]
              WHEN kind='table' THEN string_split(text, e'\n')
              ELSE [] END ORDER BY soff)
         FILTER (WHERE text IS NOT NULL)),
@@ -1389,7 +1389,7 @@ sheets AS (
       list_transform(
         coalesce(flatten(list(string_split(text, e'\n') ORDER BY soff)
                  FILTER (WHERE kind='table' AND text IS NOT NULL)), []),
-        r -> trim(r)),
+        r -> trim(r, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f')),
       r -> r <> '') AS srows
   FROM s GROUP BY doc_id, page),
 parts AS (

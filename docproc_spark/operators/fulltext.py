@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from docproc_spark.pipeline import _page_slices, _slice_for
+from docproc_spark.pipeline import _page_slices, _slice_for, pystrip_col
 
 _TEXT_KINDS = ("text", "header", "equation", "handwriting", "unclassified")
 
@@ -44,9 +44,12 @@ _ITEMS_T = "array<struct<page:int,item:string>>"
 
 
 def _collected(docs: DataFrame) -> DataFrame:
+    # explode_outer: a document with empty/null spans must still yield a
+    # row (the reference's get_full_text returns "" for it, not nothing);
+    # the null placeholder span is inert downstream (null text filters)
     rows = docs.select(
         "doc_id",
-        F.explode("spans").alias("s"),
+        F.explode_outer("spans").alias("s"),
     ).select(
         "doc_id",
         F.struct(
@@ -101,7 +104,9 @@ def full_text_docx(docs: DataFrame) -> DataFrame:
     paras = F.filter(
         F.transform(
             F.filter(F.col("ss"), lambda x: (x["kind"] == "text") & x["text"].isNotNull()),
-            lambda x: F.trim(x["text"]),
+            # pystrip, not F.trim: the reference strips ALL whitespace
+            # (docx_loader.py:63-65 str.strip()), F.trim only U+0020
+            lambda x: pystrip_col(x["text"]),
         ),
         lambda t: t != "",
     )
@@ -157,8 +162,8 @@ def full_text_pptx(docs: DataFrame) -> DataFrame:
     def per_span(x):
         return (
             F.when(
-                (x["kind"] == "text") & (F.trim(x["text"]) != ""),
-                F.array(F.trim(x["text"])),
+                (x["kind"] == "text") & (pystrip_col(x["text"]) != ""),
+                F.array(pystrip_col(x["text"])),
             )
             .when(x["kind"] == "table", F.split(x["text"], "\n"))
             .otherwise(F.array().cast("array<string>"))
@@ -180,7 +185,7 @@ def full_text_xlsx(docs: DataFrame) -> DataFrame:
         return F.when(
             x["kind"] == "table",
             F.filter(
-                F.transform(F.split(x["text"], "\n"), lambda r: F.trim(r)),
+                F.transform(F.split(x["text"], "\n"), lambda r: pystrip_col(r)),
                 lambda r: r != "",
             ),
         ).otherwise(F.array().cast("array<string>"))

@@ -111,15 +111,43 @@ def sanitize_hybrid_col(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Python-whitespace helpers (JVM-side)
+# ---------------------------------------------------------------------------
+# Python str.strip()/str.isspace() whitespace = Unicode White_Space plus the
+# C0 separators U+001C..U+001F. Java \s is ASCII-only by default and F.trim
+# strips ONLY U+0020 — both silently diverge from the oracle's str.strip()
+# on NBSP/ideographic-space/etc. (?U) turns Java \s into White_Space; the
+# explicit \x1c-\x1f closes the remaining gap.
+_PY_WS = r"\s\x1c-\x1f"
+
+
+def pystrip_col(c: Column) -> Column:
+    """Python str.strip() equivalent."""
+    return F.regexp_replace(
+        F.regexp_replace(c, f"(?U)^[{_PY_WS}]+", ""), f"(?U)[{_PY_WS}]+$", ""
+    )
+
+
+def has_nonblank_col(c: Column) -> Column:
+    """`bool(text.strip())` equivalent, null-safe (null → false)."""
+    return F.coalesce(c.rlike(f"(?U)[^{_PY_WS}]"), F.lit(False))
+
+
+# ---------------------------------------------------------------------------
 # Native boilerplate classifier (JVM-side; mirrors kernels.sanitize patterns)
 # ---------------------------------------------------------------------------
 def boilerplate_kind_col(sanitized: Column) -> Column:
-    """CASE chain over the invariant pattern list — whole-stage codegen."""
-    first_line = F.trim(F.regexp_extract(sanitized, r"^([^\n]*)", 1))
+    """CASE chain over the invariant pattern list — whole-stage codegen.
+
+    (?iU): the oracle matches with Python \\s (Unicode-aware); sanitized
+    text cannot contain Cc chars, so UNICODE_CHARACTER_CLASS makes Java \\s
+    exactly equal on this input. first_line is python-stripped (leading
+    NBSP etc. must not defeat the ^-anchored patterns)."""
+    first_line = pystrip_col(F.regexp_extract(sanitized, r"^([^\n]*)", 1))
     n_lines = F.size(F.split(sanitized, "\n"))
     expr = F.when((sanitized == "") | (first_line == ""), F.lit("blank"))
     for kind, pat in BOILERPLATE_PATTERNS:
-        jre = "(?i)" + pat.pattern
+        jre = "(?iU)" + pat.pattern
         expr = expr.when(
             first_line.rlike(jre) | ((n_lines <= 2) & sanitized.rlike(jre)),
             F.lit(kind),
@@ -166,17 +194,23 @@ def with_derived_spans(docs: DataFrame) -> DataFrame:
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+    """One row per span. ``pos`` = position in the span array — the oracle
+    sorts with a STABLE sort, so input order is the tie-break for spans
+    with colliding (page, offset) (user spans vs HTML-derived spans at the
+    same offsets); pos reproduces that exactly. Null kind defaults to
+    'text' (oracle assembly.py:75), null page/offset to 0."""
+    return docs.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
         "doc_id",
-        F.col("s.kind").alias("kind"),
+        F.coalesce(F.col("s.kind"), F.lit("text")).alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.coalesce(F.col("s.page"), F.lit(0)).alias("page"),
         F.coalesce(F.col("s.offset"), F.lit(0)).alias("offset"),
+        F.col("pos").cast("int").alias("pos"),
     )
 
 
-def enrich_spans(rows: DataFrame, drop_kinds: frozenset) -> DataFrame:
+def enrich_spans(rows: DataFrame) -> DataFrame:
     """Narrow (no-shuffle) per-span enrichment.
 
     Only what the map side MUST produce goes through the shuffle: the
@@ -194,6 +228,7 @@ def enrich_spans(rows: DataFrame, drop_kinds: frozenset) -> DataFrame:
         F.struct(
             F.col("page"),
             F.col("offset"),
+            F.col("pos"),
             F.col("kind"),
             F.col("text"),
             sanitized.alias("sanitized"),
@@ -250,6 +285,10 @@ def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
         return F.struct(
             x["page"].alias("page"),
             x["offset"].alias("offset"),
+            # pos third: array_sort compares fields in order, so ties on
+            # (page, offset) resolve by input position — the oracle's
+            # stable sort — never by kind/text content
+            x["pos"].alias("pos"),
             x["kind"].alias("kind"),
             x["text"].alias("text"),
             x["sanitized"].alias("sanitized"),
@@ -259,9 +298,9 @@ def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
             is_media.alias("is_media"),
             is_raster.alias("is_raster"),
             survives.alias("survives"),
-            (is_textual & (F.trim(F.coalesce(x["text"], F.lit(""))) != "")).alias(
-                "raw_nonblank"
-            ),
+            # bool(text.strip()) — F.trim strips ASCII space ONLY and would
+            # let whitespace-only raw text block the raster fallback
+            (is_textual & has_nonblank_col(x["text"])).alias("raw_nonblank"),
         )
 
     return F.array_sort(F.transform(spans, build))
@@ -280,6 +319,7 @@ def _texts_col(srt: Column, drop_exact_duplicates: bool = True) -> Column:
                 lambda x: F.struct(
                     x["page"].alias("page"),
                     x["offset"].alias("offset"),
+                    x["pos"].alias("pos"),
                     x["kind"].alias("kind"),
                     x["sanitized"].alias("text"),
                 ),
@@ -292,6 +332,7 @@ def _texts_col(srt: Column, drop_exact_duplicates: bool = True) -> Column:
                 x["hash"].alias("hash"),
                 x["page"].alias("page"),
                 x["offset"].alias("offset"),
+                x["pos"].alias("pos"),
                 x["kind"].alias("kind"),
                 x["sanitized"].alias("sanitized"),
             ),
@@ -306,6 +347,7 @@ def _texts_col(srt: Column, drop_exact_duplicates: bool = True) -> Column:
             lambda x: F.struct(
                 x["page"].alias("page"),
                 x["offset"].alias("offset"),
+                x["pos"].alias("pos"),
                 x["kind"].alias("kind"),
                 x["sanitized"].alias("text"),
             ),
@@ -329,6 +371,7 @@ def _media_idx_col(media_all: Column, mmap: Column) -> Column:
         lambda m, i: F.struct(
             m["page"].alias("page"),
             m["offset"].alias("offset"),
+            m["pos"].alias("pos"),
             m["media_ref"].alias("ref"),
             (i + F.lit(2) - F.element_at(mmap, m["page"])["start"]).cast("int").alias(
                 "img_idx"
@@ -338,20 +381,47 @@ def _media_idx_col(media_all: Column, mmap: Column) -> Column:
     return F.filter(media_idx, lambda x: x["ref"].isNotNull() & (x["ref"] != ""))
 
 
-def _rasters_col(srt: Column) -> Column:
+def _page_flags(srt: Column, smap: Column) -> Column:
+    """map<page, struct(raw, med)>: the raster-gate flags, one slice scan
+    per page. The slices partition ``srt``, so building every page's flags
+    is O(n) total — per-element F.exists over the WHOLE array (the naive
+    form) is O(n²) on a big document and was a straggler hazard below the
+    salted-routing threshold. Both args must be materialized columns."""
+    entries = F.transform(
+        F.map_entries(smap),
+        lambda e: F.struct(
+            e["key"],
+            F.struct(
+                F.exists(
+                    F.slice(srt, e["value"]["start"], e["value"]["len"]),
+                    lambda y: y["raw_nonblank"],
+                ).alias("raw"),
+                F.exists(
+                    F.slice(srt, e["value"]["start"], e["value"]["len"]),
+                    lambda y: y["is_media"],
+                ).alias("med"),
+            ),
+        ),
+    )
+    return F.map_from_entries(entries)
+
+
+def _rasters_col(srt: Column, pflags: Column) -> Column:
     """Raster spans on pages with no non-blank raw text and no media
-    (reference vision_llm.py:490-523)."""
+    (reference vision_llm.py:490-523) — O(1) flag lookups per span."""
     return F.filter(
         srt,
         lambda x: x["is_raster"]
-        & ~F.exists(srt, lambda y: (y["page"] == x["page"]) & y["raw_nonblank"])
-        & ~F.exists(srt, lambda y: (y["page"] == x["page"]) & y["is_media"]),
+        & ~F.element_at(pflags, x["page"])["raw"]
+        & ~F.element_at(pflags, x["page"])["med"],
     )
 
 
-def _captions_col(srt: Column, media_idx: Column, rasters: Column) -> Column:
+def _captions_col(media_idx: Column, rasters: Column, total_pages: Column) -> Column:
     """map<ref, caption>: one caption per unique ref, first-sighting context
-    (vision_llm.py:390-409); raster refs only if not already captioned."""
+    (vision_llm.py:390-409); raster refs only if not already captioned.
+    ``total_pages`` must be a materialized column — inline it would be an
+    O(n) array_max re-evaluated once per raster ref inside the lambda."""
     by_ref = F.array_sort(
         F.transform(
             media_idx,
@@ -359,6 +429,7 @@ def _captions_col(srt: Column, media_idx: Column, rasters: Column) -> Column:
                 x["ref"].alias("ref"),
                 x["page"].alias("page"),
                 x["offset"].alias("offset"),
+                x["pos"].alias("pos"),
                 x["img_idx"].alias("img_idx"),
             ),
         )
@@ -378,9 +449,6 @@ def _captions_col(srt: Column, media_idx: Column, rasters: Column) -> Column:
             ),
         )
     )
-    total_pages = F.coalesce(
-        F.array_max(F.transform(srt, lambda x: x["page"])) + 1, F.lit(0)
-    )
     raster_firsts = F.filter(
         _first_per_key(
             F.array_sort(
@@ -390,6 +458,7 @@ def _captions_col(srt: Column, media_idx: Column, rasters: Column) -> Column:
                         x["media_ref"].alias("ref"),
                         x["page"].alias("page"),
                         x["offset"].alias("offset"),
+                        x["pos"].alias("pos"),
                     ),
                 )
             ),
@@ -416,14 +485,16 @@ def _captions_col(srt: Column, media_idx: Column, rasters: Column) -> Column:
 
 
 def _figs_col(media_idx: Column, rasters: Column, captions: Column) -> Column:
-    """Captioned figure occurrences (page, offset, ref) in document order;
-    media and raster pages are mutually exclusive by the raster predicate."""
+    """Captioned figure occurrences (page, offset, pos, ref) in document
+    order; media and raster pages are mutually exclusive by the raster
+    predicate."""
     figs = F.concat(
         F.transform(
             media_idx,
             lambda m: F.struct(
                 m["page"].alias("page"),
                 m["offset"].alias("offset"),
+                m["pos"].alias("pos"),
                 m["ref"].alias("ref"),
             ),
         ),
@@ -432,6 +503,7 @@ def _figs_col(media_idx: Column, rasters: Column, captions: Column) -> Column:
             lambda r: F.struct(
                 r["page"].alias("page"),
                 r["offset"].alias("offset"),
+                r["pos"].alias("pos"),
                 r["media_ref"].alias("ref"),
             ),
         ),
@@ -487,8 +559,8 @@ def _slice_for(arr: Column, slices: Column, p: Column, empty_type: str) -> Colum
     )
 
 
-_TEXTS_T = "array<struct<page:int,offset:int,kind:string,text:string>>"
-_FIGS_T = "array<struct<page:int,offset:int,ref:string>>"
+_TEXTS_T = "array<struct<page:int,offset:int,pos:int,kind:string,text:string>>"
+_FIGS_T = "array<struct<page:int,offset:int,pos:int,ref:string>>"
 
 
 def _page_part(
@@ -641,7 +713,7 @@ def extract(
         return normal.unionByName(salted)
 
     derived = with_derived_spans(docs)
-    rows = enrich_spans(explode_spans(derived), drop_kinds)
+    rows = enrich_spans(explode_spans(derived))
 
     collected = rows.groupBy("doc_id").agg(F.collect_list("s").alias("spans"))
 
@@ -653,10 +725,19 @@ def extract(
         .withColumn("media_all", F.filter(F.col("srt"), lambda x: x["is_media"]))
         .withColumn("mmap", _page_slices(F.col("media_all")))
         .withColumn("media_idx", _media_idx_col(F.col("media_all"), F.col("mmap")))
-        .withColumn("rasters", _rasters_col(F.col("srt")))
+        .withColumn("smap", _page_slices(F.col("srt")))
+        .withColumn("pflags", _page_flags(F.col("srt"), F.col("smap")))
+        .withColumn(
+            "total_pages",
+            F.coalesce(
+                F.array_max(F.transform(F.col("srt"), lambda x: x["page"])) + 1,
+                F.lit(0),
+            ),
+        )
+        .withColumn("rasters", _rasters_col(F.col("srt"), F.col("pflags")))
         .withColumn(
             "captions",
-            _captions_col(F.col("srt"), F.col("media_idx"), F.col("rasters")),
+            _captions_col(F.col("media_idx"), F.col("rasters"), F.col("total_pages")),
         )
         .withColumn(
             "figs", _figs_col(F.col("media_idx"), F.col("rasters"), F.col("captions"))

@@ -41,6 +41,7 @@ from docproc_spark.pipeline import (
     _caption,
     boilerplate_kind_col,
     explode_spans,
+    has_nonblank_col,
     with_derived_spans,
 )
 
@@ -96,6 +97,7 @@ def _flat_rows(docs: DataFrame, drop_kinds: frozenset, persist: bool = True) -> 
         "doc_id",
         "page",
         "offset",
+        "pos",
         "kind",
         "text",
         "sanitized",
@@ -104,9 +106,8 @@ def _flat_rows(docs: DataFrame, drop_kinds: frozenset, persist: bool = True) -> 
         is_media.alias("is_media"),
         is_raster.alias("is_raster"),
         survives.alias("survives"),
-        (is_textual & (F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")).alias(
-            "raw_nonblank"
-        ),
+        # bool(text.strip()) equivalent — F.trim strips ASCII space only
+        (is_textual & has_nonblank_col(F.col("text"))).alias("raw_nonblank"),
         F.when(survives, F.sha2(F.col("sanitized"), 256)).alias("hash"),
     )
     return out.persist(StorageLevel.MEMORY_AND_DISK) if persist else out
@@ -119,16 +120,20 @@ def _kept_texts(rows: DataFrame, drop_exact_duplicates: bool) -> DataFrame:
     doc-partitioned window, so a doc of 10^6 identical spans still gets
     map-side combine instead of one hot window partition."""
     survivors = rows.filter(F.col("survives")).select(
-        "doc_id", "page", "offset", "kind", "sanitized", "hash"
+        "doc_id", "page", "offset", "pos", "kind", "sanitized", "hash"
     )
     if not drop_exact_duplicates:
         return survivors
+    # pos in the keeper key: equality on (page, offset) alone would keep
+    # EVERY row tying the minimum — duplicate spans at one (page, offset)
+    # must still collapse to exactly one keeper (input order, like the
+    # oracle's stable first-wins)
     keepers = survivors.groupBy("doc_id", "hash").agg(
-        F.min(F.struct("page", "offset")).alias("_keep")
+        F.min(F.struct("page", "offset", "pos")).alias("_keep")
     )
     return (
         survivors.join(keepers, ["doc_id", "hash"])
-        .filter(F.struct("page", "offset") == F.col("_keep"))
+        .filter(F.struct("page", "offset", "pos") == F.col("_keep"))
         .drop("_keep")
     )
 
@@ -140,12 +145,12 @@ def _caption_table(rows: DataFrame) -> DataFrame:
     img_idx = ordinal among ALL media-kind spans on the page (ref-less ones
     included) — a window over (doc_id, page), bounded by spans-per-page."""
     media_all = rows.filter(F.col("is_media"))
-    w = Window.partitionBy("doc_id", "page").orderBy("offset")
+    w = Window.partitionBy("doc_id", "page").orderBy("offset", "pos")
     media_idx = media_all.withColumn("img_idx", F.row_number().over(w)).filter(
         F.col("media_ref").isNotNull() & (F.col("media_ref") != "")
     )
     media_first = media_idx.groupBy("doc_id", F.col("media_ref").alias("ref")).agg(
-        F.min(F.struct("page", "offset", "img_idx")).alias("f")
+        F.min(F.struct("page", "offset", "pos", "img_idx")).alias("f")
     )
     media_caps = media_first.select(
         "doc_id",
@@ -172,7 +177,7 @@ def _caption_table(rows: DataFrame) -> DataFrame:
         .filter((F.col("_raw") == 0) & (F.col("_med") == 0))
     )
     raster_first = rasters.groupBy("doc_id", F.col("media_ref").alias("ref")).agg(
-        F.min(F.struct("page", "offset")).alias("f")
+        F.min(F.struct("page", "offset", "pos")).alias("f")
     )
     raster_caps = (
         raster_first.join(
@@ -191,10 +196,10 @@ def _caption_table(rows: DataFrame) -> DataFrame:
         )
     )
     figs_media = media_idx.select(
-        "doc_id", "page", "offset", F.col("media_ref").alias("ref")
+        "doc_id", "page", "offset", "pos", F.col("media_ref").alias("ref")
     )
     figs_raster = rasters.select(
-        "doc_id", "page", "offset", F.col("media_ref").alias("ref")
+        "doc_id", "page", "offset", "pos", F.col("media_ref").alias("ref")
     )
     captions = media_caps.unionByName(raster_caps)
     figs = figs_media.unionByName(figs_raster).join(captions, ["doc_id", "ref"])
@@ -217,6 +222,7 @@ def _page_partials(
         "doc_id",
         "page",
         "offset",
+        "pos",
         F.lit(0).alias("tag"),
         "kind",
         F.col("sanitized").alias("text"),
@@ -226,6 +232,7 @@ def _page_partials(
         "doc_id",
         "page",
         "offset",
+        "pos",
         F.lit(1).alias("tag"),
         F.lit("figure").alias("kind"),
         F.col("caption").alias("text"),
@@ -234,7 +241,9 @@ def _page_partials(
     both = texts.unionByName(fig_rows)
     pagea = both.groupBy("doc_id", "page").agg(
         F.array_sort(
-            F.collect_list(F.struct("tag", "offset", "kind", "text", "ref"))
+            # pos breaks (tag, offset) ties by input order — the oracle's
+            # stable sort — never by text content
+            F.collect_list(F.struct("tag", "offset", "pos", "kind", "text", "ref"))
         ).alias("items")
     )
     items = F.col("items")
@@ -270,7 +279,7 @@ def _page_partials(
         F.array_join(
             F.transform(
                 F.filter(
-                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    F.array_sort(F.collect_list(F.struct("offset", "pos", "text"))),
                     lambda x: x["text"].isNotNull(),
                 ),
                 lambda x: x["text"],
