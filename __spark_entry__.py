@@ -879,11 +879,15 @@ def _minhash_bands(spark, sf):
 
 
 _MINHASH_BANDS_SQL = f"""
-WITH sig AS (
+WITH sig0 AS (
   SELECT doc_id,
          {_mh_sql_expr(0)} AS mh0, {_mh_sql_expr(1)} AS mh1,
          {_mh_sql_expr(2)} AS mh2, {_mh_sql_expr(3)} AS mh3
   FROM documents
+), sig AS (
+  -- zero-token docs have NULL signatures and are excluded from banding on
+  -- both engines (no shingles → never a candidate)
+  SELECT * FROM sig0 WHERE mh0 IS NOT NULL
 ), bands AS (
   SELECT 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
   UNION ALL

@@ -84,6 +84,32 @@ def minhash_signature(
     )
 
 
+def _band_table(sig: DataFrame, k: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band_id, band_key) — ONE pass over the signature table (a
+    posexplode of per-band keys, not one union branch per band). The single
+    shared construction: three consumers (histogram, candidate pairs,
+    dropped-bucket accounting) must bucket identically or parity breaks."""
+    n_bands = k // rows_per_band
+    if n_bands < 1:
+        raise ValueError(f"rows_per_band={rows_per_band} > k={k}: zero bands")
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    # zero-token docs have NULL signatures; concat_ws would silently turn
+    # them into '' keys that BUCKET TOGETHER, while a SQL oracle's
+    # mh0 || '|' || mh1 stays NULL and never joins — exclude them (an empty
+    # doc has no shingles and can never be a near-dup candidate anyway)
+    return (
+        sig.filter(F.col("mh0").isNotNull())
+        .select("doc_id", F.posexplode(keys).alias("band_id", "band_key"))
+    )
+
+
 def minhash_band_histogram(
     docs: DataFrame,
     text_col: str = "text",
@@ -98,16 +124,9 @@ def minhash_band_histogram(
     whether pair materialization needs salting.
     """
     sig = minhash_signature(docs, text_col, id_col, k)
-    bands = []
-    n_bands = k // rows_per_band
-    for b in range(n_bands):
-        key = F.concat_ws("|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])
-        bands.append(sig.select(F.lit(b).alias("band_id"), key.alias("band_key")))
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
     return (
-        all_bands.groupBy("band_id", "band_key")
+        _band_table(sig, k, rows_per_band)
+        .groupBy("band_id", "band_key")
         .agg(F.count("*").alias("n"))
         .groupBy("band_id")
         .agg(
@@ -136,20 +155,23 @@ def minhash_candidate_pairs(
     """
     if sig is None:
         sig = minhash_signature(docs, text_col, id_col, k)
-    n_bands = k // rows_per_band
-    pairs = None
-    for b in range(n_bands):
-        key = F.concat_ws("|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])
-        banded = sig.select("doc_id", key.alias("bk"))
-        counts = banded.groupBy("bk").agg(F.count("*").alias("n")).filter(
-            (F.col("n") > 1) & (F.col("n") <= max_bucket)
-        )
-        small = banded.join(F.broadcast(counts.select("bk")), "bk")
-        left = small.select(F.col("bk"), F.col("doc_id").alias("a"))
-        right = small.select(F.col("bk"), F.col("doc_id").alias("b"))
-        p = left.join(right, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    banded = _band_table(sig, k, rows_per_band)
+    counts = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    small = banded.join(
+        F.broadcast(counts.select("band_id", "band_key")), ["band_id", "band_key"]
+    )
+    left = small.select("band_id", "band_key", F.col("doc_id").alias("a"))
+    right = small.select("band_id", "band_key", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def _shingles_col(text: Column, n: int) -> Column:
@@ -178,18 +200,9 @@ def minhash_dropped_buckets(
     signatures."""
     if sig is None:
         sig = minhash_signature(docs, text_col, id_col, k)
-    n_bands = k // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        key = F.concat_ws(
-            "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        )
-        bands.append(sig.select(F.lit(b).alias("band_id"), key.alias("band_key")))
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
     return (
-        all_bands.groupBy("band_id", "band_key")
+        _band_table(sig, k, rows_per_band)
+        .groupBy("band_id", "band_key")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > max_bucket)
         .groupBy("band_id")
@@ -226,12 +239,15 @@ def minhash_neardup_pairs(
     never a second tokenize+hash pass over the corpus) and any loss is
     logged as a warning.
     """
-    sig = minhash_signature(docs, text_col, id_col, k)
+    # always cached: candidate generation references the band table on both
+    # sides of its bucket join (no fan-out CSE → a re-tokenize per side
+    # otherwise). Signatures are k hex strings per doc — tiny; the session
+    # releases the cache at the end of a batch job, long-lived services
+    # should clearCache() periodically (same contract as extract_salted).
+    sig = minhash_signature(docs, text_col, id_col, k).cache()
     if log_dropped:
         import logging
 
-        sig = sig.cache()  # the accounting action materializes it for the
-        # candidate job; signatures are k hex strings per doc — tiny
         dropped = minhash_dropped_buckets(
             docs, text_col, id_col, k, rows_per_band, max_bucket, sig=sig
         ).collect()
@@ -379,44 +395,62 @@ def simhash_neardup_pairs(
     n_bands: int = 4,
     n_bits: int = 60,
     max_bucket: int = 1000,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs (a < b, hamming(sig_a, sig_b) ≤ max_hamming).
 
     The Manku/Jain/Sarma WWW'07 trick: split the signature into n_bands
     contiguous bit blocks; by pigeonhole, any pair within hamming distance
     < n_bands agrees EXACTLY on ≥1 block — so block-equality groupBys
-    produce a candidate set with **perfect recall** (this is not an
-    approximation like MinHash banding), and bit_count(xor) verifies.
-    Work is per-band hash shuffles + bounded bucket joins; the ``max_bucket``
-    skew cap mirrors minhash_candidate_pairs.
+    produce a candidate set with **perfect recall up to the max_bucket
+    skew cap** (not an approximation like MinHash banding), and
+    bit_count(xor) verifies. Buckets over the cap are dropped WITH a
+    logged accounting (log_dropped), mirroring minhash_neardup_pairs —
+    a >cap bucket of exact copies would otherwise lose its pairs silently.
     """
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole needs max_hamming < n_bands")
-    sig = simhash64(docs, text_col, id_col, n_bits)
+    sig = simhash64(docs, text_col, id_col, n_bits).cache()
     bits_per = n_bits // n_bands
     mask = (1 << bits_per) - 1
-    pairs = None
-    for b in range(n_bands):
-        key = F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask))
-        banded = sig.select("doc_id", key.alias("bk"), "simhash")
-        counts = (
-            banded.groupBy("bk")
-            .agg(F.count("*").alias("n"))
-            .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
-        )
-        small = banded.join(F.broadcast(counts.select("bk")), "bk")
-        left = small.select(
-            "bk", F.col("doc_id").alias("a"), F.col("simhash").alias("sa")
-        )
-        right = small.select(
-            "bk", F.col("doc_id").alias("b"), F.col("simhash").alias("sb")
-        )
-        p = (
-            left.join(right, "bk")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", "sa", "sb")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * bits_per)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+            for b in range(n_bands)
+        ]
+    )
+    # single pass over the cached signatures: all band keys posexploded
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(keys).alias("band", "bk")
+    )
+    all_counts = banded.groupBy("band", "bk").agg(F.count("*").alias("n"))
+    if log_dropped:
+        import logging
+
+        dropped = all_counts.filter(F.col("n") > max_bucket).agg(
+            F.count("*").alias("n_buckets"), F.sum("n").alias("n_docs")
+        ).collect()[0]
+        if dropped["n_buckets"]:
+            logging.getLogger(__name__).warning(
+                "simhash_neardup_pairs: max_bucket=%d dropped %d buckets "
+                "(%d docs) — their pairs are NOT in the candidate set",
+                max_bucket, dropped["n_buckets"], dropped["n_docs"],
+            )
+    counts = all_counts.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    small = banded.join(F.broadcast(counts.select("band", "bk")), ["band", "bk"])
+    left = small.select(
+        "band", "bk", F.col("doc_id").alias("a"), F.col("simhash").alias("sa")
+    )
+    right = small.select(
+        "band", "bk", F.col("doc_id").alias("b"), F.col("simhash").alias("sb")
+    )
+    pairs = (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+    )
     return (
         pairs.dropDuplicates(["a", "b"])
         .withColumn(
@@ -440,14 +474,10 @@ def ngram_jaccard_pairs(
     O(pairs) via shingle equi-join — run on a bounded candidate set (e.g.
     the output of minhash_candidate_pairs), never the raw corpus.
     """
-    toks = tokens_col(F.col(text_col))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles_col(F.col(text_col), n)).alias("shingle"),
     )
-    sh = docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")

@@ -108,6 +108,33 @@ def _bucket_expr(vec_col: str, n_planes: int, dims: int, seed: int) -> Column:
     return bucket
 
 
+def _banded_buckets(
+    emb: DataFrame,
+    n_bands: int,
+    planes_per_band: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+) -> DataFrame:
+    """(vec_id, vec, band, bucket) for ALL bands in ONE corpus scan —
+    posexplode of the per-band bucket ids, the same shape build_lsh_index
+    persists. Band-loop callers that union per-band lsh_buckets frames pay
+    one corpus scan (with per-row hyperplane dot products) per band per
+    join side; this is the single-scan replacement."""
+    buckets = F.array(
+        *[
+            _bucket_expr(vec_col, planes_per_band, dims, seed + band * 7919)
+            for band in range(n_bands)
+        ]
+    )
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        F.posexplode(buckets).alias("band", "bucket"),
+    )
+
+
 def lsh_buckets(
     emb: DataFrame,
     n_planes: int = 8,
@@ -170,24 +197,22 @@ def cosine_neardup_pairs_lsh(
     operator on a bounded candidate set.
     """
     dims = _dims_of(emb, vec_col)  # one probe for all bands
-    pairs = None
-    for band in range(n_bands):
-        b = lsh_buckets(
-            emb,
-            n_planes=planes_per_band,
-            seed=seed + band * 7919,
-            id_col=id_col,
-            vec_col=vec_col,
-            dims=dims,
-        )
-        left = b.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("va"), "bucket")
-        right = b.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("vb"), "bucket")
-        p = (
-            left.join(right, "bucket")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", "va", "vb")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # one corpus scan for all bands, cached: the self-join references the
+    # bucket table on both sides (no fan-out CSE)
+    b = _banded_buckets(
+        emb, n_bands, planes_per_band, seed, id_col, vec_col, dims
+    ).cache()
+    left = b.select(
+        "band", "bucket", F.col("vec_id").alias("a"), F.col(vec_col).alias("va")
+    )
+    right = b.select(
+        "band", "bucket", F.col("vec_id").alias("b"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+    )
     return (
         pairs.dropDuplicates(["a", "b"])
         .select(
@@ -219,6 +244,7 @@ def kmeans_centroids(
         F.col(id_col).alias("cent_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
     )
+    cents = cents.cache()
     for _ in range(n_iter):
         # one assignment rule for fit AND index build — a second inline
         # copy could silently drift on the tie-break
@@ -238,13 +264,20 @@ def kmeans_centroids(
                 ).alias("new_cvec")
             )
         )
-        cents = (
+        new_cents = (
             cents.join(means, "cent_id", "left")
             .select(
                 "cent_id",
                 F.coalesce("new_cvec", "cvec").alias("cvec"),  # keep empty clusters
             )
+            # cache each round: the next round references cents on BOTH the
+            # assignment and the join side (no fan-out CSE) — uncached, the
+            # plan re-executes every earlier round, ~2^n_iter blowup
+            .cache()
         )
+        new_cents.count()  # materialize before dropping the parent
+        cents.unpersist()
+        cents = new_cents
     return cents
 
 
@@ -313,25 +346,17 @@ def lsh_topk(
     the data via partition pruning.
     """
     dims = _dims_of(emb, vec_col)  # one probe for all bands
-    cands = None
-    for band in range(n_bands):
-        b = lsh_buckets(
-            emb,
-            n_planes=planes_per_band,
-            seed=seed + band * 7919,
-            id_col=id_col,
-            vec_col=vec_col,
-            dims=dims,
-        )
-        qrow = b.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("bucket").alias("_qb"), F.col(vec_col).alias("_qvec")
-        )
-        c = (
-            b.join(F.broadcast(qrow), F.col("bucket") == F.col("_qb"))
-            .filter(F.col("vec_id") != query_vec_id)
-            .select("vec_id", F.col(vec_col).alias("_v"), "_qvec")
-        )
-        cands = c if cands is None else cands.unionByName(c)
+    b = _banded_buckets(
+        emb, n_bands, planes_per_band, seed, id_col, vec_col, dims
+    ).cache()
+    qrows = b.filter(F.col("vec_id") == query_vec_id).select(
+        "band", "bucket", F.col(vec_col).alias("_qvec")
+    )
+    cands = (
+        b.join(F.broadcast(qrows), ["band", "bucket"])
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.col(vec_col).alias("_v"), "_qvec")
+    )
     return (
         cands.dropDuplicates(["vec_id"])
         .select(
@@ -369,17 +394,7 @@ def build_lsh_index(
     posexploded — NOT one union branch (= one scan) per band. Returns dims
     so the caller can thread it into queries without another probe."""
     dims = _dims_of(emb, vec_col, dims)
-    buckets = F.array(
-        *[
-            _bucket_expr(vec_col, planes_per_band, dims, seed + band * 7919)
-            for band in range(n_bands)
-        ]
-    )
-    rows = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col),
-        F.posexplode(buckets).alias("band", "bucket"),
-    )
+    rows = _banded_buckets(emb, n_bands, planes_per_band, seed, id_col, vec_col, dims)
     rows.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
     return dims
 

@@ -69,6 +69,10 @@ def run_with_lineage(
     Returns the list of buckets processed in THIS run (resume skips done ones).
     """
     spark = docs.sparkSession
+    # restore the session conf afterwards — leaving dynamic overwrite ON
+    # would silently change every later partitioned overwrite write in the
+    # same session (e.g. an index rebuild keeping stale partitions)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done = completed_parts(spark, lineage_path)
     parted = with_part(docs, n_parts).cache()
@@ -106,4 +110,5 @@ def run_with_lineage(
             processed.append(p)
     finally:
         parted.unpersist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return processed

@@ -401,3 +401,21 @@ def test_gopher_quality_flags_fire(spark):
     assert got[3]["keep"] is False and got[3]["top_bigram_frac"] > 0.18
     assert got[4]["keep"] is False and got[4]["alpha_word_frac"] == 0.0
     assert got[5]["keep"] is False and got[5]["mean_word_len"] < 3.0
+
+
+def test_minhash_band_edge_cases(spark):
+    """Zero-token docs are excluded from banding (they'd otherwise bucket
+    together on an empty key); invalid band configs raise clearly."""
+    from docproc_spark.operators.dedupe import (
+        minhash_band_histogram,
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "shared words here"), (4, "shared words here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]) for r in minhash_candidate_pairs(docs).collect()}
+    assert pairs == {(3, 4)}  # the two empty docs must NOT pair on '' keys
+    with pytest.raises(ValueError, match="zero bands"):
+        minhash_band_histogram(docs, k=4, rows_per_band=8)
