@@ -6,13 +6,24 @@ Two paths:
     SQL engine (the DuckDB oracle) reproduces the same double-precision
     result bit-for-bit.
   lsh_topk — random-hyperplane LSH: deterministic pseudo-random planes
-    derived from a seed (hash-mixed per (plane, dim) — no RNG state, so
-    executors regenerate the same planes with no broadcast needed), bucket
-    by sign pattern, search only the query's bucket ± hamming-1 probes.
+    derived from a seed (md5-mixed per (plane, dim) — no RNG state, so
+    any engine regenerates the same planes from the literals alone), bucket
+    by sign pattern, search only the query's bucket across bands.
     This is the 100-TB path: the bucket join replaces the full scan.
+
+Cross-engine determinism contract: plane weights are
+``(int(md5(f"{seed}:{plane}:{d}")[:8 hex], 16) % 1_000_000) / 500_000 - 1``
+— the identical double falls out of Python hashlib, Spark ``md5``/``conv``
+and DuckDB ``md5``/hex-cast, and the dot products are sequential left folds
+(``F.aggregate`` ≡ DuckDB ``list_reduce``), so every approximate result here
+is bit-reproducible by the plain-SQL oracle. xxhash64 (the previous scheme)
+had no DuckDB counterpart, which kept these queries out of the hash-checked
+correctness gate.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -80,21 +91,40 @@ def _dims_of(emb: DataFrame, vec_col: str, dims: int | None = None) -> int:
     return len(emb.select(vec_col).first()[0])
 
 
+def plane_weight(seed: int, plane: int, d: int) -> float:
+    """One hyperplane component — see the module determinism contract."""
+    h = hashlib.md5(f"{seed}:{plane}:{d}".encode()).hexdigest()
+    return (int(h[:8], 16) % 1_000_000) / 500_000.0 - 1.0
+
+
+def _plane_values(plane: int, dims: int, seed: int) -> list[float]:
+    return [plane_weight(seed, plane, d) for d in range(dims)]
+
+
 def _plane_weights(plane: int, dims: int, seed: int) -> Column:
     """Deterministic pseudo-random hyperplane (array<double>, components in
-    [-1, 1)) derived by hash-mixing (seed, plane, dim).
+    [-1, 1)) derived by md5-mixing (seed, plane, dim).
 
-    Pure Column expression — every executor materializes identical planes
-    from the literals alone, no RNG state and nothing to broadcast.
+    Materialized driver-side as a LITERAL array: zero per-row hash work in
+    the scan (the previous per-row xxhash64 recomputed every plane component
+    for every row), nothing to broadcast, and bit-identical doubles are
+    reproducible in any engine from the formula alone.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda d: F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), d), F.lit(1000000)).cast(
-            "double"
-        )
-        / 500000.0
-        - 1.0,
-    )
+    return F.array(*[F.lit(w) for w in _plane_values(plane, dims, seed)])
+
+
+def bucket_of(vec, n_planes: int, seed: int) -> int:
+    """Driver-side twin of _bucket_expr — same doubles, same left fold, so
+    a query row's bucket needs no Spark job. float32 embedding components
+    widen exactly to double in both paths."""
+    bucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for x, w in zip(vec, _plane_values(p, len(vec), seed)):
+            acc += float(x) * w
+        if acc >= 0:
+            bucket += 2**p
+    return bucket
 
 
 def _bucket_expr(vec_col: str, n_planes: int, dims: int, seed: int) -> Column:
@@ -195,6 +225,12 @@ def cosine_neardup_pairs_lsh(
     exact cosine then confirms within candidates. Selectivity only pays at
     near-dup thresholds (low θ); at loose thresholds prefer the exact
     operator on a bounded candidate set.
+
+    Cache contract: the banded-bucket table is cached because the self-join
+    reads it on both sides (fan-out gets no CSE). The returned frame is
+    lazy, so this function cannot unpersist it; batch callers that reuse a
+    session should spark.catalog.clearCache() between corpora (same
+    contract as minhash_neardup_pairs / simhash_neardup_pairs).
     """
     dims = _dims_of(emb, vec_col)  # one probe for all bands
     # one corpus scan for all bands, cached: the self-join references the
@@ -230,6 +266,7 @@ def kmeans_centroids(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    deterministic: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd iterations, pure DataFrame ops.
 
@@ -237,8 +274,17 @@ def kmeans_centroids(
     assigns every vector to its max-cosine centroid (crossJoin with the
     BROADCAST centroid table — tiny) and recomputes centroids as the
     element-wise mean of their members. Empty clusters keep their previous
-    centroid. Deterministic: ties break on cent_id; no RNG anywhere.
+    centroid. Ties break on cent_id; no RNG anywhere.
     Returns (cent_id, cvec as array<double>).
+
+    deterministic=True computes each per-(cluster, dim) mean as a sorted
+    left fold (collect → array_sort → F.aggregate), which makes the fit
+    BIT-reproducible regardless of partitioning — float addition is not
+    associative, so a plain F.avg changes in the last ulp with task order,
+    enough to flip an assignment on a near-tie and derail a hash-checked
+    oracle. The sorted fold costs a per-group collect; for massive fits
+    (where k-means runs over a sample anyway) pass deterministic=False to
+    use streaming avg.
     """
     cents = emb.orderBy(id_col).limit(n_lists).select(
         F.col(id_col).alias("cent_id"),
@@ -249,13 +295,24 @@ def kmeans_centroids(
         # one assignment rule for fit AND index build — a second inline
         # copy could silently drift on the tie-break
         assigned = _assign_to_centroids(emb, cents, id_col, vec_col)
-        # element-wise mean per cluster: explode dims, avg, regroup
+        # element-wise mean per cluster: explode dims, mean, regroup
+        if deterministic:
+            mean_agg = (
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.col("x").cast("double"))),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.count("*")
+            ).alias("m")
+        else:
+            mean_agg = F.avg(F.col("x").cast("double")).alias("m")
         means = (
             assigned.select(
                 "cent_id", F.posexplode(F.col(vec_col)).alias("d", "x")
             )
             .groupBy("cent_id", "d")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(mean_agg)
             .groupBy("cent_id")
             .agg(
                 F.transform(
@@ -344,6 +401,11 @@ def lsh_topk(
     At scale the bucketed table is written partitioned by (band, bucket) —
     build_lsh_index + lsh_index_topk below — and a query reads b/2^r of
     the data via partition pruning.
+
+    Cache contract: the banded-bucket table is cached because the candidate
+    join reads it on both sides; callers that reuse a session across
+    corpora should spark.catalog.clearCache() (same contract as the dedupe
+    counterparts).
     """
     dims = _dims_of(emb, vec_col)  # one probe for all bands
     b = _banded_buckets(
@@ -413,25 +475,13 @@ def lsh_index_topk(
     """Top-k against a built LSH index: exact cosine within the query's
     bucket per band, read via partition pruning (band, bucket) — the scan
     touches ~n_bands/2^planes_per_band of the index files."""
-    dims = len(query_vec)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    # the query's bucket per band: ONE tiny 1-row job (plane weights are
-    # deterministic hash-mixes, so this reproduces the build's buckets)
-    qrow = (
-        spark.range(1)
-        .select(qlit.alias(vec_col))
-        .select(
-            *[
-                _bucket_expr(vec_col, planes_per_band, dims, seed + band * 7919)
-                .alias(f"b{band}")
-                for band in range(n_bands)
-            ]
-        )
-        .first()
-    )
+    # the query's bucket per band: computed driver-side (bucket_of is the
+    # bit-exact twin of the build's _bucket_expr) — no Spark job at all
     pred = None
     for band in range(n_bands):
-        c = (F.col("band") == band) & (F.col("bucket") == int(qrow[f"b{band}"]))
+        qb = bucket_of(query_vec, planes_per_band, seed + band * 7919)
+        c = (F.col("band") == band) & (F.col("bucket") == qb)
         pred = c if pred is None else (pred | c)
     idx = spark.read.parquet(path).filter(pred)
     if exclude_vec_id is not None:

@@ -52,15 +52,24 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
-ORACLED = sorted(entrymod.oracle_sql())
-ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+_ALL_Q = {**entrymod.queries(), **entrymod.spare_queries()}
+_ALL_SQL = {**entrymod.oracle_sql(), **entrymod.spare_oracle_sql()}
+ORACLED = sorted(_ALL_SQL)
+ROWS_ONLY = sorted(set(_ALL_Q) - set(_ALL_SQL))
+
+
+def test_registry_within_driver_cap():
+    # the driver records at most 50 queries (CORRECTNESS_r02 truncated at
+    # exactly 50); anything beyond the cap silently drops out of the gate
+    assert len(entrymod.queries()) <= 50
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, ddb, name):
-    q = entrymod.queries()[name]
+    q = _ALL_Q[name]
     got = _normalize(q(spark, SF_DIR).toPandas())
-    want = _normalize(ddb.execute(entrymod.oracle_sql()[name]).df())
+    want = _normalize(ddb.execute(_ALL_SQL[name]).df())
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     for c in got.columns:
@@ -84,7 +93,7 @@ def test_query_matches_oracle(spark, ddb, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
+    df = _ALL_Q[name](spark, SF_DIR)
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
