@@ -53,7 +53,9 @@ _TOTAL_W = _CUM[-1]
 
 # Bump when gen_doc semantics change — keys every on-disk corpus cache so a
 # stale staged parquet can never silently poison oracle comparisons.
-CORPUS_VERSION = 3
+# v4: ingest-time n_spans column (extract routes mega docs on it via a
+# pushed-down int filter instead of F.size over the span array).
+CORPUS_VERSION = 4
 
 # Shared logo ref: the corpus-wide hot key for the media-dedupe skew path.
 LOGO_REF = hashlib.sha256(b"docproc_spark:logo").hexdigest()
@@ -272,9 +274,12 @@ def stage_parquet(path: str, n_docs: int, seed: int = 42, mega_spans: int = 2000
             ("doc_type", pa.string()),
             ("raw_html", pa.string()),
             ("spans", pa.list_(span_t)),
+            ("n_spans", pa.int64()),
         ]
     )
     rows = [gen_doc(i, seed=seed, mega_spans=mega_spans) for i in range(n_docs)]
+    for r in rows:
+        r["n_spans"] = len(r["spans"] or [])
     table = pa.Table.from_pylist(rows, schema=schema)
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
@@ -305,7 +310,17 @@ def corpus_df(spark, n_docs: int, seed: int = 42, mega_spans: int = 2000,
         (i * n_docs // parts, (i + 1) * n_docs // parts) for i in range(parts)
     ]
     bdf = spark.createDataFrame(pd.DataFrame(bounds, columns=["lo", "hi"]))
+    from pyspark.sql import functions as F
+
     return (
         bdf.repartition(parts, "lo")
         .mapInPandas(gen_batches, schema=DOCUMENTS_SCHEMA)
+        # ingest-time span count: parquet row-group stats on a plain int
+        # let extract's mega-doc routing push its filter into the scan
+        .withColumn(
+            "n_spans",
+            F.when(F.col("spans").isNull(), F.lit(0))
+            .otherwise(F.size("spans"))
+            .cast("long"),
+        )
     )

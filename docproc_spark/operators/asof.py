@@ -40,7 +40,11 @@ def asof_join(
         + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields)
         + ">"
     )
-    rp = right.select(
+    # Null-ts right rows are ignored (matches DuckDB/engine ASOF JOIN
+    # semantics): unfiltered, default nulls-first window ordering would
+    # sort a NULL-ts right row before everything and silently carry its
+    # payload into every left row of the key on dirty data.
+    rp = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),

@@ -161,8 +161,12 @@ def minhash_candidate_pairs(
         .agg(F.count("*").alias("n"))
         .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
     )
+    # No broadcast hint: the qualifying-bucket list scales with the corpus's
+    # duplicate population (a forced broadcast OOMs the driver at 10^9
+    # docs). AQE broadcasts it at runtime whenever it is actually small —
+    # asserted on the adaptive executed plan in tests/test_plans.py.
     small = banded.join(
-        F.broadcast(counts.select("band_id", "band_key")), ["band_id", "band_key"]
+        counts.select("band_id", "band_key"), ["band_id", "band_key"]
     )
     left = small.select("band_id", "band_key", F.col("doc_id").alias("a"))
     right = small.select("band_id", "band_key", F.col("doc_id").alias("b"))
@@ -277,8 +281,10 @@ def minhash_neardup_pairs(
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        # per-doc shingle counts scale with the corpus — no broadcast hint
+        # (AQE broadcasts when the candidate population is actually small)
+        shared.join(sa, "a")
+        .join(sb, "b")
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
@@ -439,7 +445,9 @@ def simhash_neardup_pairs(
                 max_bucket, dropped["n_buckets"], dropped["n_docs"],
             )
     counts = all_counts.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
-    small = banded.join(F.broadcast(counts.select("band", "bk")), ["band", "bk"])
+    # no broadcast hint — see minhash_candidate_pairs: bucket lists scale
+    # with the duplicate population; AQE broadcasts small ones at runtime
+    small = banded.join(counts.select("band", "bk"), ["band", "bk"])
     left = small.select(
         "band", "bk", F.col("doc_id").alias("a"), F.col("simhash").alias("sa")
     )
@@ -490,8 +498,10 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        # per-doc shingle counts scale with the corpus — no broadcast hint
+        # (AQE broadcasts when the candidate population is actually small)
+        shared.join(sa, "a")
+        .join(sb, "b")
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),

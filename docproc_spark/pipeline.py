@@ -690,15 +690,33 @@ def extract(
     Documents with more than ``mega_doc_threshold`` input spans are routed
     through the salted two-phase path (pipeline_salted.extract_salted) —
     beyond ~10^5 spans the single collected row becomes a straggler task
-    (measured: 100k spans ≈ 17 s in one task). The routing predicate is a
-    cheap F.size on the source column, so normal corpora never pay for the
-    extra branch (it scans, finds zero mega docs, and the union's second
-    leg is empty). Pass None to disable routing.
+    (measured: 100k spans ≈ 17 s in one task). The routing predicate
+    prefers an ingest-time ``n_spans`` column when present (corpus writers
+    materialize it): a plain int comparison reaches the parquet scan as a
+    pushed filter, so the salted branch's scan skips every row group whose
+    n_spans max is under the threshold — F.size(spans) can never push
+    down. Fallback is F.size on the source column. HTML docs add a
+    conservative len(raw_html)/8 estimate of derived spans (a main-content
+    block costs ≥ ~8 chars of source), since the HTML UDF runs after
+    routing; over-routing a medium doc to the salted path is correct, just
+    a different physical plan. Pass None to disable routing.
     """
     if mega_doc_threshold is not None:
         from docproc_spark.pipeline_salted import extract_salted
 
-        is_mega = F.size(F.coalesce(F.col("spans"), F.array())) > mega_doc_threshold
+        if "n_spans" in docs.columns:
+            base = F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+        else:
+            base = F.when(F.col("spans").isNull(), F.lit(0)).otherwise(
+                F.size("spans")
+            ).cast("long")
+        if "raw_html" in docs.columns:
+            html_est = (F.coalesce(F.length("raw_html"), F.lit(0)) / F.lit(8)).cast(
+                "long"
+            )
+        else:
+            html_est = F.lit(0).cast("long")
+        is_mega = (base + html_est) > mega_doc_threshold
         normal = extract(
             docs.filter(~is_mega),
             drop_kinds=drop_kinds,

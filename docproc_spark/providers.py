@@ -118,7 +118,8 @@ class BatchingVisionProvider(CaptionProvider):
 
     def caption_batch(self, media_ref: pd.Series, context: pd.Series) -> pd.Series:
         import logging
-        from concurrent.futures import ThreadPoolExecutor
+        import queue
+        import threading
 
         items = list(zip(media_ref.fillna(""), context.fillna("")))
         batches = [
@@ -128,33 +129,62 @@ class BatchingVisionProvider(CaptionProvider):
         if not batches:
             return pd.Series([], dtype=object, index=media_ref.index)
 
-        def run(batch):
-            return self.transport.describe_batch(batch)
+        # Hand-rolled bounded pool of DAEMON threads — deliberately not
+        # ThreadPoolExecutor: its workers are non-daemon and joined by
+        # concurrent.futures' atexit hook, so one hung transport call would
+        # block interpreter exit forever. Here the per-batch timeout bounds
+        # OUR wall time, stragglers are abandoned for real (daemon threads
+        # die with the process), and a hung worker leaks at most
+        # max_parallel threads per call — the trade for never failing the
+        # Spark task (reference: vision_llm.py:448-482 skip-and-log).
+        slots = [{"ev": threading.Event(), "val": None, "err": None} for _ in batches]
+        work: queue.Queue = queue.Queue()
+        for i, b in enumerate(batches):
+            work.put((i, b))
+
+        def worker():
+            while True:
+                try:
+                    i, b = work.get_nowait()
+                except queue.Empty:
+                    return
+                s = slots[i]
+                try:
+                    s["val"] = self.transport.describe_batch(b)
+                except Exception as exc:  # noqa: BLE001 — transport errors blank the batch
+                    s["err"] = exc
+                s["ev"].set()
+
+        for _ in range(min(self.max_parallel, len(batches))):
+            threading.Thread(target=worker, daemon=True).start()
 
         out: list = []
         log = logging.getLogger(__name__)
-        # NOT a context manager: `with` would shutdown(wait=True) and JOIN a
-        # hung transport thread after its future already timed out — the
-        # documented per-call timeout must bound wall time, so abandon
-        # stragglers (daemon threads) instead of waiting on them
-        pool = ThreadPoolExecutor(max_workers=min(self.max_parallel, len(batches)))
         try:
-            futures = [pool.submit(run, b) for b in batches]
-            for b, fut in zip(batches, futures):
-                try:
-                    res = fut.result(timeout=self.timeout_s)
+            for b, s in zip(batches, slots):
+                res: list
+                if not s["ev"].wait(timeout=self.timeout_s):
+                    log.warning("vision batch skipped: timeout %.1fs", self.timeout_s)
+                    res = [""] * len(b)
+                elif s["err"] is not None:
+                    log.warning("vision batch skipped: %s", s["err"])
+                    res = [""] * len(b)
+                else:
+                    res = s["val"]
                     if len(res) != len(b):
                         log.warning(
                             "vision reply length %d != batch %d — blanking",
                             len(res), len(b),
                         )
                         res = [""] * len(b)
-                except Exception as exc:  # timeout or transport error
-                    log.warning("vision batch skipped: %s", exc)
-                    res = [""] * len(b)
                 out.extend(res)
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            # cancel not-yet-started batches (mirror of cancel_futures)
+            while True:
+                try:
+                    work.get_nowait()
+                except queue.Empty:
+                    break
         return pd.Series(out, index=media_ref.index, dtype=object)
 
 

@@ -50,14 +50,21 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
 def dedupe_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exactly-once dedupe on event_id (first arrival wins).
 
-    The watermark bounds the dedupe state store: without it, every
-    event_id ever seen stays in state — unbounded on a continuous ingest.
-    With it, an id older than the lateness bound can be evicted; duplicates
-    arriving inside the bound (the realistic at-least-once-delivery case)
-    are dropped across micro-batches.
+    dropDuplicatesWithinWatermark — NOT dropDuplicates(['event_id']): with
+    a plain dropDuplicates whose subset lacks the event-time column, the
+    watermark only discards late input rows and the id state store never
+    evicts — unbounded growth on a continuous ingest, the exact failure
+    this operator exists to prevent. The WithinWatermark variant evicts an
+    id's state once the watermark passes its event time + delay, and still
+    drops duplicates arriving inside the bound (the realistic
+    at-least-once-delivery replay case). The semantic trade is explicit: a
+    duplicate arriving LATER than the lateness bound after the original is
+    emitted again — by then it is late data by contract anyway.
     """
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def clicks_purchases_join(

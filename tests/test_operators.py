@@ -353,6 +353,28 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_ignores_null_right_ts(spark):
+    """A right row with NULL ts must be invisible (DuckDB ASOF semantics) —
+    unfiltered it would sort nulls-first and be carried into every left
+    row of its key."""
+    import datetime as dt
+
+    from docproc_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [("u1", "l1", T(2024, 1, 1, 10))],
+        "user_id string, lid string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, "r_dirty", 9.0), ("u1", T(2024, 1, 1, 9), "r1", 1.0)],
+        "user_id string, ts timestamp, rid string, value double",
+    )
+    rows = asof_join(left, right, key="user_id",
+                     payload_cols=["rid", "value"]).collect()
+    assert rows[0]["asof"]["rid"] == "r1"
+
+
 def test_dup_components_transitive_closure(spark):
     """a~b and b~c (no direct a~c edge) must land in ONE component labeled
     by the min id; disjoint pairs stay separate."""

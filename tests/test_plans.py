@@ -82,11 +82,19 @@ def test_asof_join_has_no_join_node(spark):
     assert "Window" in plan
 
 
-def test_minhash_candidates_broadcast_bucket_filter(spark):
-    """Candidate-pair generation joins against the (tiny) qualifying-bucket
-    list as a broadcast, never a shuffled big-big join."""
+def test_minhash_candidates_aqe_broadcasts_small_bucket_list(spark):
+    """The qualifying-bucket join carries NO static broadcast hint (the
+    bucket list scales with the corpus's duplicate population — a forced
+    broadcast OOMs the driver at 10^9 docs). When the list IS small, AQE
+    must still convert the join to a broadcast at runtime."""
     from docproc_spark.operators.dedupe import minhash_candidate_pairs
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = _plan(minhash_candidate_pairs(d))
-    assert "BroadcastHashJoin" in plan
+    df = minhash_candidate_pairs(d)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, "static broadcast hint crept back in"
+    df.collect()  # let AQE re-plan with runtime stats
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, (
+        "small bucket list was not broadcast at runtime"
+    )
