@@ -172,7 +172,11 @@ def with_derived_spans(docs: DataFrame) -> DataFrame:
     as raw text, media, or raster, and the raw-text fallback filters its
     null text.
     """
-    has_html = F.col("raw_html").isNotNull() & (F.length("raw_html") > 0)
+    # canonical span-only tables (the engine's input contract is just
+    # (doc_id, spans)) have no raw_html column — skip the HTML merge
+    has_html_col = "raw_html" in docs.columns
+    if has_html_col:
+        has_html = F.col("raw_html").isNotNull() & (F.length("raw_html") > 0)
     empty = F.array().cast(_OUT_SPANS_T)
     sentinel = F.array(
         F.struct(
@@ -183,13 +187,14 @@ def with_derived_spans(docs: DataFrame) -> DataFrame:
             F.lit(-1).cast("int").alias("offset"),
         )
     )
+    html_part = (
+        F.when(has_html, html_spans_udf(F.col("raw_html"))).otherwise(empty)
+        if has_html_col
+        else empty
+    )
     return docs.withColumn(
         "spans",
-        F.concat(
-            F.coalesce(F.col("spans"), empty),
-            F.when(has_html, html_spans_udf(F.col("raw_html"))).otherwise(empty),
-            sentinel,
-        ),
+        F.concat(F.coalesce(F.col("spans"), empty), html_part, sentinel),
     )
 
 
@@ -692,39 +697,52 @@ def extract(
     beyond ~10^5 spans the single collected row becomes a straggler task
     (measured: 100k spans ≈ 17 s in one task). The routing predicate
     prefers an ingest-time ``n_spans`` column when present (corpus writers
-    materialize it): a plain int comparison reaches the parquet scan as a
-    pushed filter, so the salted branch's scan skips every row group whose
-    n_spans max is under the threshold — F.size(spans) can never push
-    down. Fallback is F.size on the source column. HTML docs add a
-    conservative len(raw_html)/8 estimate of derived spans (a main-content
-    block costs ≥ ~8 chars of source), since the HTML UDF runs after
-    routing; over-routing a medium doc to the salted path is correct, just
-    a different physical plan. Pass None to disable routing.
+    materialize it). On the canonical span-only input shape
+    (doc_id, spans) the predicate is then a BARE int comparison that
+    reaches the parquet scan as a pushed filter — the salted branch skips
+    every row group whose n_spans max is under the threshold (verified:
+    ``PushedFilters: [GreaterThan(n_spans,…)]``) — where F.size(spans)
+    can never push down. Tables carrying raw_html add an OR'd
+    len(raw_html)/8 conservative estimate of HTML-derived spans (a
+    main-content block costs ≥ ~8 chars of source; the HTML UDF runs
+    after routing), which disables parquet pushdown for that branch —
+    over-routing a medium doc to the salted path is correct, just a
+    different physical plan. Fallback without the column is F.size on the
+    source array. Pass None to disable routing.
     """
     if mega_doc_threshold is not None:
         from docproc_spark.pipeline_salted import extract_salted
 
+        # Both branch predicates are written out explicitly (not one
+        # expression and its ~negation): `n_spans > T` is null for
+        # null-n_spans rows, and a naive negation would silently drop them
+        # from BOTH branches. The explicit pair keeps every leaf a bare
+        # pushable comparison and the branches a disjoint cover.
         if "n_spans" in docs.columns:
-            base = F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+            mega = F.col("n_spans") > mega_doc_threshold
+            not_mega = (F.col("n_spans") <= mega_doc_threshold) | F.col(
+                "n_spans"
+            ).isNull()
         else:
-            base = F.when(F.col("spans").isNull(), F.lit(0)).otherwise(
+            n = F.when(F.col("spans").isNull(), F.lit(0)).otherwise(
                 F.size("spans")
             ).cast("long")
+            mega = n > mega_doc_threshold
+            not_mega = ~mega
         if "raw_html" in docs.columns:
-            html_est = (F.coalesce(F.length("raw_html"), F.lit(0)) / F.lit(8)).cast(
-                "long"
-            )
-        else:
-            html_est = F.lit(0).cast("long")
-        is_mega = (base + html_est) > mega_doc_threshold
+            html_mega = (
+                F.coalesce(F.length("raw_html"), F.lit(0)) / F.lit(8)
+            ).cast("long") > mega_doc_threshold
+            mega = mega | html_mega
+            not_mega = not_mega & ~html_mega
         normal = extract(
-            docs.filter(~is_mega),
+            docs.filter(not_mega),
             drop_kinds=drop_kinds,
             drop_exact_duplicates=drop_exact_duplicates,
             mega_doc_threshold=None,
         )
         salted = extract_salted(
-            docs.filter(is_mega),
+            docs.filter(mega),
             drop_kinds=drop_kinds,
             drop_exact_duplicates=drop_exact_duplicates,
         )

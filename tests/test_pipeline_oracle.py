@@ -119,3 +119,31 @@ def test_extract_handles_empty_and_null_span_inputs(spark):
     assert set(rows) == {"n1", "n2"}
     for r in rows.values():
         assert r["markdown"] == "" and r["n_pages"] == 0 and r["spans"] == []
+
+
+def test_extract_on_canonical_span_only_shape(spark, tmp_path):
+    """The engine's input contract is just (doc_id, spans); extract must
+    run without raw_html, produce identical results, and — with the
+    ingest-time n_spans column — push BOTH routing-branch filters into the
+    parquet scan (null n_spans routes normal, never dropped)."""
+    import re
+
+    from docproc_spark.corpus import corpus_df
+
+    full = corpus_df(spark, 40, seed=13, mega_spans=300, partitions=4)
+    # html-free docs only, so span-only output can equal the full run's
+    no_html = full.filter("raw_html IS NULL OR length(raw_html) = 0")
+    path = str(tmp_path / "span_only")
+    no_html.select("doc_id", "spans", "n_spans").write.parquet(path)
+    span_only = spark.read.parquet(path)
+    res = extract(span_only)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pushed = set(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert any("GreaterThan(n_spans" in p for p in pushed), pushed
+    assert any("Or(LessThanOrEqual(n_spans" in p for p in pushed), pushed
+    want = {
+        r["doc_id"]: (r["markdown"], r["n_pages"])
+        for r in extract(no_html).collect()
+    }
+    got = {r["doc_id"]: (r["markdown"], r["n_pages"]) for r in res.collect()}
+    assert got == want
