@@ -48,6 +48,25 @@ BENCH_QUERIES = (
 )
 
 
+def _quiet_teardown(spark) -> None:
+    """Silence the benign PythonAccumulatorV2.merge ERROR stack emitted by
+    DAGScheduler when the Python accumulator socket closes during stop() —
+    it buried real failures in two rounds of driver-captured tails. Level
+    is dropped immediately before stop(), so scheduler errors DURING the
+    measured run still surface."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        off = jvm.org.apache.logging.log4j.Level.OFF
+        for logger in (
+            "org.apache.spark.scheduler.DAGScheduler",
+            "org.apache.spark.util.Utils",
+        ):
+            configurator.setLevel(logger, off)
+    except Exception:
+        pass  # log4j internals shifted — noise is cosmetic, never fail
+
+
 def _force(df):
     """Materialize every column (count() alone lets Catalyst prune work)."""
     from pyspark.sql import functions as F
@@ -109,6 +128,7 @@ def _extract_run(
             n = int(row["n"])
         return best, n
     finally:
+        _quiet_teardown(spark)
         spark.stop()
 
 
@@ -131,6 +151,7 @@ def main() -> None:
         t0 = time.time()
         _force(qs[name](spark, SF_DIR))
         qtimes[name] = round(time.time() - t0, 3)
+    _quiet_teardown(spark)
     spark.stop()
 
     # headline extraction throughput at local[CPUS] — min-of-3: high thread
@@ -163,15 +184,17 @@ def main() -> None:
                            shuffle_partitions=CPUS)
         spark2.sparkContext.setLogLevel("ERROR")
         scale_path = _corpus_cache(spark2, n_scale)
+        _quiet_teardown(spark2)
         spark2.stop()
         # Interleaved rounds, min wall per LEVEL: a tenant spike that lands
         # inside one side of a single lo/hi pair skews the ratio by 2-3×
         # (measured: back-to-back pairs gave eff 0.85 / 0.73 / 0.50 on
         # identical input); taking each level's cleanest window measures
         # the plan, not the neighbours.
-        rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
-        lo_walls, hi_walls, n_s = [], [], 0
+        rounds = int(os.environ.get("SCALE_ROUNDS", "4"))
+        lo_walls, hi_walls, loads, n_s = [], [], [], 0
         for _ in range(rounds):
+            loads.append(round(os.getloadavg()[0], 1))
             w_lo, n_s = _extract_run(f"local[{lo}]", scale_path, lo)
             w_hi, _ = _extract_run(f"local[{hi}]", scale_path, hi)
             lo_walls.append(w_lo)
@@ -188,6 +211,10 @@ def main() -> None:
             "docs_per_sec_high": round(dps_hi, 2),
             "speedup": round(dps_hi / dps_lo, 3) if dps_lo else 0.0,
             "scaling_efficiency": round(eff, 3),
+            # shared-host transparency: 1-min load avg at each round start
+            # (identical-input pair ratios measured 0.50-0.85 under tenant
+            # spikes; min-per-level needs a quiet window to mean anything)
+            "loadavg_per_round": loads,
         }
 
     print(json.dumps(result))

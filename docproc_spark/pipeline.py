@@ -142,20 +142,30 @@ def boilerplate_kind_col(sanitized: Column) -> Column:
     (?iU): the oracle matches with Python \\s (Unicode-aware); sanitized
     text cannot contain Cc chars, so UNICODE_CHARACTER_CLASS makes Java \\s
     exactly equal on this input. first_line is python-stripped (leading
-    NBSP etc. must not defeat the ^-anchored patterns)."""
+    NBSP etc. must not defeat the ^-anchored patterns).
+
+    Gated on ONE combined-alternation probe: rlike(p1|…|pn) ≡ rlike(p1) |
+    … | rlike(pn), so `when(probe, <per-pattern chain>)` is semantically
+    identical to the bare chain while the common case (a substantive span)
+    pays 2 regex scans instead of 2×n — the bare chain was ~half of
+    extract's post-shuffle wall (measured 4.4 s of a ~9 s sf0.1 run)."""
     first_line = pystrip_col(F.regexp_extract(sanitized, r"^([^\n]*)", 1))
     n_lines = F.size(F.split(sanitized, "\n"))
-    expr = F.when((sanitized == "") | (first_line == ""), F.lit("blank"))
+    combined = "(?iU)(?:" + "|".join(p.pattern for _, p in BOILERPLATE_PATTERNS) + ")"
+    probe = first_line.rlike(combined) | ((n_lines <= 2) & sanitized.rlike(combined))
+    chain = None
     for kind, pat in BOILERPLATE_PATTERNS:
         jre = "(?iU)" + pat.pattern
-        expr = expr.when(
-            first_line.rlike(jre) | ((n_lines <= 2) & sanitized.rlike(jre)),
-            F.lit(kind),
-        )
-    expr = expr.when(
+        cond = first_line.rlike(jre) | ((n_lines <= 2) & sanitized.rlike(jre))
+        chain = F.when(cond, F.lit(kind)) if chain is None else chain.when(cond, F.lit(kind))
+    tail = F.when(
         (F.length(sanitized) < TITLE_MAX_LEN) & (n_lines <= 1), F.lit("title")
+    ).otherwise(F.lit("none"))
+    return (
+        F.when((sanitized == "") | (first_line == ""), F.lit("blank"))
+        .when(probe, F.coalesce(chain, tail))
+        .otherwise(tail)
     )
-    return expr.otherwise(F.lit("none"))
 
 
 # ---------------------------------------------------------------------------
@@ -266,9 +276,17 @@ def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
     """Spans in document order (page, offset), with the derived per-span
     fields (hash, boilerplate class, flags) recomputed post-shuffle —
     they're pure functions of (kind, text, sanitized) and would otherwise
-    ride the exchange."""
+    ride the exchange.
 
-    def build(x):
+    Two staged transforms, not one: HOF lambda bodies run INTERPRETED (no
+    whole-stage codegen, no subexpression elimination), so every reference
+    to a derived expression re-evaluates its whole subtree per element —
+    `survives` is referenced twice (own field + the hash gate) and used to
+    drag the boilerplate regex chain with it on every reference. Stage 1
+    materializes the expensive classification once per span as struct
+    fields; stage 2 derives the cheap booleans from those fields."""
+
+    def classify(x):
         is_textual = x["kind"].isin(*TEXTUAL_KINDS)
         # any media-KIND span counts for per-page enumeration and the
         # raster-fallback gate, even with a null/empty ref — the oracle
@@ -282,33 +300,48 @@ def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
             & x["media_ref"].isNotNull()
             & (x["media_ref"] != "")
         )
-        bp = boilerplate_kind_col(x["sanitized"])
-        survives = F.coalesce(
-            is_textual & ~bp.isin(*drop_kinds) & (x["sanitized"] != ""),
-            F.lit(False),
-        )
         return F.struct(
             x["page"].alias("page"),
             x["offset"].alias("offset"),
-            # pos third: array_sort compares fields in order, so ties on
-            # (page, offset) resolve by input position — the oracle's
-            # stable sort — never by kind/text content
             x["pos"].alias("pos"),
             x["kind"].alias("kind"),
             x["text"].alias("text"),
             x["sanitized"].alias("sanitized"),
-            F.when(survives, F.sha2(x["sanitized"], 256)).alias("hash"),
             x["media_ref"].alias("media_ref"),
             is_textual.alias("is_textual"),
             is_media.alias("is_media"),
             is_raster.alias("is_raster"),
-            survives.alias("survives"),
+            boilerplate_kind_col(x["sanitized"]).alias("bp"),
             # bool(text.strip()) — F.trim strips ASCII space ONLY and would
             # let whitespace-only raw text block the raster fallback
             (is_textual & has_nonblank_col(x["text"])).alias("raw_nonblank"),
         )
 
-    return F.array_sort(F.transform(spans, build))
+    def finalize(y):
+        survives = F.coalesce(
+            y["is_textual"] & ~y["bp"].isin(*drop_kinds) & (y["sanitized"] != ""),
+            F.lit(False),
+        )
+        return F.struct(
+            y["page"].alias("page"),
+            y["offset"].alias("offset"),
+            # pos third: array_sort compares fields in order, so ties on
+            # (page, offset) resolve by input position — the oracle's
+            # stable sort — never by kind/text content
+            y["pos"].alias("pos"),
+            y["kind"].alias("kind"),
+            y["text"].alias("text"),
+            y["sanitized"].alias("sanitized"),
+            F.when(survives, F.sha2(y["sanitized"], 256)).alias("hash"),
+            y["media_ref"].alias("media_ref"),
+            y["is_textual"].alias("is_textual"),
+            y["is_media"].alias("is_media"),
+            y["is_raster"].alias("is_raster"),
+            survives.alias("survives"),
+            y["raw_nonblank"].alias("raw_nonblank"),
+        )
+
+    return F.array_sort(F.transform(F.transform(spans, classify), finalize))
 
 
 def _texts_col(srt: Column, drop_exact_duplicates: bool = True) -> Column:
