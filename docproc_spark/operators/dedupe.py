@@ -365,25 +365,37 @@ def simhash64(
     value fits a signed int64 exactly; token hash = first 15 hex chars of
     md5 via conv base-16→10).
 
-    Plan shape: explode tokens → 60 vectorized bit columns (shiftright
-    needs a literal shift, hence the Python loop over bit positions, which
-    unrolls into one codegen'd projection) → single groupBy(doc_id) with
-    61 sums → signature fold. One shuffle, map-side partial aggregation.
+    Plan shape: explode tokens → bit extraction packed 3 counters per long
+    (21 bits each — shifted addends, so one F.sum carries three bit
+    totals) → single groupBy(doc_id) with 21 sums instead of 61 → unpack +
+    signature fold. One shuffle, map-side partial aggregation. The packing
+    bounds per-doc token count at 2^21 (~2M tokens) — beyond that a packed
+    counter would carry into its neighbour; chunk such docs upstream (the
+    extraction pipeline routes >100k-span docs to salting long before).
     """
+    pack, w = 3, 21
+    mask = (1 << w) - 1
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     ).withColumn("h", h)
-    aggs = [F.count("*").alias("n")] + [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)).cast("long")).alias(f"b{j}")
-        for j in range(n_bits)
-    ]
+    groups = list(range(0, n_bits, pack))
+    aggs = [F.count("*").alias("n")]
+    for g in groups:
+        packed = None
+        for i in range(min(pack, n_bits - g)):
+            bit = F.shiftright(F.col("h"), g + i).bitwiseAND(F.lit(1)).cast("long")
+            term = bit if i == 0 else bit * F.lit(1 << (w * i)).cast("long")
+            packed = term if packed is None else packed + term
+        aggs.append(F.sum(packed).alias(f"p{g}"))
     counts = toks.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for j in range(n_bits):
-        sig = sig + F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    for g in groups:
+        for i in range(min(pack, n_bits - g)):
+            cnt = F.shiftright(F.col(f"p{g}"), w * i).bitwiseAND(F.lit(mask))
+            sig = sig + F.when(
+                cnt * 2 > F.col("n"), F.lit(2 ** (g + i)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
     with_sig = counts.select("doc_id", sig.alias("simhash"))
     # docs with zero tokens get signature 0
     return (
