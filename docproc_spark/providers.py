@@ -36,12 +36,11 @@ class DeterministicStubProvider(CaptionProvider):
 
 
 class HttpVisionProvider(CaptionProvider):
-    """Placeholder for an OpenAI/Azure/Anthropic/Ollama-style vision API.
-
-    Deliberately NOT implemented in this container (no network, no keys);
-    the class documents the integration point: instantiate per partition
-    inside the iterator-form kernel, batch ≤ N images per request
-    (reference VISION_BATCH_SIZE=5), timeout + skip-and-log per batch.
+    """Legacy placeholder — superseded by the real wire layer: compose
+    get_provider("batching-vision", transport=OpenAIVisionTransport(...))
+    (providers_http.py) for an OpenAI/Azure-shape vision API with the
+    batching/timeout/skip-and-log contract on top. Kept so older configs
+    naming "http" fail with a pointer instead of a KeyError.
     """
 
     provider_id = "http"
@@ -334,12 +333,35 @@ class EmptyChatProvider(ChatProvider):
 
 _CACHE: dict[str, CaptionProvider | ChatProvider] = {}
 
+
+def _http_factory(name: str):
+    """Lazy factory for the HTTP wrappers (providers_http) — injects the
+    stdlib client unless the caller passes one (tests pass canned fakes)."""
+
+    def make(**kwargs):
+        import docproc_spark.providers_http as ph
+
+        cls = getattr(ph, name)
+        kwargs.setdefault("client", ph.UrllibHttpClient())
+        return cls(**kwargs)
+
+    return make
+
+
 _FACTORIES = {
     "stub": DeterministicStubProvider,
     "http": HttpVisionProvider,
     "stub-chat": DeterministicStubChatProvider,
     "failing-chat": FailingChatProvider,
     "empty-chat": EmptyChatProvider,
+    # engine-facing batching layer over any VisionTransport
+    "batching-vision": BatchingVisionProvider,
+    # real HTTP wire shapes over an injectable client (providers_http):
+    "openai-chat": _http_factory("OpenAIChatProvider"),
+    "azure-chat": _http_factory("AzureOpenAIChatProvider"),
+    "anthropic-chat": _http_factory("AnthropicChatProvider"),
+    "ollama-chat": _http_factory("OllamaChatProvider"),
+    "openai-vision": _http_factory("OpenAIVisionTransport"),
 }
 
 

@@ -1,0 +1,205 @@
+"""HTTP provider layer: wire shapes, auth headers, retry policy and reply
+parsing against canned responses — no network (reference parity:
+docproc/providers/openai_provider.py, azure_provider.py,
+anthropic_provider.py, ollama_provider.py behind factory.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from docproc_spark.providers_http import (
+    AnthropicChatProvider,
+    AzureOpenAIChatProvider,
+    HttpClient,
+    HttpError,
+    OllamaChatProvider,
+    OpenAIChatProvider,
+    OpenAIVisionTransport,
+    _post_with_retries,
+)
+
+
+class CannedClient(HttpClient):
+    """Replays a scripted list of responses; records every request."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.requests: list = []
+
+    def post_json(self, url, headers, payload, timeout_s):
+        self.requests.append(
+            {"url": url, "headers": headers, "payload": payload, "timeout": timeout_s}
+        )
+        r = self.responses.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+def _openai_reply(text):
+    return {"choices": [{"message": {"content": text}}]}
+
+
+class TestOpenAIChat:
+    def test_request_shape_and_parse(self):
+        c = CannedClient([_openai_reply("refined")])
+        p = OpenAIChatProvider(c, api_key="sk-x", model="gpt-4o")
+        assert p.chat("SYS", "USER") == "refined"
+        req = c.requests[0]
+        assert req["url"] == "https://api.openai.com/v1/chat/completions"
+        assert req["headers"]["Authorization"] == "Bearer sk-x"
+        assert req["payload"]["model"] == "gpt-4o"
+        assert req["payload"]["messages"] == [
+            {"role": "system", "content": "SYS"},
+            {"role": "user", "content": "USER"},
+        ]
+
+    def test_null_content_becomes_empty(self):
+        c = CannedClient([{"choices": [{"message": {"content": None}}]}])
+        assert OpenAIChatProvider(c).chat("s", "u") == ""
+
+    def test_retries_on_429_then_succeeds(self):
+        c = CannedClient([HttpError(429, "slow down"), _openai_reply("ok")])
+        sleeps = []
+        out = _post_with_retries(
+            c, "u", {}, {}, 1.0, 3, backoff_s=0.5, sleep=sleeps.append
+        )
+        assert out == _openai_reply("ok")
+        assert sleeps == [0.5]
+        assert len(c.requests) == 2
+
+    def test_non_retryable_status_raises_immediately(self):
+        c = CannedClient([HttpError(401, "bad key"), _openai_reply("never")])
+        with pytest.raises(HttpError):
+            OpenAIChatProvider(c, max_retries=3).chat("s", "u")
+        assert len(c.requests) == 1
+
+    def test_retry_exhaustion_raises_last_error(self):
+        c = CannedClient([HttpError(503)] * 4)
+        with pytest.raises(HttpError):
+            _post_with_retries(c, "u", {}, {}, 1.0, 3, sleep=lambda s: None)
+        assert len(c.requests) == 4
+
+    def test_embeddings_endpoint(self):
+        c = CannedClient(
+            [{"data": [{"embedding": [0.1, 0.2]}, {"embedding": [0.3]}]}]
+        )
+        p = OpenAIChatProvider(c, api_key="k")
+        assert p.embed(["a", "b"]) == [[0.1, 0.2], [0.3]]
+        assert c.requests[0]["url"].endswith("/embeddings")
+        assert c.requests[0]["payload"]["input"] == ["a", "b"]
+
+
+class TestAzureChat:
+    def test_deployment_url_and_api_key_header(self):
+        c = CannedClient([_openai_reply("azure ok")])
+        p = AzureOpenAIChatProvider(
+            c,
+            api_key="az-key",
+            endpoint="https://unit.openai.azure.com/",
+            deployment="gpt4o-prod",
+        )
+        assert p.chat("s", "u") == "azure ok"
+        req = c.requests[0]
+        assert req["url"] == (
+            "https://unit.openai.azure.com/openai/deployments/gpt4o-prod"
+            "/chat/completions?api-version=2024-02-15-preview"
+        )
+        assert req["headers"]["api-key"] == "az-key"
+        assert "Authorization" not in req["headers"]
+
+
+class TestAnthropicChat:
+    def test_system_param_and_block_parse(self):
+        c = CannedClient(
+            [{"content": [{"type": "text", "text": "claude "},
+                          {"type": "tool_use", "id": "x"},
+                          {"type": "text", "text": "says"}]}]
+        )
+        p = AnthropicChatProvider(c, api_key="ak", model="m")
+        assert p.chat("SYS", "USER") == "claude says"
+        req = c.requests[0]
+        assert req["url"].endswith("/v1/messages")
+        assert req["headers"]["x-api-key"] == "ak"
+        assert req["headers"]["anthropic-version"]
+        assert req["payload"]["system"] == "SYS"
+        assert req["payload"]["messages"] == [{"role": "user", "content": "USER"}]
+
+
+class TestOllamaChat:
+    def test_chat_shape(self):
+        c = CannedClient([{"message": {"content": "local"}}])
+        p = OllamaChatProvider(c, base_url="http://h:11434", model="llava")
+        assert p.chat("s", "u") == "local"
+        req = c.requests[0]
+        assert req["url"] == "http://h:11434/api/chat"
+        assert req["payload"]["stream"] is False
+
+
+class TestOpenAIVisionTransport:
+    def _transport(self, canned):
+        return OpenAIVisionTransport(
+            canned,
+            api_key="k",
+            ref_to_data_url=lambda ref: f"data:image/png;base64,{ref[:6]}",
+        )
+
+    def test_batch_request_and_json_array_reply(self):
+        c = CannedClient([_openai_reply(json.dumps(["a desc", "b desc"]))])
+        t = self._transport(c)
+        out = t.describe_batch([("ref_a", "ctx1"), ("ref_b", "ctx2")])
+        assert out == ["a desc", "b desc"]
+        content = c.requests[0]["payload"]["messages"][0]["content"]
+        assert content[0]["type"] == "text" and "2" in content[0]["text"]
+        assert [b["image_url"]["url"] for b in content[1:]] == [
+            "data:image/png;base64,ref_a",
+            "data:image/png;base64,ref_b",
+        ]
+
+    def test_markdown_fenced_reply_tolerated(self):
+        fenced = "```json\n[\"one\", \"two\"]\n```"
+        c = CannedClient([_openai_reply(fenced)])
+        assert self._transport(c).describe_batch([("r1", ""), ("r2", "")]) == [
+            "one",
+            "two",
+        ]
+
+    def test_garbage_reply_raises_for_skip_and_log(self):
+        c = CannedClient([_openai_reply("sorry, I cannot")])
+        with pytest.raises(ValueError):
+            self._transport(c).describe_batch([("r", "")])
+
+    def test_default_blob_resolver_refuses(self):
+        t = OpenAIVisionTransport(CannedClient([]), api_key="k")
+        with pytest.raises(NotImplementedError):
+            t.describe_batch([("ref", "")])
+
+    def test_drives_batching_provider_end_to_end(self):
+        """VERDICT done-criterion: get_provider wires the real wire shape
+        under BatchingVisionProvider — batch caps and wrong-length blanking
+        still owned by the batching layer."""
+        import docproc_spark.providers as P
+
+        replies = [
+            _openai_reply(json.dumps([f"d{i}" for i in range(5)])),
+            _openai_reply(json.dumps(["short"])),  # wrong length for 2 items
+        ]
+        c = CannedClient(replies)
+        P._CACHE.pop("batching-vision", None)
+        prov = P.get_provider(
+            "batching-vision",
+            transport=self._transport(c),
+            batch_size=5,
+            max_parallel=1,
+        )
+        refs = pd.Series([f"ref{i}" for i in range(7)])
+        ctx = pd.Series([""] * 7)
+        out = list(prov.caption_batch(refs, ctx))
+        assert out[:5] == ["d0", "d1", "d2", "d3", "d4"]
+        assert out[5:] == ["", ""]  # wrong-length batch blanked, not failed
+        # 2 HTTP calls: ceil(7/5) batches
+        assert len(c.requests) == 2
+        P._CACHE.pop("batching-vision", None)
