@@ -54,6 +54,24 @@ def completed_parts(spark: SparkSession, lineage_path: str) -> set[int]:
         return set()
 
 
+def _emit_progress(progress_path: str | None, record: dict) -> None:
+    """Append one JSON line to the tail-able progress feed — the engine's
+    analog of the reference CLI's --progress-file protocol
+    (docproc/bin/cli.py:178-188: {"page", "total", "message"} lines that
+    the demo worker tails, demo/go/internal/worker/worker.go:143-165).
+    Best-effort like the reference: an unwritable feed never fails a run."""
+    if not progress_path:
+        return
+    import json
+
+    try:
+        with open(progress_path, "a", encoding="utf-8") as pf:
+            pf.write(json.dumps(record) + "\n")
+            pf.flush()
+    except OSError:
+        pass
+
+
 def run_with_lineage(
     docs: DataFrame,
     out_path: str,
@@ -61,11 +79,14 @@ def run_with_lineage(
     transform,
     n_parts: int = 8,
     fail_after: int | None = None,
+    progress_path: str | None = None,
 ) -> list[int]:
     """Process the corpus bucket-by-bucket with checkpoint/resume.
 
     ``transform``: DataFrame → DataFrame (e.g. pipeline.extract).
     ``fail_after``: for tests — raise after N buckets to simulate a crash.
+    ``progress_path``: optional JSONL feed, one line per committed bucket
+    (plus a start line) for an external watcher to tail.
     Returns the list of buckets processed in THIS run (resume skips done ones).
     """
     spark = docs.sparkSession
@@ -77,6 +98,11 @@ def run_with_lineage(
     done = completed_parts(spark, lineage_path)
     parted = with_part(docs, n_parts).cache()
     processed: list[int] = []
+    _emit_progress(
+        progress_path,
+        {"event": "start", "total": n_parts, "resumed_done": sorted(done),
+         "ts": time.time()},
+    )
     try:
         for p in range(n_parts):
             if p in done:
@@ -108,6 +134,15 @@ def run_with_lineage(
             )
             lineage_row.write.mode("append").parquet(lineage_path)
             processed.append(p)
+            _emit_progress(
+                progress_path,
+                {"event": "bucket", "part": p, "total": n_parts,
+                 "done": len(done) + len(processed), "n_docs": int(n_docs),
+                 "n_spans": int(stats["n_spans"] or 0),
+                 "wall_s": round(wall, 3),
+                 "docs_per_sec": round(n_docs / wall, 2) if wall > 0 else 0.0,
+                 "ts": time.time()},
+            )
     finally:
         parted.unpersist()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

@@ -14,18 +14,35 @@ from docproc_spark.sources.lineage import completed_parts, run_with_lineage
 def test_resume_skips_completed_buckets(spark, tmp_path):
     out = str(tmp_path / "out")
     lin = str(tmp_path / "lineage")
+    prog = str(tmp_path / "progress.jsonl")
     docs = corpus.corpus_df(spark, 60, seed=7, mega_spans=200, partitions=4)
 
     # first run crashes after 3 of 6 buckets
     with pytest.raises(RuntimeError, match="simulated failure"):
-        run_with_lineage(docs, out, lin, extract, n_parts=6, fail_after=3)
+        run_with_lineage(
+            docs, out, lin, extract, n_parts=6, fail_after=3, progress_path=prog
+        )
     done_before = completed_parts(spark, lin)
     assert len(done_before) == 3
 
     # resume: processes ONLY the remaining buckets
-    processed = run_with_lineage(docs, out, lin, extract, n_parts=6)
+    processed = run_with_lineage(
+        docs, out, lin, extract, n_parts=6, progress_path=prog
+    )
     assert len(processed) == 3
     assert set(processed).isdisjoint(done_before)
+
+    # tail-able progress feed (reference --progress-file protocol): two
+    # start lines (second announces the resumed buckets) + one line per
+    # committed bucket with metrics
+    import json as _json
+
+    events = [_json.loads(line) for line in open(prog)]
+    starts = [e for e in events if e["event"] == "start"]
+    buckets = [e for e in events if e["event"] == "bucket"]
+    assert len(starts) == 2 and starts[1]["resumed_done"] == sorted(done_before)
+    assert len(buckets) == 6
+    assert buckets[-1]["done"] == 6 and all(b["docs_per_sec"] >= 0 for b in buckets)
 
     # lineage has one record per bucket with throughput metrics
     lineage = spark.read.parquet(lin)
