@@ -88,6 +88,63 @@ def _corpus_cache(spark, n_docs: int) -> str:
     return path
 
 
+_PINNED_RUN_SCRIPT = r"""
+import json, os, sys, time
+level = int(sys.argv[1]); corpus_path = sys.argv[2]; repeats = int(sys.argv[3])
+# Pin THIS process (and the JVM + python workers it spawns, which inherit
+# the mask) to exactly `level` CPUs: a local[N] run on an otherwise idle
+# 32-core host lets GC/python-worker/shuffle threads borrow the idle cores,
+# inflating the low level and understating true N->4N scaling. A real
+# N-core executor gets no such gift.
+os.sched_setaffinity(0, set(range(level)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(sys.argv[0])) or ".")
+from docproc_spark.pipeline import extract
+from docproc_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name=f"bench_pinned_{level}", master=f"local[{level}]",
+                  shuffle_partitions=level)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(corpus_path)
+extract(docs.limit(200)).agg(F.count("*")).collect()  # warmup: workers + JIT
+best, n = float("inf"), 0
+for _ in range(repeats):
+    df = extract(docs).agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("markdown")).alias("mdlen"),
+        F.sum(F.size("spans")).alias("ns"),
+    )
+    t0 = time.time()
+    row = df.collect()[0]
+    best = min(best, time.time() - t0)
+    n = int(row["n"])
+print("PINNED_RESULT " + json.dumps({"wall": best, "n": n}))
+"""
+
+
+def _extract_run_pinned(
+    level: int, corpus_path: str, repeats: int = 2
+) -> tuple[float, int]:
+    """One measured parallelism level in a SUBPROCESS pinned to exactly
+    `level` CPUs (sched_setaffinity is inherited by the JVM and its Python
+    workers) — the sandbox stand-in for an N-core executor. Returns
+    (best wall_s, n_docs)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-c", _PINNED_RUN_SCRIPT, str(level), corpus_path,
+         str(repeats)],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        check=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("PINNED_RESULT "):
+            r = json.loads(line[len("PINNED_RESULT "):])
+            return float(r["wall"]), int(r["n"])
+    raise RuntimeError(f"pinned run produced no result: {out.stdout[-500:]}\n{out.stderr[-500:]}")
+
+
 def _extract_run(
     master: str, corpus_path: str, shuffle: int, repeats: int = 2
 ) -> tuple[float, int]:
@@ -192,11 +249,23 @@ def main() -> None:
         # identical input); taking each level's cleanest window measures
         # the plan, not the neighbours.
         rounds = int(os.environ.get("SCALE_ROUNDS", "4"))
+        # SCALE_PINNED=1: each level runs in a subprocess bound to exactly
+        # N CPUs (sched_setaffinity, inherited by the JVM + python workers)
+        # — the strictest N-core-executor emulation. Default is unpinned
+        # local[N] for round-over-round comparability; see BASELINE.md
+        # "Scaling methodology" for the measured differences between the
+        # two modes (both land 0.69-0.79 on this shared host; the spread
+        # between repeat runs exceeds the spread between modes).
+        pinned = os.environ.get("SCALE_PINNED", "0") != "0"
         lo_walls, hi_walls, loads, n_s = [], [], [], 0
         for _ in range(rounds):
             loads.append(round(os.getloadavg()[0], 1))
-            w_lo, n_s = _extract_run(f"local[{lo}]", scale_path, lo)
-            w_hi, _ = _extract_run(f"local[{hi}]", scale_path, hi)
+            if pinned:
+                w_lo, n_s = _extract_run_pinned(lo, scale_path)
+                w_hi, _ = _extract_run_pinned(hi, scale_path)
+            else:
+                w_lo, n_s = _extract_run(f"local[{lo}]", scale_path, lo)
+                w_hi, _ = _extract_run(f"local[{hi}]", scale_path, hi)
             lo_walls.append(w_lo)
             hi_walls.append(w_hi)
         wall_lo, wall_hi2 = min(lo_walls), min(hi_walls)
@@ -211,6 +280,7 @@ def main() -> None:
             "docs_per_sec_high": round(dps_hi, 2),
             "speedup": round(dps_hi / dps_lo, 3) if dps_lo else 0.0,
             "scaling_efficiency": round(eff, 3),
+            "cpu_pinned": pinned,
             # shared-host transparency: 1-min load avg at each round start
             # (identical-input pair ratios measured 0.50-0.85 under tenant
             # spikes; min-per-level needs a quiet window to mean anything)
