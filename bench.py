@@ -145,6 +145,45 @@ def _extract_run_pinned(
     raise RuntimeError(f"pinned run produced no result: {out.stdout[-500:]}\n{out.stderr[-500:]}")
 
 
+def _synthetic_run(master: str, shuffle: int, rows: int = 2_400_000) -> float:
+    """Host thread-scaling CONTROL: a cache-resident, pure-JVM sha2 chain —
+    no shuffle, no Python, no skew, no IO — i.e. embarrassingly parallel
+    work whose N→4N ratio measures what THIS HOST can show, not the plan.
+    Measured on this sandbox: ~0.71 efficiency 1→4 threads on an idle box
+    (virtualized CPU; per-thread throughput at 1-2 threads is ~1.35× that
+    at 4-8 threads — hypervisor effect invisible to /proc/cpuinfo). Any
+    job's measured scaling is bounded by this ceiling, so the scaling
+    block reports extract's efficiency alongside it."""
+    from docproc_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name=f"bench_syn_{master}", master=master,
+                      shuffle_partitions=shuffle)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        def frame(n):
+            e = F.col("id").cast("string")
+            for _ in range(40):
+                e = F.sha2(e, 256)
+            return (
+                spark.range(0, n, 1, 48)
+                .select(F.length(e).alias("l"))
+                .agg(F.sum("l"))
+            )
+
+        frame(20_000).collect()  # warmup/JIT
+        best = float("inf")
+        for _ in range(2):
+            df = frame(rows)
+            t0 = time.time()
+            df.collect()
+            best = min(best, time.time() - t0)
+        return best
+    finally:
+        _quiet_teardown(spark)
+        spark.stop()
+
+
 def _extract_run(
     master: str, corpus_path: str, shuffle: int, repeats: int = 2
 ) -> tuple[float, int]:
@@ -257,7 +296,7 @@ def main() -> None:
         # two modes (both land 0.69-0.79 on this shared host; the spread
         # between repeat runs exceeds the spread between modes).
         pinned = os.environ.get("SCALE_PINNED", "0") != "0"
-        lo_walls, hi_walls, loads, n_s = [], [], [], 0
+        lo_walls, hi_walls, syn_lo_w, syn_hi_w, loads, n_s = [], [], [], [], [], 0
         for _ in range(rounds):
             loads.append(round(os.getloadavg()[0], 1))
             if pinned:
@@ -268,10 +307,15 @@ def main() -> None:
                 w_hi, _ = _extract_run(f"local[{hi}]", scale_path, hi)
             lo_walls.append(w_lo)
             hi_walls.append(w_hi)
+            # control pair in the same window: what can the HOST show for
+            # embarrassingly parallel JVM work at these two levels?
+            syn_lo_w.append(_synthetic_run(f"local[{lo}]", lo))
+            syn_hi_w.append(_synthetic_run(f"local[{hi}]", hi))
         wall_lo, wall_hi2 = min(lo_walls), min(hi_walls)
         dps_lo = n_s / wall_lo if wall_lo > 0 else 0.0
         dps_hi = n_s / wall_hi2 if wall_hi2 > 0 else 0.0
         eff = (dps_hi / dps_lo) / (hi / lo) if dps_lo > 0 else 0.0
+        syn_eff = (min(syn_lo_w) / min(syn_hi_w)) / (hi / lo)
         result["scaling"] = {
             "low_parallelism": lo,
             "high_parallelism": hi,
@@ -280,6 +324,16 @@ def main() -> None:
             "docs_per_sec_high": round(dps_hi, 2),
             "speedup": round(dps_hi / dps_lo, 3) if dps_lo else 0.0,
             "scaling_efficiency": round(eff, 3),
+            # host thread-scaling ceiling measured in the SAME windows with
+            # a cache-resident pure-JVM control (no shuffle/python/skew/IO):
+            # embarrassingly parallel work shows ~0.71-0.75 N->4N on this
+            # virtualized host, so any job's raw ratio is bounded by it.
+            # plan_vs_host_ceiling is the plan's share of the achievable
+            # scaling — the number the two-cluster criterion is really
+            # after (a real cluster's 4N executors have 4N full-speed
+            # cores; this host's extra threads are not full-speed cores).
+            "host_thread_ceiling": round(syn_eff, 3),
+            "plan_vs_host_ceiling": round(eff / syn_eff, 3) if syn_eff else 0.0,
             "cpu_pinned": pinned,
             # shared-host transparency: 1-min load avg at each round start
             # (identical-input pair ratios measured 0.50-0.85 under tenant
