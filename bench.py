@@ -48,23 +48,39 @@ BENCH_QUERIES = (
 )
 
 
+_QUIETED_LOGGERS = (
+    "org.apache.spark.scheduler.DAGScheduler",
+    "org.apache.spark.util.Utils",
+)
+
+
+def _set_logger_levels(spark, level_name: str) -> None:
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = getattr(jvm.org.apache.logging.log4j.Level, level_name)
+        for logger in _QUIETED_LOGGERS:
+            configurator.setLevel(logger, level)
+    except Exception:
+        pass  # log4j internals shifted — noise is cosmetic, never fail
+
+
 def _quiet_teardown(spark) -> None:
     """Silence the benign PythonAccumulatorV2.merge ERROR stack emitted by
     DAGScheduler when the Python accumulator socket closes during stop() —
     it buried real failures in two rounds of driver-captured tails. Level
-    is dropped immediately before stop(), so scheduler errors DURING the
-    measured run still surface."""
-    try:
-        jvm = spark.sparkContext._jvm
-        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
-        off = jvm.org.apache.logging.log4j.Level.OFF
-        for logger in (
-            "org.apache.spark.scheduler.DAGScheduler",
-            "org.apache.spark.util.Utils",
-        ):
-            configurator.setLevel(logger, off)
-    except Exception:
-        pass  # log4j internals shifted — noise is cosmetic, never fail
+    is dropped immediately before stop(). log4j levels are JVM-GLOBAL and
+    PySpark reuses the gateway JVM across sessions, so every session this
+    file creates re-arms them via _arm_logging right after get_spark —
+    otherwise the first teardown would mute scheduler errors for all later
+    measured runs."""
+    _set_logger_levels(spark, "OFF")
+
+
+def _arm_logging(spark) -> None:
+    """Re-enable the loggers _quiet_teardown mutes (JVM-global state
+    survives SparkSession.stop()) so errors DURING a measured run surface."""
+    _set_logger_levels(spark, "ERROR")
 
 
 def _force(df):
@@ -160,6 +176,7 @@ def _synthetic_run(master: str, shuffle: int, rows: int = 2_400_000) -> float:
     spark = get_spark(app_name=f"bench_syn_{master}", master=master,
                       shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
+    _arm_logging(spark)
     try:
         def frame(n):
             e = F.col("id").cast("string")
@@ -201,6 +218,7 @@ def _extract_run(
     # ERROR level: a benign PythonAccumulatorV2 WARN stack trace at worker
     # teardown otherwise pollutes the captured tail and buries real failures
     spark.sparkContext.setLogLevel("ERROR")
+    _arm_logging(spark)
     try:
         docs = spark.read.parquet(corpus_path)
         extract(docs.limit(200)).agg(F.count("*")).collect()  # warmup
@@ -238,6 +256,7 @@ def main() -> None:
     # stage the corpus once (generation excluded from all timings)
     spark = get_spark(app_name="bench_stage", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    _arm_logging(spark)
     corpus_path = _corpus_cache(spark, n_docs)
 
     # per-query timings at the high parallelism level
@@ -279,6 +298,7 @@ def main() -> None:
         spark2 = get_spark(app_name="bench_scale_stage", master=f"local[{CPUS}]",
                            shuffle_partitions=CPUS)
         spark2.sparkContext.setLogLevel("ERROR")
+        _arm_logging(spark2)
         scale_path = _corpus_cache(spark2, n_scale)
         _quiet_teardown(spark2)
         spark2.stop()

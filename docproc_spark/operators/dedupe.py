@@ -365,15 +365,16 @@ def simhash64(
     value fits a signed int64 exactly; token hash = first 15 hex chars of
     md5 via conv base-16→10).
 
-    Plan shape: explode tokens → bit extraction packed 3 counters per long
-    (21 bits each — shifted addends, so one F.sum carries three bit
-    totals) → single groupBy(doc_id) with 21 sums instead of 61 → unpack +
-    signature fold. One shuffle, map-side partial aggregation. The packing
-    bounds per-doc token count at 2^21 (~2M tokens) — beyond that a packed
-    counter would carry into its neighbour; chunk such docs upstream (the
-    extraction pipeline routes >100k-span docs to salting long before).
+    Plan shape: explode tokens → bit extraction packed 2 counters per long
+    (31 bits each — shifted addends, so one F.sum carries two bit totals)
+    → single groupBy(doc_id) with 31 sums instead of 61 → unpack +
+    signature fold. One shuffle, map-side partial aggregation. 31-bit
+    counters keep the packed sum inside int64 (ANSI-safe) and carry-free
+    up to 2^31 tokens per document — beyond any real document (a 3-wide/
+    21-bit packing would silently corrupt signatures at ~2M tokens, a size
+    a single giant text span can reach).
     """
-    pack, w = 3, 21
+    pack, w = 2, 31
     mask = (1 << w) - 1
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     toks = docs.select(

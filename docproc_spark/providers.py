@@ -50,8 +50,10 @@ class HttpVisionProvider(CaptionProvider):
 
     def caption_batch(self, media_ref: pd.Series, context: pd.Series) -> pd.Series:
         raise NotImplementedError(
-            "network vision providers are a deployment concern; "
-            "use DeterministicStubProvider for the invariant path"
+            "'http' is a legacy placeholder. For a real vision API use "
+            "get_provider('batching-vision', transport=OpenAIVisionTransport(...)) "
+            "(docproc_spark.providers_http); for the deterministic invariant "
+            "path use DeterministicStubProvider."
         )
 
 
@@ -365,10 +367,27 @@ _FACTORIES = {
 }
 
 
+_CACHE_KW: dict[str, str] = {}
+
+
 def get_provider(provider_id: str = "stub", **kwargs):
-    """Instance cache keyed by provider id (reference factory.py:73-80)."""
-    if provider_id not in _CACHE:
-        if provider_id not in _FACTORIES:
-            raise ValueError(f"Unsupported provider: {provider_id}")
-        _CACHE[provider_id] = _FACTORIES[provider_id](**kwargs)
+    """Instance cache keyed by provider id (reference factory.py:73-80).
+
+    Config-drift guard: the credentialed HTTP factories made the keyed-
+    by-id cache dangerous — a second call with a DIFFERENT api_key /
+    base_url / model would silently return the first instance and send
+    requests to the wrong endpoint with the wrong credentials. A cache hit
+    with different kwargs now raises instead."""
+    kw_sig = repr(sorted(kwargs.items(), key=lambda kv: kv[0]))
+    if provider_id in _CACHE:
+        if kw_sig != _CACHE_KW[provider_id]:
+            raise ValueError(
+                f"provider {provider_id!r} already cached with different "
+                "config; construct the class directly or clear the cache"
+            )
+        return _CACHE[provider_id]
+    if provider_id not in _FACTORIES:
+        raise ValueError(f"Unsupported provider: {provider_id}")
+    _CACHE[provider_id] = _FACTORIES[provider_id](**kwargs)
+    _CACHE_KW[provider_id] = kw_sig
     return _CACHE[provider_id]

@@ -159,6 +159,7 @@ class AzureOpenAIChatProvider(OpenAIChatProvider):
         api_key: str = "",
         endpoint: str = "",
         deployment: str = "gpt-4o",
+        embedding_deployment: str = "text-embedding-ada-002",
         api_version: str = "2024-02-15-preview",
         timeout_s: float = 60.0,
         max_retries: int = 3,
@@ -174,6 +175,8 @@ class AzureOpenAIChatProvider(OpenAIChatProvider):
             timeout_s=timeout_s,
             max_retries=max_retries,
         )
+        self.endpoint = endpoint.rstrip("/")
+        self.embedding_deployment = embedding_deployment
         self.api_version = api_version
 
     def _headers(self) -> dict:
@@ -193,6 +196,24 @@ class AzureOpenAIChatProvider(OpenAIChatProvider):
         return (data.get("choices") or [{}])[0].get("message", {}).get(
             "content"
         ) or ""
+
+    def embed(self, texts: list, model: str | None = None) -> list:
+        """Azure embeddings address the EMBEDDING deployment in the URL
+        path and need api-version — the inherited OpenAI embed() would hit
+        the chat deployment with no api-version and 400/404 (reference
+        azure_provider.py:70-73: deployment = model or
+        embedding_deployment)."""
+        dep = model or self.embedding_deployment
+        data = _post_with_retries(
+            self.client,
+            f"{self.endpoint}/openai/deployments/{dep}/embeddings"
+            f"?api-version={self.api_version}",
+            self._headers(),
+            {"input": list(texts)},
+            self.timeout_s,
+            self.max_retries,
+        )
+        return [d.get("embedding", []) for d in data.get("data", [])]
 
 
 class AnthropicChatProvider(ChatProvider):

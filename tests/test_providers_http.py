@@ -203,3 +203,16 @@ class TestOpenAIVisionTransport:
         # 2 HTTP calls: ceil(7/5) batches
         assert len(c.requests) == 2
         P._CACHE.pop("batching-vision", None)
+
+    def test_get_provider_rejects_config_drift(self):
+        """A cache hit with DIFFERENT kwargs must raise, not silently hand
+        back the first instance's credentials/endpoint."""
+        import docproc_spark.providers as P
+
+        P._CACHE.pop("openai-chat", None)
+        c = CannedClient([])
+        first = P.get_provider("openai-chat", client=c, api_key="sk-A")
+        assert P.get_provider("openai-chat", client=c, api_key="sk-A") is first
+        with pytest.raises(ValueError, match="different +config"):
+            P.get_provider("openai-chat", client=c, api_key="sk-B")
+        P._CACHE.pop("openai-chat", None)
