@@ -477,14 +477,21 @@ def _events_stream_dedupe(spark, sf):
     batch — dropDuplicates state must kill the replay. Batch oracle: each
     event once."""
     import os
-    import tempfile
 
     from docproc_spark.streaming.events import dedupe_stream, run_stream_once
 
     src = os.path.abspath(f"{sf}/events.parquet")
-    d = tempfile.mkdtemp(prefix="stream_dupes_")
-    os.symlink(src, os.path.join(d, "a.parquet"))
-    os.symlink(src, os.path.join(d, "b.parquet"))
+    # deterministic staged dir (idempotent) — a mkdtemp per invocation
+    # leaked one /tmp dir per correctness/bench run
+    key = sf.rstrip("/").rsplit("/", 1)[-1]
+    d = f"/root/repo/.bench_cache/stream_dupes_{key}"
+    os.makedirs(d, exist_ok=True)
+    for name in ("a.parquet", "b.parquet"):
+        link = os.path.join(d, name)
+        if os.path.islink(link) and os.readlink(link) != src:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(src, link)
     name = f"dedupe_out_{next(_COUNTER)}"
     return run_stream_once(
         spark,
@@ -548,8 +555,8 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 # queries — documents: text analysis
 # ---------------------------------------------------------------------------
-_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
-_LTOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), t -> t <> '')"
+_LTOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'), t -> t <> '')"
 
 
 def _doc_stats(spark, sf):
@@ -744,7 +751,7 @@ WITH keep AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
            row_number() OVER (
-             PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             PARTITION BY md5(lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))
              ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1
 ), b AS (
@@ -789,7 +796,7 @@ def _fingerprints(spark, sf):
 
 
 _FP_SQL = """
-SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
 FROM documents
 """
 
@@ -822,7 +829,7 @@ def _exact_dup_groups(spark, sf):
 
 _EXACT_DUP_SQL = """
 WITH f AS (
-  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
   FROM documents
 )
 SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
@@ -840,7 +847,7 @@ _FIRST_WINS_SQL = """
 SELECT doc_id FROM (
   SELECT doc_id,
          row_number() OVER (
-           PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+           PARTITION BY md5(lower(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))
            ORDER BY doc_id) AS rn
   FROM documents
 ) WHERE rn = 1
@@ -1225,10 +1232,15 @@ def _sanitize_llm_sql(max_tokens: int = 50) -> str:
     max_tokens*4 chars at the last space, trim."""
     from docproc_spark.kernels.llm_input import INJECTION_PATTERNS
 
+    # python \s on the documented ASCII input = [\t-\r\x1c-\x1f ] — RE2's
+    # \s excludes \x0b and \x1c-\x1f, so the class is written out both in
+    # the collapse and INSIDE the injection patterns
+    py_ws = r"[\t-\r\x1c-\x1f ]"
     expr = "trim(coalesce(text, ''))"
     for p in INJECTION_PATTERNS:
-        expr = f"regexp_replace({expr}, '{p}', ' ', 'gi')"
-    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+        p_re2 = p.replace(r"\s", py_ws)
+        expr = f"regexp_replace({expr}, '{p_re2}', ' ', 'gi')"
+    expr = f"trim(regexp_replace({expr}, '{py_ws}+', ' ', 'g'))"
     mc = max(1, max_tokens * 4)
     return f"""
 WITH o AS (
@@ -1278,6 +1290,22 @@ LIMIT 10
 # sequential left fold, so the "approximate" queries are bit-reproducible
 # in plain SQL: same buckets, same candidates, same re-ranked top-k.
 _EMB_DIMS = 64  # embeddings.parquet fixture dimensionality (all sf dirs)
+
+
+def _emb64(spark, sf):
+    """embeddings table with the dimensionality ASSERTED: the ANN oracle
+    SQL hardcodes {_EMB_DIMS}-component planes and a range(0,{_EMB_DIMS})
+    centroid unroll, while the Spark operators probe dims from the data —
+    a fixture dims change must fail loudly here, not silently diverge
+    (DuckDB list_zip would quietly truncate the extra components)."""
+    emb = _t(spark, sf, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    if dims != _EMB_DIMS:
+        raise AssertionError(
+            f"embeddings dims changed: {dims} != {_EMB_DIMS}; regenerate "
+            "the ANN oracle SQL (_EMB_DIMS) to match"
+        )
+    return emb
 
 
 def _duck_plane(seed_b: int, p: int) -> str:
@@ -1642,14 +1670,14 @@ def _neardup_cosine_lsh(spark, sf):
     from docproc_spark.operators.similarity import cosine_neardup_pairs_lsh
 
     return cosine_neardup_pairs_lsh(
-        _t(spark, sf, "embeddings"), threshold=0.4, n_bands=6, planes_per_band=3
+        _emb64(spark, sf), threshold=0.4, n_bands=6, planes_per_band=3
     )
 
 
 def _ivf_topk(spark, sf):
     from docproc_spark.operators.similarity import ivf_topk
 
-    return ivf_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+    return ivf_topk(_emb64(spark, sf), query_vec_id=0, k=10)
 
 
 def _lsh_index_ann(spark, sf):
@@ -1660,12 +1688,21 @@ def _lsh_index_ann(spark, sf):
     from docproc_spark.operators.similarity import build_lsh_index, lsh_index_topk
 
     key = sf.rstrip("/").rsplit("/", 1)[-1]
-    # v2: plane scheme changed xxhash64 → md5 (cross-engine determinism);
-    # a stale v1 index would silently return the old buckets
-    path = f"/root/repo/.bench_cache/lsh_index_v2_{key}"
-    emb = _t(spark, sf, "embeddings")
+    # v2: plane scheme changed xxhash64 → md5 (cross-engine determinism).
+    # The cache key also folds in the SOURCE DATA's (size, mtime): if the
+    # driver regenerates embeddings.parquet, a version-only key would keep
+    # serving buckets/vectors built from the old corpus while the DuckDB
+    # oracle reads the new one — a spurious, hard-to-diagnose gate failure.
+    src = f"{sf.rstrip('/')}/embeddings.parquet"
+    try:
+        st = os.stat(src)
+        data_key = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        data_key = "nostat"
+    path = f"/root/repo/.bench_cache/lsh_index_v2_{key}_{data_key}"
+    emb = _emb64(spark, sf)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_lsh_index(emb, path, n_bands=12, planes_per_band=3)
+        build_lsh_index(emb, path, n_bands=12, planes_per_band=3, dims=_EMB_DIMS)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_index_topk(
         spark, path, qvec, k=10, n_bands=12, planes_per_band=3, exclude_vec_id=0
@@ -1893,7 +1930,7 @@ def _lsh_ann_topk(spark, sf):
     from docproc_spark.operators.similarity import lsh_topk
 
     return lsh_topk(
-        _t(spark, sf, "embeddings"), query_vec_id=0, k=10, n_bands=12, planes_per_band=3
+        _emb64(spark, sf), query_vec_id=0, k=10, n_bands=12, planes_per_band=3
     )
 
 

@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = r"\s+"
+# Java \s, written out: [ \t\n\x0b\f\r]. Explicit because engines disagree
+# about \s — RE2 (the DuckDB oracle) excludes \x0b — and an implicit class
+# silently breaks bit-parity the first time a document carries a vertical tab.
+TOKEN_SPLIT = r"[ \t\n\x0b\f\r]+"
 
 
 def tokens_col(text: Column) -> Column:
@@ -32,7 +35,7 @@ def tokens_col(text: Column) -> Column:
 
 def fingerprint_col(text: Column) -> Column:
     """Normalization fingerprint: md5 of lowercased whitespace-collapsed text."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), TOKEN_SPLIT, " ")))
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -309,13 +312,23 @@ def dup_components(
     round — bounded by max_iter.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # cache the symmetrized edge table AND the round-0 labels: `pairs` is
+    # typically a whole candidate-generation pipeline (banding, bucket
+    # joins, shingle explodes over the corpus) — uncached, EVERY round's
+    # join + convergence count() re-executes that full lineage, turning
+    # O(E)-per-round label propagation into O(rounds × pipeline)
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
+        .cache()
     )
     for _ in range(max_iter):
         neigh = (
@@ -339,7 +352,7 @@ def dup_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()  # no-op on the uncached round-0 frame
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -355,6 +368,11 @@ def dup_components(
             max_iter,
             changed,
         )
+    # edges stays cached until the caller's action completes — the result
+    # is lazy atop `labels` only, so dropping edges here is safe; labels'
+    # final cache is the returned lineage (session clearCache contract,
+    # same as the LSH operators)
+    edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 

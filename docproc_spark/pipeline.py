@@ -752,22 +752,28 @@ def extract(
         # from BOTH branches. The explicit pair keeps every leaf a bare
         # pushable comparison and the branches a disjoint cover.
         if "n_spans" in docs.columns:
+            base = F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
             mega = F.col("n_spans") > mega_doc_threshold
             not_mega = (F.col("n_spans") <= mega_doc_threshold) | F.col(
                 "n_spans"
             ).isNull()
         else:
-            n = F.when(F.col("spans").isNull(), F.lit(0)).otherwise(
+            base = F.when(F.col("spans").isNull(), F.lit(0)).otherwise(
                 F.size("spans")
             ).cast("long")
-            mega = n > mega_doc_threshold
+            mega = base > mega_doc_threshold
             not_mega = ~mega
         if "raw_html" in docs.columns:
-            html_mega = (
+            # route on the COMBINED estimate (a doc can cross the threshold
+            # with each source below it); this branch is non-pushable
+            # anyway once raw_html participates, so the sum costs nothing —
+            # the bare pushable pair above is kept for span-only tables
+            html_est = (
                 F.coalesce(F.length("raw_html"), F.lit(0)) / F.lit(8)
-            ).cast("long") > mega_doc_threshold
-            mega = mega | html_mega
-            not_mega = not_mega & ~html_mega
+            ).cast("long")
+            combined_mega = (base + html_est) > mega_doc_threshold
+            mega = mega | combined_mega
+            not_mega = not_mega & ~combined_mega
         normal = extract(
             docs.filter(not_mega),
             drop_kinds=drop_kinds,
