@@ -219,7 +219,8 @@ class AzureOpenAIChatProvider(OpenAIChatProvider):
 class AnthropicChatProvider(ChatProvider):
     """POST {base_url}/v1/messages with x-api-key + anthropic-version;
     system is a top-level param and the reply content is a block list
-    (reference anthropic_provider.py)."""
+    (reference anthropic_provider.py; the default model mirrors its
+    public default at anthropic_provider.py:16)."""
 
     provider_id = "anthropic-chat"
 
