@@ -674,7 +674,7 @@ _GOPHER_SQL = f"""
 WITH b AS (
   SELECT doc_id, text,
          {_TOKS} AS toks,
-         list_filter(list_transform(string_split(coalesce(text, ''), e'\n'),
+         list_filter(list_transform(regexp_split_to_array(coalesce(text, ''), '\r?\n'),
                                     l -> trim(l)), l -> l <> '') AS lines
   FROM documents
 ), g AS (
@@ -696,8 +696,9 @@ WITH b AS (
 ), m AS (
   SELECT doc_id, dup_line_frac, mean_word_len, alpha_word_frac,
          CASE WHEN length(coalesce(text, '')) > 0
-              THEN round(coalesce(list_max(list_transform(list_distinct(bg),
-                     v -> len(list_filter(bg, x -> x = v)) * length(v))), 0)
+              THEN round(coalesce(struct_extract(list_max(list_transform(list_distinct(bg),
+                     v -> struct_pack(cnt := len(list_filter(bg, x -> x = v)),
+                           chars := len(list_filter(bg, x -> x = v)) * length(v)))), 'chars'), 0)
                    / length(coalesce(text, '')), 4)
               ELSE 0.0 END AS top_bigram_frac
   FROM g
@@ -722,7 +723,7 @@ def _docs_hash_sample(spark, sf):
 
 _HASH_SAMPLE_SQL = """
 SELECT doc_id, lang, source FROM documents
-WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+WHERE CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 8)) AS BIGINT)
       < CAST(0.25 * 4294967296 AS BIGINT)
 """
 

@@ -154,9 +154,16 @@ GOPHER_MAX_TOP_BIGRAM_FRAC = 0.18
 
 
 def dup_line_fraction_col(text: Column) -> Column:
-    """Fraction of lines that are repeats of an earlier line."""
+    """Fraction of lines that are repeats of an earlier line.
+
+    Splits on \\r?\\n: splitting on bare \\n leaves a trailing \\r on every
+    CRLF line and turns blank lines into identical non-empty '\\r' lines —
+    a CRLF doc with zero real repetition would cross the Gopher drop
+    threshold on phantom duplicates."""
     lines = F.filter(
-        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l)),
+        F.transform(
+            F.split(F.coalesce(text, F.lit("")), "\r?\n"), lambda l: F.trim(l)
+        ),
         lambda l: l != "",
     )
     n = F.size(lines)
@@ -203,11 +210,26 @@ def gopher_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         _bigrams_col(t).alias("_bg"),
     )
     bg = F.col("_bg")
-    counts = F.transform(
+    # coverage of the MOST FREQUENT bigram (the Gopher rule) — NOT
+    # max(count × length) over all bigrams, which lets one long rare
+    # bigram outweigh the actual repetition signal. Struct max compares
+    # cnt first; ties resolve toward larger coverage (deterministic).
+    stats = F.transform(
         F.array_distinct(bg),
-        lambda b: F.size(F.filter(bg, lambda x: x == b)) * F.length(b),
+        lambda b: F.struct(
+            F.size(F.filter(bg, lambda x: x == b)).alias("cnt"),
+            F.length(b).alias("blen"),
+        ),
     )
-    covered = F.coalesce(F.array_max(counts), F.lit(0))
+    top = F.array_max(
+        F.transform(
+            stats,
+            lambda s: F.struct(
+                s["cnt"].alias("cnt"), (s["cnt"] * s["blen"]).alias("chars")
+            ),
+        )
+    )
+    covered = F.coalesce(top["chars"], F.lit(0))
     n_chars = F.length(F.coalesce(F.col("_t"), F.lit("")))
     top_bigram = F.when(n_chars > 0, F.round(covered / n_chars, 4)).otherwise(
         F.lit(0.0)

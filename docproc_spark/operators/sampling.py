@@ -18,9 +18,16 @@ _BUCKETS = 0x100000000  # 2^32 — md5's first 8 hex chars
 
 def hash_bucket_col(key: Column, salt: str = "") -> Column:
     """Uniform bucket in [0, 2^32) from md5(salt || key) — engine-portable
-    (md5 hex is canonical; DuckDB reproduces it bit-for-bit)."""
+    (md5 hex is canonical; DuckDB reproduces it bit-for-bit).
+
+    Null keys hash as the sentinel string '\\x00null' rather than null:
+    an unhandled null propagates through md5 into every range predicate as
+    null, silently dropping the row from the sample AND from every split —
+    violating the 'membership is a pure function of (salt, key)' contract.
+    """
+    k = F.coalesce(key.cast("string"), F.lit("\x00null"))
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(salt), k)), 1, 8), 16, 10
     ).cast("long")
 
 

@@ -47,11 +47,26 @@ def with_part(docs: DataFrame, n_parts: int, id_col: str = "doc_id") -> DataFram
 
 
 def completed_parts(spark: SparkSession, lineage_path: str) -> set[int]:
+    """Parts with a committed lineage row. ONLY a missing lineage table
+    means 'first run' — a permissions error or a corrupt footer must
+    propagate, not silently restart the whole job from bucket 0 (the
+    output would still be correct via idempotent overwrite, but the entire
+    checkpoint benefit would vanish and the corruption stay hidden)."""
+    from pyspark.errors import AnalysisException
+
     try:
-        rows = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path).select("part").distinct().collect()
+        rows = (
+            spark.read.schema(LINEAGE_SCHEMA)
+            .parquet(lineage_path)
+            .select("part")
+            .distinct()
+            .collect()
+        )
         return {r["part"] for r in rows}
-    except Exception:
-        return set()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return set()
+        raise
 
 
 def _emit_progress(progress_path: str | None, record: dict) -> None:

@@ -69,11 +69,17 @@ def write_sqlite(
     single_file=False writes one shard per partition
     (``{db_path}.part-NNNNN``) — the parallel shape at scale.
 
-    Idempotent: each task writes to a task-attempt temp file and
-    atomically renames over the target on success — a job re-run REPLACES
-    the table instead of appending duplicates, and a Spark task retry
+    Idempotent AND multi-table: each task copies the existing target db
+    (if any) to a task-attempt temp file, DROPs + recreates ONLY ``table``
+    inside it, and atomically renames over the target on success — a job
+    re-run REPLACES the table (not the whole file: other tables previously
+    written to the same db survive, matching the reference's
+    one-writer-per-table shape, sqlite.py:40-57), and a Spark task retry
     after a partial write leaves no half-committed rows behind (the temp
-    file of the dead attempt is simply abandoned).
+    file of the dead attempt is simply abandoned). With single_file=False,
+    stale ``.part-NNNNN`` shards beyond the new partition count are
+    removed up front — a re-run with fewer partitions must not leave a
+    reader unioning fresh and stale shards.
     """
     from pyspark import TaskContext
 
@@ -92,9 +98,14 @@ def write_sqlite(
         elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType,
                                      T.DateType)):
             prep = prep.withColumn(f.name, F.col(f.name).cast("string"))
+        elif isinstance(f.dataType, T.DecimalType):
+            # sqlite3 cannot bind decimal.Decimal — the type map says REAL,
+            # so the value must actually arrive as a float
+            prep = prep.withColumn(f.name, F.col(f.name).cast("double"))
     cols = prep.schema.fields
     col_names = [f.name for f in cols]
     cols_def = ", ".join(f"{f.name} {sqlite_type(f.dataType)}" for f in cols)
+    drop_sql = f"DROP TABLE IF EXISTS {table};"
     create_sql = f"CREATE TABLE IF NOT EXISTS {table} ({cols_def});"
     insert_sql = (
         f"INSERT INTO {table} ({', '.join(col_names)}) "
@@ -112,9 +123,16 @@ def write_sqlite(
         tmp = f"{path}.tmp-{attempt}"
         if os.path.exists(tmp):
             os.remove(tmp)
+        if os.path.exists(path):
+            # start from the existing db so OTHER tables survive the
+            # atomic rename; only `table` is dropped and rebuilt
+            import shutil
+
+            shutil.copyfile(path, tmp)
         con = sqlite3.connect(tmp)
         try:
             cur = con.cursor()
+            cur.execute(drop_sql)
             cur.execute(create_sql)
             batch = []
             for r in rows:
@@ -129,6 +147,18 @@ def write_sqlite(
         finally:
             con.close()
         os.replace(tmp, path)  # atomic commit of the whole partition
+
+    if not single_file:
+        # remove stale shards a lower-partition-count re-run would orphan
+        import glob
+        import os as _os
+        import re as _re
+
+        n_parts = prep.rdd.getNumPartitions()
+        for shard in glob.glob(f"{db_path}.part-*"):
+            m = _re.fullmatch(_re.escape(db_path) + r"\.part-(\d{5})", shard)
+            if m and int(m.group(1)) >= n_parts:
+                _os.remove(shard)
 
     target = prep.coalesce(1) if single_file else prep
     target.foreachPartition(write_partition)

@@ -9,6 +9,7 @@ operators so batch/stream parity is testable.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -164,16 +165,29 @@ def run_stream_once(
     """
     schema = spark.read.parquet(events_path).schema
     src = events_path
+    # Staging dirs are DETERMINISTIC per (source, mtime, n_chunks) and
+    # reused — a mkdtemp per invocation leaked one /tmp dir (and, for the
+    # chunked path, a full corpus copy) per correctness/bench run.
+    abs_src = os.path.abspath(events_path)
+    try:
+        stamp = int(os.stat(abs_src).st_mtime)
+    except OSError:
+        stamp = 0
+    key = hashlib.md5(f"{abs_src}:{stamp}:{n_chunks}".encode()).hexdigest()[:12]
     if n_chunks > 1:
-        d = tempfile.mkdtemp(prefix="stream_chunks_")
-        spark.read.parquet(events_path).repartition(n_chunks).write.mode(
-            "overwrite"
-        ).parquet(d)
+        d = os.path.join(tempfile.gettempdir(), f"stream_chunks_{key}")
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            spark.read.parquet(events_path).repartition(n_chunks).write.mode(
+                "overwrite"
+            ).parquet(d)
         src = d
     elif os.path.isfile(events_path):
         # FileStreamSource requires a directory — stage a symlink dir
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
+        d = os.path.join(tempfile.gettempdir(), f"stream_src_{key}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(events_path))
+        if not os.path.exists(link):
+            os.symlink(abs_src, link)
         src = d
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
