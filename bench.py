@@ -133,17 +133,34 @@ for _ in range(repeats):
     row = df.collect()[0]
     best = min(best, time.time() - t0)
     n = int(row["n"])
-print("PINNED_RESULT " + json.dumps({"wall": best, "n": n}))
+# Host-ceiling CONTROL inside the SAME pinned process/window: pure-JVM
+# sha2 chain, no shuffle/python/IO — what THIS affinity mask can show for
+# embarrassingly parallel work (see _synthetic_run).
+def syn_frame(rows):
+    e = F.col("id").cast("string")
+    for _ in range(40):
+        e = F.sha2(e, 256)
+    return (spark.range(0, rows, 1, 48)
+            .select(F.length(e).alias("l")).agg(F.sum("l")))
+syn_frame(20_000).collect()
+syn_best = float("inf")
+for _ in range(2):
+    df = syn_frame(2_400_000)
+    t0 = time.time()
+    df.collect()
+    syn_best = min(syn_best, time.time() - t0)
+print("PINNED_RESULT " + json.dumps({"wall": best, "n": n, "syn_wall": syn_best}))
 """
 
 
 def _extract_run_pinned(
     level: int, corpus_path: str, repeats: int = 2
-) -> tuple[float, int]:
+) -> tuple[float, int, float]:
     """One measured parallelism level in a SUBPROCESS pinned to exactly
     `level` CPUs (sched_setaffinity is inherited by the JVM and its Python
     workers) — the sandbox stand-in for an N-core executor. Returns
-    (best wall_s, n_docs)."""
+    (best wall_s, n_docs, synthetic-control wall_s measured under the same
+    affinity mask in the same window)."""
     import subprocess
 
     out = subprocess.run(
@@ -157,7 +174,7 @@ def _extract_run_pinned(
     for line in out.stdout.splitlines():
         if line.startswith("PINNED_RESULT "):
             r = json.loads(line[len("PINNED_RESULT "):])
-            return float(r["wall"]), int(r["n"])
+            return float(r["wall"]), int(r["n"]), float(r["syn_wall"])
     raise RuntimeError(f"pinned run produced no result: {out.stdout[-500:]}\n{out.stderr[-500:]}")
 
 
@@ -259,18 +276,29 @@ def main() -> None:
     _arm_logging(spark)
     corpus_path = _corpus_cache(spark, n_docs)
 
-    # per-query timings at the high parallelism level
+    # per-query timings at the high parallelism level — min-of-2 with a
+    # FRESH DataFrame per repeat (a second collect on the same frame hits
+    # result/stage reuse and reads ~0.1 s): the first repeat eats one-time
+    # whole-stage-codegen compile, the min is the host-noise-resistant
+    # number the plan actually costs.
     qtimes: dict[str, float] = {}
+    headline_loads = [round(os.getloadavg()[0], 1)]
     qs = entrymod.queries()
+    q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _force(qs[name](spark, SF_DIR))
-        qtimes[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(q_repeats):
+            df = qs[name](spark, SF_DIR)
+            t0 = time.time()
+            _force(df)
+            best = min(best, time.time() - t0)
+        qtimes[name] = round(best, 3)
     _quiet_teardown(spark)
     spark.stop()
 
     # headline extraction throughput at local[CPUS] — min-of-3: high thread
     # counts are the worst victims of host tenant spikes (see BASELINE.md)
+    headline_loads.append(round(os.getloadavg()[0], 1))
     wall_hi, n = _extract_run(f"local[{CPUS}]", corpus_path, CPUS, repeats=3)
     docs_per_sec = n / wall_hi if wall_hi > 0 else 0.0
     qtimes["extract_flagship"] = round(wall_hi, 3)
@@ -282,6 +310,9 @@ def main() -> None:
         "queries": qtimes,
         "sf": sf_key,
         "n_docs": n,
+        # 1-min loadavg at query-phase start and headline start: shared
+        # host — a high value here explains a slow recorded number
+        "loadavg_headline": headline_loads,
     }
 
     if DO_SCALING:
@@ -308,29 +339,32 @@ def main() -> None:
         # identical input); taking each level's cleanest window measures
         # the plan, not the neighbours.
         rounds = int(os.environ.get("SCALE_ROUNDS", "4"))
-        # SCALE_PINNED=1: each level runs in a subprocess bound to exactly
-        # N CPUs (sched_setaffinity, inherited by the JVM + python workers)
-        # — the strictest N-core-executor emulation. Default is unpinned
-        # local[N] for round-over-round comparability; see BASELINE.md
-        # "Scaling methodology" for the measured differences between the
-        # two modes (both land 0.69-0.79 on this shared host; the spread
-        # between repeat runs exceeds the spread between modes).
-        pinned = os.environ.get("SCALE_PINNED", "0") != "0"
+        # SCALE_PINNED=1 (the DEFAULT since round 4): each level runs in a
+        # subprocess bound to exactly N CPUs (sched_setaffinity, inherited
+        # by the JVM + python workers) — the strictest N-core-executor
+        # emulation, and the recorded number. In pinned mode the host-
+        # ceiling control runs INSIDE the same pinned subprocess, so
+        # extract and control see the identical affinity mask and window.
+        # SCALE_PINNED=0 restores unpinned local[N] (r1-r3 comparability);
+        # see BASELINE.md "Scaling methodology" for measured mode deltas.
+        pinned = os.environ.get("SCALE_PINNED", "1") != "0"
         lo_walls, hi_walls, syn_lo_w, syn_hi_w, loads, n_s = [], [], [], [], [], 0
         for _ in range(rounds):
             loads.append(round(os.getloadavg()[0], 1))
             if pinned:
-                w_lo, n_s = _extract_run_pinned(lo, scale_path)
-                w_hi, _ = _extract_run_pinned(hi, scale_path)
+                w_lo, n_s, s_lo = _extract_run_pinned(lo, scale_path)
+                w_hi, _, s_hi = _extract_run_pinned(hi, scale_path)
+                syn_lo_w.append(s_lo)
+                syn_hi_w.append(s_hi)
             else:
                 w_lo, n_s = _extract_run(f"local[{lo}]", scale_path, lo)
                 w_hi, _ = _extract_run(f"local[{hi}]", scale_path, hi)
+                # control pair in the same window: what can the HOST show
+                # for embarrassingly parallel JVM work at these two levels?
+                syn_lo_w.append(_synthetic_run(f"local[{lo}]", lo))
+                syn_hi_w.append(_synthetic_run(f"local[{hi}]", hi))
             lo_walls.append(w_lo)
             hi_walls.append(w_hi)
-            # control pair in the same window: what can the HOST show for
-            # embarrassingly parallel JVM work at these two levels?
-            syn_lo_w.append(_synthetic_run(f"local[{lo}]", lo))
-            syn_hi_w.append(_synthetic_run(f"local[{hi}]", hi))
         wall_lo, wall_hi2 = min(lo_walls), min(hi_walls)
         dps_lo = n_s / wall_lo if wall_lo > 0 else 0.0
         dps_hi = n_s / wall_hi2 if wall_hi2 > 0 else 0.0

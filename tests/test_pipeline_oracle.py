@@ -136,7 +136,11 @@ def test_extract_on_canonical_span_only_shape(spark, tmp_path):
     path = str(tmp_path / "span_only")
     no_html.select("doc_id", "spans", "n_spans").write.parquet(path)
     span_only = spark.read.parquet(path)
-    res = extract(span_only)
+    # probe_routing=False keeps the static two-branch plan this test is
+    # about; the default eager probe would elide the salted branch here
+    # (max n_spans=300 < threshold) — that path is covered by
+    # test_probe_elides_dead_salted_branch.
+    res = extract(span_only, probe_routing=False)
     plan = res._jdf.queryExecution().executedPlan().toString()
     pushed = set(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
     assert any("GreaterThan(n_spans" in p for p in pushed), pushed
@@ -146,4 +150,35 @@ def test_extract_on_canonical_span_only_shape(spark, tmp_path):
         for r in extract(no_html).collect()
     }
     got = {r["doc_id"]: (r["markdown"], r["n_pages"]) for r in res.collect()}
+    assert got == want
+
+
+def test_probe_elides_dead_salted_branch(spark, tmp_path):
+    """With an ingest-time n_spans column whose max is under the routing
+    threshold, the default eager probe builds the single-branch plan (no
+    Union, one scan); with a doc over the threshold the union survives.
+    Results are identical either way."""
+    from docproc_spark.corpus import corpus_df
+
+    path = str(tmp_path / "probe_corpus")
+    corpus_df(spark, 40, seed=13, mega_spans=300, partitions=4).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    elided = extract(docs)
+    plan = elided._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan[:2000]
+
+    static = extract(docs, probe_routing=False)
+    static_plan = static._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in static_plan
+
+    # threshold below the corpus max estimate (10) → probe must KEEP the union
+    routed = extract(docs, mega_doc_threshold=5)
+    routed_plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in routed_plan
+
+    want = {
+        r["doc_id"]: (r["markdown"], r["n_pages"]) for r in static.collect()
+    }
+    got = {r["doc_id"]: (r["markdown"], r["n_pages"]) for r in elided.collect()}
     assert got == want
