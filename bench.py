@@ -83,6 +83,38 @@ def _arm_logging(spark) -> None:
     _set_logger_levels(spark, "ERROR")
 
 
+def _cpu_busy_frac(sample_s: float = 0.5) -> float:
+    """Instantaneous host CPU busy fraction from /proc/stat deltas —
+    unlike the 1-min loadavg this decays immediately when OUR previous
+    phase ends, so it separates live neighbour load from our own wake."""
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+        return idle, sum(vals)
+
+    i0, t0 = snap()
+    time.sleep(sample_s)
+    i1, t1 = snap()
+    dt = t1 - t0
+    return 1.0 - (i1 - i0) / dt if dt > 0 else 0.0
+
+
+def _settle(max_wait_s: float = 90.0, busy_thresh: float = 0.25) -> float:
+    """Wait (bounded) for a quiet host window before a measured run: a
+    tenant spike inside one side of a lo/hi pair skews the ratio 2-3×
+    (BASELINE.md). Returns the busy fraction at release — recorded in the
+    bench JSON so a noisy recorded number explains itself."""
+    deadline = time.time() + max_wait_s
+    busy = _cpu_busy_frac()
+    while busy > busy_thresh and time.time() < deadline:
+        time.sleep(2.0)
+        busy = _cpu_busy_frac()
+    return round(busy, 3)
+
+
 def _force(df):
     """Materialize every column (count() alone lets Catalyst prune work)."""
     from pyspark.sql import functions as F
@@ -299,6 +331,7 @@ def main() -> None:
     # headline extraction throughput at local[CPUS] — min-of-3: high thread
     # counts are the worst victims of host tenant spikes (see BASELINE.md)
     headline_loads.append(round(os.getloadavg()[0], 1))
+    result_busy = [_settle()]
     wall_hi, n = _extract_run(f"local[{CPUS}]", corpus_path, CPUS, repeats=3)
     docs_per_sec = n / wall_hi if wall_hi > 0 else 0.0
     qtimes["extract_flagship"] = round(wall_hi, 3)
@@ -313,6 +346,10 @@ def main() -> None:
         # 1-min loadavg at query-phase start and headline start: shared
         # host — a high value here explains a slow recorded number
         "loadavg_headline": headline_loads,
+        # /proc/stat busy fraction at release of the pre-headline settle
+        # gate (bounded wait for a quiet window; >0.25 = gate timed out
+        # into a busy window and the headline is pessimistic)
+        "busy_at_headline": result_busy[0],
     }
 
     if DO_SCALING:
@@ -349,8 +386,14 @@ def main() -> None:
         # see BASELINE.md "Scaling methodology" for measured mode deltas.
         pinned = os.environ.get("SCALE_PINNED", "1") != "0"
         lo_walls, hi_walls, syn_lo_w, syn_hi_w, loads, n_s = [], [], [], [], [], 0
+        busys = []
         for _ in range(rounds):
             loads.append(round(os.getloadavg()[0], 1))
+            # settle BEFORE each round: the query/headline phases above run
+            # at local[32] and their tail (plus any tenant spike) lands
+            # inside the lo run otherwise — the exact contamination that
+            # made one recorded pair read 0.54 while a clean one read 0.81
+            busys.append(_settle())
             if pinned:
                 w_lo, n_s, s_lo = _extract_run_pinned(lo, scale_path)
                 w_hi, _, s_hi = _extract_run_pinned(hi, scale_path)
@@ -393,6 +436,8 @@ def main() -> None:
             # (identical-input pair ratios measured 0.50-0.85 under tenant
             # spikes; min-per-level needs a quiet window to mean anything)
             "loadavg_per_round": loads,
+            # busy fraction at release of each round's settle gate
+            "busy_per_round": busys,
         }
 
     print(json.dumps(result))

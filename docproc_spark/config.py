@@ -33,9 +33,26 @@ class SparkConfig:
 
 
 @dataclass
+class RagConfig:
+    """RAG block, reference schema parity (config/schema.py:72-80 —
+    backend / top_k=5 / chunk_size=512 / namespace defaults, checked by
+    reference tests/test_config.py:8-30). The engine-side consumers are
+    kernels/refine.chunk_by_pages (chunk_size) and the ANN operators
+    (operators/similarity top-k); `backend` selects which similarity
+    entry point a deployment wires ("embedding" → cosine/LSH/IVF ANN)."""
+
+    backend: str = "embedding"
+    top_k: int = 5
+    chunk_size: int = 512
+    namespace: str = "default"
+    persist_path: str | None = None
+
+
+@dataclass
 class EngineConfig:
     ingest: IngestConfig = field(default_factory=IngestConfig)
     spark: SparkConfig = field(default_factory=SparkConfig)
+    rag: RagConfig = field(default_factory=RagConfig)
 
     @property
     def drop_kinds(self) -> frozenset:
@@ -91,6 +108,9 @@ def parse_config(path: str | None = None) -> EngineConfig:
         "DOCPROC_SPARK_DROP_BOILERPLATE": ("ingest", "drop_boilerplate"),
         "DOCPROC_SPARK_SHUFFLE_PARTITIONS": ("spark", "shuffle_partitions"),
         "DOCPROC_SPARK_MASTER": ("spark", "master"),
+        "DOCPROC_SPARK_RAG_BACKEND": ("rag", "backend"),
+        "DOCPROC_SPARK_RAG_TOP_K": ("rag", "top_k"),
+        "DOCPROC_SPARK_RAG_CHUNK_SIZE": ("rag", "chunk_size"),
     }
     for env, (sec, name) in env_map.items():
         if env in os.environ:

@@ -350,6 +350,19 @@ def _http_factory(name: str):
     return make
 
 
+def _raw_http_factory(name: str):
+    """Like _http_factory for transports built on RawHttpClient."""
+
+    def make(**kwargs):
+        import docproc_spark.providers_http as ph
+
+        cls = getattr(ph, name)
+        kwargs.setdefault("raw_client", ph.UrllibRawHttpClient())
+        return cls(**kwargs)
+
+    return make
+
+
 _FACTORIES = {
     "stub": DeterministicStubProvider,
     "http": HttpVisionProvider,
@@ -358,16 +371,41 @@ _FACTORIES = {
     "empty-chat": EmptyChatProvider,
     # engine-facing batching layer over any VisionTransport
     "batching-vision": BatchingVisionProvider,
+    # engine-facing async-OCR orchestration over any OcrTransport
+    "polling-ocr": PollingOcrProvider,
     # real HTTP wire shapes over an injectable client (providers_http):
     "openai-chat": _http_factory("OpenAIChatProvider"),
     "azure-chat": _http_factory("AzureOpenAIChatProvider"),
     "anthropic-chat": _http_factory("AnthropicChatProvider"),
     "ollama-chat": _http_factory("OllamaChatProvider"),
+    # litellm gateway = OpenAI wire shape with base_url routing
+    # (reference litellm_provider.py behind factory.py:18-131)
+    "litellm-chat": _http_factory("LiteLLMChatProvider"),
     "openai-vision": _http_factory("OpenAIVisionTransport"),
+    # Azure Read v3.2 async OCR wire (submit/Operation-Location/poll)
+    "azure-read-ocr": _raw_http_factory("AzureReadOcrTransport"),
 }
 
 
-_CACHE_KW: dict[str, str] = {}
+_CACHE_KW: dict[str, tuple] = {}
+
+#: kwarg value types whose repr IS their config (safe to compare by value)
+_PRIMITIVE_KW_TYPES = (str, bytes, int, float, bool, tuple, frozenset, type(None))
+
+
+def _kw_sig(kwargs: dict) -> tuple:
+    """(value-compared primitives, identity-compared objects). Object
+    kwargs (client/transport/callables) are compared by id(): their
+    default reprs carry addresses (equal configs would spuriously
+    mismatch) while custom reprs may OMIT config (real drift would pass
+    silently) — identity is the only honest comparison."""
+    prim = sorted(
+        (k, repr(v)) for k, v in kwargs.items() if isinstance(v, _PRIMITIVE_KW_TYPES)
+    )
+    objs = sorted(
+        (k, id(v)) for k, v in kwargs.items() if not isinstance(v, _PRIMITIVE_KW_TYPES)
+    )
+    return tuple(prim), tuple(objs)
 
 
 def get_provider(provider_id: str = "stub", **kwargs):
@@ -377,17 +415,28 @@ def get_provider(provider_id: str = "stub", **kwargs):
     by-id cache dangerous — a second call with a DIFFERENT api_key /
     base_url / model would silently return the first instance and send
     requests to the wrong endpoint with the wrong credentials. A cache hit
-    with different kwargs now raises instead."""
-    kw_sig = repr(sorted(kwargs.items(), key=lambda kv: kv[0]))
+    with different kwargs raises instead. Primitive kwargs are compared
+    by value; object kwargs by identity (with a distinct error naming the
+    kwarg, so an equal-but-fresh client raising is deliberate and
+    explained, not an accident of address-bearing reprs)."""
+    prim, objs = _kw_sig(kwargs)
     if provider_id in _CACHE:
-        if kw_sig != _CACHE_KW[provider_id]:
+        cached_prim, cached_objs = _CACHE_KW[provider_id]
+        if prim != cached_prim:
             raise ValueError(
                 f"provider {provider_id!r} already cached with different "
                 "config; construct the class directly or clear the cache"
+            )
+        if objs != cached_objs:
+            changed = [k for (k, i) in objs if (k, i) not in set(cached_objs)]
+            raise ValueError(
+                f"provider {provider_id!r} already cached with different "
+                f"object-valued kwargs (by identity): {changed}; pass the "
+                "same object, construct the class directly, or clear the cache"
             )
         return _CACHE[provider_id]
     if provider_id not in _FACTORIES:
         raise ValueError(f"Unsupported provider: {provider_id}")
     _CACHE[provider_id] = _FACTORIES[provider_id](**kwargs)
-    _CACHE_KW[provider_id] = kw_sig
+    _CACHE_KW[provider_id] = (prim, objs)
     return _CACHE[provider_id]

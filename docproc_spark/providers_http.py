@@ -305,6 +305,131 @@ class OllamaChatProvider(ChatProvider):
         return data.get("message", {}).get("content", "")
 
 
+class LiteLLMChatProvider(OpenAIChatProvider):
+    """The reference's litellm route (litellm_provider.py, factory.py:18-131):
+    litellm is an OpenAI-compatible proxy/shim, so the wire shape IS the
+    OpenAI chat-completions shape with the gateway's base_url and the
+    model string passed through verbatim (e.g. "anthropic/claude-…" —
+    litellm does the per-backend translation server-side)."""
+
+    provider_id = "litellm-chat"
+
+    def __init__(
+        self,
+        client: HttpClient,
+        api_key: str = "",
+        base_url: str = "http://localhost:4000",
+        model: str = "gpt-4o",
+        timeout_s: float = 60.0,
+        max_retries: int = 3,
+    ):
+        super().__init__(
+            client,
+            api_key=api_key,
+            base_url=base_url,
+            model=model,
+            timeout_s=timeout_s,
+            max_retries=max_retries,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Raw HTTP (binary submit + JSON GET) — the Azure Read async-OCR wire
+# ---------------------------------------------------------------------------
+class RawHttpClient(ABC):
+    """Two raw ops the async-OCR wire needs beyond JSON POST: a binary
+    POST that exposes the response HEADERS (Operation-Location carries the
+    poll URL) and a JSON GET. Implementations: UrllibRawHttpClient
+    (deployment), canned fakes (tests)."""
+
+    @abstractmethod
+    def post_bytes(
+        self, url: str, headers: dict, body: bytes, timeout_s: float
+    ) -> tuple[int, dict, bytes]:
+        """→ (status_code, response_headers, body). Non-2xx returns, does
+        not raise — the transport decides (Azure 400 = skip, not error)."""
+
+    @abstractmethod
+    def get_json(self, url: str, headers: dict, timeout_s: float) -> dict: ...
+
+
+class AzureReadOcrTransport:
+    """Azure Computer Vision Read API v3.2 async OCR, the reference's
+    exact wire shape (extractors/vision_llm.py:214-255):
+
+      submit  POST {endpoint}/vision/v3.2/read/analyze, body = raw image
+              bytes, headers Ocp-Apim-Subscription-Key + octet-stream;
+              HTTP 400 → unreadable image, skip (reference returns None);
+              success → the Operation-Location response header IS the
+              poll URL (missing header → skip).
+      poll    GET Operation-Location with the key header; status field
+              "succeeded" → lines = analyzeResult.readResults[].lines[]
+              .text stripped non-empty; "failed" → failed; anything else
+              → still running.
+
+    Implements the OcrTransport protocol consumed by PollingOcrProvider
+    (providers.py:232) — the poll cadence, max_polls, <100-byte skip and
+    skip-and-log all live THERE; this class is one HTTP call per method.
+    Read v3.2 has no caption/tags (the describe endpoint is a separate
+    wire), so poll returns empty caption/tags."""
+
+    def __init__(
+        self,
+        raw_client: RawHttpClient,
+        endpoint: str,
+        api_key: str = "",
+        submit_timeout_s: float = 30.0,
+        poll_timeout_s: float = 10.0,
+    ):
+        self.raw_client = raw_client
+        self.endpoint = endpoint.rstrip("/")
+        self.api_key = api_key
+        self.submit_timeout_s = submit_timeout_s
+        self.poll_timeout_s = poll_timeout_s
+
+    class Unreadable(Exception):
+        """Azure 400 = not-an-image / unreadable — a per-image skip
+        (reference :230-231 returns None), not a transport failure."""
+
+    def submit(self, blob: bytes) -> str:
+        status, headers, body = self.raw_client.post_bytes(
+            f"{self.endpoint}/vision/v3.2/read/analyze",
+            {
+                "Ocp-Apim-Subscription-Key": self.api_key,
+                "Content-Type": "application/octet-stream",
+            },
+            blob,
+            self.submit_timeout_s,
+        )
+        if status == 400:
+            raise self.Unreadable("azure read: 400 (unreadable image)")
+        if not 200 <= status < 300:
+            raise HttpError(status, body.decode("utf-8", "replace"))
+        op = {k.lower(): v for k, v in headers.items()}.get("operation-location")
+        if not op:
+            raise ValueError("azure read: no Operation-Location header")
+        return op
+
+    def poll(self, op_id: str) -> tuple:
+        data = self.raw_client.get_json(
+            op_id,
+            {"Ocp-Apim-Subscription-Key": self.api_key},
+            self.poll_timeout_s,
+        )
+        status = data.get("status", "")
+        if status == "succeeded":
+            lines = []
+            for ar in data.get("analyzeResult", {}).get("readResults", []):
+                for line in ar.get("lines", []):
+                    t = (line.get("text") or "").strip()
+                    if t:
+                        lines.append(t)
+            return ("succeeded", lines, "", [])
+        if status == "failed":
+            return ("failed", [], "", [])
+        return ("running", [], "", [])
+
+
 # ---------------------------------------------------------------------------
 # Vision transport (the seam under BatchingVisionProvider)
 # ---------------------------------------------------------------------------
@@ -413,6 +538,37 @@ class UrllibHttpClient(HttpClient):
             headers=headers,
             method="POST",
         )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            raise HttpError(e.code, e.read().decode("utf-8", "replace")) from e
+        except urllib.error.URLError as e:
+            raise ConnectionError(str(e.reason)) from e
+
+
+class UrllibRawHttpClient(RawHttpClient):
+    def post_bytes(
+        self, url: str, headers: dict, body: bytes, timeout_s: float
+    ) -> tuple[int, dict, bytes]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return resp.status, dict(resp.headers.items()), resp.read()
+        except urllib.error.HTTPError as e:
+            # contract: non-2xx is RETURNED (Azure 400 = per-image skip)
+            return e.code, dict(e.headers.items() if e.headers else []), e.read()
+        except urllib.error.URLError as e:
+            raise ConnectionError(str(e.reason)) from e
+
+    def get_json(self, url: str, headers: dict, timeout_s: float) -> dict:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, headers=headers, method="GET")
         try:
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                 return json.loads(resp.read().decode("utf-8"))

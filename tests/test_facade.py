@@ -39,6 +39,26 @@ class TestConfig:
         cfg = parse_config(None)
         assert cfg.spark.shuffle_partitions == 7
 
+    def test_rag_schema_defaults(self):
+        """Reference parity: rag backend / top_k=5 / chunk_size=512
+        defaults (docproc/config/schema.py:72-80, mirrored by reference
+        tests/test_config.py:8-30)."""
+        cfg = EngineConfig()
+        assert cfg.rag.backend in ("clara", "embedding")
+        assert cfg.rag.top_k == 5
+        assert cfg.rag.chunk_size == 512
+        assert cfg.rag.namespace == "default"
+        assert cfg.rag.persist_path is None
+
+    def test_rag_from_file_and_env(self, tmp_path, monkeypatch):
+        p = tmp_path / "r.yml"
+        p.write_text("rag:\n  top_k: 9\n  backend: embedding\n")
+        cfg = parse_config(str(p))
+        assert cfg.rag.top_k == 9 and cfg.rag.chunk_size == 512
+        monkeypatch.setenv("DOCPROC_SPARK_RAG_CHUNK_SIZE", "1024")
+        cfg2 = parse_config(str(p))
+        assert cfg2.rag.chunk_size == 1024
+
 
 class TestFacade:
     def test_extract_table(self, spark):

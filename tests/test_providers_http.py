@@ -216,3 +216,199 @@ class TestOpenAIVisionTransport:
         with pytest.raises(ValueError, match="different +config"):
             P.get_provider("openai-chat", client=c, api_key="sk-B")
         P._CACHE.pop("openai-chat", None)
+
+
+# ---------------------------------------------------------------------------
+# Azure Read v3.2 async OCR wire (reference extractors/vision_llm.py:214-255)
+# ---------------------------------------------------------------------------
+from docproc_spark.providers_http import (  # noqa: E402
+    AzureReadOcrTransport,
+    LiteLLMChatProvider,
+    RawHttpClient,
+)
+
+
+class CannedRawClient(RawHttpClient):
+    def __init__(self, post_responses, get_responses):
+        self.post_responses = list(post_responses)
+        self.get_responses = list(get_responses)
+        self.posts: list = []
+        self.gets: list = []
+
+    def post_bytes(self, url, headers, body, timeout_s):
+        self.posts.append({"url": url, "headers": headers, "body": body})
+        r = self.post_responses.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+    def get_json(self, url, headers, timeout_s):
+        self.gets.append({"url": url, "headers": headers})
+        r = self.get_responses.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+_OP_URL = "https://eastus.example.invalid/vision/v3.2/read/analyzeResults/abc123"
+
+
+def _read_result(status, lines=()):
+    data = {"status": status}
+    if status == "succeeded":
+        data["analyzeResult"] = {
+            "readResults": [{"lines": [{"text": t} for t in lines]}]
+        }
+    return data
+
+
+def _transport(posts, gets):
+    return AzureReadOcrTransport(
+        CannedRawClient(posts, gets),
+        endpoint="https://eastus.example.invalid/",
+        api_key="k-ocr",
+    )
+
+
+class TestAzureReadOcrTransport:
+    def test_submit_wire_shape(self):
+        t = _transport([(202, {"Operation-Location": _OP_URL}, b"")], [])
+        assert t.submit(b"\x89PNG...") == _OP_URL
+        req = t.raw_client.posts[0]
+        assert req["url"] == (
+            "https://eastus.example.invalid/vision/v3.2/read/analyze"
+        )
+        assert req["headers"]["Ocp-Apim-Subscription-Key"] == "k-ocr"
+        assert req["headers"]["Content-Type"] == "application/octet-stream"
+        assert req["body"] == b"\x89PNG..."
+
+    def test_submit_400_is_unreadable_skip(self):
+        t = _transport([(400, {}, b"bad image")], [])
+        with pytest.raises(AzureReadOcrTransport.Unreadable):
+            t.submit(b"x" * 200)
+
+    def test_submit_missing_operation_location_raises(self):
+        t = _transport([(202, {}, b"")], [])
+        with pytest.raises(ValueError, match="Operation-Location"):
+            t.submit(b"x" * 200)
+
+    def test_submit_5xx_raises_http_error(self):
+        t = _transport([(503, {}, b"overloaded")], [])
+        with pytest.raises(HttpError):
+            t.submit(b"x" * 200)
+
+    def test_poll_succeeded_collects_stripped_lines(self):
+        t = _transport([], [_read_result("succeeded", ["  E = mc^2 ", "", "x"])])
+        status, lines, caption, tags = t.poll(_OP_URL)
+        assert status == "succeeded"
+        assert lines == ["E = mc^2", "x"]  # stripped, empties dropped
+        assert caption == "" and tags == []
+        req = t.raw_client.gets[0]
+        assert req["url"] == _OP_URL
+        assert req["headers"] == {"Ocp-Apim-Subscription-Key": "k-ocr"}
+
+    def test_poll_statuses(self):
+        t = _transport([], [_read_result("running"), _read_result("failed")])
+        assert t.poll(_OP_URL)[0] == "running"
+        assert t.poll(_OP_URL)[0] == "failed"
+
+    def test_end_to_end_under_polling_provider(self):
+        """submit → notStarted → running → succeeded through the engine's
+        PollingOcrProvider orchestration; lines joined \\n."""
+        from docproc_spark.providers import PollingOcrProvider
+
+        t = _transport(
+            [(202, {"Operation-Location": _OP_URL}, b"")],
+            [
+                _read_result("notStarted"),
+                _read_result("running"),
+                _read_result("succeeded", ["line one", "line two"]),
+            ],
+        )
+        prov = PollingOcrProvider(t, max_polls=5)
+        out = prov.ocr_batch(pd.Series([b"\x89PNG" + b"x" * 200]))
+        assert list(out) == ["line one\nline two"]
+
+    def test_small_blob_skipped_without_submit(self):
+        t = _transport([], [])
+        from docproc_spark.providers import PollingOcrProvider
+
+        out = PollingOcrProvider(t).ocr_batch(pd.Series([b"tiny"]))
+        assert list(out) == [""]
+        assert t.raw_client.posts == []  # never hit the wire
+
+    def test_failed_and_timeout_blank_not_raise(self):
+        from docproc_spark.providers import PollingOcrProvider
+
+        t = _transport(
+            [(202, {"Operation-Location": _OP_URL}, b"")],
+            [_read_result("failed")],
+        )
+        assert list(PollingOcrProvider(t).ocr_batch(pd.Series([b"x" * 200]))) == [""]
+        t2 = _transport(
+            [(202, {"Operation-Location": _OP_URL}, b"")],
+            [_read_result("running")] * 3,
+        )
+        prov = PollingOcrProvider(t2, max_polls=3)
+        assert list(prov.ocr_batch(pd.Series([b"x" * 200]))) == [""]
+
+    def test_factory_registration(self):
+        import docproc_spark.providers as P
+
+        P._CACHE.pop("azure-read-ocr", None)
+        raw = CannedRawClient([], [])
+        t = P.get_provider(
+            "azure-read-ocr", raw_client=raw, endpoint="https://e.invalid",
+            api_key="k",
+        )
+        assert isinstance(t, AzureReadOcrTransport)
+        P._CACHE.pop("azure-read-ocr", None)
+
+
+class TestLiteLLMProvider:
+    def test_openai_wire_with_gateway_base_url(self):
+        c = CannedClient([_openai_reply("routed")])
+        p = LiteLLMChatProvider(
+            c, api_key="sk-l", base_url="http://gw:4000",
+            model="anthropic/claude-sonnet-4-5",
+        )
+        assert p.chat("S", "U") == "routed"
+        req = c.requests[0]
+        assert req["url"] == "http://gw:4000/chat/completions"
+        assert req["payload"]["model"] == "anthropic/claude-sonnet-4-5"
+        assert req["headers"]["Authorization"] == "Bearer sk-l"
+
+    def test_factory_registration(self):
+        import docproc_spark.providers as P
+
+        P._CACHE.pop("litellm-chat", None)
+        p = P.get_provider("litellm-chat", client=CannedClient([]), api_key="k")
+        assert p.provider_id == "litellm-chat"
+        P._CACHE.pop("litellm-chat", None)
+
+
+class TestDriftGuardObjectKwargs:
+    def test_fresh_equal_object_raises_with_identity_message(self):
+        import docproc_spark.providers as P
+
+        P._CACHE.pop("openai-chat", None)
+        P.get_provider("openai-chat", client=CannedClient([]), api_key="sk-A")
+        # same primitive config, FRESH client object: deliberate identity
+        # error naming the kwarg — not a repr-address accident
+        with pytest.raises(ValueError, match="identity.*client"):
+            P.get_provider("openai-chat", client=CannedClient([]), api_key="sk-A")
+        P._CACHE.pop("openai-chat", None)
+
+    def test_custom_repr_object_cannot_mask_drift(self):
+        import docproc_spark.providers as P
+
+        class SneakyClient(CannedClient):
+            def __repr__(self):  # omits all config
+                return "SneakyClient()"
+
+        P._CACHE.pop("openai-chat", None)
+        a, b = SneakyClient([]), SneakyClient([])
+        P.get_provider("openai-chat", client=a, api_key="sk-A")
+        with pytest.raises(ValueError):
+            P.get_provider("openai-chat", client=b, api_key="sk-A")
+        P._CACHE.pop("openai-chat", None)
