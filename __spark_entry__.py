@@ -1697,13 +1697,24 @@ def _lsh_index_ann(spark, sf):
     src = f"{sf.rstrip('/')}/embeddings.parquet"
     try:
         st = os.stat(src)
-        data_key = f"{st.st_size}_{int(st.st_mtime)}"
+        # mtime_ns, not seconds: a regeneration inside the same second
+        # with identical size must not silently reuse the stale index
+        data_key = f"{st.st_size}_{st.st_mtime_ns}"
     except OSError:
         data_key = "nostat"
     path = f"/root/repo/.bench_cache/lsh_index_v2_{key}_{data_key}"
     emb = _emb64(spark, sf)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_lsh_index(emb, path, n_bands=12, planes_per_band=3, dims=_EMB_DIMS)
+        # build into a private tmp dir, rename into place: concurrent runs
+        # sharing the key only ever see a COMPLETE index dir
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build_lsh_index(emb, tmp, n_bands=12, planes_per_band=3, dims=_EMB_DIMS)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_index_topk(
         spark, path, qvec, k=10, n_bands=12, planes_per_band=3, exclude_vec_id=0

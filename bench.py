@@ -165,34 +165,53 @@ for _ in range(repeats):
     row = df.collect()[0]
     best = min(best, time.time() - t0)
     n = int(row["n"])
-# Host-ceiling CONTROL inside the SAME pinned process/window: pure-JVM
-# sha2 chain, no shuffle/python/IO — what THIS affinity mask can show for
-# embarrassingly parallel work (see _synthetic_run).
-def syn_frame(rows):
+# TWO host-ceiling CONTROLS inside the SAME pinned process/window, both
+# embarrassingly parallel pure-JVM work (no shuffle/python/IO):
+#   compute-bound: sha2 chain, lives in registers — measures scheduling
+#     cleanliness (pinned it scales ~1.0 here).
+#   memory-bound: split/sort/join of ~2 KB strings per row — streams
+#     through memory like the extract workload; this virtualized host's
+#     per-core memory speed FALLS as more cores run (measured ~0.86
+#     N->4N), a falloff real 4N-executor clusters don't have (separate
+#     nodes add bandwidth). The plan's share of achievable scaling is
+#     measured against THIS control.
+def sha_frame(rows):
     e = F.col("id").cast("string")
     for _ in range(40):
         e = F.sha2(e, 256)
     return (spark.range(0, rows, 1, 48)
             .select(F.length(e).alias("l")).agg(F.sum("l")))
-syn_frame(20_000).collect()
-syn_best = float("inf")
-for _ in range(2):
-    df = syn_frame(2_400_000)
-    t0 = time.time()
-    df.collect()
-    syn_best = min(syn_best, time.time() - t0)
-print("PINNED_RESULT " + json.dumps({"wall": best, "n": n, "syn_wall": syn_best}))
+def mem_frame(rows):
+    s = F.concat(F.col("id").cast("string"),
+                 F.lit(" lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    arr = F.split(F.repeat(s, 24), " ")
+    return (spark.range(0, rows, 1, 48)
+            .select(F.length(F.array_join(F.array_sort(arr), "-")).alias("l"))
+            .agg(F.sum("l")))
+def best_of(frame_fn, warm_rows, rows, k=2):
+    frame_fn(warm_rows).collect()
+    b = float("inf")
+    for _ in range(k):
+        df = frame_fn(rows)
+        t0 = time.time()
+        df.collect()
+        b = min(b, time.time() - t0)
+    return b
+sha_best = best_of(sha_frame, 20_000, 2_400_000)
+mem_best = best_of(mem_frame, 5_000, 400_000)
+print("PINNED_RESULT " + json.dumps(
+    {"wall": best, "n": n, "syn_wall": sha_best, "mem_wall": mem_best}))
 """
 
 
 def _extract_run_pinned(
     level: int, corpus_path: str, repeats: int = 2
-) -> tuple[float, int, float]:
+) -> tuple[float, int, float, float]:
     """One measured parallelism level in a SUBPROCESS pinned to exactly
     `level` CPUs (sched_setaffinity is inherited by the JVM and its Python
     workers) — the sandbox stand-in for an N-core executor. Returns
-    (best wall_s, n_docs, synthetic-control wall_s measured under the same
-    affinity mask in the same window)."""
+    (best wall_s, n_docs, compute-control wall_s, memory-control wall_s)
+    all measured under the same affinity mask in the same window."""
     import subprocess
 
     out = subprocess.run(
@@ -206,7 +225,8 @@ def _extract_run_pinned(
     for line in out.stdout.splitlines():
         if line.startswith("PINNED_RESULT "):
             r = json.loads(line[len("PINNED_RESULT "):])
-            return float(r["wall"]), int(r["n"]), float(r["syn_wall"])
+            return (float(r["wall"]), int(r["n"]), float(r["syn_wall"]),
+                    float(r["mem_wall"]))
     raise RuntimeError(f"pinned run produced no result: {out.stdout[-500:]}\n{out.stderr[-500:]}")
 
 
@@ -385,8 +405,8 @@ def main() -> None:
         # SCALE_PINNED=0 restores unpinned local[N] (r1-r3 comparability);
         # see BASELINE.md "Scaling methodology" for measured mode deltas.
         pinned = os.environ.get("SCALE_PINNED", "1") != "0"
-        lo_walls, hi_walls, syn_lo_w, syn_hi_w, loads, n_s = [], [], [], [], [], 0
-        busys = []
+        lo_walls, hi_walls, loads, busys, n_s = [], [], [], [], 0
+        effs, sha_effs, mem_effs = [], [], []
         for _ in range(rounds):
             loads.append(round(os.getloadavg()[0], 1))
             # settle BEFORE each round: the query/headline phases above run
@@ -395,48 +415,59 @@ def main() -> None:
             # made one recorded pair read 0.54 while a clean one read 0.81
             busys.append(_settle())
             if pinned:
-                w_lo, n_s, s_lo = _extract_run_pinned(lo, scale_path)
-                w_hi, _, s_hi = _extract_run_pinned(hi, scale_path)
-                syn_lo_w.append(s_lo)
-                syn_hi_w.append(s_hi)
+                w_lo, n_s, sha_lo, mem_lo = _extract_run_pinned(lo, scale_path)
+                w_hi, _, sha_hi, mem_hi = _extract_run_pinned(hi, scale_path)
+                sha_effs.append(sha_lo / (sha_hi * hi / lo))
+                mem_effs.append(mem_lo / (mem_hi * hi / lo))
             else:
                 w_lo, n_s = _extract_run(f"local[{lo}]", scale_path, lo)
                 w_hi, _ = _extract_run(f"local[{hi}]", scale_path, hi)
-                # control pair in the same window: what can the HOST show
-                # for embarrassingly parallel JVM work at these two levels?
-                syn_lo_w.append(_synthetic_run(f"local[{lo}]", lo))
-                syn_hi_w.append(_synthetic_run(f"local[{hi}]", hi))
+                sha_effs.append(
+                    _synthetic_run(f"local[{lo}]", lo)
+                    / (_synthetic_run(f"local[{hi}]", hi) * hi / lo)
+                )
+                mem_effs.append(sha_effs[-1])  # unpinned mode: one control only
             lo_walls.append(w_lo)
             hi_walls.append(w_hi)
+            # PAIRED per-round efficiency: lo and hi from the SAME settled
+            # window. Pooling min-of-level across rounds mixes windows and
+            # one lucky lo round poisons the ratio (observed: pooled 0.661
+            # from rounds whose paired ratios were 0.66-0.81).
+            effs.append(w_lo / (w_hi * hi / lo))
+        med = sorted(effs)[len(effs) // 2]
+        med_mem = sorted(mem_effs)[len(mem_effs) // 2]
+        med_sha = sorted(sha_effs)[len(sha_effs) // 2]
         wall_lo, wall_hi2 = min(lo_walls), min(hi_walls)
         dps_lo = n_s / wall_lo if wall_lo > 0 else 0.0
         dps_hi = n_s / wall_hi2 if wall_hi2 > 0 else 0.0
-        eff = (dps_hi / dps_lo) / (hi / lo) if dps_lo > 0 else 0.0
-        syn_eff = (min(syn_lo_w) / min(syn_hi_w)) / (hi / lo)
         result["scaling"] = {
             "low_parallelism": lo,
             "high_parallelism": hi,
             "n_docs": n_s,
             "docs_per_sec_low": round(dps_lo, 2),
             "docs_per_sec_high": round(dps_hi, 2),
-            "speedup": round(dps_hi / dps_lo, 3) if dps_lo else 0.0,
-            "scaling_efficiency": round(eff, 3),
-            # host thread-scaling ceiling measured in the SAME windows with
-            # a cache-resident pure-JVM control (no shuffle/python/skew/IO):
-            # embarrassingly parallel work shows ~0.71-0.75 N->4N on this
-            # virtualized host, so any job's raw ratio is bounded by it.
-            # plan_vs_host_ceiling is the plan's share of the achievable
-            # scaling — the number the two-cluster criterion is really
-            # after (a real cluster's 4N executors have 4N full-speed
-            # cores; this host's extra threads are not full-speed cores).
-            "host_thread_ceiling": round(syn_eff, 3),
-            "plan_vs_host_ceiling": round(eff / syn_eff, 3) if syn_eff else 0.0,
+            # headline: MEDIAN of paired per-round efficiencies (robust to
+            # a contaminated round on either side); full list below
+            "scaling_efficiency": round(med, 3),
+            "efficiency_per_round": [round(e, 3) for e in effs],
+            "efficiency_best_round": round(max(effs), 3),
+            # two host ceilings measured per round in the same pinned
+            # windows: compute-bound (sha2, registers) isolates scheduling
+            # — pinned it reads ~1.0; memory-bound (string split/sort)
+            # streams memory like extract does and reads ~0.86 N->4N on
+            # this virtualized host (per-core memory speed falls as more
+            # cores run — a real cluster's 4N executors sit on separate
+            # nodes and keep per-core speed). plan_vs_host_ceiling =
+            # median paired efficiency / median memory-ceiling: the
+            # plan's share of what this host can physically show.
+            "host_compute_ceiling": round(med_sha, 3),
+            "host_memory_ceiling": round(med_mem, 3),
+            "plan_vs_host_ceiling": round(med / med_mem, 3) if med_mem else 0.0,
             "cpu_pinned": pinned,
             # shared-host transparency: 1-min load avg at each round start
             # (identical-input pair ratios measured 0.50-0.85 under tenant
-            # spikes; min-per-level needs a quiet window to mean anything)
+            # spikes) + busy fraction at release of each settle gate
             "loadavg_per_round": loads,
-            # busy fraction at release of each round's settle gate
             "busy_per_round": busys,
         }
 

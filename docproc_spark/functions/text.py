@@ -180,8 +180,13 @@ def alpha_word_fraction_col(text: Column) -> Column:
     return F.when(n > 0, F.round(alpha / n, 4)).otherwise(F.lit(0.0))
 
 
-def _bigrams_col(text: Column) -> Column:
-    toks = tokens_col(F.lower(text))
+def _bigrams_from_tokens(toks: Column) -> Column:
+    """``toks`` MUST be a materialized column reference, not an inline
+    tokenization expression: it is referenced INSIDE the transform lambda
+    (slice per index), and HOF lambda bodies re-evaluate embedded
+    expression subtrees once per element — an inline split would make
+    bigram construction silently O(n²) (measured: 20k tokens = 92 s,
+    quadratic curve; with the staged column it is linear)."""
     bigrams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
@@ -195,32 +200,70 @@ def gopher_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Per-doc repetition/quality signals + the keep/drop verdict.
 
     top_bigram_frac = characters covered by the most frequent word bigram /
-    total chars (the Gopher duplicate-n-gram family, n=2). The bigram array
-    is MATERIALIZED as a column first: the per-distinct-value occurrence
-    count references it inside a higher-order lambda, and an inline
-    expression there would re-run the O(n) construction once per distinct
-    value (silent O(n²) — the HOF re-evaluation trap). The counting scan
-    itself is O(distinct × n) per doc — fine for web-page-sized docs, the
-    rule's domain.
+    total chars (the Gopher duplicate-n-gram family, n=2). Counting is
+    mega-doc safe: the bigram array is sorted once (O(n log n)) and run
+    lengths come from a boundary scan — each run start index is found by
+    one O(1) element_at comparison, so the whole count is O(n), never the
+    O(distinct × n) of per-distinct filter scans. Every intermediate
+    array (_bg, _srt, _bounds, _bx) is MATERIALIZED as a column first:
+    higher-order lambdas re-evaluate embedded expression subtrees once
+    PER ELEMENT, so an inline array_sort/concat there would silently be
+    O(n²); a column reference is a free lookup.
     """
     t = F.col(text_col)
-    staged = docs.select(
-        F.col(id_col).alias("doc_id"),
-        t.alias("_t"),
-        _bigrams_col(t).alias("_bg"),
+    empty_i = F.array().cast("array<int>")
+    staged = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            t.alias("_t"),
+            tokens_col(F.lower(t)).alias("_lotoks"),
+        )
+        .withColumn("_bg", _bigrams_from_tokens(F.col("_lotoks")))
+        .withColumn("_srt", F.array_sort(F.col("_bg")))
+        # run-start indices (0-based): i == 0 or srt[i] != srt[i-1].
+        # sequence() guards: start > stop generates a DESCENDING range,
+        # so the empty case must be explicit.
+        .withColumn(
+            "_bounds",
+            F.when(
+                F.size(F.col("_srt")) > 0,
+                F.filter(
+                    F.sequence(F.lit(0), F.size(F.col("_srt")) - 1),
+                    lambda i: (i == 0)
+                    | (
+                        F.element_at(F.col("_srt"), i + 1)
+                        != F.element_at(F.col("_srt"), i)
+                    ),
+                ),
+            ).otherwise(empty_i),
+        )
+        # bounds + [n] sentinel: run k spans [_bx[k], _bx[k+1])
+        .withColumn(
+            "_bx", F.concat(F.col("_bounds"), F.array(F.size(F.col("_srt"))))
+        )
     )
-    bg = F.col("_bg")
     # coverage of the MOST FREQUENT bigram (the Gopher rule) — NOT
     # max(count × length) over all bigrams, which lets one long rare
     # bigram outweigh the actual repetition signal. Struct max compares
     # cnt first; ties resolve toward larger coverage (deterministic).
-    stats = F.transform(
-        F.array_distinct(bg),
-        lambda b: F.struct(
-            F.size(F.filter(bg, lambda x: x == b)).alias("cnt"),
-            F.length(b).alias("blen"),
+    stats = F.when(
+        F.size(F.col("_bounds")) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_bounds"))),
+            lambda k: F.struct(
+                (
+                    F.element_at(F.col("_bx"), (k + 1).cast("int"))
+                    - F.element_at(F.col("_bx"), k.cast("int"))
+                ).alias("cnt"),
+                F.length(
+                    F.element_at(
+                        F.col("_srt"),
+                        (F.element_at(F.col("_bx"), k.cast("int")) + 1).cast("int"),
+                    )
+                ).alias("blen"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<cnt:int,blen:int>>"))
     top = F.array_max(
         F.transform(
             stats,

@@ -368,12 +368,23 @@ def dup_components(
             max_iter,
             changed,
         )
-    # edges stays cached until the caller's action completes — the result
-    # is lazy atop `labels` only, so dropping edges here is safe; labels'
-    # final cache is the returned lineage (session clearCache contract,
-    # same as the LSH operators)
+    # Cut the returned frame's lineage with an eager localCheckpoint
+    # BEFORE unpersisting: labels' lineage threads back through every
+    # round's (already-unpersisted) predecessor and the edges cache, so a
+    # cache eviction under memory pressure would silently replay the
+    # entire candidate-generation pipeline once per propagation round —
+    # the exact blowup the caches exist to prevent. The checkpoint is
+    # cheap (labels is materialized; blocks are MEMORY_AND_DISK, spill-
+    # not-evict) and both caches can then be dropped immediately. On a
+    # multi-executor cluster, executor loss invalidates localCheckpoint
+    # blocks — jobs needing fault tolerance should set a checkpoint dir
+    # and swap in .checkpoint() at the call site.
+    final = labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("component")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
     edges.unpersist()
-    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+    return final
 
 
 def simhash64(

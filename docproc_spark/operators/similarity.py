@@ -213,6 +213,7 @@ def cosine_neardup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin_lifetime: str = "session",
 ) -> DataFrame:
     """Approximate near-dup pairs with band-OR amplification.
 
@@ -226,12 +227,20 @@ def cosine_neardup_pairs_lsh(
     near-dup thresholds (low θ); at loose thresholds prefer the exact
     operator on a bounded candidate set.
 
-    Cache contract: the banded-bucket table is cached because the self-join
-    reads it on both sides (fan-out gets no CSE). The returned frame is
-    lazy, so this function cannot unpersist it; batch callers that reuse a
-    session should spark.catalog.clearCache() between corpora (same
-    contract as minhash_neardup_pairs / simhash_neardup_pairs).
+    Cache contract (``pin_lifetime``): the banded-bucket table is cached
+    because the self-join reads it on both sides (fan-out gets no CSE).
+    With the default ``"session"`` the returned frame is lazy and the
+    cache stays pinned until spark.catalog.clearCache() — the batch-job
+    contract shared with minhash_neardup_pairs / simhash_neardup_pairs.
+    ``"call"`` is the long-lived-service contract: the result is
+    materialized via an eager localCheckpoint (lineage cut, blocks owned
+    by the returned frame and freed by the ContextCleaner when it is
+    garbage collected) and the bucket cache is unpersisted before
+    returning — repeated calls leave NO residual pinned tables
+    (asserted in tests/test_plans.py).
     """
+    if pin_lifetime not in ("session", "call"):
+        raise ValueError(f"pin_lifetime must be session|call: {pin_lifetime!r}")
     dims = _dims_of(emb, vec_col)  # one probe for all bands
     # one corpus scan for all bands, cached: the self-join references the
     # bucket table on both sides (no fan-out CSE)
@@ -249,7 +258,7 @@ def cosine_neardup_pairs_lsh(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "va", "vb")
     )
-    return (
+    out = (
         pairs.dropDuplicates(["a", "b"])
         .select(
             "a",
@@ -258,6 +267,10 @@ def cosine_neardup_pairs_lsh(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    if pin_lifetime == "call":
+        out = out.localCheckpoint(eager=True)
+        b.unpersist()
+    return out
 
 
 def kmeans_centroids(
@@ -393,6 +406,7 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin_lifetime: str = "session",
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket,
     band-OR amplified (union of the query's bucket across b independent
@@ -402,11 +416,15 @@ def lsh_topk(
     build_lsh_index + lsh_index_topk below — and a query reads b/2^r of
     the data via partition pruning.
 
-    Cache contract: the banded-bucket table is cached because the candidate
-    join reads it on both sides; callers that reuse a session across
-    corpora should spark.catalog.clearCache() (same contract as the dedupe
-    counterparts).
+    Cache contract (``pin_lifetime``): "session" (default) caches the
+    banded-bucket table for the session (candidate join reads it on both
+    sides; clearCache() between corpora); "call" materializes the k-row
+    result via eager localCheckpoint and unpersists the bucket cache
+    before returning — the long-lived-service mode, no residual pinned
+    tables per call (asserted in tests/test_plans.py).
     """
+    if pin_lifetime not in ("session", "call"):
+        raise ValueError(f"pin_lifetime must be session|call: {pin_lifetime!r}")
     dims = _dims_of(emb, vec_col)  # one probe for all bands
     b = _banded_buckets(
         emb, n_bands, planes_per_band, seed, id_col, vec_col, dims
@@ -419,7 +437,7 @@ def lsh_topk(
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", F.col(vec_col).alias("_v"), "_qvec")
     )
-    return (
+    out = (
         cands.dropDuplicates(["vec_id"])
         .select(
             "vec_id",
@@ -428,6 +446,10 @@ def lsh_topk(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+    if pin_lifetime == "call":
+        out = out.localCheckpoint(eager=True)
+        b.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

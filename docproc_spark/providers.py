@@ -106,6 +106,14 @@ class BatchingVisionProvider(CaptionProvider):
     - wrong-length reply → [""] * n for that batch (:157-158)
     - per-call timeout + any transport error → skip-and-log, captions ""
       for that batch only, never a failed task (:448-482)
+
+    Wall-time bound: ``timeout_s`` is a NO-PROGRESS deadline, not a
+    per-slot grace restarted as the collection loop reaches each batch —
+    the whole call ends at most one timeout window after the last batch
+    completion. A slow-but-working transport never trips it (every
+    completion resets the window); if every worker hangs, ALL remaining
+    batches blank after one window instead of burning
+    len(batches)/max_parallel independent windows.
     """
 
     provider_id = "batching-vision"
@@ -138,10 +146,16 @@ class BatchingVisionProvider(CaptionProvider):
         # die with the process), and a hung worker leaks at most
         # max_parallel threads per call — the trade for never failing the
         # Spark task (reference: vision_llm.py:448-482 skip-and-log).
+        import time as _time
+
         slots = [{"ev": threading.Event(), "val": None, "err": None} for _ in batches]
         work: queue.Queue = queue.Queue()
         for i, b in enumerate(batches):
             work.put((i, b))
+        # monotonic stamp of the LAST batch completion — the no-progress
+        # deadline below compares against it, so the timeout window slides
+        # forward with every completed batch
+        progress = {"t": _time.monotonic()}
 
         def worker():
             while True:
@@ -155,17 +169,32 @@ class BatchingVisionProvider(CaptionProvider):
                 except Exception as exc:  # noqa: BLE001 — transport errors blank the batch
                     s["err"] = exc
                 s["ev"].set()
+                progress["t"] = _time.monotonic()
 
         for _ in range(min(self.max_parallel, len(batches))):
             threading.Thread(target=worker, daemon=True).start()
+
+        def wait_with_progress_deadline(ev) -> bool:
+            """True if ev set; False once timeout_s elapses with NO batch
+            completing anywhere (short poll ticks — set events return
+            immediately, so healthy paths pay nothing)."""
+            tick = min(1.0, self.timeout_s / 10 or 1.0)
+            while True:
+                if ev.wait(timeout=tick):
+                    return True
+                if _time.monotonic() - progress["t"] > self.timeout_s:
+                    return False
 
         out: list = []
         log = logging.getLogger(__name__)
         try:
             for b, s in zip(batches, slots):
                 res: list
-                if not s["ev"].wait(timeout=self.timeout_s):
-                    log.warning("vision batch skipped: timeout %.1fs", self.timeout_s)
+                if not wait_with_progress_deadline(s["ev"]):
+                    log.warning(
+                        "vision batch skipped: no progress in %.1fs",
+                        self.timeout_s,
+                    )
                     res = [""] * len(b)
                 elif s["err"] is not None:
                     log.warning("vision batch skipped: %s", s["err"])

@@ -34,6 +34,13 @@ def get_spark(
         # 32k rows/batch: fewer JVM↔Python Arrow crossings — measured 1.7×
         # on pandas-UDF stages at 32 workers vs the 4k default
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        # Span tables decode ~5-10× larger than their parquet bytes (text
+        # columns compress hard); the 128m default sizes scan partitions
+        # by COMPRESSED bytes, so each task decodes into a near-GB memory
+        # chunk — worse task balance (measured ~10% extract wall at low
+        # core counts) and an executor-memory hazard at scale. 32m keeps
+        # decoded partitions in the ~200-300 MB band.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # the single-pass assembly is a deep higher-order-function tree;
         # default analyzer/optimizer iteration caps are sized for flat plans
         .config("spark.sql.analyzer.maxIterations", "500")

@@ -148,20 +148,34 @@ def write_sqlite(
             con.close()
         os.replace(tmp, path)  # atomic commit of the whole partition
 
-    if not single_file:
-        # remove stale shards a lower-partition-count re-run would orphan
-        import glob
-        import os as _os
-        import re as _re
+    if single_file:
+        prep.coalesce(1).foreachPartition(write_partition)
+        return
 
-        n_parts = prep.rdd.getNumPartitions()
-        for shard in glob.glob(f"{db_path}.part-*"):
-            m = _re.fullmatch(_re.escape(db_path) + r"\.part-(\d{5})", shard)
-            if m and int(m.group(1)) >= n_parts:
-                _os.remove(shard)
+    def write_partition_yielding_pid(rows):
+        write_partition(rows)
+        tc = TaskContext.get()
+        yield tc.partitionId() if tc is not None else 0
 
-    target = prep.coalesce(1) if single_file else prep
-    target.foreachPartition(write_partition)
+    # The job's own output drives stale-shard cleanup: mapPartitions
+    # yields each partition id that actually committed (bounded collect —
+    # one int per partition), so (a) cleanup happens only AFTER the whole
+    # job succeeded (a mid-job failure leaves every pre-existing shard in
+    # place instead of a mixed old/partial sink), and (b) the live-shard
+    # set is what was written, not a separate getNumPartitions() probe
+    # that can diverge from the executed plan under AQE coalescing.
+    written = set(prep.rdd.mapPartitions(write_partition_yielding_pid).collect())
+    import glob
+    import os as _os
+    import re as _re
+
+    live = {f"{db_path}.part-{pid:05d}" for pid in written}
+    for shard in glob.glob(f"{db_path}.part-*"):
+        if (
+            _re.fullmatch(_re.escape(db_path) + r"\.part-(\d{5})", shard)
+            and shard not in live
+        ):
+            _os.remove(shard)
 
 
 def export_markdown_files_distributed(

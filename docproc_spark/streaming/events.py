@@ -170,16 +170,31 @@ def run_stream_once(
     # chunked path, a full corpus copy) per correctness/bench run.
     abs_src = os.path.abspath(events_path)
     try:
-        stamp = int(os.stat(abs_src).st_mtime)
+        st = os.stat(abs_src)
+        # mtime_ns + size: second-resolution mtime let a regenerated
+        # source within the same second silently reuse stale chunks
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
-        stamp = 0
+        stamp = "0:0"
     key = hashlib.md5(f"{abs_src}:{stamp}:{n_chunks}".encode()).hexdigest()[:12]
     if n_chunks > 1:
         d = os.path.join(tempfile.gettempdir(), f"stream_chunks_{key}")
         if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            # write to a private tmp dir and rename into place: a
+            # concurrent run sharing the key must only ever see a COMPLETE
+            # staging dir (the half-written-chunks race), and rename is
+            # atomic on one filesystem. Loser of the race keeps the
+            # winner's dir and discards its own copy.
+            tmp_d = f"{d}.tmp-{os.getpid()}"
             spark.read.parquet(events_path).repartition(n_chunks).write.mode(
                 "overwrite"
-            ).parquet(d)
+            ).parquet(tmp_d)
+            try:
+                os.rename(tmp_d, d)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp_d, ignore_errors=True)
         src = d
     elif os.path.isfile(events_path):
         # FileStreamSource requires a directory — stage a symlink dir

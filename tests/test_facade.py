@@ -292,6 +292,34 @@ class TestSqliteSink:
 
 
 class TestBatchingVisionProvider:
+    def test_no_progress_deadline_bounds_whole_call(self):
+        """All workers hung: the call must end ~one timeout window after
+        the last progress, NOT one fresh window per queued batch (6
+        batches x 0.5s would be ~3s; the no-progress deadline makes it
+        ~0.5s + poll ticks)."""
+        import threading
+        import time
+
+        import pandas as pd
+
+        from docproc_spark.providers import BatchingVisionProvider
+
+        class HangingTransport:
+            def describe_batch(self, items):
+                threading.Event().wait()  # forever
+
+        prov = BatchingVisionProvider(
+            HangingTransport(), batch_size=1, max_parallel=1, timeout_s=0.5
+        )
+        refs = pd.Series([f"r{i}" for i in range(6)])
+        ctx = pd.Series([""] * 6)
+        t0 = time.monotonic()
+        out = list(prov.caption_batch(refs, ctx))
+        wall = time.monotonic() - t0
+        assert out == [""] * 6
+        assert wall < 2.5, f"call took {wall:.1f}s — per-slot windows re-armed"
+
+
     """Reference vision request shape (vision_llm.py:128-165,349-352,448-482)
     against the fake transport: batch size 5, wrong-length blanking,
     skip-and-log on failure/timeout."""

@@ -425,6 +425,42 @@ def test_gopher_quality_flags_fire(spark):
     assert got[5]["keep"] is False and got[5]["mean_word_len"] < 3.0
 
 
+def test_gopher_bigram_mega_doc_and_python_parity(spark):
+    """The sort+boundary-scan bigram count must (a) survive a 100k-token
+    document in seconds (the old per-distinct filter scan was
+    O(distinct×n) ≈ 10^10 ops there) and (b) agree with an independent
+    python Counter on the most-frequent-bigram coverage, ties toward
+    larger coverage."""
+    import re as _re
+    import time as _time
+    from collections import Counter
+
+    from docproc_spark.functions.text import gopher_quality
+
+    # ~100k tokens: mostly unique tokens (worst case for distinct count)
+    # with a planted repeated bigram
+    toks = [f"tok{i % 33331}x{i % 7}" for i in range(100_000)]
+    for i in range(0, 100_000, 500):
+        toks[i], toks[i + 1] = "click", "here"
+    mega = " ".join(toks)
+    small = "alpha beta alpha beta gamma gamma gamma delta"
+    df = spark.createDataFrame([(1, mega), (2, small)], "doc_id long, text string")
+    t0 = _time.time()
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert _time.time() - t0 < 60, "mega-doc bigram count is not O(n log n)"
+
+    def py_top_bigram_frac(text):
+        words = _re.findall(r"\S+", text)
+        bgs = [" ".join(words[i : i + 2]) for i in range(max(len(words) - 1, 1))] if len(words) >= 2 else []
+        if not bgs:
+            return 0.0
+        best = max((c, c * len(b)) for b, c in Counter(bgs).items())
+        return round(best[1] / len(text), 4)
+
+    assert got[1]["top_bigram_frac"] == pytest.approx(py_top_bigram_frac(mega))
+    assert got[2]["top_bigram_frac"] == pytest.approx(py_top_bigram_frac(small))
+
+
 def test_minhash_band_edge_cases(spark):
     """Zero-token docs are excluded from banding (they'd otherwise bucket
     together on an empty key); invalid band configs raise clearly."""

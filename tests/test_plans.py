@@ -31,10 +31,14 @@ def test_extract_is_single_pass(spark, tmp_path):
     assert s["sort_merge_joins"] == 0 and s["broadcast_joins"] == 0
     assert s["unions"] == 0
     assert s["windows"] == 0
-    # the routed default adds the (normally empty) salted branch — unions
-    # appear (top-level split + the salted path's internal ones)
+    # with the r4 stats probe, the DEFAULT plan for a no-mega-doc corpus
+    # is the same single-pass shape (dead salted branch elided)
     s2 = plan_summary(extract(docs))
-    assert s2["unions"] >= 1
+    assert s2["unions"] == 0 and s2["scans"] == 1
+    # probe disabled → the static routed plan carries the salted branch
+    # (top-level split + the salted path's internal unions)
+    s3 = plan_summary(extract(docs, probe_routing=False))
+    assert s3["unions"] >= 1
 
 
 def test_parquet_scan_pushdown(spark):
@@ -98,3 +102,56 @@ def test_minhash_candidates_aqe_broadcasts_small_bucket_list(spark):
     assert "BroadcastHashJoin" in executed, (
         "small bucket list was not broadcast at runtime"
     )
+
+
+def test_pin_lifetime_call_leaves_no_cached_tables(spark):
+    """pin_lifetime="call" must leave the SQL cache EMPTY after each call
+    (long-lived-service contract): the result is localCheckpoint-
+    materialized and the banded-bucket cache unpersisted before return.
+    Default "session" keeps the documented pinned cache (cleared here)."""
+    from docproc_spark.operators.similarity import (
+        cosine_neardup_pairs_lsh,
+        lsh_topk,
+    )
+
+    def corpus():
+        rows = [
+            (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cache_mgr.isEmpty()
+
+    want_topk = [tuple(r) for r in lsh_topk(corpus(), k=5).collect()]
+    spark.catalog.clearCache()
+
+    for _ in range(3):  # repeated calls: no growth
+        got = [tuple(r) for r in lsh_topk(corpus(), k=5, pin_lifetime="call").collect()]
+        assert got == want_topk
+        assert cache_mgr.isEmpty(), "call-mode left a pinned cache"
+
+    want_pairs = {
+        (r["a"], r["b"]) for r in cosine_neardup_pairs_lsh(corpus(), threshold=0.5).collect()
+    }
+    spark.catalog.clearCache()
+    got_pairs = {
+        (r["a"], r["b"])
+        for r in cosine_neardup_pairs_lsh(
+            corpus(), threshold=0.5, pin_lifetime="call"
+        ).collect()
+    }
+    assert got_pairs == want_pairs
+    assert cache_mgr.isEmpty()
+
+    # session default still pins (the documented batch contract)
+    lsh_topk(corpus(), k=5).collect()
+    assert not cache_mgr.isEmpty()
+    spark.catalog.clearCache()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pin_lifetime"):
+        lsh_topk(corpus(), pin_lifetime="forever")
