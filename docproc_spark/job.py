@@ -45,12 +45,52 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="PATH",
         help="write a default engine config yaml to PATH and exit",
     )
+    p.add_argument(
+        "--completions",
+        default=None,
+        choices=("bash", "zsh"),
+        help="print a shell completion script and exit",
+    )
     return p
+
+
+def render_completions(parser: argparse.ArgumentParser, shell: str) -> str:
+    """Static completion script generated from the parser's own options
+    (reference cli.py:94-112 does this through shtab, which is not in
+    this environment — the flag surface is introspected the same way;
+    path-valued flags complete filenames)."""
+    opts = sorted(
+        s for a in parser._actions for s in a.option_strings if s.startswith("--")
+    )
+    words = " ".join(opts)
+    prog = parser.prog
+    fn = f"_{prog.replace('-', '_')}_complete"
+    if shell == "zsh":
+        specs = " ".join(f"'{o}[{o.lstrip('-')}]:value:_files'" for o in opts)
+        return (
+            f"#compdef {prog}\n"
+            f"{fn}() {{ _arguments -s {specs} }}\n"
+            f"compdef {fn} {prog}\n"
+        )
+    return (
+        f"{fn}() {{\n"
+        f'  local cur="${{COMP_WORDS[COMP_CWORD]}}"\n'
+        f'  if [[ "$cur" == -* ]]; then\n'
+        f'    COMPREPLY=( $(compgen -W "{words}" -- "$cur") )\n'
+        f"  else\n"
+        f'    COMPREPLY=( $(compgen -f -- "$cur") )\n'
+        f"  fi\n"
+        f"}}\n"
+        f"complete -F {fn} {prog}\n"
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.completions:
+        print(render_completions(parser, args.completions))
+        return 0
     if args.init_config:
         import os
 

@@ -291,6 +291,41 @@ class TestSqliteSink:
         assert (tmp_path / "md" / "c.md").read_text() == ""
 
 
+class TestCompletions:
+    """Reference cli.py:94-112 parity: a completions subcommand emitting a
+    sourceable script per shell (shtab-free; flags introspected from the
+    real parser)."""
+
+    def test_bash_script_covers_all_flags(self, capsys):
+        from docproc_spark.job import build_parser, main, render_completions
+
+        assert main(["--completions", "bash"]) == 0
+        out = capsys.readouterr().out
+        for a in build_parser()._actions:
+            for opt in a.option_strings:
+                if opt.startswith("--"):
+                    assert opt in out, opt
+        assert "complete -F" in out
+
+    def test_zsh_script(self):
+        from docproc_spark.job import build_parser, render_completions
+
+        z = render_completions(build_parser(), "zsh")
+        assert z.startswith("#compdef docproc-spark")
+        assert "--input[" in z and "compdef" in z
+
+    def test_bash_script_sources_cleanly(self, tmp_path):
+        import subprocess
+
+        from docproc_spark.job import build_parser, render_completions
+
+        f = tmp_path / "comp.sh"
+        f.write_text(render_completions(build_parser(), "bash"))
+        r = subprocess.run(["bash", "-c", f"source {f} && echo OK"],
+                           capture_output=True, text=True)
+        assert r.returncode == 0 and "OK" in r.stdout
+
+
 class TestBatchingVisionProvider:
     def test_no_progress_deadline_bounds_whole_call(self):
         """All workers hung: the call must end ~one timeout window after
