@@ -1,0 +1,393 @@
+"""PDF bytes → span-table ingestion kernel (stdlib-only, simple-PDF subset).
+
+The reference loads PDFs through PyMuPDF (`/root/reference/docproc/doc/
+loaders/pdf_loader.py:17-54`): page.get_text("blocks") → (x0,y0,x1,y1,text)
+tuples, blank blocks dropped, block order kept. PyMuPDF is not in this
+environment, so this module parses the bytes directly with zlib + regex and
+feeds the SAME block shape into kernels/pdf_layout.blocks_to_spans — the
+ordering/classification kernel both paths already share.
+
+Supported subset (documented contract — anything outside it quarantines
+with a parse_error instead of failing the job):
+
+  - classic non-encrypted PDFs; objects located by scanning `N 0 obj …
+    endobj` (no xref needed — tolerant of linearized/appended files)
+  - page order from the /Catalog → /Pages → /Kids tree (recursive)
+  - content streams plain or /FlateDecode
+  - text: BT…ET blocks; Tm/Td/TD/T* positioning (a new line per
+    line-move, joined "\\n"); Tj / ' / TJ show ops; literal ( ) strings
+    with escapes + octal, and <hex> strings; Latin-1 byte decoding
+  - one block per BT…ET group, bbox from the text origin (PDF y-up
+    flipped to top-down so (y0, x0) reading order matches pdf_layout)
+  - images: /XObject /Subtype /Image resources invoked with `name Do`
+    emit an ``image`` span whose media_ref is the resource name, ordered
+    at the position of the current transform's translate
+
+Full-text parity: page texts joined "\\n\\n" with empty pages INCLUDED
+(pdf_loader.get_full_text, :56-61) is exactly operators/fulltext.
+full_text_pdf over the emitted spans.
+
+Spark shape: ``load_pdf`` is one ``mapInPandas`` pass (Arrow-batched,
+per-document CPU work, no shuffle), same contract as sources/ooxml.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+from docproc_spark.kernels.pdf_layout import blocks_to_spans
+from docproc_spark.sources.ooxml import OOXML_OUT_SCHEMA
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_REF_RE = re.compile(rb"/%s\s+(\d+)\s+0\s+R")
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _dict_ref(body: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+0\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _kids(body: bytes) -> list[int]:
+    m = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+    if not m:
+        return []
+    return [int(r) for r in re.findall(rb"(\d+)\s+0\s+R", m.group(1))]
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in document order via the /Pages tree; falls
+    back to ascending object number for files without a proper tree."""
+    root_pages = None
+    for body in objs.values():
+        if b"/Type" in body and b"/Catalog" in body:
+            root_pages = _dict_ref(body, b"Pages")
+            break
+    order: list[int] = []
+
+    def walk(num: int) -> None:
+        body = objs.get(num)
+        if body is None:
+            return
+        if b"/Type" in body and b"/Page" in body and b"/Pages" not in body:
+            order.append(num)
+            return
+        for kid in _kids(body):
+            walk(kid)
+
+    if root_pages is not None:
+        walk(root_pages)
+    if not order:
+        order = sorted(
+            n
+            for n, b in objs.items()
+            if b"/Type" in b and re.search(rb"/Type\s*/Page\b", b)
+        )
+    return order
+
+
+def _media_box(objs: dict[int, bytes], page_body: bytes) -> tuple[float, float]:
+    """(width, height); inherited from the parent chain when absent."""
+    body: bytes | None = page_body
+    for _ in range(16):  # bounded parent walk
+        if body is None:
+            break
+        m = re.search(rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)", body)
+        if m:
+            x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
+            return x1 - x0, y1 - y0
+        parent = _dict_ref(body, b"Parent")
+        body = objs.get(parent) if parent is not None else None
+    return 612.0, 792.0  # US Letter default
+
+
+def _stream_bytes(objs: dict[int, bytes], num: int) -> bytes:
+    body = objs.get(num, b"")
+    m = _STREAM_RE.search(body)
+    if not m:
+        return b""
+    raw = m.group(1)
+    if re.search(rb"/Filter\s*/FlateDecode", body):
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return b""
+    return raw
+
+
+def _content_streams(objs: dict[int, bytes], page_body: bytes) -> bytes:
+    one = _dict_ref(page_body, b"Contents")
+    if one is not None:
+        return _stream_bytes(objs, one)
+    m = re.search(rb"/Contents\s*\[(.*?)\]", page_body, re.S)
+    if m:
+        parts = [
+            _stream_bytes(objs, int(r))
+            for r in re.findall(rb"(\d+)\s+0\s+R", m.group(1))
+        ]
+        return b"\n".join(parts)
+    return b""
+
+
+def _image_xobjects(objs: dict[int, bytes], page_body: bytes) -> set[bytes]:
+    """Resource names on this page that resolve to /Subtype /Image."""
+    m = re.search(rb"/XObject\s*<<(.*?)>>", page_body, re.S)
+    if not m:
+        return set()
+    names = set()
+    for name, ref in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", m.group(1)):
+        tgt = objs.get(int(ref), b"")
+        if re.search(rb"/Subtype\s*/Image", tgt):
+            names.add(name)
+    return names
+
+
+def _decode_pdf_string(tok: bytes) -> str:
+    """Literal ( … ) with escapes/octal, or <hex>; Latin-1 bytes."""
+    if tok.startswith(b"<"):
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", tok[1:-1])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+    body = tok[1:-1]
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == 0x5C and i + 1 < len(body):  # backslash
+            n = body[i + 1 : i + 2]
+            esc = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12,
+                   b"(": 40, b")": 41, b"\\": 92}
+            if n in esc:
+                out.append(esc[n])
+                i += 2
+                continue
+            m = re.match(rb"[0-7]{1,3}", body[i + 1 : i + 4])
+            if m:
+                out.append(int(m.group(0), 8) & 0xFF)
+                i += 1 + len(m.group(0))
+                continue
+            i += 1  # lone backslash: skip (line-continuation semantics)
+            continue
+        out.append(c)
+        i += 1
+    return out.decode("latin-1")
+
+
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"     # literal string
+    rb"|<[0-9A-Fa-f\s]*>"        # hex string
+    rb"|\[|\]"
+    rb"|/[\w.#]+"
+    rb"|[-+]?\d*\.?\d+"
+    rb"|[A-Za-z'\"*]+"
+)
+
+
+def _page_blocks(content: bytes, page: int, page_h: float, image_names: set[bytes]):
+    """Interpret one content stream → PyMuPDF-style block dicts + image
+    spans. One block per BT…ET; PDF's y-up origin flipped to top-down so
+    blocks_to_spans' (y0, x0) order is visual reading order."""
+    blocks: list[dict] = []
+    images: list[tuple[str, float]] = []  # (name, y_sort)
+    tokens = _TOKEN_RE.findall(content)
+    tx = ty = 0.0
+    leading = 12.0
+    cm_ty = 0.0
+    cur_lines: list[str] = []
+    cur_line = ""
+    origin: tuple[float, float] | None = None
+    stack: list[bytes] = []
+
+    def flush_line():
+        nonlocal cur_line
+        if cur_line != "":
+            cur_lines.append(cur_line)
+        cur_line = ""
+
+    def flush_block():
+        nonlocal cur_lines, origin
+        flush_line()
+        if cur_lines and origin is not None:
+            x, y = origin
+            text = "\n".join(cur_lines)
+            blocks.append(
+                {
+                    "page": page,
+                    "x0": x,
+                    "y0": page_h - y,  # flip: top-down for reading order
+                    "x1": x + 8.0 * max(len(line) for line in cur_lines),
+                    "y1": page_h - y + leading * len(cur_lines),
+                    "text": text,
+                }
+            )
+        cur_lines, origin = [], None
+
+    def num(tok: bytes) -> float:
+        try:
+            return float(tok)
+        except ValueError:
+            return 0.0
+
+    for tok in tokens:
+        if tok == b"BT":
+            tx = ty = 0.0
+            continue
+        if tok == b"ET":
+            flush_block()
+            continue
+        if tok in (b"Td", b"TD"):
+            if len(stack) >= 2:
+                dx, dy = num(stack[-2]), num(stack[-1])
+                tx += dx
+                ty += dy
+                if tok == b"TD":
+                    leading = -dy if dy else leading
+                if origin is not None:
+                    flush_line()
+            stack.clear()
+            continue
+        if tok == b"Tm":
+            if len(stack) >= 6:
+                tx, ty = num(stack[-2]), num(stack[-1])
+                if origin is not None:
+                    flush_line()
+            stack.clear()
+            continue
+        if tok == b"T*":
+            ty -= leading
+            flush_line()
+            stack.clear()
+            continue
+        if tok == b"TL":
+            if stack:
+                leading = num(stack[-1])
+            stack.clear()
+            continue
+        if tok == b"cm":
+            if len(stack) >= 6:
+                cm_ty = num(stack[-1])
+            stack.clear()
+            continue
+        if tok == b"Do":
+            if stack and stack[-1].startswith(b"/"):
+                name = stack[-1][1:]
+                if name in image_names:
+                    images.append((name.decode("latin-1"), page_h - cm_ty))
+            stack.clear()
+            continue
+        if tok in (b"Tj", b"'"):
+            if tok == b"'":
+                ty -= leading
+                flush_line()
+            s = next(
+                (t for t in reversed(stack) if t.startswith((b"(", b"<"))), None
+            )
+            if s is not None:
+                if origin is None:
+                    origin = (tx, ty)
+                cur_line += _decode_pdf_string(s)
+            stack.clear()
+            continue
+        if tok == b"TJ":
+            parts = [
+                _decode_pdf_string(t) for t in stack if t.startswith((b"(", b"<"))
+            ]
+            if parts:
+                if origin is None:
+                    origin = (tx, ty)
+                cur_line += "".join(parts)
+            stack.clear()
+            continue
+        if tok == b"]":
+            continue  # keep strings accumulated inside TJ arrays
+        if re.fullmatch(rb"[A-Za-z\"*]+", tok):
+            stack.clear()  # any unhandled operator: drop its operands
+            continue
+        stack.append(tok)
+    return blocks, images
+
+
+def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]]:
+    """bytes → [(kind, text, media_ref, page)] — text blocks in pdf_layout
+    reading order with layout classification, image spans at their
+    transform position."""
+    objs = _objects(data)
+    if not objs:
+        raise ValueError("no PDF objects found")
+    all_blocks: list[dict] = []
+    image_rows: list[tuple[int, float, str]] = []
+    for page, num in enumerate(_page_order(objs)):
+        body = objs[num]
+        _, page_h = _media_box(objs, body)
+        content = _content_streams(objs, body)
+        blocks, images = _page_blocks(
+            content, page, page_h, _image_xobjects(objs, body)
+        )
+        all_blocks.extend(blocks)
+        image_rows.extend((page, y, name) for name, y in images)
+    page_h_for_classify = _media_box(objs, objs[_page_order(objs)[0]])[1] if objs else 0
+    spans = [
+        (s["kind"], s["text"], s["media_ref"], s["page"])
+        for s in blocks_to_spans(all_blocks, page_height=page_h_for_classify)
+    ]
+    # interleave image spans after the page's text spans (the reference
+    # collects page images separately after text, pdf_loader.py:38-49)
+    out: list[tuple[str, str | None, str | None, int]] = []
+    pages = sorted({p for *_, p in spans} | {p for p, _, _ in image_rows})
+    for p in pages:
+        out.extend(s for s in spans if s[3] == p)
+        out.extend(
+            ("image", None, name, p)
+            for pg, y, name in sorted(image_rows, key=lambda r: (r[0], r[1], r[2]))
+            if pg == p
+        )
+    return out
+
+
+def load_pdf(
+    docs: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(doc_id, content:binary) → span table (same schema/contract as
+    sources/ooxml.load_ooxml: one mapInPandas pass, per-document
+    quarantine via parse_error, ingest-time n_spans routing column)."""
+    import pandas as pd
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for did, blob in zip(pdf[doc_id_col], pdf[content_col]):
+                row = {
+                    "doc_id": did,
+                    "doc_type": "pdf",
+                    "raw_html": None,
+                    "spans": None,
+                    "n_spans": None,
+                    "sheet_names": None,
+                    "parse_error": None,
+                }
+                try:
+                    raw = parse_pdf_bytes(bytes(blob))
+                    row["spans"] = [
+                        {"kind": k, "text": t, "media_ref": m, "page": p,
+                         "offset": i}
+                        for i, (k, t, m, p) in enumerate(raw)
+                    ]
+                    row["n_spans"] = len(raw)
+                except Exception as e:  # noqa: BLE001 — per-doc quarantine
+                    row["parse_error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in OOXML_OUT_SCHEMA])
+
+    return docs.mapInPandas(gen, schema=OOXML_OUT_SCHEMA)
