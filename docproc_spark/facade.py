@@ -83,3 +83,30 @@ class DocprocSpark:
         return run_with_lineage(
             docs, out_path, lineage_path, self.extract_table, n_parts=n_parts
         )
+
+    def load_files(self, path: str) -> DataFrame:
+        """Directory of real .pdf/.docx/.pptx/.xlsx files → one span table
+        (the reference CLI's file-in entry, distributed: binaryFile scan,
+        one mapInPandas parse per format branch, union by name). Rows that
+        fail to parse carry parse_error (quarantine column); feed the rest
+        to extract_table / extract_resumable."""
+        from pyspark.sql import functions as F
+
+        from docproc_spark.sources.ooxml import load_ooxml
+        from docproc_spark.sources.pdf import load_pdf
+
+        binf = (
+            self.spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.{pdf,docx,pptx,xlsx}")
+            .load(path)
+            .select(
+                F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("doc_id"),
+                F.lower(
+                    F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
+                ).alias("fmt"),
+                F.col("content"),
+            )
+        )
+        pdfs = load_pdf(binf.filter(F.col("fmt") == "pdf"))
+        office = load_ooxml(binf.filter(F.col("fmt") != "pdf"))
+        return pdfs.unionByName(office)

@@ -714,6 +714,26 @@ def _out_spans_col(
 # ---------------------------------------------------------------------------
 # the pipeline
 # ---------------------------------------------------------------------------
+_SCAN_LIKE_NODES = ("Relation", "Project", "Filter", "LocalRelation")
+
+
+def _is_scan_like(docs: DataFrame) -> bool:
+    """True when the plan is only scan/project/filter nodes — i.e. the
+    eager routing probe re-reads cheap columns from storage, nothing
+    else. A derived plan (mapInPandas parse, join, union, aggregate)
+    would EXECUTE twice if probed — e.g. facade.load_files' bytes→spans
+    parse — so those keep the static two-branch routing instead."""
+    try:
+        plan = docs._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover — plan introspection unavailable
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _SCAN_LIKE_NODES:
+            return False
+    return True
+
+
 def extract(
     docs: DataFrame,
     *,
@@ -754,10 +774,11 @@ def extract(
     probe, the same decision an Iceberg catalog would answer from
     manifest min/max without any scan; on bare parquet it reads only the
     routing columns. The probe is skipped (static two-branch plan kept)
-    for streaming inputs and for tables without ``n_spans`` — there the
-    estimate needs the full spans array, which is not a cheap probe.
-    Pass ``probe_routing=False`` if ``docs`` is an expensive derived
-    plan that should not be executed eagerly.
+    for streaming inputs, for tables without ``n_spans`` (the estimate
+    would need the full spans array — not a cheap probe), and for
+    non-scan-like plans (mapInPandas parses, joins, unions — probing
+    would execute the upstream computation twice; `_is_scan_like`).
+    ``probe_routing=False`` disables it outright.
     """
     if mega_doc_threshold is not None:
         from docproc_spark.pipeline_salted import extract_salted
@@ -794,6 +815,7 @@ def extract(
             probe_routing
             and "n_spans" in docs.columns
             and not docs.isStreaming
+            and _is_scan_like(docs)
         ):
             # Upper bound of the routing estimate over the whole input:
             # `base` is coalesce(n_spans,0) >= every n_spans arm, and the

@@ -291,6 +291,34 @@ class TestSqliteSink:
         assert (tmp_path / "md" / "c.md").read_text() == ""
 
 
+class TestLoadFiles:
+    def test_directory_of_real_files_to_markdown(self, spark, tmp_path):
+        """The reference CLI's file-in entry: a dir of real .pdf/.docx/
+        .xlsx files ingests distributed (binaryFile + mapInPandas) and
+        extracts end-to-end; unparseable files carry parse_error."""
+        from docproc_spark.facade import DocprocSpark
+        from tests.test_ooxml import make_docx, make_xlsx
+        from tests.test_pdf_source import make_pdf
+
+        d = tmp_path / "in"
+        d.mkdir()
+        (d / "a.pdf").write_bytes(make_pdf())
+        (d / "b.docx").write_bytes(make_docx())
+        (d / "c.xlsx").write_bytes(make_xlsx())
+        (d / "broken.docx").write_bytes(b"not a zip")
+        (d / "ignored.txt").write_bytes(b"skip me")
+
+        eng = DocprocSpark(spark=spark)
+        table = eng.load_files(str(d))
+        rows = {r["doc_id"]: r for r in table.collect()}
+        assert set(rows) == {"a.pdf", "b.docx", "c.xlsx", "broken.docx"}
+        assert rows["broken.docx"]["parse_error"] is not None
+        ok = table.filter("parse_error IS NULL").drop("sheet_names", "parse_error")
+        res = {r["doc_id"]: r for r in eng.extract_table(ok).collect()}
+        assert "Hello world" in res["b.docx"]["markdown"]
+        assert res["a.pdf"]["n_pages"] == 2
+
+
 class TestCompletions:
     """Reference cli.py:94-112 parity: a completions subcommand emitting a
     sourceable script per shell (shtab-free; flags introspected from the

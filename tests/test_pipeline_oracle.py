@@ -182,3 +182,20 @@ def test_probe_elides_dead_salted_branch(spark, tmp_path):
     }
     got = {r["doc_id"]: (r["markdown"], r["n_pages"]) for r in elided.collect()}
     assert got == want
+
+
+def test_probe_skips_derived_plans(spark):
+    """A non-scan-like input (mapInPandas parse) must NOT be probed — the
+    probe would execute the whole derivation twice. The static two-branch
+    plan (Union) is kept instead."""
+    import pandas as pd
+
+    from docproc_spark.sources.ooxml import load_ooxml
+    from tests.test_ooxml import make_docx
+
+    src = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["d1"], "fmt": ["docx"], "content": [make_docx()]})
+    )
+    derived = load_ooxml(src).drop("sheet_names", "parse_error")
+    plan = extract(derived)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan  # probe skipped, routed plan retained
