@@ -1705,16 +1705,14 @@ def _lsh_index_ann(spark, sf):
     path = f"/root/repo/.bench_cache/lsh_index_v2_{key}_{data_key}"
     emb = _emb64(spark, sf)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # build into a private tmp dir, rename into place: concurrent runs
-        # sharing the key only ever see a COMPLETE index dir
+        # build into a private tmp dir, commit by rename: concurrent runs
+        # sharing the key only ever see a COMPLETE index dir, and a stale
+        # incomplete dir at the final name is repaired, not served
+        from docproc_spark.streaming.events import _commit_staging_dir
+
         tmp = f"{path}.tmp-{os.getpid()}"
         build_lsh_index(emb, tmp, n_bands=12, planes_per_band=3, dims=_EMB_DIMS)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+        path = _commit_staging_dir(tmp, path)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_index_topk(
         spark, path, qvec, k=10, n_bands=12, planes_per_band=3, exclude_vec_id=0

@@ -434,9 +434,16 @@ def main() -> None:
             # one lucky lo round poisons the ratio (observed: pooled 0.661
             # from rounds whose paired ratios were 0.66-0.81).
             effs.append(w_lo / (w_hi * hi / lo))
-        med = sorted(effs)[len(effs) // 2]
-        med_mem = sorted(mem_effs)[len(mem_effs) // 2]
-        med_sha = sorted(sha_effs)[len(sha_effs) // 2]
+        def median(xs: list) -> float:
+            """True median — upper-middle indexing on even counts would
+            systematically bias the headline efficiency upward."""
+            s = sorted(xs)
+            mid = len(s) // 2
+            return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+        med = median(effs)
+        med_mem = median(mem_effs)
+        med_sha = median(sha_effs)
         wall_lo, wall_hi2 = min(lo_walls), min(hi_walls)
         dps_lo = n_s / wall_lo if wall_lo > 0 else 0.0
         dps_hi = n_s / wall_hi2 if wall_hi2 > 0 else 0.0

@@ -89,15 +89,37 @@ class DocprocSpark:
         (the reference CLI's file-in entry, distributed: binaryFile scan,
         one mapInPandas parse per format branch, union by name). Rows that
         fail to parse carry parse_error (quarantine column); feed the rest
-        to extract_table / extract_resumable."""
-        from pyspark.sql import functions as F
+        to extract_table / extract_resumable.
 
+        Each format family gets its OWN binaryFile read with its own
+        pathGlobFilter: a shared read filtered post-hoc on a derived fmt
+        column cannot push the predicate into the scan, and DataFrame
+        fan-out gets no common-subexpression reuse — both branches would
+        read EVERY file's full bytes (2× IO on the whole directory).
+        Globs are per-character case classes: Hadoop glob matching is
+        case-sensitive and an uppercase SCAN.PDF would otherwise vanish
+        without even a quarantine row."""
         from docproc_spark.sources.ooxml import load_ooxml
         from docproc_spark.sources.pdf import load_pdf
 
-        binf = (
+        pdfs = load_pdf(self._binary_files(path, ("pdf",)))
+        office = load_ooxml(self._binary_files(path, ("docx", "pptx", "xlsx")))
+        return pdfs.unionByName(office)
+
+    def _binary_files(self, path: str, exts: tuple[str, ...]) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        def ci(ext: str) -> str:
+            return "".join(f"[{c}{c.upper()}]" for c in ext)
+
+        glob = (
+            f"*.{ci(exts[0])}"
+            if len(exts) == 1
+            else "*.{" + ",".join(ci(e) for e in exts) + "}"
+        )
+        return (
             self.spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.{pdf,docx,pptx,xlsx}")
+            .option("pathGlobFilter", glob)
             .load(path)
             .select(
                 F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("doc_id"),
@@ -107,6 +129,3 @@ class DocprocSpark:
                 F.col("content"),
             )
         )
-        pdfs = load_pdf(binf.filter(F.col("fmt") == "pdf"))
-        office = load_ooxml(binf.filter(F.col("fmt") != "pdf"))
-        return pdfs.unionByName(office)

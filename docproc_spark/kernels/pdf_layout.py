@@ -36,23 +36,31 @@ def classify_block(text: str, y_center: float, page_height: float) -> str:
     return "text"
 
 
-def blocks_to_spans(blocks: list[dict], page_height: float = 0.0) -> list[dict]:
+def blocks_to_spans(
+    blocks: list[dict],
+    page_height: float = 0.0,
+    page_heights: dict[int, float] | None = None,
+) -> list[dict]:
     """Pure kernel: PyMuPDF-style block dicts → ordered span dicts.
 
     Each block: {page, x0, y0, x1, y1, text}. Output spans carry 0-based
     offsets in (page, y0, x0) reading order; blank blocks dropped.
+    ``page_heights`` overrides the scalar per page — mixed-size documents
+    (letter + A3) classify header/footer against each page's OWN height.
     """
     kept = [b for b in blocks if b.get("text") and str(b["text"]).strip()]
     kept.sort(key=lambda b: (int(b.get("page", 0)), float(b["y0"]), float(b["x0"])))
     out = []
     for i, b in enumerate(kept):
         yc = (float(b["y0"]) + float(b["y1"])) / 2
+        page = int(b.get("page", 0))
+        h = (page_heights or {}).get(page, page_height)
         out.append(
             {
-                "kind": classify_block(str(b["text"]), yc, page_height),
+                "kind": classify_block(str(b["text"]), yc, h),
                 "text": str(b["text"]).strip(),
                 "media_ref": None,
-                "page": int(b.get("page", 0)),
+                "page": page,
                 "offset": i,
             }
         )

@@ -176,14 +176,19 @@ class BatchingVisionProvider(CaptionProvider):
 
         def wait_with_progress_deadline(ev) -> bool:
             """True if ev set; False once timeout_s elapses with NO batch
-            completing anywhere (short poll ticks — set events return
-            immediately, so healthy paths pay nothing)."""
+            completing anywhere. Deadline is checked BEFORE paying a poll
+            tick: once progress has stopped, every remaining queued batch
+            must blank immediately — a tick-first loop would add one tick
+            per remaining batch (1000 queued batches ≈ 16 extra minutes
+            on a global hang) after the window already expired."""
             tick = min(1.0, self.timeout_s / 10 or 1.0)
             while True:
-                if ev.wait(timeout=tick):
+                if ev.is_set():
                     return True
                 if _time.monotonic() - progress["t"] > self.timeout_s:
                     return False
+                if ev.wait(timeout=tick):
+                    return True
 
         out: list = []
         log = logging.getLogger(__name__)
@@ -422,19 +427,42 @@ _CACHE_KW: dict[str, tuple] = {}
 _PRIMITIVE_KW_TYPES = (str, bytes, int, float, bool, tuple, frozenset, type(None))
 
 
+def _value_repr(v):
+    """Canonical repr for value-shaped data (primitives + dict/list/set
+    containers of them), or None if v is an opaque object anywhere in the
+    structure — opaque means identity-compared."""
+    if isinstance(v, _PRIMITIVE_KW_TYPES) and not isinstance(v, (tuple, frozenset)):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        parts = [_value_repr(x) for x in v]
+        return None if None in parts else "[" + ",".join(parts) + "]"
+    if isinstance(v, (set, frozenset)):
+        parts = [_value_repr(x) for x in v]
+        return None if None in parts else "{" + ",".join(sorted(parts)) + "}"
+    if isinstance(v, dict):
+        items = [(repr(k), _value_repr(x)) for k, x in v.items()]
+        if any(r is None for _, r in items):
+            return None
+        return "{" + ",".join(f"{k}:{r}" for k, r in sorted(items)) + "}"
+    return None
+
+
 def _kw_sig(kwargs: dict) -> tuple:
-    """(value-compared primitives, identity-compared objects). Object
-    kwargs (client/transport/callables) are compared by id(): their
-    default reprs carry addresses (equal configs would spuriously
-    mismatch) while custom reprs may OMIT config (real drift would pass
-    silently) — identity is the only honest comparison."""
-    prim = sorted(
-        (k, repr(v)) for k, v in kwargs.items() if isinstance(v, _PRIMITIVE_KW_TYPES)
-    )
-    objs = sorted(
-        (k, id(v)) for k, v in kwargs.items() if not isinstance(v, _PRIMITIVE_KW_TYPES)
-    )
-    return tuple(prim), tuple(objs)
+    """(value-compared kwargs, identity-compared kwargs). Primitives and
+    dict/list/set containers OF primitives compare by canonical value —
+    a fresh-but-equal {"x": "1"} headers dict on every partition must hit
+    the cache, not raise. Opaque objects (clients/transports/callables)
+    compare by id(): their default reprs carry addresses (equal configs
+    would spuriously mismatch) while custom reprs may OMIT config (real
+    drift would pass silently) — identity is the only honest comparison."""
+    prim, objs = [], []
+    for k, v in kwargs.items():
+        r = _value_repr(v)
+        if r is not None:
+            prim.append((k, r))
+        else:
+            objs.append((k, id(v)))
+    return tuple(sorted(prim)), tuple(sorted(objs))
 
 
 def get_provider(provider_id: str = "stub", **kwargs):

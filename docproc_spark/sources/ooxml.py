@@ -302,8 +302,13 @@ def parse_xlsx_bytes(
             cells_by_row: dict[int, dict[int, str]] = {}
             max_col = 0
             max_row = 0
+            last_row = 0
             for row in data_el.findall(_q(NS_S, "row")):
-                r_idx = int(row.get("r", len(cells_by_row) + 1))
+                # r is OPTIONAL on <row>: an unnumbered row follows the
+                # previous one (last+1) — len(cells_by_row)+1 would place
+                # it before, or collide with, earlier numbered rows
+                r_idx = int(row.get("r", last_row + 1))
+                last_row = r_idx
                 max_row = max(max_row, r_idx)
                 by_col = cells_by_row.setdefault(r_idx, {})
                 next_col = 1
@@ -421,10 +426,17 @@ def load_ooxml(
     return docs.mapInPandas(gen, schema=OOXML_OUT_SCHEMA)
 
 
-def read_ooxml_dir(spark, path: str, *, glob: str = "*.{docx,pptx,xlsx}") -> DataFrame:
+def read_ooxml_dir(
+    spark,
+    path: str,
+    *,
+    glob: str = "*.{[dD][oO][cC][xX],[pP][pP][tT][xX],[xX][lL][sS][xX]}",
+) -> DataFrame:
     """Distributed directory ingestion via the binaryFile source: each
     executor reads + parses its own partition of files (no driver loop).
-    doc_id = file name, fmt = extension."""
+    doc_id = file name, fmt = extension. The default glob uses per-char
+    case classes — Hadoop glob matching is case-sensitive and REPORT.DOCX
+    would otherwise be silently skipped."""
     binf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

@@ -44,7 +44,6 @@ from docproc_spark.sources.ooxml import OOXML_OUT_SCHEMA
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_REF_RE = re.compile(rb"/%s\s+(\d+)\s+0\s+R")
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
@@ -182,8 +181,8 @@ def _decode_pdf_string(tok: bytes) -> str:
     return out.decode("latin-1")
 
 
-_TOKEN_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)"     # literal string
+_NONSTRING_TOKEN_RE = re.compile(
+    rb"<<|>>"
     rb"|<[0-9A-Fa-f\s]*>"        # hex string
     rb"|\[|\]"
     rb"|/[\w.#]+"
@@ -192,13 +191,48 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _tokenize(content: bytes) -> list[bytes]:
+    """Content-stream tokens. Literal ( … ) strings are scanned with a
+    paren DEPTH counter honoring backslash escapes — the PDF spec allows
+    BALANCED unescaped parens inside literals (`(see (note))` is one
+    string), which no single regex alternation can match; a regex-only
+    tokenizer silently split such strings and dropped text."""
+    out: list[bytes] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # '('
+            depth, j = 1, i + 1
+            while j < n and depth:
+                cj = content[j]
+                if cj == 0x5C:  # backslash: skip escaped char
+                    j += 2
+                    continue
+                if cj == 0x28:
+                    depth += 1
+                elif cj == 0x29:
+                    depth -= 1
+                j += 1
+            out.append(content[i:j])
+            i = j
+            continue
+        m = _NONSTRING_TOKEN_RE.match(content, i)
+        if m:
+            if m.group(0) not in (b"<<", b">>"):  # dict delims: recognized
+                out.append(m.group(0))            # (so they never lex as
+            i = m.end()                           # hex strings) but inert
+        else:
+            i += 1
+    return out
+
+
 def _page_blocks(content: bytes, page: int, page_h: float, image_names: set[bytes]):
     """Interpret one content stream → PyMuPDF-style block dicts + image
     spans. One block per BT…ET; PDF's y-up origin flipped to top-down so
     blocks_to_spans' (y0, x0) order is visual reading order."""
     blocks: list[dict] = []
     images: list[tuple[str, float]] = []  # (name, y_sort)
-    tokens = _TOKEN_RE.findall(content)
+    tokens = _tokenize(content)
     tx = ty = 0.0
     leading = 12.0
     cm_ty = 0.0
@@ -325,19 +359,22 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
         raise ValueError("no PDF objects found")
     all_blocks: list[dict] = []
     image_rows: list[tuple[int, float, str]] = []
+    page_heights: dict[int, float] = {}
     for page, num in enumerate(_page_order(objs)):
         body = objs[num]
         _, page_h = _media_box(objs, body)
+        page_heights[page] = page_h
         content = _content_streams(objs, body)
         blocks, images = _page_blocks(
             content, page, page_h, _image_xobjects(objs, body)
         )
         all_blocks.extend(blocks)
         image_rows.extend((page, y, name) for name, y in images)
-    page_h_for_classify = _media_box(objs, objs[_page_order(objs)[0]])[1] if objs else 0
+    # a parseable file with no /Page objects yields zero spans (empty doc),
+    # not a quarantine row; each page classifies against its OWN height
     spans = [
         (s["kind"], s["text"], s["media_ref"], s["page"])
-        for s in blocks_to_spans(all_blocks, page_height=page_h_for_classify)
+        for s in blocks_to_spans(all_blocks, page_heights=page_heights)
     ]
     # interleave image spans after the page's text spans (the reference
     # collects page images separately after text, pdf_loader.py:38-49)

@@ -143,6 +143,33 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _commit_staging_dir(tmp_d: str, final_d: str) -> str:
+    """Atomically promote a COMPLETE private staging dir to its final
+    name; returns the dir to read from. Handles every failure mode of a
+    bare rename: a concurrent winner with a complete dir (use theirs,
+    drop ours), a pre-existing INCOMPLETE dir without _SUCCESS (e.g. a
+    crashed legacy run that wrote in place — repaired by replacement,
+    where a bare rename would fail ENOTEMPTY forever and silently serve
+    the incomplete data), and an unclaimable final name (serve this run
+    from the private complete copy; correct, leaks one dir)."""
+    import shutil
+
+    try:
+        os.rename(tmp_d, final_d)
+        return final_d
+    except OSError:
+        pass
+    if os.path.exists(os.path.join(final_d, "_SUCCESS")):
+        shutil.rmtree(tmp_d, ignore_errors=True)
+        return final_d
+    shutil.rmtree(final_d, ignore_errors=True)
+    try:
+        os.rename(tmp_d, final_d)
+        return final_d
+    except OSError:
+        return tmp_d
+
+
 def run_stream_once(
     spark: SparkSession,
     events_path: str,
@@ -189,13 +216,9 @@ def run_stream_once(
             spark.read.parquet(events_path).repartition(n_chunks).write.mode(
                 "overwrite"
             ).parquet(tmp_d)
-            try:
-                os.rename(tmp_d, d)
-            except OSError:
-                import shutil
-
-                shutil.rmtree(tmp_d, ignore_errors=True)
-        src = d
+            src = _commit_staging_dir(tmp_d, d)
+        else:
+            src = d
     elif os.path.isfile(events_path):
         # FileStreamSource requires a directory — stage a symlink dir
         d = os.path.join(tempfile.gettempdir(), f"stream_src_{key}")

@@ -316,3 +316,24 @@ def test_extract_runs_on_ooxml_output(spark):
     assert set(rows) == {"d1", "x1"}
     assert rows["d1"]["markdown"]  # non-empty assembled output
     assert all(s["offset"] == i for i, s in enumerate(rows["d1"]["spans"]))
+
+
+def test_xlsx_unnumbered_rows_follow_previous():
+    """<row> without r= follows the PREVIOUS row (OOXML optional r);
+    a len-based fallback would misplace or collide it."""
+    sheet = f"""<worksheet xmlns="{S}"><sheetData>
+      <row r="5"><c r="A5" t="inlineStr"><is><t>five</t></is></c></row>
+      <row><c t="inlineStr"><is><t>six</t></is></c></row>
+    </sheetData></worksheet>"""
+    wb = f"""<workbook xmlns="{S}" xmlns:r="{R}"><sheets>
+      <sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = f"""<Relationships xmlns="{PKG_R}">
+      <Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>"""
+    data = _zip({
+        "[Content_Types].xml": "<Types/>",
+        "xl/workbook.xml": wb,
+        "xl/_rels/workbook.xml.rels": rels,
+        "xl/worksheets/sheet1.xml": sheet,
+    })
+    spans, _ = parse_xlsx_bytes(data)
+    assert [s[1] for s in spans] == ["five", "six"]

@@ -133,3 +133,46 @@ def test_extract_runs_on_pdf_output(spark):
     rows = {r["doc_id"]: r for r in extract(table, probe_routing=False).collect()}
     assert rows["p1"]["n_pages"] == 2
     assert "Hello world" in rows["p1"]["markdown"]
+
+
+def test_nested_parens_in_literal_string():
+    """PDF literals may contain BALANCED unescaped parens — `(see (note))`
+    is ONE string (spec 7.3.4.2); the paren-depth tokenizer must not
+    split it (a regex alternation silently dropped 'see (' here)."""
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+            _stream_obj(b"BT 72 400 Td (see (note)) Tj ET", compress=False),
+        ]
+    )
+    assert parse_pdf_bytes(pdf) == [("text", "see (note)", None, 0)]
+
+
+def test_pageless_pdf_yields_empty_not_quarantine():
+    pdf = _pdf([b"<< /Type /Catalog >>\n"])
+    assert parse_pdf_bytes(pdf) == []
+
+
+def test_mixed_page_heights_classify_per_page():
+    """Header/footer bands use each page's OWN MediaBox height: y=820 is
+    body on an A3-ish (1191pt) page 2 even though it is off-page for the
+    letter-sized page 1."""
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\n",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>\n",
+            _stream_obj(b"BT 72 780 Td (top letter) Tj ET", compress=False),
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 842 1191] "
+            b"/Contents 6 0 R >>\n",
+            _stream_obj(b"BT 72 820 Td (body a3) Tj ET"
+                        b" BT 72 1180 Td (top a3) Tj ET", compress=False),
+        ]
+    )
+    got = parse_pdf_bytes(pdf)
+    assert ("header", "top letter", None, 0) in got
+    assert ("text", "body a3", None, 1) in got   # 1191-820=371 → body band
+    assert ("header", "top a3", None, 1) in got  # 1191-1180=11 → header

@@ -412,3 +412,23 @@ class TestDriftGuardObjectKwargs:
         with pytest.raises(ValueError):
             P.get_provider("openai-chat", client=b, api_key="sk-A")
         P._CACHE.pop("openai-chat", None)
+
+
+    def test_equal_container_kwargs_compare_by_value(self):
+        """Fresh-but-equal dict/list kwargs (the per-partition pattern)
+        must produce the SAME cache signature — containers of primitives
+        compare by value; only opaque objects fall to identity."""
+        from docproc_spark.providers import _kw_sig
+
+        c = CannedClient([])
+        a = _kw_sig({"client": c, "key": "k", "hdrs": {"x": "1", "y": [2, 3]}})
+        b = _kw_sig({"client": c, "key": "k", "hdrs": {"y": [2, 3], "x": "1"}})
+        assert a == b  # equal containers, any key order → same signature
+        drift = _kw_sig({"client": c, "key": "k", "hdrs": {"x": "2"}})
+        assert drift[0] != a[0]  # container VALUE drift is primitive drift
+        # opaque object nested in a container → whole kwarg is identity
+        obj = object()
+        s1 = _kw_sig({"hdrs": {"x": obj}})
+        s2 = _kw_sig({"hdrs": {"x": obj}})
+        assert s1 != s2 or s1[1]  # lands in the identity bucket
+        assert s1[1] and s1[1][0][0] == "hdrs"
