@@ -1944,6 +1944,38 @@ def _lsh_ann_topk(spark, sf):
     )
 
 
+def _line_dedupe(spark, sf):
+    """C4-style cross-document repeated-line removal (operators/dedupe.
+    drop_repeated_lines). The synthetic documents corpus has no cross-doc
+    repeated lines, so the oracle here verifies the reassembly path is a
+    faithful identity (clean_text == text modulo CR, n_removed == 0);
+    the positive removal path is unit-tested with hand-built corpora in
+    tests/test_operators.py."""
+    from docproc_spark.operators.dedupe import drop_repeated_lines
+
+    return drop_repeated_lines(_t(spark, sf, "documents"), min_count=3)
+
+
+_LINE_DEDUPE_SQL = """
+WITH src AS (
+  SELECT doc_id, string_split(replace(coalesce(text, ''), chr(13), ''), chr(10)) AS ls
+  FROM documents
+), lines AS (
+  SELECT s.doc_id, u.pos, s.ls[u.pos] AS line
+  FROM src s, LATERAL unnest(generate_series(1, len(s.ls))) AS u(pos)
+), freq AS (
+  SELECT trim(line) AS norm FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(*) >= 3
+)
+SELECT l.doc_id,
+       coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                FILTER (WHERE f.norm IS NULL), '') AS clean_text,
+       count(*) FILTER (WHERE f.norm IS NOT NULL) AS n_removed
+FROM lines l LEFT JOIN freq f ON trim(l.line) = f.norm
+GROUP BY l.doc_id
+"""
+
+
 # Over-cap spares: correct and oracled, but kept OUT of queries() — the
 # driver records at most 50 entries (see the note above _QUERIES). pytest
 # keeps them green (tests/test_queries.py parametrizes over spare_queries()).
@@ -1951,12 +1983,14 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
     "lsh_ann_topk": _lsh_ann_topk,
+    "line_dedupe_clean": _line_dedupe,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
     "q6_forecast_revenue": _Q6_SQL,
     "q14_promo_revenue": _Q14_SQL,
     "lsh_ann_topk": _lsh_index_ann_sql(),
+    "line_dedupe_clean": _LINE_DEDUPE_SQL,
 }
 
 

@@ -444,6 +444,10 @@ def main() -> None:
         med = median(effs)
         med_mem = median(mem_effs)
         med_sha = median(sha_effs)
+        # plan-vs-ceiling paired WITHIN each round (extract and control
+        # saw the same window + affinity mask) — a cross-list median
+        # ratio would compare different windows
+        ratios = [e / m for e, m in zip(effs, mem_effs) if m > 0]
         wall_lo, wall_hi2 = min(lo_walls), min(hi_walls)
         dps_lo = n_s / wall_lo if wall_lo > 0 else 0.0
         dps_hi = n_s / wall_hi2 if wall_hi2 > 0 else 0.0
@@ -469,7 +473,8 @@ def main() -> None:
             # plan's share of what this host can physically show.
             "host_compute_ceiling": round(med_sha, 3),
             "host_memory_ceiling": round(med_mem, 3),
-            "plan_vs_host_ceiling": round(med / med_mem, 3) if med_mem else 0.0,
+            "plan_vs_host_ceiling": round(median(ratios), 3) if ratios else 0.0,
+            "plan_vs_ceiling_per_round": [round(r, 3) for r in ratios],
             "cpu_pinned": pinned,
             # shared-host transparency: 1-min load avg at each round start
             # (identical-input pair ratios measured 0.50-0.85 under tenant

@@ -387,6 +387,67 @@ def dup_components(
     return final
 
 
+def drop_repeated_lines(
+    docs: DataFrame,
+    min_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-document line dedup: a line whose trimmed form
+    occurs ≥ ``min_count`` times ACROSS THE CORPUS is boilerplate
+    (nav bars, cookie banners, licence footers) and is removed from every
+    document; blank lines and document structure are kept. Returns
+    (doc_id, clean_text, n_removed) — clean_text is the surviving lines
+    (original, untrimmed) re-joined "\\n" in original order.
+
+    Plan: one posexplode over lines → corpus-wide count shuffle filtered
+    to the frequent set (heavy hitters only: at 10^12 docs the frequent-
+    line table is tiny relative to the corpus, so AQE broadcasts the
+    join side — no hint, per the de-broadcast policy) → left join flags
+    each line → one groupBy(doc_id) reassembles. CR is stripped before
+    splitting so CRLF corpora don't make every blank line a distinct
+    "\\r" token (the r3 phantom-duplicate lesson).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), "\r", ""),
+                "\n",
+            )
+        ).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    freq = (
+        lines.filter(norm != "")
+        .groupBy(norm.alias("norm"))
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("norm")
+    )
+    flagged = lines.join(freq, norm == F.col("norm"), "left").select(
+        "doc_id",
+        "pos",
+        "line",
+        F.col("norm").isNotNull().alias("is_boiler"),
+    )
+    kept_lines = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("is_boiler"),
+                    F.struct(F.col("pos").alias("pos"), F.col("line").alias("line")),
+                )
+            )
+        ),
+        lambda s: s["line"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
 ) -> DataFrame:

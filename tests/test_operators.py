@@ -477,3 +477,36 @@ def test_minhash_band_edge_cases(spark):
     assert pairs == {(3, 4)}  # the two empty docs must NOT pair on '' keys
     with pytest.raises(ValueError, match="zero bands"):
         minhash_band_histogram(docs, k=4, rows_per_band=8)
+
+
+def test_drop_repeated_lines_c4_style(spark):
+    """Cross-document boilerplate lines (trimmed form occurring >= 3
+    times corpus-wide) are removed; blank lines, structure, and original
+    (untrimmed) line content survive; per-doc removal counts are exact."""
+    from docproc_spark.operators.dedupe import drop_repeated_lines
+
+    banner = "Accept all cookies"
+    rows = [
+        (1, f"{banner}\nReal content one.\n\n  {banner}  \nMore text."),
+        (2, f"intro\r\n{banner}\r\nbody two"),       # CRLF + banner
+        (3, "unique only\nnothing shared here"),
+        (4, banner),                                  # the 4th occurrence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in drop_repeated_lines(df).collect()}
+    # banner occurs 4x (trimmed) -> removed everywhere, others untouched
+    assert got[1]["clean_text"] == "Real content one.\n\nMore text."
+    assert got[1]["n_removed"] == 2  # both the bare and the indented copy
+    assert got[2]["clean_text"] == "intro\nbody two"
+    assert got[2]["n_removed"] == 1
+    assert got[3]["clean_text"] == "unique only\nnothing shared here"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 1
+
+    # below threshold: a line on only 2 docs survives
+    df2 = spark.createDataFrame(
+        [(1, "twice\nx"), (2, "twice\ny")], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r["clean_text"]
+            for r in drop_repeated_lines(df2).collect()}
+    assert got2[1] == "twice\nx" and got2[2] == "twice\ny"
