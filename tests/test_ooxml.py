@@ -337,3 +337,30 @@ def test_xlsx_unnumbered_rows_follow_previous():
     })
     spans, _ = parse_xlsx_bytes(data)
     assert [s[1] for s in spans] == ["five", "six"]
+
+
+def test_ooxml_parsers_never_hang_or_crash_on_mutations():
+    """Same robustness contract as the PDF parser: corrupted zip/XML
+    either parses or raises cleanly (load_ooxml turns raises into
+    parse_error quarantine rows)."""
+    import random
+    import time
+
+    rng = random.Random(99)
+    t0 = time.time()
+    for make, parse in (
+        (make_docx, parse_docx_bytes),
+        (make_pptx, parse_pptx_bytes),
+        (make_xlsx, parse_xlsx_bytes),
+    ):
+        base = bytearray(make())
+        for _ in range(40):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                pos = rng.randrange(len(data))
+                data[pos] = rng.randrange(256)
+            try:
+                parse(bytes(data))
+            except Exception:
+                pass
+    assert time.time() - t0 < 30

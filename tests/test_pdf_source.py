@@ -176,3 +176,34 @@ def test_mixed_page_heights_classify_per_page():
     assert ("header", "top letter", None, 0) in got
     assert ("text", "body a3", None, 1) in got   # 1191-820=371 → body band
     assert ("header", "top a3", None, 1) in got  # 1191-1180=11 → header
+
+
+def test_parser_never_hangs_or_crashes_on_mutations():
+    """Robustness contract: arbitrary corruption of a valid PDF must
+    either parse (possibly to fewer spans) or raise — never hang, never
+    corrupt the process. Deterministic mutation fuzz (fixed seed)."""
+    import random
+    import time
+
+    base = bytearray(make_pdf())
+    rng = random.Random(1234)
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(120):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 12)):
+            op = rng.randint(0, 2)
+            pos = rng.randrange(len(data))
+            if op == 0:
+                data[pos] = rng.randrange(256)
+            elif op == 1:
+                del data[pos : pos + rng.randint(1, 40)]
+            else:
+                data[pos:pos] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 20)))
+        try:
+            parse_pdf_bytes(bytes(data))
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 120
+    assert time.time() - t0 < 30, "mutation fuzz too slow — parser may scale badly on garbage"
