@@ -395,7 +395,11 @@ def main() -> None:
         # (measured: back-to-back pairs gave eff 0.85 / 0.73 / 0.50 on
         # identical input); taking each level's cleanest window measures
         # the plan, not the neighbours.
-        rounds = int(os.environ.get("SCALE_ROUNDS", "4"))
+        # 5 (odd): the median paired efficiency then IS one real round —
+        # with an even count it averages two windows, and on this host
+        # roughly half the rounds catch a tenant ramp mid-round (the
+        # settle gate samples 0.5 s at round START and can't see that)
+        rounds = int(os.environ.get("SCALE_ROUNDS", "5"))
         # SCALE_PINNED=1 (the DEFAULT since round 4): each level runs in a
         # subprocess bound to exactly N CPUs (sched_setaffinity, inherited
         # by the JVM + python workers) — the strictest N-core-executor
