@@ -1979,11 +1979,40 @@ GROUP BY l.doc_id
 # Over-cap spares: correct and oracled, but kept OUT of queries() — the
 # driver records at most 50 entries (see the note above _QUERIES). pytest
 # keeps them green (tests/test_queries.py parametrizes over spare_queries()).
+def _pii_redacted(spark, sf):
+    """Dolma/RedPajama-style PII masking (functions/text.redact_pii):
+    emails → [EMAIL], IPv4 → [IP], phones → [PHONE], sequentially, with
+    per-stage counts — RE2-safe patterns so the DuckDB mirror is
+    bit-identical."""
+    from docproc_spark.functions.text import redact_pii
+
+    return redact_pii(_t(spark, sf, "documents"))
+
+
+_PII_SQL = r"""
+WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t0 FROM documents),
+s1 AS (SELECT doc_id,
+       len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+       FROM s0),
+s2 AS (SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+       regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS t2
+       FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '\b\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b', '[PHONE]', 'g') AS clean_text,
+       n_emails::BIGINT AS n_emails, n_ips::BIGINT AS n_ips,
+       len(regexp_extract_all(t2, '\b\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b'))::BIGINT AS n_phones
+FROM s2
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
     "lsh_ann_topk": _lsh_ann_topk,
     "line_dedupe_clean": _line_dedupe,
+    "pii_redacted": _pii_redacted,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -1991,6 +2020,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "q14_promo_revenue": _Q14_SQL,
     "lsh_ann_topk": _lsh_index_ann_sql(),
     "line_dedupe_clean": _LINE_DEDUPE_SQL,
+    "pii_redacted": _PII_SQL,
 }
 
 

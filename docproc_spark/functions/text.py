@@ -320,3 +320,44 @@ def lang_id_ngram_udf(text: pd.Series) -> pd.Series:
         best_lang[better] = lang
         best_score[better] = score[better]
     return best_lang
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (curation-pipeline stage: Dolma/RedPajama-style masking)
+# ---------------------------------------------------------------------------
+# Patterns are RE2-safe (no lookarounds, no backrefs) so the Spark (Java
+# regex) and DuckDB (RE2) engines match identically; conservative by
+# design — a false [PHONE] on a numeric table is cheaper for training
+# data than a leaked real number.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails → [EMAIL], IPv4s → [IP], phone numbers → [PHONE].
+
+    Sequential: each pattern counts + replaces on the PREVIOUS stage's
+    output (an email's digits can never double-count as a phone), staged
+    as withColumns so each regex runs once per row (pure Column exprs,
+    whole-stage codegen — no Python). Returns (doc_id, clean_text,
+    n_emails, n_ips, n_phones).
+    """
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), t0.alias("_t0"))
+        .withColumn("n_emails", F.regexp_count(F.col("_t0"), F.lit(PII_EMAIL)))
+        .withColumn("_t1", F.regexp_replace(F.col("_t0"), PII_EMAIL, "[EMAIL]"))
+        .withColumn("n_ips", F.regexp_count(F.col("_t1"), F.lit(PII_IPV4)))
+        .withColumn("_t2", F.regexp_replace(F.col("_t1"), PII_IPV4, "[IP]"))
+        .withColumn("n_phones", F.regexp_count(F.col("_t2"), F.lit(PII_PHONE)))
+        .select(
+            "doc_id",
+            F.regexp_replace(F.col("_t2"), PII_PHONE, "[PHONE]").alias("clean_text"),
+            F.col("n_emails").cast("long").alias("n_emails"),
+            F.col("n_ips").cast("long").alias("n_ips"),
+            F.col("n_phones").cast("long").alias("n_phones"),
+        )
+    )

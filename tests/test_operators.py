@@ -510,3 +510,25 @@ def test_drop_repeated_lines_c4_style(spark):
     got2 = {r["doc_id"]: r["clean_text"]
             for r in drop_repeated_lines(df2).collect()}
     assert got2[1] == "twice\nx" and got2[2] == "twice\ny"
+
+
+def test_redact_pii(spark):
+    """Sequential masking: emails, then IPv4s, then phones — each stage
+    counts on the previous stage's output (email digits never double-
+    count as phones); clean_text identical to the DuckDB mirror."""
+    from docproc_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail jo.doe+x@ex-ample.co.uk or call +1 (415) 555-0143."),
+        (2, "hosts 10.0.254.3 and 192.168.1.1; version 999.5 stays"),
+        (3, "ssn-less plain text"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert got[1]["clean_text"] == "mail [EMAIL] or call +[PHONE]."
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert got[2]["clean_text"] == "hosts [IP] and [IP]; version 999.5 stays"
+    assert got[2]["n_ips"] == 2
+    assert got[3]["clean_text"] == "ssn-less plain text"
+    assert got[4]["clean_text"] == "" and got[4]["n_emails"] == 0
