@@ -1982,8 +1982,12 @@ GROUP BY l.doc_id
 def _pii_redacted(spark, sf):
     """Dolma/RedPajama-style PII masking (functions/text.redact_pii):
     emails → [EMAIL], IPv4 → [IP], phones → [PHONE], sequentially, with
-    per-stage counts — RE2-safe patterns so the DuckDB mirror is
-    bit-identical."""
+    per-stage counts. The synthetic documents corpus contains NO PII
+    matches at any sf, so this oracle verifies the identity path only
+    (clean_text == text, all counts 0); the positive masking path is
+    unit-tested (tests/test_operators.py::test_redact_pii) and the
+    patterns are boundary-free specifically so Java and RE2 agree (\b
+    word-char sets differ — see functions/text.py)."""
     from docproc_spark.functions.text import redact_pii
 
     return redact_pii(_t(spark, sf, "documents"))
@@ -1996,13 +2000,13 @@ s1 AS (SELECT doc_id,
        regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
        FROM s0),
 s2 AS (SELECT doc_id, n_emails,
-       len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
-       regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS t2
+       len(regexp_extract_all(t1, '(?:\d{1,3}\.){3}\d{1,3}')) AS n_ips,
+       regexp_replace(t1, '(?:\d{1,3}\.){3}\d{1,3}', '[IP]', 'g') AS t2
        FROM s1)
 SELECT doc_id,
-       regexp_replace(t2, '\b\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b', '[PHONE]', 'g') AS clean_text,
+       regexp_replace(t2, '\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}', '[PHONE]', 'g') AS clean_text,
        n_emails::BIGINT AS n_emails, n_ips::BIGINT AS n_ips,
-       len(regexp_extract_all(t2, '\b\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b'))::BIGINT AS n_phones
+       len(regexp_extract_all(t2, '\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}'))::BIGINT AS n_phones
 FROM s2
 """
 

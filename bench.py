@@ -472,9 +472,10 @@ def main() -> None:
             # streams memory like extract does and reads ~0.86 N->4N on
             # this virtualized host (per-core memory speed falls as more
             # cores run — a real cluster's 4N executors sit on separate
-            # nodes and keep per-core speed). plan_vs_host_ceiling =
-            # median paired efficiency / median memory-ceiling: the
-            # plan's share of what this host can physically show.
+            # nodes and keep per-core speed). plan_vs_host_ceiling = the
+            # MEDIAN of per-round extract-eff / memory-ceiling ratios
+            # (each ratio pairs the two measurements from one window):
+            # the plan's share of what this host can physically show.
             "host_compute_ceiling": round(med_sha, 3),
             "host_memory_ceiling": round(med_mem, 3),
             "plan_vs_host_ceiling": round(median(ratios), 3) if ratios else 0.0,

@@ -325,13 +325,17 @@ def lang_id_ngram_udf(text: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 # PII redaction (curation-pipeline stage: Dolma/RedPajama-style masking)
 # ---------------------------------------------------------------------------
-# Patterns are RE2-safe (no lookarounds, no backrefs) so the Spark (Java
-# regex) and DuckDB (RE2) engines match identically; conservative by
-# design — a false [PHONE] on a numeric table is cheaper for training
+# Patterns are RE2-safe (no lookarounds, no backrefs) AND deliberately
+# boundary-free: \b is Unicode-aware in Java regex but ASCII-only in RE2,
+# so a \b-anchored pattern silently diverges next to non-ASCII word chars
+# ('café192.168.1.1' masks in DuckDB, leaks in Spark — verified repro).
+# Without boundaries both engines match byte-identically; the cost is
+# over-matching inside long digit runs, which for PII masking is the safe
+# direction — a false [PHONE] on a numeric table is cheaper for training
 # data than a leaked real number.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-PII_PHONE = r"\b\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}\b"
+PII_IPV4 = r"(?:\d{1,3}\.){3}\d{1,3}"
+PII_PHONE = r"\+?\d{1,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}"
 
 
 def redact_pii(

@@ -400,13 +400,18 @@ def drop_repeated_lines(
     (doc_id, clean_text, n_removed) — clean_text is the surviving lines
     (original, untrimmed) re-joined "\\n" in original order.
 
-    Plan: one posexplode over lines → corpus-wide count shuffle filtered
-    to the frequent set (heavy hitters only: at 10^12 docs the frequent-
-    line table is tiny relative to the corpus, so AQE broadcasts the
-    join side — no hint, per the de-broadcast policy) → left join flags
-    each line → one groupBy(doc_id) reassembles. CR is stripped before
-    splitting so CRLF corpora don't make every blank line a distinct
-    "\\r" token (the r3 phantom-duplicate lesson).
+    Plan: the line table (split + posexplode) feeds two consumers — the
+    corpus-wide count that yields the frequent set, and the flagging
+    join's probe side — so the SOURCE IS SCANNED AND EXPLODED TWICE
+    (DataFrame fan-out gets no common-subexpression reuse in Spark). At
+    corpus scale two columnar scans are usually cheaper than caching the
+    exploded lines (≈ corpus-sized, spill-heavy); callers for whom the
+    upstream is expensive should checkpoint `docs` first. The frequent
+    set itself is tiny (heavy hitters only), so AQE broadcasts the join
+    side — no hint, per the de-broadcast policy. One groupBy(doc_id)
+    reassembles. CR is stripped before splitting so CRLF corpora don't
+    make every blank line a distinct "\\r" token (the r3
+    phantom-duplicate lesson).
     """
     lines = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -523,12 +523,17 @@ def test_redact_pii(spark):
         (2, "hosts 10.0.254.3 and 192.168.1.1; version 999.5 stays"),
         (3, "ssn-less plain text"),
         (4, None),
+        # boundary-free patterns must mask next to non-ASCII word chars —
+        # a \b-anchored pattern leaks here in Spark (Java Unicode \b)
+        # while the RE2 oracle masks: the exact divergence we removed
+        (5, "caf\u00e9192.168.1.1 stays masked"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
-    assert got[1]["clean_text"] == "mail [EMAIL] or call +[PHONE]."
+    assert got[1]["clean_text"] == "mail [EMAIL] or call [PHONE]."
     assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
     assert got[2]["clean_text"] == "hosts [IP] and [IP]; version 999.5 stays"
     assert got[2]["n_ips"] == 2
     assert got[3]["clean_text"] == "ssn-less plain text"
     assert got[4]["clean_text"] == "" and got[4]["n_emails"] == 0
+    assert got[5]["clean_text"] == "caf\u00e9[IP] stays masked"
