@@ -803,10 +803,18 @@ FROM documents
 
 
 def _rolling_fp(spark, sf):
-    from docproc_spark.functions.text import rolling_hash_col
+    from docproc_spark.functions.text import rolling_hashes_from_tokens
+    from docproc_spark.operators.dedupe import tokens_col
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", rolling_hash_col(F.col("text"), 16).alias("rfp"))
+    # tokens staged as a COLUMN before the shingle transform: inlining the
+    # tokenization inside the HOF lambda re-evaluates the split per
+    # shingle — silently O(n²) on big documents (the bigram-counter trap)
+    staged = d.select("doc_id", tokens_col(F.col("text")).alias("_tk"))
+    return staged.select(
+        "doc_id",
+        F.array_min(rolling_hashes_from_tokens(F.col("_tk"), 16)).alias("rfp"),
+    )
 
 
 _ROLLING_FP_SQL = f"""
@@ -2011,12 +2019,37 @@ FROM s2
 """
 
 
+def _repeated_windows(spark, sf):
+    """ExactSubstr-proxy: corpus-wide repeated 16-token window fraction
+    per document (operators/dedupe.repeated_window_fraction)."""
+    from docproc_spark.operators.dedupe import repeated_window_fraction
+
+    return repeated_window_fraction(_t(spark, sf, "documents"))
+
+
+_REPEATED_WINDOWS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len({_TOKS}) - 16, 0) + 1),
+                i -> md5(array_to_string(({_TOKS})[i+1:i+16], ' ')))) AS h
+  FROM documents
+), freq AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_windows,
+       count(f.h)::BIGINT AS n_repeated,
+       floor(count(f.h) * 10000 / count(*)) / 10000 AS repeated_frac
+FROM sh s LEFT JOIN freq f ON s.h = f.h
+GROUP BY s.doc_id
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
     "lsh_ann_topk": _lsh_ann_topk,
     "line_dedupe_clean": _line_dedupe,
     "pii_redacted": _pii_redacted,
+    "repeated_window_frac": _repeated_windows,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2025,6 +2058,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "lsh_ann_topk": _lsh_index_ann_sql(),
     "line_dedupe_clean": _LINE_DEDUPE_SQL,
     "pii_redacted": _PII_SQL,
+    "repeated_window_frac": _REPEATED_WINDOWS_SQL,
 }
 
 

@@ -113,10 +113,28 @@ def doc_fingerprint_col(text: Column) -> Column:
     return fingerprint_col(text)
 
 
+def rolling_hashes_from_tokens(toks: Column, window: int = 16) -> Column:
+    """All ``window``-token shingle md5s, in position order. ``toks`` MUST
+    be a materialized column reference: it is referenced INSIDE the
+    transform lambda (slice per index) and HOF lambda bodies re-evaluate
+    embedded expression subtrees once per element — an inline
+    tokenization there is silently O(n²) (the same trap fixed in the
+    Gopher bigram counter; see _bigrams_from_tokens)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+
+
 def rolling_hash_col(text: Column, window: int = 16) -> Column:
     """Winnowing-style document fingerprint: md5 of each ``window``-token
     shingle, keep the lexicographic minimum — one representative hash that
-    is robust to small edits away from the minimum position."""
+    is robust to small edits away from the minimum position.
+
+    Mega-doc note: this convenience form inlines the tokenization inside
+    the shingle lambda (acceptable for fingerprinting typical documents);
+    for large texts stage tokens as a column and use
+    ``rolling_hashes_from_tokens`` — O(n) instead of O(n²)."""
     toks = tokens_col(text)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),

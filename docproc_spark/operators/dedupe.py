@@ -453,6 +453,65 @@ def drop_repeated_lines(
     )
 
 
+def repeated_window_fraction(
+    docs: DataFrame,
+    window: int = 16,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-dedup proxy (Lee et al. 2021 dedupe ≥50-token repeated
+    substrings with a suffix array): the fraction of each document's
+    ``window``-token shingles whose hash occurs ≥ ``min_count`` times
+    CORPUS-WIDE. A high fraction marks a document as largely made of
+    text duplicated elsewhere (template spam, mirrored articles) — the
+    per-document signal the suffix-array method derives globally, at
+    one-explode-one-count cost instead of a distributed suffix array.
+
+    Returns (doc_id, n_windows, n_repeated, repeated_frac). The frac is
+    floor-truncated to 4 decimals — floor is engine-identical where
+    round()'s half-way behavior differs between Spark (HALF_UP) and the
+    DuckDB oracle (a doc with 32 windows and 1 repeat hits exactly
+    0.03125). A doc with < window tokens contributes its single
+    short-shingle hash (all-empty docs therefore hash alike and count as
+    repeats of each other — deterministic, mirrored by the oracle).
+
+    Plan: staged tokens → shingle hashes (column-staged, the O(n) HOF
+    form) → posexplode → one count shuffle filtered to frequent hashes
+    (heavy hitters — small, AQE broadcasts the join back) → per-doc agg.
+    Like drop_repeated_lines the shingle table fans out to two consumers
+    (count + probe), so the source is scanned twice; checkpoint upstream
+    if it is expensive.
+    """
+    from docproc_spark.functions.text import rolling_hashes_from_tokens
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_tk")
+    ).withColumn("_sh", rolling_hashes_from_tokens(F.col("_tk"), window))
+    wins = staged.select(
+        "doc_id", F.posexplode(F.col("_sh")).alias("pos", "h")
+    )
+    freq = (
+        wins.groupBy("h")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select(F.col("h").alias("fh"))
+    )
+    flagged = wins.join(freq, wins["h"] == freq["fh"], "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.col("fh").isNotNull().cast("long")).alias("n_repeated"),
+        (
+            F.floor(
+                F.sum(F.col("fh").isNotNull().cast("long"))
+                * 10000
+                / F.count("*")
+            )
+            / 10000
+        ).alias("repeated_frac"),
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
 ) -> DataFrame:

@@ -537,3 +537,37 @@ def test_redact_pii(spark):
     assert got[3]["clean_text"] == "ssn-less plain text"
     assert got[4]["clean_text"] == "" and got[4]["n_emails"] == 0
     assert got[5]["clean_text"] == "caf\u00e9[IP] stays masked"
+
+
+def test_repeated_window_fraction(spark):
+    """Corpus-wide repeated 16-token windows: a doc sharing a long run
+    with another doc gets a high repeated_frac; unique text stays 0; the
+    planted 1-of-32 case exercises the floor-truncation tie (0.03125)."""
+    from docproc_spark.operators.dedupe import repeated_window_fraction
+
+    shared = " ".join(f"w{i}" for i in range(20))       # 20 shared tokens
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, f"{shared}"),                 # fully inside the shared run
+        (2, f"{uniq_a} {shared} {uniq_b}"),
+        (3, " ".join(f"solo{i}" for i in range(40))),   # all unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repeated_window_fraction(df).collect()}
+    # doc1: 5 windows (20-16+1), every one also appears in doc2
+    assert got[1]["n_windows"] == 5 and got[1]["n_repeated"] == 5
+    assert got[1]["repeated_frac"] == 1.0
+    # doc2: 25 windows; the 5 fully-shared ones repeat
+    assert got[2]["n_windows"] == 25 and got[2]["n_repeated"] == 5
+    assert got[2]["repeated_frac"] == 0.2
+    assert got[3]["n_repeated"] == 0 and got[3]["repeated_frac"] == 0.0
+
+    # floor (not round) at the 0.03125 half-way point: 1 repeat / 32 windows
+    base = [f"t{i}" for i in range(47)]       # 47 tokens -> 32 windows
+    d4 = " ".join(base)
+    d5 = " ".join(base[:16])                  # duplicates d4's first window
+    df2 = spark.createDataFrame([(4, d4), (5, d5)], "doc_id long, text string")
+    got2 = {r["doc_id"]: r.asDict() for r in repeated_window_fraction(df2).collect()}
+    assert got2[4]["n_windows"] == 32 and got2[4]["n_repeated"] == 1
+    assert got2[4]["repeated_frac"] == 0.0312  # floor, engine-identical
