@@ -181,13 +181,27 @@ def minhash_candidate_pairs(
     )
 
 
-def _shingles_col(text: Column, n: int) -> Column:
-    toks = tokens_col(text)
+def _shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct n-token shingles. ``toks`` MUST be a materialized column:
+    the slice lambda references it per element, and an inline
+    tokenization expression there re-runs the split once per shingle —
+    silently O(n²) on big documents (the HOF re-evaluation trap; the
+    multi-use reference below is also what stops CollapseProject from
+    re-inlining a staged alias)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
+    )
+
+
+def _exploded_shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) rows with the tokens staged as a column first."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_tk")
+    ).select(
+        "doc_id", F.explode(_shingles_from_tokens(F.col("_tk"), n)).alias("shingle")
     )
 
 
@@ -268,10 +282,7 @@ def minhash_neardup_pairs(
     cands = minhash_candidate_pairs(
         docs, text_col, id_col, k, rows_per_band, max_bucket, sig=sig
     )
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingles_col(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = _exploded_shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -649,10 +660,7 @@ def ngram_jaccard_pairs(
     O(pairs) via shingle equi-join — run on a bounded candidate set (e.g.
     the output of minhash_candidate_pairs), never the raw corpus.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingles_col(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = _exploded_shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
