@@ -399,7 +399,9 @@ def main() -> None:
         # with an even count it averages two windows, and on this host
         # roughly half the rounds catch a tenant ramp mid-round (the
         # settle gate samples 0.5 s at round START and can't see that)
-        rounds = int(os.environ.get("SCALE_ROUNDS", "5"))
+        # clamp to >=1: SCALE_ROUNDS=0 would feed median() an empty list
+        # (BENCH_SCALING=0 is the skip switch, not a zero round count)
+        rounds = max(1, int(os.environ.get("SCALE_ROUNDS", "5")))
         # SCALE_PINNED=1 (the DEFAULT since round 4): each level runs in a
         # subprocess bound to exactly N CPUs (sched_setaffinity, inherited
         # by the JVM + python workers) — the strictest N-core-executor

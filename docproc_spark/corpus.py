@@ -252,10 +252,17 @@ def stage_parquet(path: str, n_docs: int, seed: int = 42, mega_spans: int = 2000
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    marker = path + f".v{CORPUS_VERSION}"
+    # marker encodes the GENERATION PARAMS, not just the code version: a
+    # version-only marker let a later call with different n_docs/seed/
+    # mega_spans silently return the stale file — and the DuckDB oracle
+    # would then compare Spark results over one corpus against SQL over
+    # another
+    marker = path + f".v{CORPUS_VERSION}.n{n_docs}.s{seed}.m{mega_spans}"
     if os.path.exists(path) and os.path.exists(marker):
         return path
-    for stale in (path, marker):
+    import glob as _glob
+
+    for stale in [path] + _glob.glob(path + ".v*"):
         if os.path.exists(stale):
             os.remove(stale)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -313,7 +320,10 @@ def corpus_df(spark, n_docs: int, seed: int = 42, mega_spans: int = 2000,
     from pyspark.sql import functions as F
 
     return (
-        bdf.repartition(parts, "lo")
+        # round-robin repartition (NOT hash on "lo"): hashing `parts` rows
+        # into `parts` partitions collides routinely — two index ranges in
+        # one task and an idle executor makes generation ~2× the ideal
+        bdf.repartition(parts)
         .mapInPandas(gen_batches, schema=DOCUMENTS_SCHEMA)
         # ingest-time span count: parquet row-group stats on a plain int
         # let extract's mega-doc routing push its filter into the scan

@@ -40,11 +40,15 @@ def asof_join(
         + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields)
         + ">"
     )
-    # Null-ts right rows are ignored (matches DuckDB/engine ASOF JOIN
-    # semantics): unfiltered, default nulls-first window ordering would
-    # sort a NULL-ts right row before everything and silently carry its
-    # payload into every left row of the key on dirty data.
-    rp = right.filter(F.col(right_ts).isNotNull()).select(
+    # Null-ts AND null-key right rows are ignored (matches DuckDB/engine
+    # ASOF JOIN semantics — an equality join never matches NULL = NULL):
+    # unfiltered, a NULL-ts row would sort before everything under the
+    # default nulls-first ordering and carry its payload into every left
+    # row of the key, and a NULL-KEY right row would land in the same
+    # window partition as null-key LEFT rows and "match" them.
+    rp = right.filter(
+        F.col(right_ts).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),

@@ -212,11 +212,15 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     """One row per span. ``pos`` = position in the span array — the oracle
     sorts with a STABLE sort, so input order is the tie-break for spans
     with colliding (page, offset) (user spans vs HTML-derived spans at the
-    same offsets); pos reproduces that exactly. Null kind defaults to
-    'text' (oracle assembly.py:75), null page/offset to 0."""
+    same offsets); pos reproduces that exactly. Null OR EMPTY kind
+    defaults to 'text' — the oracle normalizes with `or "text"`
+    (assembly.py:75), which catches '' too; a bare coalesce would leave
+    an empty-string kind in neither the textual nor the media set and
+    silently diverge on dirty external span tables. Null page/offset → 0.
+    Both physical paths (flagship and salted) share this function."""
     return docs.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
         "doc_id",
-        F.coalesce(F.col("s.kind"), F.lit("text")).alias("kind"),
+        F.coalesce(F.nullif(F.col("s.kind"), F.lit("")), F.lit("text")).alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.coalesce(F.col("s.page"), F.lit(0)).alias("page"),
@@ -284,7 +288,11 @@ def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
     `survives` is referenced twice (own field + the hash gate) and used to
     drag the boilerplate regex chain with it on every reference. Stage 1
     materializes the expensive classification once per span as struct
-    fields; stage 2 derives the cheap booleans from those fields."""
+    fields; stage 2 derives the cheap booleans from those fields.
+
+    DRIFT GUARD: pipeline_salted._flat_rows carries the column-form twins
+    of these flag/survives/hash definitions — change them TOGETHER; the
+    executable guard is test_salted_equals_array_path_fresh_seed."""
 
     def classify(x):
         is_textual = x["kind"].isin(*TEXTUAL_KINDS)

@@ -77,6 +77,12 @@ def _flat_rows(docs: DataFrame, drop_kinds: frozenset, persist: bool = True) -> 
     )
     from docproc_spark.pipeline import sanitize_hybrid_col
 
+    # DRIFT GUARD: the flag/survives/hash definitions below are the
+    # column-form TWINS of pipeline._srt_col's classify/finalize struct
+    # lambdas — any semantic change there must be mirrored here (and vice
+    # versa). The executable guard is
+    # tests/test_salted_pipeline.py::test_salted_equals_array_path_fresh_seed,
+    # which compares the two paths' full outputs on a fresh-seed corpus.
     is_textual = F.col("kind").isin(*TEXTUAL_KINDS)
     is_media = F.col("kind").isin(*MEDIA_KINDS)
     is_raster = (

@@ -38,35 +38,63 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("wall_s", T.DoubleType(), True),
         T.StructField("docs_per_sec", T.DoubleType(), True),
         T.StructField("finished_at", T.DoubleType(), True),
+        # bucket-count the run was hashed with: resuming under a DIFFERENT
+        # n_parts silently re-shuffles part membership (docs missed AND
+        # duplicated while the job reports complete) — validated on resume
+        T.StructField("n_parts", T.IntegerType(), True),
     ]
 )
 
+#: internal bucketing column — deliberately NOT "part": a source table
+#: carrying its own "part" column must pass through transform untouched
+_PART_COL = "_lineage_part"
+
 
 def with_part(docs: DataFrame, n_parts: int, id_col: str = "doc_id") -> DataFrame:
-    return docs.withColumn("part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts)).cast("int"))
+    return docs.withColumn(
+        _PART_COL, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts)).cast("int")
+    )
 
 
-def completed_parts(spark: SparkSession, lineage_path: str) -> set[int]:
+def completed_parts(
+    spark: SparkSession, lineage_path: str, n_parts: int | None = None
+) -> set[int]:
     """Parts with a committed lineage row. ONLY a missing lineage table
     means 'first run' — a permissions error or a corrupt footer must
     propagate, not silently restart the whole job from bucket 0 (the
     output would still be correct via idempotent overwrite, but the entire
-    checkpoint benefit would vanish and the corruption stay hidden)."""
+    checkpoint benefit would vanish and the corruption stay hidden).
+
+    With ``n_parts`` given, any committed row recorded under a DIFFERENT
+    bucket count raises: part numbers are pmod(hash, n_parts) buckets, so
+    resuming a 6-bucket run as an 8-bucket run would skip "done" part ids
+    that now contain different documents (silent loss + duplication).
+    Legacy rows with a null n_parts (pre-column tables) are accepted."""
     from pyspark.errors import AnalysisException
 
     try:
         rows = (
             spark.read.schema(LINEAGE_SCHEMA)
             .parquet(lineage_path)
-            .select("part")
+            .select("part", "n_parts")
             .distinct()
             .collect()
         )
-        return {r["part"] for r in rows}
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return set()
         raise
+    if n_parts is not None:
+        stale = sorted({r["n_parts"] for r in rows
+                        if r["n_parts"] is not None and r["n_parts"] != n_parts})
+        if stale:
+            raise ValueError(
+                f"lineage table {lineage_path} was written with "
+                f"n_parts={stale} but this run uses n_parts={n_parts}; "
+                "bucket membership differs — finish with the original "
+                "n_parts or start a fresh lineage path"
+            )
+    return {r["part"] for r in rows}
 
 
 def _emit_progress(progress_path: str | None, record: dict) -> None:
@@ -105,12 +133,15 @@ def run_with_lineage(
     Returns the list of buckets processed in THIS run (resume skips done ones).
     """
     spark = docs.sparkSession
-    # restore the session conf afterwards — leaving dynamic overwrite ON
-    # would silently change every later partitioned overwrite write in the
-    # same session (e.g. an index rebuild keeping stale partitions)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    done = completed_parts(spark, lineage_path)
+    # resume validation + bucketing happen BEFORE any session-conf change:
+    # a corrupt lineage footer propagates from completed_parts, and the
+    # conf restore below must not be skippable by that raise
+    done = completed_parts(spark, lineage_path, n_parts=n_parts)
+    if "part" in transform(with_part(docs.limit(0), n_parts).drop(_PART_COL)).columns:
+        raise ValueError(
+            "transform output already has a 'part' column — it would "
+            "collide with the lineage partition layout; rename it upstream"
+        )
     parted = with_part(docs, n_parts).cache()
     processed: list[int] = []
     _emit_progress(
@@ -118,6 +149,11 @@ def run_with_lineage(
         {"event": "start", "total": n_parts, "resumed_done": sorted(done),
          "ts": time.time()},
     )
+    # restore the session conf afterwards — leaving dynamic overwrite ON
+    # would silently change every later partitioned overwrite write in the
+    # same session (e.g. an index rebuild keeping stale partitions)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         for p in range(n_parts):
             if p in done:
@@ -125,7 +161,7 @@ def run_with_lineage(
             if fail_after is not None and len(processed) >= fail_after:
                 raise RuntimeError(f"simulated failure after {fail_after} buckets")
             t0 = time.time()
-            bucket = parted.filter(F.col("part") == p).drop("part")
+            bucket = parted.filter(F.col(_PART_COL) == p).drop(_PART_COL)
             result = transform(bucket).withColumn("part", F.lit(p))
             # Observation metrics piggyback on the write job itself — a
             # separate result.agg() would re-run the whole extraction
@@ -144,7 +180,8 @@ def run_with_lineage(
             n_docs = stats["n_docs"] or 0
             lineage_row = spark.createDataFrame(
                 [(p, int(n_docs), int(stats["n_spans"] or 0), float(wall),
-                  float(n_docs / wall if wall > 0 else 0.0), float(time.time()))],
+                  float(n_docs / wall if wall > 0 else 0.0), float(time.time()),
+                  int(n_parts))],
                 schema=LINEAGE_SCHEMA,
             )
             lineage_row.write.mode("append").parquet(lineage_path)

@@ -375,6 +375,30 @@ def test_asof_join_ignores_null_right_ts(spark):
     assert rows[0]["asof"]["rid"] == "r1"
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """NULL = NULL never matches in an ASOF equality join (DuckDB
+    semantics): a null-key right row must not be carried into null-key
+    left rows via the shared window partition."""
+    import datetime as dt
+
+    from docproc_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(None, "l_nullkey", T(2024, 1, 1, 10)), ("u1", "l1", T(2024, 1, 1, 10))],
+        "user_id string, lid string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, T(2024, 1, 1, 9), "r_dirty", 9.0),
+         ("u1", T(2024, 1, 1, 9), "r1", 1.0)],
+        "user_id string, ts timestamp, rid string, value double",
+    )
+    got = {r["lid"]: r["asof"] for r in asof_join(
+        left, right, key="user_id", payload_cols=["rid", "value"]).collect()}
+    assert got["l_nullkey"] is None      # dirty null-key row invisible
+    assert got["l1"]["rid"] == "r1"      # real keys unaffected
+
+
 def test_dup_components_transitive_closure(spark):
     """a~b and b~c (no direct a~c edge) must land in ONE component labeled
     by the min id; disjoint pairs stay separate."""

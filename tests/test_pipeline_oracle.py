@@ -121,6 +121,30 @@ def test_extract_handles_empty_and_null_span_inputs(spark):
         assert r["markdown"] == "" and r["n_pages"] == 0 and r["spans"] == []
 
 
+def test_empty_string_kind_treated_as_text(spark):
+    """Dirty external tables may carry kind='' — the oracle's `or "text"`
+    normalization catches it, and the engine must agree (a bare coalesce
+    left '' in neither the textual nor media kind sets)."""
+    import pandas as pd
+
+    from docproc_spark.schema import DOCUMENTS_SCHEMA
+
+    doc = {
+        "doc_id": "ek1",
+        "doc_type": "pdf",
+        "raw_html": None,
+        "spans": [
+            {"kind": "", "text": "Hello world", "media_ref": None,
+             "page": 0, "offset": 0},
+        ],
+    }
+    df = spark.createDataFrame(pd.DataFrame([doc]), schema=DOCUMENTS_SCHEMA)
+    got = extract(df).collect()[0]
+    want = oracle.extract_doc(doc)
+    assert got["markdown"] == want["markdown"] == "[Page 1]\nHello world"
+    assert _tuples(got["spans"]) == _tuples(want["spans"])
+
+
 def test_extract_on_canonical_span_only_shape(spark, tmp_path):
     """The engine's input contract is just (doc_id, spans); extract must
     run without raw_html, produce identical results, and — with the
