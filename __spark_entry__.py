@@ -2043,6 +2043,56 @@ GROUP BY s.doc_id
 """
 
 
+def _pack_sequences(spark, sf):
+    """Pre-training sequence packing (operators/packing.pack_sequences):
+    every doc's global token offset and chunk range under "concatenate in
+    doc_id order, slice into 512-token sequences". The Spark plan is the
+    scale-safe two-pass form (bucketed prefix sums, window per bucket, no
+    global-order single-reducer window); the oracle is the direct global
+    window — bit-equality proves the decomposition."""
+    from docproc_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), 512, n_buckets=16)
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
+), nz AS (SELECT * FROM t WHERE n_tokens > 0),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_offset
+  FROM nz)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset + n_tokens)::BIGINT AS end_offset,
+       (start_offset // 512)::BIGINT AS first_chunk,
+       ((start_offset + n_tokens - 1) // 512)::BIGINT AS last_chunk,
+       (((start_offset + n_tokens - 1) // 512) - (start_offset // 512)
+        + 1)::INT AS n_chunks
+FROM c
+"""
+
+
+def _cap_per_source(spark, sf):
+    """Per-source quota sampling (operators/packing.cap_per_group): keep
+    at most 12 docs per source, chosen by the engine-portable md5(doc_id)
+    order (uniform, bit-identical in Spark and DuckDB)."""
+    from docproc_spark.operators.packing import cap_per_group
+
+    return cap_per_group(_t(spark, sf, "documents"), group_col="source", k=12)
+
+
+_CAP_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS _rn
+  FROM documents) WHERE _rn <= 12
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2050,6 +2100,8 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedupe_clean": _line_dedupe,
     "pii_redacted": _pii_redacted,
     "repeated_window_frac": _repeated_windows,
+    "pack_sequences_512": _pack_sequences,
+    "cap_per_source": _cap_per_source,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2059,6 +2111,8 @@ _SPARE_ORACLES: dict[str, str] = {
     "line_dedupe_clean": _LINE_DEDUPE_SQL,
     "pii_redacted": _PII_SQL,
     "repeated_window_frac": _REPEATED_WINDOWS_SQL,
+    "pack_sequences_512": _PACK_SQL,
+    "cap_per_source": _CAP_SQL,
 }
 
 

@@ -1,0 +1,180 @@
+"""Sequence packing and per-group quota sampling — LLM pre-training data
+preparation steps downstream of extraction/dedup (the reference stops at
+clean text, docproc/sanitize/llm_input.py:1-60; packing into fixed-length
+training sequences and per-source balancing are the next steps a 100-TB
+corpus consumer runs, so they ship as first-class operators here).
+
+``pack_sequences`` reproduces the standard "concatenate all documents,
+slice into seq_len-token windows" layout: each document gets its global
+token offset in a deterministic document order, from which its chunk
+(training-sequence) range follows. The naive Spark form is a single
+global-order window — one reducer holding the whole corpus, a
+non-starter at scale. This implementation computes the same
+order-defined result with bounded parallelism:
+
+1. one tiny stats job samples order-key boundaries (approx quantiles —
+   the RESULT is invariant to where the boundaries fall, any
+   order-consistent bucketing yields the same global cumsum);
+2. one small aggregation job sums tokens per bucket; the per-bucket
+   PREFIX offsets are computed on the driver (<= n_buckets longs) and
+   embedded as a literal map;
+3. the only full-data pass is a window partitioned BY BUCKET — n_buckets
+   concurrent reducers instead of one, each seeing ~1/n_buckets of the
+   rows, and it shuffles only (id, n_tokens) pairs, never the text.
+
+All arithmetic is integer (long sums, integer division), so the output
+is bit-identical to a direct global-window oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from docproc_spark.functions.text import token_count_col
+
+__all__ = ["pack_sequences", "cap_per_group"]
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global packing assignment: (start_offset, end_offset, chunk range)
+    per document in ``id_col`` order.
+
+    Semantics: documents are conceptually concatenated in ascending
+    ``id_col`` order and the token stream is sliced into ``seq_len``-token
+    training sequences; a document's tokens occupy
+    [start_offset, end_offset) of the stream and therefore appear in
+    chunks [first_chunk, last_chunk] (documents may straddle a boundary —
+    n_chunks says how many sequences see any part of the doc).
+
+    Zero-token documents are EXCLUDED from the output: they occupy no
+    stream positions and belong to no chunk. ``id_col`` must be unique —
+    it is the total order that defines the layout. Token counts come from
+    ``token_count_col`` (whitespace tokens) unless ``n_tokens_col`` names
+    a precomputed column.
+
+    Output: (id_col, n_tokens, start_offset, end_offset, first_chunk,
+    last_chunk, n_chunks) — an assignment table; join back on ``id_col``
+    for the text (shuffling only 3 longs per doc here is the point).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    nt = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else token_count_col(F.col(text_col)).cast("long")
+    )
+    # zero-token docs are dropped AFTER the window, not here: they add 0
+    # to every cumsum so the layout is unchanged, while an early filter
+    # gets pushed below the projection and makes Catalyst evaluate the
+    # tokenization TWICE per row (once in Filter, once in Project) — at
+    # the scan, against the full text. Carrying their (id, 0) pairs
+    # through the shuffle is 3 longs per doc.
+    base = docs.select(F.col(id_col), nt.alias("n_tokens"))
+
+    # Stats job 1: order-key boundaries. Approximate quantiles are fine —
+    # boundaries only balance the buckets, they never change the result
+    # (bucket(x) is nondecreasing in x for ANY boundary list, and
+    # prefix(bucket) + intra-bucket cumsum == global cumsum regardless of
+    # where the cuts fall). Frozen as literals at plan-build time, so both
+    # consumers below see the SAME bucketing (a spark_partition_id()-based
+    # bucketing would not guarantee that across plan branches).
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # n_buckets=1 -> no cuts, one bucket (and Spark NPEs on an empty
+    # probabilities list, so don't even ask)
+    boundaries = (
+        docs.select(F.col(id_col)).approxQuantile(id_col, qs, 0.001)
+        if qs
+        else []
+    )
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)
+    withb = base.withColumn("_b", bucket.cast("int"))
+
+    # Stats job 2: per-bucket token totals -> driver-side prefix sums.
+    # <= n_buckets rows cross the driver; exact long arithmetic.
+    totals = {
+        r["_b"]: r["total"]
+        for r in withb.groupBy("_b").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    prefix: dict[int, int] = {}
+    running = 0
+    for bi in range(len(boundaries) + 1):
+        prefix[bi] = running
+        running += int(totals.get(bi, 0))
+    # values cast: a Python int < 2^31 literalizes as IntegerType while a
+    # bigger one is LongType — create_map requires ONE value type
+    prefix_map = F.create_map(
+        *[
+            c
+            for k, v in prefix.items()
+            for c in (F.lit(k), F.lit(v).cast("long"))
+        ]
+    )
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.element_at(prefix_map, F.col("_b"))
+        + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).alias("start_offset")
+    out = (
+        withb.select(id_col, "n_tokens", start)
+        # the zero-token exclusion, deferred from the scan (see above);
+        # must precede the chunk math — a 0-token doc's last_chunk
+        # expression would read first_chunk - 1
+        .filter(F.col("n_tokens") > 0)
+    ).select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") + F.col("n_tokens")).alias("end_offset"),
+        F.expr(f"start_offset div {seq_len}").alias("first_chunk"),
+        F.expr(f"(start_offset + n_tokens - 1) div {seq_len}").alias("last_chunk"),
+    )
+    return out.withColumn(
+        "n_chunks", (F.col("last_chunk") - F.col("first_chunk") + F.lit(1)).cast("int")
+    )
+
+
+def cap_per_group(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``k`` rows per
+    ``group_col`` value (per-domain / per-source balancing, the C4/Dolma
+    source-mixing step). Selection order is md5(id) — a uniform,
+    engine-portable shuffle, so the kept set is an unbiased sample that is
+    bit-identical across runs and engines — with ``id_col`` as tie-break.
+
+    One shuffle on ``group_col``. A pathologically hot group funnels into
+    one reducer; since only rank <= k survives, pre-thinning with a
+    hash-sample gate (operators.sampling.hash_sample at ~k/|group| rate,
+    then re-ranking) bounds that reducer when a group holds billions of
+    rows — left to the caller because it needs a group-size estimate.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -595,3 +595,81 @@ def test_repeated_window_fraction(spark):
     got2 = {r["doc_id"]: r.asDict() for r in repeated_window_fraction(df2).collect()}
     assert got2[4]["n_windows"] == 32 and got2[4]["n_repeated"] == 1
     assert got2[4]["repeated_frac"] == 0.0312  # floor, engine-identical
+
+
+def test_pack_sequences_layout_and_bucket_invariance(spark):
+    """Global packing layout: offsets are the running token sum in doc_id
+    order, chunk ranges follow integer division, zero-token docs are
+    excluded — and the result is IDENTICAL for any bucket count (the
+    bucketed two-pass decomposition must equal the direct global cumsum)."""
+    from docproc_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),             # 3 tokens  -> [0, 3)   chunk 0
+            (2, "d e f g"),           # 4 tokens  -> [3, 7)   chunks 0-1 (straddles 4)
+            (3, "   "),               # 0 tokens  -> excluded
+            (4, "h i j k l m n o p"), # 9 tokens  -> [7, 16)  chunks 1-3
+            (5, "q"),                 # 1 token   -> [16, 17) chunk 4
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        1: (3, 0, 3, 0, 0, 1),
+        2: (4, 3, 7, 0, 1, 2),
+        4: (9, 7, 16, 1, 3, 3),
+        5: (1, 16, 17, 4, 4, 1),
+    }
+    for nb in (1, 3, 16):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["start_offset"], r["end_offset"],
+                r["first_chunk"], r["last_chunk"], r["n_chunks"],
+            )
+            for r in pack_sequences(docs, 4, n_buckets=nb).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+
+
+def test_pack_sequences_precomputed_counts_and_validation(spark):
+    """n_tokens_col bypasses tokenization; seq_len must be positive."""
+    import pytest as _pytest
+
+    from docproc_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 50)], "doc_id long, my_counts long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            docs, 64, n_tokens_col="my_counts", n_buckets=2
+        ).collect()
+    }
+    assert rows[1]["start_offset"] == 0 and rows[1]["last_chunk"] == 1
+    assert rows[2]["start_offset"] == 100 and rows[2]["first_chunk"] == 1
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, 0, n_tokens_col="my_counts")
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    """At most k rows survive per group, the kept set is the md5-order
+    prefix (bit-stable across runs), and groups under the cap pass
+    through whole."""
+    import hashlib
+
+    from docproc_spark.operators.packing import cap_per_group
+
+    rows = [(i, "big" if i < 20 else "small") for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = cap_per_group(docs, group_col="source", k=5).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 5
+    assert by_src["small"] == {20, 21, 22, 23}          # under cap: untouched
+    want_big = set(
+        sorted(range(20), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+    )
+    assert by_src["big"] == want_big
+    assert cap_per_group(docs, group_col="source", k=5).columns == ["doc_id", "source"]
