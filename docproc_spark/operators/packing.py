@@ -12,15 +12,20 @@ global-order window — one reducer holding the whole corpus, a
 non-starter at scale. This implementation computes the same
 order-defined result with bounded parallelism:
 
-1. one tiny stats job samples order-key boundaries (approx quantiles —
-   the RESULT is invariant to where the boundaries fall, any
-   order-consistent bucketing yields the same global cumsum);
-2. one small aggregation job sums tokens per bucket; the per-bucket
-   PREFIX offsets are computed on the driver (<= n_buckets longs) and
-   embedded as a literal map;
-3. the only full-data pass is a window partitioned BY BUCKET — n_buckets
-   concurrent reducers instead of one, each seeing ~1/n_buckets of the
-   rows, and it shuffles only (id, n_tokens) pairs, never the text.
+1. a tiny boundary probe over the id column only (approx quantiles for
+   numeric ids, a seeded sample otherwise — the RESULT is invariant to
+   where the boundaries fall: any order-consistent bucketing yields the
+   same global cumsum);
+2. ONE pass over the text (the localCheckpoint job) materializes
+   (id, n_tokens, bucket) — three narrow fields per doc — so the two
+   consumers below never re-run the tokenization (DataFrame fan-out gets
+   no common-subexpression reuse in Catalyst) and nondeterministic
+   sources are frozen to a single materialization;
+3. a small aggregation over the checkpointed longs gives per-bucket
+   token totals; the driver prefix-sums them (<= n_buckets values) into
+   a literal map;
+4. the cumsum itself is a window partitioned BY BUCKET over the
+   checkpointed longs — n_buckets concurrent reducers instead of one.
 
 All arithmetic is integer (long sums, integer division), so the output
 is bit-identical to a direct global-window oracle.
@@ -30,10 +35,39 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from docproc_spark.functions.text import token_count_col
+from docproc_spark.operators.topk import topk_per_group
 
 __all__ = ["pack_sequences", "cap_per_group"]
+
+
+def _order_boundaries(docs: DataFrame, id_col: str, n_buckets: int) -> list:
+    """<= n_buckets-1 cut points in ``id_col``'s ordering, from a probe
+    over the id column only (column-pruned scan — the text is never
+    decoded here). Numeric ids use approxQuantile; any other orderable
+    type falls back to a seeded sample, evenly thinned after sorting.
+    Balance is best-effort by design: boundaries never affect the result,
+    only how evenly the buckets split."""
+    if n_buckets <= 1:
+        return []
+    ids = docs.select(F.col(id_col))
+    if isinstance(ids.schema[id_col].dataType, T.NumericType):
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        return ids.approxQuantile(id_col, qs, 0.001)
+    # non-numeric (e.g. the extraction corpus's string doc_ids):
+    # approxQuantile only supports numeric columns. takeSample is one
+    # count job + one sample job over the pruned id column; 8 samples
+    # per requested cut keeps the thinned cuts near the true quantiles.
+    sample = sorted(
+        {r[0] for r in ids.rdd.takeSample(False, 8 * (n_buckets - 1), seed=42)
+         if r[0] is not None}
+    )
+    if not sample:
+        return []
+    step = max(1, len(sample) // n_buckets)
+    return sample[step::step][: n_buckets - 1]
 
 
 def pack_sequences(
@@ -57,9 +91,16 @@ def pack_sequences(
 
     Zero-token documents are EXCLUDED from the output: they occupy no
     stream positions and belong to no chunk. ``id_col`` must be unique —
-    it is the total order that defines the layout. Token counts come from
-    ``token_count_col`` (whitespace tokens) unless ``n_tokens_col`` names
-    a precomputed column.
+    it is the total order that defines the layout; numeric or any
+    orderable type. Token counts come from ``token_count_col``
+    (whitespace tokens) unless ``n_tokens_col`` names a precomputed
+    column.
+
+    EAGER: the assignment is materialized at call time (a localCheckpoint
+    of three narrow fields per doc — the price of running the
+    tokenization exactly once and freezing nondeterministic sources; the
+    blocks are freed by the ContextCleaner once the returned frame is
+    garbage collected).
 
     Output: (id_col, n_tokens, start_offset, end_offset, first_chunk,
     last_chunk, n_chunks) — an assignment table; join back on ``id_col``
@@ -67,6 +108,8 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     nt = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col
@@ -77,31 +120,27 @@ def pack_sequences(
     # gets pushed below the projection and makes Catalyst evaluate the
     # tokenization TWICE per row (once in Filter, once in Project) — at
     # the scan, against the full text. Carrying their (id, 0) pairs
-    # through the shuffle is 3 longs per doc.
+    # through the checkpoint is 3 narrow fields per doc.
     base = docs.select(F.col(id_col), nt.alias("n_tokens"))
 
-    # Stats job 1: order-key boundaries. Approximate quantiles are fine —
-    # boundaries only balance the buckets, they never change the result
-    # (bucket(x) is nondecreasing in x for ANY boundary list, and
-    # prefix(bucket) + intra-bucket cumsum == global cumsum regardless of
-    # where the cuts fall). Frozen as literals at plan-build time, so both
-    # consumers below see the SAME bucketing (a spark_partition_id()-based
+    # Boundary probe: literal cut points frozen at plan-build time, so
+    # both consumers below see the SAME bucketing (a spark_partition_id()
     # bucketing would not guarantee that across plan branches).
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    # n_buckets=1 -> no cuts, one bucket (and Spark NPEs on an empty
-    # probabilities list, so don't even ask)
-    boundaries = (
-        docs.select(F.col(id_col)).approxQuantile(id_col, qs, 0.001)
-        if qs
-        else []
-    )
+    boundaries = _order_boundaries(docs, id_col, n_buckets)
     bucket = F.lit(0)
     for b in boundaries:
         bucket = bucket + F.when(F.col(id_col) > F.lit(b), 1).otherwise(0)
-    withb = base.withColumn("_b", bucket.cast("int"))
+    # The ONE full pass over the text: tokenize + bucket, checkpointed.
+    # Without this, the totals job AND the window job would each re-run
+    # the whole upstream derivation (fan-out = no CSE in Catalyst), and a
+    # nondeterministic source could give the two branches different rows
+    # (totals from one materialization, offsets from another).
+    withb = base.withColumn("_b", bucket.cast("int")).localCheckpoint(eager=True)
 
-    # Stats job 2: per-bucket token totals -> driver-side prefix sums.
-    # <= n_buckets rows cross the driver; exact long arithmetic.
+    # Per-bucket token totals over the checkpointed longs -> driver-side
+    # prefix sums. <= n_buckets rows cross the driver; exact long math.
+    # `or 0` not a .get default: an all-NULL-token bucket (every doc has
+    # NULL text) yields SUM() = NULL under a PRESENT key.
     totals = {
         r["_b"]: r["total"]
         for r in withb.groupBy("_b").agg(F.sum("n_tokens").alias("total")).collect()
@@ -110,7 +149,7 @@ def pack_sequences(
     running = 0
     for bi in range(len(boundaries) + 1):
         prefix[bi] = running
-        running += int(totals.get(bi, 0))
+        running += int(totals.get(bi) or 0)
     # values cast: a Python int < 2^31 literalizes as IntegerType while a
     # bigger one is LongType — create_map requires ONE value type
     prefix_map = F.create_map(
@@ -134,7 +173,8 @@ def pack_sequences(
         withb.select(id_col, "n_tokens", start)
         # the zero-token exclusion, deferred from the scan (see above);
         # must precede the chunk math — a 0-token doc's last_chunk
-        # expression would read first_chunk - 1
+        # expression would read first_chunk - 1. NULL-token docs (null
+        # text) fall out here too: NULL > 0 is not true.
         .filter(F.col("n_tokens") > 0)
     ).select(
         id_col,
@@ -161,6 +201,9 @@ def cap_per_group(
     source-mixing step). Selection order is md5(id) — a uniform,
     engine-portable shuffle, so the kept set is an unbiased sample that is
     bit-identical across runs and engines — with ``id_col`` as tie-break.
+    Delegates to ``topk_per_group`` (the shared window-rank kernel) with a
+    collision-safe rank column, so a caller's own columns pass through
+    untouched.
 
     One shuffle on ``group_col``. A pathologically hot group funnels into
     one reducer; since only rank <= k survives, pre-thinning with a
@@ -170,11 +213,13 @@ def cap_per_group(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    rn = "_cap_rn"
+    while rn in docs.columns:
+        rn += "_"
+    return topk_per_group(
+        docs,
+        [group_col],
+        [F.md5(F.col(id_col).cast("string")), F.col(id_col)],
+        k,
+        rank_name=rn,
+    ).drop(rn)

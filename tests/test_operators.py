@@ -673,3 +673,52 @@ def test_cap_per_group_quota_and_determinism(spark):
     )
     assert by_src["big"] == want_big
     assert cap_per_group(docs, group_col="source", k=5).columns == ["doc_id", "source"]
+
+
+def test_pack_sequences_string_ids_and_null_text(spark):
+    """String doc_ids (the extraction corpus shape) must work — the
+    boundary probe falls back to a seeded sample (approxQuantile is
+    numeric-only) — and an all-NULL-text bucket must not crash the
+    driver-side prefix fold (SUM over NULLs is NULL under a present key).
+    NULL-text docs are excluded like zero-token ones."""
+    from docproc_spark.operators.packing import pack_sequences
+
+    rows = [(f"doc_{i:04d}", None if i < 6 else "w " * (i + 1)) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for nb in (1, 4):
+        got = {
+            r["doc_id"]: (r["start_offset"], r["n_tokens"])
+            for r in pack_sequences(docs, 8, n_buckets=nb).collect()
+        }
+        # ids 0..5 null text -> excluded; 6.. have i+1 tokens each
+        assert set(got) == {f"doc_{i:04d}" for i in range(6, 12)}
+        off = 0
+        for i in range(6, 12):
+            assert got[f"doc_{i:04d}"] == (off, i + 1), (nb, i)
+            off += i + 1
+
+
+def test_pack_sequences_rejects_bad_bucket_count(spark):
+    """n_buckets < 1 is a misconfiguration, not a silent single-bucket
+    fallback (that would be the single-reducer plan the operator exists
+    to avoid)."""
+    import pytest as _pytest
+
+    from docproc_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        pack_sequences(docs, 8, n_tokens_col="n", n_buckets=0)
+
+
+def test_cap_per_group_preserves_caller_rank_columns(spark):
+    """A pre-existing '_cap_rn' column on the input must survive — the
+    working rank column picks a non-colliding name."""
+    from docproc_spark.operators.packing import cap_per_group
+
+    docs = spark.createDataFrame(
+        [(i, "s", i * 10) for i in range(4)], "doc_id long, source string, _cap_rn long"
+    )
+    got = cap_per_group(docs, group_col="source", k=2).collect()
+    assert len(got) == 2
+    assert all(r["_cap_rn"] == r["doc_id"] * 10 for r in got)
