@@ -2093,6 +2093,44 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 """
 
 
+def _embeddings_quantized(spark, sf):
+    """Per-vector symmetric int8 quantization (operators/quantize.py):
+    the 4x storage/shuffle cut for serving-scale ANN. floor(x+0.5)
+    rounding and staged-amax lambdas keep it engine-identical and O(dims)
+    per vector. qvec is CSV-serialized for the comparison only (the
+    harness sorts column values; arrays aren't orderable there)."""
+    from pyspark.sql import functions as F
+
+    from docproc_spark.operators.quantize import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "qvec_csv"
+        ),
+        "scale",
+    )
+
+
+_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings)
+SELECT vec_id,
+       array_to_string(
+         CASE WHEN amax > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0::DOUBLE / amax
+                                     + 0.5::DOUBLE) AS TINYINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
+         END, ',') AS qvec_csv,
+       CASE WHEN amax > 0 THEN amax / 127.0::DOUBLE ELSE 0.0::DOUBLE END AS scale
+FROM s
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2102,6 +2140,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_window_frac": _repeated_windows,
     "pack_sequences_512": _pack_sequences,
     "cap_per_source": _cap_per_source,
+    "embeddings_quantized": _embeddings_quantized,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2113,6 +2152,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "repeated_window_frac": _REPEATED_WINDOWS_SQL,
     "pack_sequences_512": _PACK_SQL,
     "cap_per_source": _CAP_SQL,
+    "embeddings_quantized": _QUANTIZE_SQL,
 }
 
 

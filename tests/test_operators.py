@@ -722,3 +722,58 @@ def test_cap_per_group_preserves_caller_rank_columns(spark):
     got = cap_per_group(docs, group_col="source", k=2).collect()
     assert len(got) == 2
     assert all(r["_cap_rn"] == r["doc_id"] * 10 for r in got)
+
+
+def test_quantize_embeddings_roundtrip_and_zero_vector(spark):
+    """int8 quantization: |q| <= 127, reconstruction error <= scale/2 per
+    element (round-half-up), cosine(original, dequantized) ~ 1, and the
+    all-zero vector maps to zeros with scale 0 (not NaN)."""
+    import math
+
+    from docproc_spark.operators.quantize import (
+        dequantize_col,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = [
+        (1, [0.3, -0.6, 0.15, 0.0]),
+        (2, [1e-4, 2e-4, -3e-4, 5e-5]),   # tiny magnitudes still span int8
+        (3, [0.0, 0.0, 0.0, 0.0]),        # zero vector
+        (4, [-2.5, 2.5, 1.25, -1.25]),    # symmetric extremes
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df)
+    out = {r["vec_id"]: r for r in q.withColumn(
+        "deq", dequantize_col(F.col("qvec"), F.col("scale"))).collect()}
+
+    assert out[3]["qvec"] == [0, 0, 0, 0] and out[3]["scale"] == 0.0
+    orig = {i: v for i, v in vecs}
+    for vid in (1, 2, 4):
+        r = out[vid]
+        assert max(abs(x) for x in r["qvec"]) == 127      # amax element saturates
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+        # the stored column is float32 — the error bound holds for the
+        # value the engine actually saw, not the python float64 literal
+        import numpy as np
+
+        for x, d in zip(orig[vid], r["deq"]):
+            assert abs(float(np.float32(x)) - d) <= r["scale"] / 2 + 1e-12
+        dot = sum(a * b for a, b in zip(orig[vid], r["deq"]))
+        na = math.sqrt(sum(a * a for a in orig[vid]))
+        nb = math.sqrt(sum(b * b for b in r["deq"]))
+        assert dot / (na * nb) > 0.999
+
+
+def test_l2_normalize_units_and_zero(spark):
+    import math
+
+    from docproc_spark.operators.quantize import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["unit"] for r in l2_normalize(df).collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]
+    assert math.isclose(sum(x * x for x in got[1]), 1.0)
