@@ -2120,13 +2120,14 @@ WITH s AS (
   FROM embeddings)
 SELECT vec_id,
        array_to_string(
-         CASE WHEN amax > 0
+         CASE WHEN amax > 0 AND amax < 'infinity'::DOUBLE
               THEN list_transform(embedding,
                      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0::DOUBLE / amax
                                      + 0.5::DOUBLE) AS TINYINT))
               ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
          END, ',') AS qvec_csv,
-       CASE WHEN amax > 0 THEN amax / 127.0::DOUBLE ELSE 0.0::DOUBLE END AS scale
+       CASE WHEN amax > 0 AND amax < 'infinity'::DOUBLE
+            THEN amax / 127.0::DOUBLE ELSE 0.0::DOUBLE END AS scale
 FROM s
 """
 

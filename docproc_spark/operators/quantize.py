@@ -35,19 +35,29 @@ def quantize_embeddings(
 
     q_i = floor(x_i·127/amax + 0.5), scale = amax/127, so
     x_i ≈ q_i·scale. All-zero vectors quantize to zeros with scale 0.
+    NON-FINITE vectors (any NaN or ±inf element) also map to zeros with
+    scale 0 — corrupt embeddings contribute nothing rather than
+    poisoning downstream dot products (and floor(NaN) is exactly where
+    engines diverge: Spark casts it to 0, DuckDB raises). The guard is
+    one comparison on amax: NaN/inf elements always surface there
+    because both engines order NaN above +inf above all finite values.
     |q_i| <= 127 always: |x_i| <= amax bounds the scaled value by
     127·(1+ε), and +0.5 then floor stays under 128 — the ANSI tinyint
     cast cannot overflow.
     """
     v = F.col(vec_col)
+    am = "_amax"
+    while am in emb.columns:
+        am += "_"
     staged = emb.select(
         F.col(id_col),
         v,
         # staged as a column: referenced inside the transform lambda an
         # inline array_max would re-run per element (O(dims²)/vector)
-        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))).alias("_amax"),
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))).alias(am),
     )
-    amax = F.col("_amax")
+    amax = F.col(am)
+    finite_pos = (amax > 0) & (amax < F.lit(float("inf")))
     q = F.transform(
         v,
         lambda x: F.floor(x.cast("double") * F.lit(127.0) / amax + F.lit(0.5)).cast(
@@ -57,8 +67,8 @@ def quantize_embeddings(
     zeros = F.transform(v, lambda x: F.lit(0).cast("tinyint"))
     return staged.select(
         id_col,
-        F.when(amax > 0, q).otherwise(zeros).alias("qvec"),
-        F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0)).alias("scale"),
+        F.when(finite_pos, q).otherwise(zeros).alias("qvec"),
+        F.when(finite_pos, amax / F.lit(127.0)).otherwise(F.lit(0.0)).alias("scale"),
     )
 
 
@@ -76,16 +86,22 @@ def l2_normalize(
     out_col: str = "unit",
 ) -> DataFrame:
     """Unit-norm copy of the vector column (zero vectors pass through as
-    zeros rather than NaN). Cosine over unit vectors reduces to a dot
+    zeros rather than NaN; non-finite vectors — any NaN/±inf element —
+    also map to zeros, matching quantize_embeddings' corrupt-data rule). Cosine over unit vectors reduces to a dot
     product — pre-normalizing once saves the two norms per comparison in
     every downstream brute-force/LSH/IVF scoring pass."""
     from docproc_spark.operators.similarity import norm_col
 
     v = F.col(vec_col)
-    staged = emb.withColumn("_norm", norm_col(v))
-    n = F.col("_norm")
+    # collision-safe working column — a caller's own `_norm` (a natural
+    # name right next to this operator) must pass through untouched
+    nm = "_norm"
+    while nm in emb.columns:
+        nm += "_"
+    staged = emb.withColumn(nm, norm_col(v))
+    n = F.col(nm)
     unit = F.transform(v, lambda x: x.cast("double") / n)
     zeros = F.transform(v, lambda x: F.lit(0.0))
     return staged.withColumn(
-        out_col, F.when(n > 0, unit).otherwise(zeros)
-    ).drop("_norm")
+        out_col, F.when((n > 0) & (n < F.lit(float("inf"))), unit).otherwise(zeros)
+    ).drop(nm)

@@ -777,3 +777,40 @@ def test_l2_normalize_units_and_zero(spark):
     assert got[1] == [0.6, 0.8]
     assert got[2] == [0.0, 0.0]
     assert math.isclose(sum(x * x for x in got[1]), 1.0)
+
+
+def test_quantize_and_normalize_nonfinite_vectors(spark):
+    """Vectors with NaN/inf elements quantize (and normalize) to zeros
+    with scale 0 — the corrupt-data rule. NaN surfaces in amax because
+    both engines order NaN above +inf above all finite values; without
+    the guard, Spark floor(NaN) casts to 0 while DuckDB raises."""
+    from docproc_spark.operators.quantize import l2_normalize, quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [float("nan"), 1.0]),
+            (2, [float("inf"), 1.0]),
+            (3, [-float("inf"), 1.0]),
+            (4, [2.0, 1.0]),  # finite control
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vid in (1, 2, 3):
+        assert q[vid]["qvec"] == [0, 0] and q[vid]["scale"] == 0.0
+    assert q[4]["qvec"] == [127, 64] and q[4]["scale"] > 0
+
+    u = {r["vec_id"]: r["unit"] for r in l2_normalize(df).collect()}
+    for vid in (1, 2, 3):
+        assert u[vid] == [0.0, 0.0]
+    assert abs(sum(x * x for x in u[4]) - 1.0) < 1e-12
+
+
+def test_l2_normalize_preserves_caller_norm_column(spark):
+    from docproc_spark.operators.quantize import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], 99.0)], "vec_id long, embedding array<float>, _norm double"
+    )
+    rows = l2_normalize(df).collect()
+    assert rows[0]["_norm"] == 99.0 and rows[0]["unit"] == [0.6, 0.8]
