@@ -1487,15 +1487,23 @@ def _fulltext_pdf(spark, sf):
 _FULLTEXT_PDF_SQL = f"""
 WITH d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')
            WHERE doc_type IN ('multi_page_pdf','empty_pages_pdf')),
-s AS (SELECT doc_id, u.page AS page, u."offset" AS soff, u.text AS text, u.kind AS kind
-      FROM (SELECT doc_id, unnest(spans) AS u FROM d)),
-pt AS (SELECT doc_id, page, string_agg(text, e'\n\n' ORDER BY soff) AS page_text
+s AS (SELECT doc_id, u.pos AS pos,
+             spans[u.pos].page AS page, spans[u.pos]."offset" AS soff,
+             spans[u.pos].text AS text, spans[u.pos].kind AS kind
+      FROM d, LATERAL unnest(generate_series(1, len(spans))) AS u(pos)),
+pages AS (SELECT DISTINCT doc_id, page FROM s),
+pt AS (SELECT doc_id, page,
+              string_agg(text, e'\n\n' ORDER BY soff, pos) AS page_text
        FROM s
-       WHERE kind IN ('text','header','equation','handwriting','unclassified')
+       WHERE kind IN ('text','table','equation','header','footer',
+                      'handwriting','unclassified')
          AND text IS NOT NULL
        GROUP BY doc_id, page)
-SELECT doc_id, string_agg(page_text, e'\n\n' ORDER BY page) AS full_text
-FROM pt GROUP BY doc_id
+SELECT p.doc_id,
+       string_agg(coalesce(pt.page_text, ''), e'\n\n' ORDER BY p.page)
+         AS full_text
+FROM pages p LEFT JOIN pt ON p.doc_id = pt.doc_id AND p.page = pt.page
+GROUP BY p.doc_id
 """
 
 
@@ -1510,14 +1518,15 @@ def _fulltext_docx(spark, sf):
 _FULLTEXT_DOCX_SQL = f"""
 WITH d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')
            WHERE doc_type IN ('hello_docx','tables_docx')),
-s AS (SELECT doc_id, u.kind AS kind, u."offset" AS soff, u.text AS text
-      FROM (SELECT doc_id, unnest(spans) AS u FROM d))
+s AS (SELECT doc_id, u.pos AS pos, spans[u.pos].kind AS kind,
+             spans[u.pos]."offset" AS soff, spans[u.pos].text AS text
+      FROM d, LATERAL unnest(generate_series(1, len(spans))) AS u(pos))
 SELECT doc_id,
   array_to_string(
     list_concat(
-      coalesce(list(trim(text, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f') ORDER BY soff)
+      coalesce(list(trim(text, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f') ORDER BY soff, pos)
                FILTER (WHERE kind='text' AND text IS NOT NULL AND trim(text, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f')<>''), []),
-      coalesce(flatten(list(string_split(text, e'\n') ORDER BY soff)
+      coalesce(flatten(list(string_split(text, e'\n') ORDER BY soff, pos)
                FILTER (WHERE kind='table' AND text IS NOT NULL)), [])
     ), e'\n\n') AS full_text
 FROM s GROUP BY doc_id
@@ -1533,15 +1542,17 @@ def _fulltext_pptx(spark, sf):
 _FULLTEXT_PPTX_SQL = f"""
 WITH d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')
            WHERE doc_type = 'slides_pptx'),
-s AS (SELECT doc_id, u.page AS page, u."offset" AS soff, u.kind AS kind, u.text AS text
-      FROM (SELECT doc_id, unnest(spans) AS u FROM d)),
+s AS (SELECT doc_id, u.pos AS pos, spans[u.pos].page AS page,
+             spans[u.pos]."offset" AS soff, spans[u.pos].kind AS kind,
+             spans[u.pos].text AS text
+      FROM d, LATERAL unnest(generate_series(1, len(spans))) AS u(pos)),
 slides AS (
   SELECT doc_id, page,
     array_to_string(
       flatten(list(
         CASE WHEN kind='text' AND trim(text, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f')<>'' THEN [trim(text, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f')]
              WHEN kind='table' THEN string_split(text, e'\n')
-             ELSE [] END ORDER BY soff)
+             ELSE [] END ORDER BY soff, pos)
         FILTER (WHERE text IS NOT NULL)),
       e'\n') AS slide_text
   FROM s GROUP BY doc_id, page)
@@ -1561,13 +1572,15 @@ def _fulltext_xlsx(spark, sf):
 _FULLTEXT_XLSX_SQL = f"""
 WITH d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')
            WHERE doc_type = 'sheets_xlsx'),
-s AS (SELECT doc_id, u.page AS page, u."offset" AS soff, u.kind AS kind, u.text AS text
-      FROM (SELECT doc_id, unnest(spans) AS u FROM d)),
+s AS (SELECT doc_id, u.pos AS pos, spans[u.pos].page AS page,
+             spans[u.pos]."offset" AS soff, spans[u.pos].kind AS kind,
+             spans[u.pos].text AS text
+      FROM d, LATERAL unnest(generate_series(1, len(spans))) AS u(pos)),
 sheets AS (
   SELECT doc_id, page,
     list_filter(
       list_transform(
-        coalesce(flatten(list(string_split(text, e'\n') ORDER BY soff)
+        coalesce(flatten(list(string_split(text, e'\n') ORDER BY soff, pos)
                  FILTER (WHERE kind='table' AND text IS NOT NULL)), []),
         r -> trim(r, e' \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f')),
       r -> r <> '') AS srows

@@ -5,7 +5,9 @@ The reference exposes, besides the page-assembled markdown path, a raw
 exactly; file:line cites from /root/reference):
 
   pdf   "\\n\\n".join(raw page texts), empty pages INCLUDED, no stripping
-        (doc/loaders/pdf_loader.py:56-61)
+        (doc/loaders/pdf_loader.py:56-61); fitz page.get_text() renders
+        EVERY textual region — tables and footers included — so the span
+        mirror takes all TEXTUAL_KINDS, not a hand-picked subset
   docx  stripped non-empty paragraphs, then ALL table rows (flattened,
         one row per part), joined "\\n\\n" — paragraphs before tables
         regardless of interleaving (docx_loader.py:58-69)
@@ -35,26 +37,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from docproc_spark.kernels.assembly import TEXTUAL_KINDS
 from docproc_spark.pipeline import _page_slices, _slice_for, pystrip_col
 
-_TEXT_KINDS = ("text", "header", "equation", "handwriting", "unclassified")
-
-_SS_T = "array<struct<page:int,offset:int,kind:string,text:string>>"
+_SS_T = "array<struct<page:int,offset:int,pos:int,kind:string,text:string>>"
 _ITEMS_T = "array<struct<page:int,item:string>>"
 
 
 def _collected(docs: DataFrame) -> DataFrame:
-    # explode_outer: a document with empty/null spans must still yield a
-    # row (the reference's get_full_text returns "" for it, not nothing);
-    # the null placeholder span is inert downstream (null text filters)
+    # posexplode_outer: a document with empty/null spans must still yield
+    # a row (the reference's get_full_text returns "" for it, not
+    # nothing); the null placeholder span is inert downstream (null text
+    # filters). ``pos`` — the input position — sits RIGHT AFTER
+    # (page, offset) in the sort struct: array_sort over structs compares
+    # every field in order, so without it two spans colliding on
+    # (page, offset) would be ordered by payload content instead of
+    # document order (the tie-break the flagship pipeline resolves the
+    # same way).
     rows = docs.select(
         "doc_id",
-        F.explode_outer("spans").alias("s"),
+        F.posexplode_outer("spans").alias("pos", "s"),
     ).select(
         "doc_id",
         F.struct(
             F.coalesce(F.col("s.page"), F.lit(0)).alias("page"),
             F.coalesce(F.col("s.offset"), F.lit(0)).alias("offset"),
+            F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
             F.col("s.kind").alias("kind"),
             F.col("s.text").alias("text"),
         ).alias("s"),
@@ -65,7 +73,7 @@ def _collected(docs: DataFrame) -> DataFrame:
 
 
 def _is_text(x) -> Column:
-    return x["kind"].isin(*_TEXT_KINDS)
+    return x["kind"].isin(*TEXTUAL_KINDS)
 
 
 def full_text_pdf(docs: DataFrame) -> DataFrame:

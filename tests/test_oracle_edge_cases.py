@@ -140,3 +140,25 @@ def test_fulltext_keeps_empty_docs_and_python_strips(spark):
     assert pdf["empty"] == ""            # reference returns '', not no row
     docx = {r["doc_id"]: r["full_text"] for r in full_text_docx(docs).collect()}
     assert docx["tabbed"] == "foo"       # str.strip(): tabs stripped, blank dropped
+
+
+def test_fulltext_tie_break_is_input_position(spark):
+    """Two spans colliding on (page, offset) must keep document (input)
+    order in the raw full-text paths — without the pos field in the sort
+    struct, array_sort would order them by payload content (the same
+    collision the flagship pipeline resolves via posexplode)."""
+    import pandas as pd
+
+    from docproc_spark.operators.fulltext import full_text_pdf
+    from docproc_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [_doc("tie", [("text", "zebra", None, 0, 0),
+                          ("text", "apple", None, 0, 0)])],
+            columns=["doc_id", "doc_type", "raw_html", "spans"],
+        ),
+        schema=DOCUMENTS_SCHEMA,
+    )
+    ft = full_text_pdf(docs).collect()[0]["full_text"]
+    assert ft == "zebra\n\napple"

@@ -115,12 +115,15 @@ def test_load_pdf_spark_e2e(spark):
     assert rows["p1"]["n_spans"] == len(PDF_EXPECT)
     assert rows["bad"]["spans"] is None and "ValueError" in rows["bad"]["parse_error"]
 
-    # full-text parity: pdf_loader.get_full_text joins page texts "\n\n"
-    # (text-kind spans only; header/footer/table are vision-era kinds and
-    # the raw path keeps text spans — see fulltext.full_text_pdf contract)
+    # full-text parity: pdf_loader.get_full_text joins page texts "\n\n";
+    # fitz page.get_text() renders EVERY textual region — tables and
+    # footers included — so all TEXTUAL_KINDS must survive the raw path
     ft = {r["doc_id"]: r["full_text"]
           for r in full_text_pdf(load_pdf(src).filter("parse_error IS NULL")).collect()}
     assert "Hello world\nHi!" in ft["p1"] and "It(s) Here\nsecond" in ft["p1"]
+    for kind, text, _m, _p in PDF_EXPECT:
+        if kind in ("table", "footer"):
+            assert text in ft["p1"], f"{kind} span missing from raw full text"
 
 
 def test_extract_runs_on_pdf_output(spark):
