@@ -21,8 +21,14 @@ class IngestConfig:
     drop_exact_duplicates: bool = True
     drop_boilerplate: bool = True
     boilerplate_kinds: tuple = ("thank_you", "questions", "blank")
-    use_vision: bool = False       # deterministic caption stub stands in
-    use_llm_refine: bool = False   # mechanical refine only by default
+    # consumed by facade.caption_media: off = deterministic stub (the
+    # invariant path); on = route to vision_provider
+    use_vision: bool = False
+    vision_provider: str = "stub"
+    # consumed by facade.extract_table: on = reference's optional refine
+    # stage (chunk → chat → rejoin, per-doc raw-text fallback)
+    use_llm_refine: bool = False
+    refine_provider: str = "stub-chat"
 
 
 @dataclass

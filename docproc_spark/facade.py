@@ -23,6 +23,7 @@ class DocprocSpark:
             spark = get_spark(
                 master=self.config.spark.master,
                 shuffle_partitions=self.config.spark.shuffle_partitions,
+                arrow_batch=self.config.spark.arrow_batch,
             )
         self.spark = spark
 
@@ -57,14 +58,51 @@ class DocprocSpark:
         return docs.filter(known), docs.filter(~known)
 
     def extract_table(self, docs: DataFrame) -> DataFrame:
-        """Span table in → (doc_id, markdown, n_pages, spans) out."""
+        """Span table in → (doc_id, markdown, n_pages, spans) out.
+
+        With ``ingest.use_llm_refine`` on, the reference's optional refine
+        stage (pipeline.py:124-141) runs after extraction: markdown is
+        replaced by the chunk→chat→rejoin output of
+        ``ingest.refine_provider`` (per-document failure falls back to the
+        raw text). One extra join exchange — noise next to the LLM calls
+        the stage exists to make."""
         from docproc_spark.pipeline import extract
 
-        return extract(
+        result = extract(
             docs,
             drop_kinds=self.config.drop_kinds,
             drop_exact_duplicates=self.config.ingest.drop_exact_duplicates,
         )
+        if self.config.ingest.use_llm_refine:
+            from pyspark.sql import functions as F
+
+            from docproc_spark.operators.refine import refine_table
+
+            refined = refine_table(
+                result, provider_id=self.config.ingest.refine_provider
+            ).withColumnRenamed("refined", "markdown")
+            result = result.drop("markdown").join(refined, "doc_id").select(
+                "doc_id", "markdown", "n_pages", "spans"
+            )
+        return result
+
+    def caption_media(
+        self, media: DataFrame, ref_col: str = "media_ref", ctx_col: str = "context"
+    ) -> DataFrame:
+        """Provider-backed captioning over a media-reference table —
+        where ``ingest.use_vision`` plugs in: off (default) uses the
+        deterministic stub (the invariant path the extraction oracle is
+        defined over); on routes to ``ingest.vision_provider`` (e.g. a
+        batching-vision transport stack from providers_http)."""
+        from docproc_spark.operators.captions import caption_media_table
+
+        pid = (
+            self.config.ingest.vision_provider
+            if self.config.ingest.use_vision
+            else "stub"
+        )
+        return caption_media_table(media, ref_col=ref_col, ctx_col=ctx_col,
+                                   provider_id=pid)
 
     def extract_to_files(self, docs: DataFrame, out_dir: str) -> int:
         """Extract and write one .md per document with the reference's

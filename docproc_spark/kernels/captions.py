@@ -34,13 +34,31 @@ def caption_series(media_ref: pd.Series, ctx: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 # Vision-output post-processing (reference vision_llm.py:107-123, 167-183)
 # ---------------------------------------------------------------------------
-_FENCE_RE = r"^```(?:json)?\s*\n?|\n?```\s*$"
+def _strip_md_fences(raw: str) -> str:
+    """Reference-exact fence parse (vision_llm.py:107-118): only replies
+    STARTING with ``` are treated as fenced, and then only lines strictly
+    INSIDE ``` blocks survive. A start/end-anchored regex diverged on
+    replies with trailing prose after the closing fence ('```json\\n{..}\\n
+    ```\\nNote: done.' kept the stray fence and the prose; the reference
+    keeps just the block body)."""
+    raw = raw.strip()
+    if not raw.startswith("```"):
+        return raw
+    kept, in_block = [], False
+    for line in raw.split("\n"):
+        if line.startswith("```"):
+            in_block = not in_block
+            continue
+        if in_block:
+            kept.append(line)
+    return "\n".join(kept)
 
 
 def strip_md_fences_series(s: pd.Series) -> pd.Series:
-    """Strip markdown ``` fences wrapping a model's JSON reply
-    (vision_llm.py:107-118) — vectorized regex."""
-    return s.fillna("").str.strip().str.replace(_FENCE_RE, "", regex=True).str.strip()
+    """Strip markdown ``` fences wrapping a model's JSON reply —
+    per-element exact mirror of the reference parser (strings are short
+    model replies; correctness over vectorization here)."""
+    return s.fillna("").map(_strip_md_fences)
 
 
 def flatten_extraction(d: dict) -> str:

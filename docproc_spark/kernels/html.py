@@ -52,6 +52,13 @@ class _BlockParser(HTMLParser):
         self._buf: list[str] = []
         self._link_chars = 0
         self._heading: str | None = None
+        # open-element stack (non-void tags) for HTML5-style implicit
+        # close: an endtag closes any still-open descendants first. The
+        # real-world failure this prevents: an unclosed <nav> (no </nav>
+        # ever) left _ignore_depth positive FOREVER, silently discarding
+        # the entire article after the menu; now the ancestor's close
+        # (</body>, </div>, ...) pops it.
+        self._stack: list[str] = []
 
     def _flush(self) -> None:
         text = "".join(self._buf).strip()
@@ -63,6 +70,8 @@ class _BlockParser(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
+        if tag not in VOID_TAGS:
+            self._stack.append(tag)
         if tag in IGNORE_TAGS:
             if tag not in VOID_TAGS:
                 self._ignore_depth += 1
@@ -77,8 +86,19 @@ class _BlockParser(HTMLParser):
 
     def handle_endtag(self, tag):
         tag = tag.lower()
+        # implicit close: pop still-open descendants up to this tag (a
+        # stray endtag with no matching open element pops nothing). On
+        # well-formed HTML the tag is on top and this is a plain pop, so
+        # the original semantics below are untouched.
+        if tag in self._stack:
+            while self._stack:
+                t = self._stack.pop()
+                if t in IGNORE_TAGS:
+                    self._ignore_depth = max(0, self._ignore_depth - 1)
+                if t == tag:
+                    break
         if tag in IGNORE_TAGS and tag not in VOID_TAGS:
-            self._ignore_depth = max(0, self._ignore_depth - 1)
+            # depth already adjusted by the pop above
             return
         if self._ignore_depth:
             return

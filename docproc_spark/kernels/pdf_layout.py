@@ -68,7 +68,14 @@ def blocks_to_spans(
 
 
 def classify_block_col(text: Column, y_center: Column, page_height: Column) -> Column:
-    lines = F.filter(F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: F.trim(l) != "")
+    # has_nonblank_col, NOT F.trim != "": the scalar twin uses python
+    # str.strip() (Unicode + \t\n); F.trim strips U+0020 only, so a
+    # '\t\t' line would count as non-blank here but not in the kernel
+    from docproc_spark.pipeline import has_nonblank_col
+
+    lines = F.filter(
+        F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: has_nonblank_col(l)
+    )
     n_table_lines = F.size(F.filter(lines, lambda l: l.contains(" | ")))
     return (
         F.when(n_table_lines >= 2, F.lit("table"))
@@ -92,15 +99,19 @@ def blocks_df_to_spans(
     One window keyed by doc_id — same clustering as the extraction shuffle,
     so this stage composes with pipeline.extract with no extra exchange.
     """
-    kept = blocks.filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    )
+    # pystrip/has_nonblank, NOT F.trim: the must-agree scalar kernel uses
+    # python str.strip() — F.trim (U+0020 only) kept '\t\t' blocks the
+    # kernel drops and emitted '\tfoo' where the kernel emits 'foo',
+    # shifting every later offset (the recurring trim-vs-strip bug class)
+    from docproc_spark.pipeline import has_nonblank_col, pystrip_col
+
+    kept = blocks.filter(has_nonblank_col(F.col("text")))
     w = Window.partitionBy(doc_col).orderBy("page", "y0", "x0")
     yc = (F.col("y0") + F.col("y1")) / 2
     return kept.select(
         F.col(doc_col),
         classify_block_col(F.col("text"), yc, F.lit(float(page_height))).alias("kind"),
-        F.trim(F.col("text")).alias("text"),
+        pystrip_col(F.col("text")).alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.col("page").cast("int").alias("page"),
         (F.row_number().over(w) - 1).alias("offset"),

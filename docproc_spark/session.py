@@ -18,10 +18,12 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    arrow_batch: int | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     n_shuffle = shuffle_partitions or cpus
+    arrow_batch = arrow_batch or 32768
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -31,9 +33,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 32k rows/batch: fewer JVM↔Python Arrow crossings — measured 1.7×
-        # on pandas-UDF stages at 32 workers vs the 4k default
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        # 32k rows/batch default: fewer JVM↔Python Arrow crossings —
+        # measured 1.7× on pandas-UDF stages at 32 workers vs the 4k
+        # default; overridable via the config's spark.arrow_batch knob
+        # (mega-doc corpora need bounded batches)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         # Span tables decode ~5-10× larger than their parquet bytes (text
         # columns compress hard); the 128m default sizes scan partitions
         # by COMPRESSED bytes, so each task decodes into a near-GB memory

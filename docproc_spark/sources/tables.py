@@ -40,17 +40,38 @@ def register_views(spark: SparkSession, sf_dir: str | None = None, tables=TABLES
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime classes are actually loadable.
+
+    NOT a bare attribute probe: py4j resolves a missing class path to a
+    JavaPackage object without raising, so
+    ``spark._jvm.org.apache.iceberg...`` "succeeds" on every cluster and
+    the parquet fallback became dead code (verified live in this
+    Iceberg-less container). Class.forName is the honest check — it
+    raises ClassNotFoundException through py4j when the jar is absent."""
     try:
-        spark._jvm.org.apache.iceberg.catalog.Catalog  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
         return True
     except Exception:
         return False
 
 
+def _is_table_identifier(target: str) -> bool:
+    """catalog.db.table / db.table identifiers go to writeTo(); anything
+    path-shaped (absolute or relative paths, file:/ s3a:// hdfs:// URIs)
+    is a filesystem destination. startswith('/') misrouted relative paths
+    and every URI scheme to the Iceberg branch."""
+    import re
+
+    return bool(
+        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){1,2}", target)
+    )
+
+
 def write_table(df: DataFrame, path_or_table: str, mode: str = "overwrite") -> None:
-    """Write to Iceberg when the runtime is present, else parquet."""
+    """Write to Iceberg when the runtime is present AND the target is a
+    table identifier, else parquet to the path."""
     spark = df.sparkSession
-    if iceberg_available(spark) and not path_or_table.startswith("/"):
+    if _is_table_identifier(path_or_table) and iceberg_available(spark):
         df.writeTo(path_or_table).createOrReplace()
     else:
         df.write.mode(mode).parquet(path_or_table)

@@ -189,3 +189,26 @@ class TestHtml:
         assert html_main_blocks("") == []
         assert html_main_blocks(None) == []
         assert isinstance(html_main_blocks("<p>" * 10), list)
+
+
+def test_html_unclosed_ignore_tag_recovers_on_ancestor_close():
+    """A malformed page with an unclosed <nav> must not swallow the whole
+    article: the ancestor's close (</body>) implicitly closes the open
+    ignore subtree (HTML5 tree-building semantics). Before the fix,
+    _ignore_depth stayed positive forever and extraction returned []."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    body = ("This is the real article content with enough characters to "
+            "clear the minimum block length threshold for keeping text.")
+    raw = (
+        "<html><body>"
+        "<nav><ul><li>menu one</li><li>menu two</li>"   # <nav> never closed
+        f"<p>{body}</p>"                                  # still inside nav
+        "</body>"                                          # implicit nav close
+        f"<p>{body} After.</p>"
+        "</html>"
+    )
+    blocks = html_main_blocks(raw)
+    assert any(body in t for _, t in blocks), blocks
+    # the nav menu itself stays dropped
+    assert not any("menu one" in t for _, t in blocks)

@@ -67,3 +67,34 @@ def test_feeds_extraction_pipeline(spark):
     assert "[Page 1]" in res["markdown"] and "[Page 2]" in res["markdown"]
     assert "left column" in res["markdown"]
     assert "Page 1 of 9" in res["markdown"]  # footer kept (not boilerplate-dropped)
+
+
+def test_df_path_matches_kernel_on_whitespace_blocks(spark):
+    """The DataFrame path must agree with the scalar kernel on blocks that
+    differ under str.strip() vs F.trim (tabs, NBSP): '\\t\\t' dropped,
+    '\\tfoo' emitted as 'foo' (offsets shift identically)."""
+    import pandas as pd
+
+    from docproc_spark.kernels.pdf_layout import blocks_df_to_spans, blocks_to_spans
+
+    blocks = [
+        {"page": 0, "x0": 0.0, "y0": 10.0, "x1": 100.0, "y1": 20.0, "text": "\t\t"},
+        {"page": 0, "x0": 0.0, "y0": 30.0, "x1": 100.0, "y1": 40.0, "text": "\tfoo"},
+        {"page": 0, "x0": 0.0, "y0": 50.0, "x1": 100.0, "y1": 60.0, "text": " "},
+        {"page": 0, "x0": 0.0, "y0": 70.0, "x1": 100.0, "y1": 80.0, "text": "bar "},
+    ]
+    want = [
+        (s["kind"], s["text"], s["page"], s["offset"])
+        for s in blocks_to_spans(blocks, page_height=800.0)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame([{**b, "doc_id": "d1"} for b in blocks])
+    )
+    got = [
+        (r["kind"], r["text"], r["page"], r["offset"])
+        for r in blocks_df_to_spans(df, page_height=800.0)
+        .orderBy("offset")
+        .collect()
+    ]
+    # y-center 35 < 0.08*800: the surviving first block is a header
+    assert got == want == [("header", "foo", 0, 0), ("text", "bar", 0, 1)]
