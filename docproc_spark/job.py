@@ -116,9 +116,14 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
 
     docs, quarantined = eng.split_supported(docs)
-    n_quarantined = quarantined.count()
-    if n_quarantined:
-        quarantined.write.mode("overwrite").parquet(args.output + "_quarantine")
+    # write unconditionally and count the WRITTEN table: a pre-write
+    # count() forced a full input scan just to decide whether to write,
+    # then the write scanned again; counting parquet output is a footer
+    # read. An empty quarantine dir is also a more deterministic contract
+    # than a sometimes-missing one.
+    qpath = args.output + "_quarantine"
+    quarantined.write.mode("overwrite").parquet(qpath)
+    n_quarantined = spark.read.parquet(qpath).count()
 
     if args.lineage:
         processed = eng.extract_resumable(docs, args.output, args.lineage, args.n_parts)

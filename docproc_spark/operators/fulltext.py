@@ -44,7 +44,7 @@ _SS_T = "array<struct<page:int,offset:int,pos:int,kind:string,text:string>>"
 _ITEMS_T = "array<struct<page:int,item:string>>"
 
 
-def _collected(docs: DataFrame) -> DataFrame:
+def _collected(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     # posexplode_outer: a document with empty/null spans must still yield
     # a row (the reference's get_full_text returns "" for it, not
     # nothing); the null placeholder span is inert downstream (null text
@@ -56,9 +56,11 @@ def _collected(docs: DataFrame) -> DataFrame:
     # same way).
     rows = docs.select(
         "doc_id",
+        *carry,
         F.posexplode_outer("spans").alias("pos", "s"),
     ).select(
         "doc_id",
+        *carry,
         F.struct(
             F.coalesce(F.col("s.page"), F.lit(0)).alias("page"),
             F.coalesce(F.col("s.offset"), F.lit(0)).alias("offset"),
@@ -67,8 +69,11 @@ def _collected(docs: DataFrame) -> DataFrame:
             F.col("s.text").alias("text"),
         ).alias("s"),
     )
+    # carry columns are doc-level (constant per doc_id) — first() just
+    # rides them through the same single shuffle
     return rows.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("s")).alias("ss")
+        F.array_sort(F.collect_list("s")).alias("ss"),
+        *[F.first(c).alias(c) for c in carry],
     )
 
 
@@ -187,7 +192,14 @@ def full_text_pptx(docs: DataFrame) -> DataFrame:
 
 
 def full_text_xlsx(docs: DataFrame) -> DataFrame:
-    """Per sheet: trimmed non-empty rows with a === Sheet{n+1} === header."""
+    """Per sheet: trimmed non-empty rows with a === {title} === header.
+
+    The reference titles sheets by NAME (xlsx_loader.get_full_text:
+    ``=== {sheet.title} ===``); when the input carries the loader's
+    ``sheet_names`` column (sources/ooxml.load_ooxml materializes it),
+    page i uses sheet_names[i], falling back to ``Sheet{n+1}`` for bare
+    span tables that never had titles."""
+    has_names = "sheet_names" in docs.columns
 
     def per_span(x):
         return F.when(
@@ -198,17 +210,28 @@ def full_text_xlsx(docs: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    c = _page_items(_collected(docs), per_span)
+    c = _page_items(
+        _collected(docs, carry=("sheet_names",) if has_names else ()), per_span
+    )
+
+    def title(page: Column) -> Column:
+        fallback = F.concat(F.lit("Sheet"), (page + 1).cast("string"))
+        if not has_names:
+            return fallback
+        # try_element_at, not element_at: ANSI mode throws on an
+        # out-of-range index (more pages than recorded names on dirty
+        # inputs); null array/index falls back too
+        return F.coalesce(
+            F.try_element_at(F.col("sheet_names"), page + 1), fallback
+        )
+
     parts = F.filter(
         F.transform(
             _per_page_join("\n"),
             lambda s: F.when(
                 s["part"] != "",
                 F.concat(
-                    F.lit("=== Sheet"),
-                    (s["page"] + 1).cast("string"),
-                    F.lit(" ===\n"),
-                    s["part"],
+                    F.lit("=== "), title(s["page"]), F.lit(" ===\n"), s["part"]
                 ),
             ).otherwise(F.lit("")),
         ),

@@ -290,11 +290,20 @@ def test_bytes_to_fulltext_e2e(spark):
         r["doc_id"]: r["full_text"]
         for r in full_text_xlsx(table.filter("doc_type = 'xlsx'")).collect()
     }
-    # span model titles sheets Sheet{page+1}; empty sheet contributes
-    # nothing (no spans on page 1)
+    # loader output carries sheet_names, so the REAL title is used
+    # (xlsx_loader.get_full_text: '=== {sheet.title} ==='); the empty
+    # 'Empty' sheet contributes nothing (no spans on page 1)
     assert got_xlsx["x1"] == (
-        "=== Sheet1 ===\nname | val | rich\n42 |  | 7\n|  |\n2.5 | True | =SUM"
+        "=== Data ===\nname | val | rich\n42 |  | 7\n|  |\n2.5 | True | =SUM"
     )
+    # bare span tables (no sheet_names column) keep the Sheet{n+1} fallback
+    got_fallback = {
+        r["doc_id"]: r["full_text"]
+        for r in full_text_xlsx(
+            table.filter("doc_type = 'xlsx'").drop("sheet_names")
+        ).collect()
+    }
+    assert got_fallback["x1"].startswith("=== Sheet1 ===\n")
 
 
 def test_extract_runs_on_ooxml_output(spark):
