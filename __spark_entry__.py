@@ -2145,6 +2145,40 @@ FROM s
 """
 
 
+def _decontaminated(spark, sf):
+    """Benchmark decontamination (operators/dedupe.decontaminate): 13-gram
+    overlap vs a deterministic in-corpus "benchmark" slice (doc_id % 97 =
+    0). The corpus carries exact-duplicate documents, so the positive
+    path fires (benchmark members flag themselves AND their duplicates);
+    everything else comes through contaminated = false."""
+    from docproc_spark.operators.dedupe import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=13)
+
+
+_DECONTAM_SQL = f"""
+WITH bh AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(0, greatest(len({_TOKS}) - 13, 0) + 1),
+                i -> md5(array_to_string(({_TOKS})[i+1:i+13], ' ')))) AS bh
+  FROM documents WHERE doc_id % 97 = 0
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len({_TOKS}) - 13, 0) + 1),
+                i -> md5(array_to_string(({_TOKS})[i+1:i+13], ' ')))) AS h
+  FROM documents
+)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_windows,
+       count(b.bh)::BIGINT AS n_contaminated,
+       count(b.bh) > 0 AS contaminated
+FROM sh s LEFT JOIN bh b ON s.h = b.bh
+GROUP BY s.doc_id
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2155,6 +2189,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_512": _pack_sequences,
     "cap_per_source": _cap_per_source,
     "embeddings_quantized": _embeddings_quantized,
+    "decontaminated_docs": _decontaminated,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2167,6 +2202,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "pack_sequences_512": _PACK_SQL,
     "cap_per_source": _CAP_SQL,
     "embeddings_quantized": _QUANTIZE_SQL,
+    "decontaminated_docs": _DECONTAM_SQL,
 }
 
 

@@ -684,3 +684,58 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("a", "b", "shared", "jaccard")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    at least one ``n``-token shingle with an evaluation/benchmark corpus
+    (the GPT-3 appendix-C / PaLM / Llama "13-gram overlap" rule — the
+    reference pipeline has no eval-set hygiene step; this is a
+    beyond-reference training-data operator).
+
+    Returns (doc_id, n_windows, n_contaminated, contaminated) — one row
+    per input document; ``n_contaminated`` counts the document's shingle
+    positions whose hash appears anywhere in the benchmark, and documents
+    with zero matches come through with contaminated = false (callers
+    drop or quarantine the true rows).
+
+    Matching is by md5 of the space-joined ``n``-token window over
+    whitespace tokens (``tokens_col``) on BOTH sides, so a document
+    shorter than ``n`` tokens contributes its single full-text shingle
+    and matches only a benchmark entry with the identical short prefix —
+    including the degenerate empty-text shingle (md5 of ""), which is
+    deliberate and mirrored by the oracle: an empty benchmark entry
+    flags empty training docs, never non-empty ones.
+
+    Scale: the benchmark shingle set is distinct-ed and small relative to
+    the corpus (eval suites are ~10^5-10^6 grams), so AQE turns the probe
+    into a broadcast hash join — the training side stays one scan + one
+    map-side-partial groupBy(doc_id); nothing is O(corpus x benchmark).
+    At extreme benchmark sizes swap the broadcast for a bloom-filter
+    pre-probe and keep the equi-join only for bloom hits.
+    """
+    from docproc_spark.functions.text import rolling_hashes_from_tokens
+
+    bench_h = (
+        benchmark.select(tokens_col(F.col(bench_text_col)).alias("_tk"))
+        .select(F.explode(rolling_hashes_from_tokens(F.col("_tk"), n)).alias("bh"))
+        .distinct()
+    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_tk")
+    ).withColumn("_sh", rolling_hashes_from_tokens(F.col("_tk"), n))
+    wins = staged.select("doc_id", F.explode("_sh").alias("h"))
+    flagged = wins.join(bench_h, wins["h"] == bench_h["bh"], "left")
+    hits = F.sum(F.col("bh").isNotNull().cast("long"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        hits.alias("n_contaminated"),
+        (hits > 0).alias("contaminated"),
+    )

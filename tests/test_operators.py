@@ -814,3 +814,34 @@ def test_l2_normalize_preserves_caller_norm_column(spark):
     )
     rows = l2_normalize(df).collect()
     assert rows[0]["_norm"] == 99.0 and rows[0]["unit"] == [0.6, 0.8]
+
+
+def test_decontaminate_benchmark_overlap(spark):
+    """13-gram decontamination: docs embedding a benchmark n-gram are
+    flagged with the right window counts; clean docs and short docs that
+    merely share a prefix shorter than n stay clean; an empty benchmark
+    entry flags only empty training docs."""
+    from docproc_spark.operators.dedupe import decontaminate
+
+    bench_text = " ".join(f"e{i}" for i in range(13))       # exactly one shingle
+    prefix12 = " ".join(f"e{i}" for i in range(12))          # 12-token prefix
+    rows = [
+        (1, f"pad1 pad2 {bench_text} tail1"),                # contains the gram
+        (2, " ".join(f"c{i}" for i in range(30))),           # clean
+        (3, prefix12),                                        # < n overlap only
+        (4, ""),                                              # empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, bench_text), (101, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in decontaminate(docs, bench, n=13).collect()}
+    # doc1: 16 tokens -> 4 windows, exactly one aligns with the benchmark gram
+    assert got[1]["n_windows"] == 4 and got[1]["n_contaminated"] == 1
+    assert got[1]["contaminated"] is True
+    assert got[2]["n_contaminated"] == 0 and got[2]["contaminated"] is False
+    # a 12-token doc yields ONE short shingle; it differs from the
+    # benchmark's full 13-gram, so prefix overlap below n never flags
+    assert got[3]["n_windows"] == 1 and got[3]["contaminated"] is False
+    # empty doc matches the empty benchmark entry's degenerate shingle
+    assert got[4]["n_windows"] == 1 and got[4]["contaminated"] is True
