@@ -2158,16 +2158,23 @@ def _decontaminated(spark, sf):
     return decontaminate(docs, bench, n=13)
 
 
+# null-safe token list for the decontamination oracle: the operator
+# coalesces NULL text to '' on both sides (see operators/dedupe.
+# decontaminate), so its oracle must too — with bare trim(text) a NULL
+# doc's shingle hash is NULL (inert in the join) while Spark emits
+# md5('') and the contaminated flags diverge
+_NTOKS = _TOKS.replace("trim(text)", "trim(coalesce(text, ''))")
+
 _DECONTAM_SQL = f"""
 WITH bh AS (
   SELECT DISTINCT
-         unnest(list_transform(range(0, greatest(len({_TOKS}) - 13, 0) + 1),
-                i -> md5(array_to_string(({_TOKS})[i+1:i+13], ' ')))) AS bh
+         unnest(list_transform(range(0, greatest(len({_NTOKS}) - 13, 0) + 1),
+                i -> md5(array_to_string(({_NTOKS})[i+1:i+13], ' ')))) AS bh
   FROM documents WHERE doc_id % 97 = 0
 ), sh AS (
   SELECT doc_id,
-         unnest(list_transform(range(0, greatest(len({_TOKS}) - 13, 0) + 1),
-                i -> md5(array_to_string(({_TOKS})[i+1:i+13], ' ')))) AS h
+         unnest(list_transform(range(0, greatest(len({_NTOKS}) - 13, 0) + 1),
+                i -> md5(array_to_string(({_NTOKS})[i+1:i+13], ' ')))) AS h
   FROM documents
 )
 SELECT s.doc_id,
@@ -2176,6 +2183,70 @@ SELECT s.doc_id,
        count(b.bh) > 0 AS contaminated
 FROM sh s LEFT JOIN bh b ON s.h = b.bh
 GROUP BY s.doc_id
+"""
+
+
+def _rebalanced(spark, sf):
+    """Deterministic mixture rebalancing (operators/sampling.
+    rebalance_to_targets): downsample sources src0/src1/src2 to a
+    50/30/20 output mixture. All three groups have 25 docs, so the
+    acceptance fractions are exactly (1.0, 0.6, 0.4) — the src0 keep-all
+    edge and two genuine hash-thinned groups in one query."""
+    from docproc_spark.operators.sampling import rebalance_to_targets
+
+    return rebalance_to_targets(
+        _t(spark, sf, "documents"), {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+
+
+_REBALANCE_SQL = """
+WITH tgt AS (
+  SELECT * FROM (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+                        ('src2', 0.2::DOUBLE)) t(source, _t)
+), counts AS (
+  SELECT source, count(*)::BIGINT AS _c FROM documents GROUP BY source
+), j AS (
+  SELECT t.source, coalesce(c._c, 0)::BIGINT AS _c, t._t
+  FROM tgt t LEFT JOIN counts c ON t.source = c.source
+), s AS (SELECT min(_c / _t) AS _s FROM j),
+frac AS (
+  SELECT source,
+         CASE WHEN _c > 0 THEN _t * _s / _c ELSE 0.0::DOUBLE END AS _p
+  FROM j CROSS JOIN s)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN frac f ON d.source = f.source
+WHERE CAST(concat('0x', substr(md5(coalesce(CAST(d.doc_id AS VARCHAR),
+                                            chr(0) || 'null')), 1, 8)) AS BIGINT)
+      < CAST(floor(f._p * 4294967296.0::DOUBLE) AS BIGINT)
+"""
+
+
+def _keywords(spark, sf):
+    """Per-document tf-idf-style keywords (functions/text.top_keywords,
+    k=3): integer score tf*(N-df) — rank-deterministic across engines
+    where ln()-based tf-idf is not (1-ulp libm differences flip ranks)."""
+    from docproc_spark.functions.text import top_keywords
+
+    return top_keywords(_t(spark, sf, "documents"), k=3)
+
+
+_KEYWORDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_LTOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+), n AS (SELECT count(*)::BIGINT AS _n FROM documents)
+SELECT doc_id, token, tf, df, score, "rank" FROM (
+  SELECT t.doc_id, t.token, t.tf, f.df,
+         t.tf * (n._n - f.df) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY t.tf * (n._n - f.df) DESC, f.df ASC, t.token ASC
+         ) AS INT) AS "rank"
+  FROM tf t JOIN dfreq f USING (token) CROSS JOIN n)
+WHERE "rank" <= 3
 """
 
 
@@ -2190,6 +2261,8 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cap_per_source": _cap_per_source,
     "embeddings_quantized": _embeddings_quantized,
     "decontaminated_docs": _decontaminated,
+    "rebalanced_sources": _rebalanced,
+    "doc_keywords_top3": _keywords,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2203,6 +2276,8 @@ _SPARE_ORACLES: dict[str, str] = {
     "cap_per_source": _CAP_SQL,
     "embeddings_quantized": _QUANTIZE_SQL,
     "decontaminated_docs": _DECONTAM_SQL,
+    "rebalanced_sources": _REBALANCE_SQL,
+    "doc_keywords_top3": _KEYWORDS_SQL,
 }
 
 

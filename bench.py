@@ -474,8 +474,15 @@ def main() -> None:
         med_sha = median([sha_effs[i] for i in pick])
         # plan-vs-ceiling paired WITHIN each round (extract and control
         # saw the same window + affinity mask) — a cross-list median
-        # ratio would compare different windows
-        ratios = [effs[i] / mem_effs[i] for i in pick if mem_effs[i] > 0]
+        # ratio would compare different windows. The per-round list keeps
+        # ALL rounds (0.0 where the control is degenerate) so every
+        # *_per_round key in the record indexes the same rounds; only the
+        # headline median restricts to the settled subset.
+        ratios_all = [
+            (effs[i] / mem_effs[i]) if mem_effs[i] > 0 else 0.0
+            for i in range(len(effs))
+        ]
+        ratios = [ratios_all[i] for i in pick if mem_effs[i] > 0]
         wall_lo, wall_hi2 = min(lo_walls), min(hi_walls)
         dps_lo = n_s / wall_lo if wall_lo > 0 else 0.0
         dps_hi = n_s / wall_hi2 if wall_hi2 > 0 else 0.0
@@ -507,7 +514,7 @@ def main() -> None:
             "host_compute_ceiling": round(med_sha, 3),
             "host_memory_ceiling": round(med_mem, 3),
             "plan_vs_host_ceiling": round(median(ratios), 3) if ratios else 0.0,
-            "plan_vs_ceiling_per_round": [round(r, 3) for r in ratios],
+            "plan_vs_ceiling_per_round": [round(r, 3) for r in ratios_all],
             "cpu_pinned": pinned,
             # shared-host transparency: 1-min load avg at each round start
             # (identical-input pair ratios measured 0.50-0.85 under tenant

@@ -383,3 +383,57 @@ def redact_pii(
             F.col("n_phones").cast("long").alias("n_phones"),
         )
     )
+
+
+def top_keywords(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document keyword extraction by a tf-idf-style score.
+
+    Score = tf * (N - df): tf = the token's count in the document (over
+    lowercased whitespace tokens), df = number of documents containing
+    the token, N = corpus size. The integer product is a log-free
+    surrogate for tf*ln(N/df) — same monotonicity in both factors, but
+    bit-reproducible across engines (ln() is not guaranteed identically
+    rounded in the JVM and the DuckDB oracle's libm, and a 1-ulp
+    difference flips ranks). Ties break by (df asc, token asc), so the
+    top-k set is fully deterministic. Documents with no tokens emit no
+    rows; a token present in every document scores 0 but can still rank
+    when a short doc has nothing better.
+
+    Returns (doc_id, token, tf, df, score, rank), rank in [1, k].
+
+    Plan: one scan -> explode -> groupBy(doc, token) with map-side
+    partial -> df counts (groupBy token, small result, AQE broadcasts
+    the join back) -> per-document window over ~distinct-token rows.
+    The N scalar is a 1-row crossJoin. No driver-side collection.
+    """
+    from pyspark.sql import Window
+
+    ltoks = tokens_col(F.lower(F.col(text_col)))
+    pairs = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(ltoks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = pairs.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    scored = (
+        pairs.join(dfreq, "token")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("_n") - F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )

@@ -712,7 +712,11 @@ def decontaminate(
     and matches only a benchmark entry with the identical short prefix —
     including the degenerate empty-text shingle (md5 of ""), which is
     deliberate and mirrored by the oracle: an empty benchmark entry
-    flags empty training docs, never non-empty ones.
+    flags empty training docs, never non-empty ones. NULL text is
+    coalesced to "" on BOTH sides (and in the oracle) so it follows the
+    empty-text rule instead of silently diverging between engines (a
+    NULL array's md5 is NULL in SQL but Spark's concat_ws treats the
+    NULL token array as empty).
 
     Scale: the benchmark shingle set is distinct-ed and small relative to
     the corpus (eval suites are ~10^5-10^6 grams), so AQE turns the probe
@@ -724,12 +728,15 @@ def decontaminate(
     from docproc_spark.functions.text import rolling_hashes_from_tokens
 
     bench_h = (
-        benchmark.select(tokens_col(F.col(bench_text_col)).alias("_tk"))
+        benchmark.select(
+            tokens_col(F.coalesce(F.col(bench_text_col), F.lit(""))).alias("_tk")
+        )
         .select(F.explode(rolling_hashes_from_tokens(F.col("_tk"), n)).alias("bh"))
         .distinct()
     )
     staged = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_tk")
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
     ).withColumn("_sh", rolling_hashes_from_tokens(F.col("_tk"), n))
     wins = staged.select("doc_id", F.explode("_sh").alias("h"))
     flagged = wins.join(bench_h, wins["h"] == bench_h["bh"], "left")

@@ -61,3 +61,79 @@ def hash_split(
         out.append(df.filter((bucket >= lo) & (bucket < hi)))
         lo = hi
     return out
+
+
+def rebalance_to_targets(
+    docs: DataFrame,
+    targets: dict,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic mixture rebalancing: downsample each group so the
+    OUTPUT's group proportions match ``targets`` (e.g. {"web": .5,
+    "books": .3, "code": .2}) while keeping as much data as possible —
+    the domain-mixture step of pre-training pipelines (Pile/Dolma-style
+    source weighting), done by dropping rows only, never duplicating.
+
+    The largest achievable output is S = min_g(count_g / target_g); each
+    group then keeps fraction target_g * S / count_g of its rows, chosen
+    by the same content-addressed md5 rule as ``hash_sample`` (membership
+    is a pure function of (salt, key) — reruns, repartitions, and the
+    DuckDB oracle agree row-for-row). Expected output mixture = targets;
+    per-group realized counts vary by the usual hash-binomial noise.
+
+    Contract notes:
+    - groups absent from ``targets`` are dropped (target 0);
+    - a target group absent from the corpus makes the mixture
+      unattainable: S = 0 and the result is EMPTY — validate upstream if
+      that should be an error;
+    - fractions/thresholds are IEEE-double products of (target literal,
+      one long division) — bit-identical in Spark and DuckDB.
+
+    Plan shape: one tiny groupBy(group) count, a 1-row scalar min
+    crossJoin, a broadcast-size fraction table joined back (AQE
+    broadcasts it), then a plain filter — the corpus is scanned once and
+    never shuffled.
+    """
+    if not targets:
+        raise ValueError("targets must be a non-empty {group: fraction} dict")
+    if any(f <= 0 for f in targets.values()):
+        raise ValueError("every target fraction must be > 0 (drop the group "
+                         "from targets instead of giving it 0)")
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"target fractions must sum to 1 (got {total})")
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(str(g), float(f)) for g, f in sorted(targets.items())],
+        f"{group_col} string, _t double",
+    )
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("_c"))
+    # right join keeps target groups with no rows: their 0-count drives S
+    # to 0 (empty output) instead of silently skewing the mixture
+    joined = counts.join(tgt, group_col, "right").select(
+        F.col(group_col), F.coalesce(F.col("_c"), F.lit(0)).alias("_c"), "_t"
+    )
+    s = joined.agg(F.min(F.col("_c") / F.col("_t")).alias("_s"))
+    # working-column collision guard: group_col/key_col are caller-chosen,
+    # so the caller's schema may already carry "_p" (the lineage-"part"
+    # bug class) — extend until free
+    p = "_p"
+    while p in docs.columns:
+        p += "_"
+    frac = (
+        joined.crossJoin(s)
+        .select(
+            group_col,
+            F.when(F.col("_c") > 0, F.col("_t") * F.col("_s") / F.col("_c"))
+            .otherwise(F.lit(0.0))
+            .alias(p),
+        )
+    )
+    bucket = hash_bucket_col(F.col(key_col), salt)
+    return (
+        docs.join(frac, group_col)
+        .filter(bucket < F.floor(F.col(p) * F.lit(float(_BUCKETS))).cast("long"))
+        .select(*docs.columns)
+    )

@@ -830,6 +830,7 @@ def test_decontaminate_benchmark_overlap(spark):
         (2, " ".join(f"c{i}" for i in range(30))),           # clean
         (3, prefix12),                                        # < n overlap only
         (4, ""),                                              # empty doc
+        (5, None),                                            # NULL text
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     bench = spark.createDataFrame(
@@ -843,5 +844,87 @@ def test_decontaminate_benchmark_overlap(spark):
     # a 12-token doc yields ONE short shingle; it differs from the
     # benchmark's full 13-gram, so prefix overlap below n never flags
     assert got[3]["n_windows"] == 1 and got[3]["contaminated"] is False
-    # empty doc matches the empty benchmark entry's degenerate shingle
+    # empty doc matches the empty benchmark entry's degenerate shingle;
+    # NULL text coalesces to "" and follows the same rule (never lost)
     assert got[4]["n_windows"] == 1 and got[4]["contaminated"] is True
+    assert got[5]["n_windows"] == 1 and got[5]["contaminated"] is True
+
+
+def test_rebalance_to_targets_mixture(spark):
+    """50/30/20 rebalance over three uniform groups: the binding group
+    keeps everything, others thin by hash; untargeted groups drop; a
+    missing target group empties the output; bad targets raise."""
+    import pytest
+
+    from docproc_spark.operators.sampling import (
+        hash_bucket_col,
+        rebalance_to_targets,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(g * 100 + i, f"t{g}{i}", f"g{g}") for g in range(4) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = rebalance_to_targets(
+        df, {"g0": 0.5, "g1": 0.3, "g2": 0.2}, group_col="source"
+    )
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    # S = min(40/.5, 40/.3, 40/.2) = 80 -> p = (1.0, 0.6, 0.4)
+    assert got["g0"] == 40                     # binding group keeps all
+    assert "g3" not in got                     # untargeted group dropped
+    # thinned groups: exact membership is the hash rule, recompute it
+    thr1 = int(0.3 * 80 / 40 * 2**32)
+    expect1 = df.filter(
+        (F.col("source") == "g1") & (hash_bucket_col(F.col("doc_id")) < thr1)
+    ).count()
+    assert got.get("g1", 0) == expect1 and 0 < expect1 < 40
+    assert out.columns == df.columns
+    # rerun is bit-deterministic
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in rebalance_to_targets(
+            df, {"g0": 0.5, "g1": 0.3, "g2": 0.2}, group_col="source").collect())
+
+    # a target group with no rows makes the mixture unattainable -> empty
+    assert rebalance_to_targets(
+        df, {"g0": 0.5, "nosuch": 0.5}, group_col="source").count() == 0
+    with pytest.raises(ValueError):
+        rebalance_to_targets(df, {"g0": 0.5}, group_col="source")
+    with pytest.raises(ValueError):
+        rebalance_to_targets(df, {}, group_col="source")
+    with pytest.raises(ValueError):                # non-positive fraction
+        rebalance_to_targets(df, {"g0": 1.5, "g1": -0.5}, group_col="source")
+
+    # working-column collision: a caller frame already carrying "_p"
+    df_p = df.withColumn("_p", F.lit("keep"))
+    out_p = rebalance_to_targets(
+        df_p, {"g0": 0.5, "g1": 0.3, "g2": 0.2}, group_col="source"
+    )
+    assert out_p.columns == df_p.columns
+    assert out_p.filter(F.col("_p") != "keep").count() == 0
+
+
+def test_top_keywords_ranking(spark):
+    """tf*(N-df) keyword score: doc-specific repeated tokens outrank
+    corpus-wide ones; ties break by (df, token); k bounds the output."""
+    from docproc_spark.functions.text import top_keywords
+
+    rows = [
+        (1, "common apple apple apple common zebra"),
+        (2, "common banana banana"),
+        (3, "common cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): r.asDict()
+        for r in top_keywords(df, k=2).collect()
+    }
+    # doc1: apple tf=3 df=1 score=3*2=6; zebra 1*2=2; common 2*0=0
+    assert got[(1, 1)]["token"] == "apple" and got[(1, 1)]["score"] == 6
+    assert got[(1, 2)]["token"] == "zebra"
+    # doc3: cherry 1*(3-1)=2 beats common 1*(3-3)=0
+    assert got[(3, 1)]["token"] == "cherry"
+    assert got[(3, 2)]["token"] == "common" and got[(3, 2)]["score"] == 0
+    assert all(r["rank"] <= 2 for r in got.values())
+    # empty docs emit nothing
+    df2 = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    assert top_keywords(df2, k=2).count() == 0
