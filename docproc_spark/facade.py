@@ -144,6 +144,36 @@ class DocprocSpark:
         office = load_ooxml(self._binary_files(path, ("docx", "pptx", "xlsx")))
         return pdfs.unionByName(office)
 
+    def ingest_files(
+        self, path: str, table_path: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """Parse a directory of real files ONCE, checkpoint the span table
+        to parquet, and return (documents, quarantine) as fresh scans over
+        it — the recommended large-scale flow (ingest once, extract many).
+
+        Why checkpoint instead of feeding ``load_files`` straight to
+        ``extract_table``: (a) extract()'s mega-doc routing probe elides
+        the dead salted branch only on scan-like plans — a mapInPandas-
+        derived frame keeps the static union (probing it would run the
+        parse twice); (b) the ingest-time ``n_spans`` column only prunes
+        parquet row groups from a real scan; (c) DataFrame fan-out gets
+        no common-subexpression reuse, so every additional consumer of
+        the un-checkpointed frame re-parses every byte. One write makes
+        all downstream consumers scan-cheap.
+
+        The parquet table keeps the ``parse_error`` column; both returned
+        frames are pushdown filters over the same scan (documents:
+        parse_error IS NULL; quarantine: the rest).
+        """
+        self.load_files(path).write.mode("overwrite").parquet(table_path)
+        scan = self.spark.read.parquet(table_path)
+        from pyspark.sql import functions as F
+
+        return (
+            scan.filter(F.col("parse_error").isNull()),
+            scan.filter(F.col("parse_error").isNotNull()),
+        )
+
     def _binary_files(self, path: str, exts: tuple[str, ...]) -> DataFrame:
         from pyspark.sql import functions as F
 

@@ -342,6 +342,34 @@ class TestLoadFiles:
         assert "Hello world" in res["b.docx"]["markdown"]
         assert res["a.pdf"]["n_pages"] == 2
 
+    def test_ingest_files_checkpoint_flow(self, spark, tmp_path):
+        """ingest_files: parse once → parquet → scan-backed (documents,
+        quarantine) split; extraction from the checkpoint matches the
+        direct path, and the scan carries the ingest-time n_spans column
+        the routing probe/pushdown need."""
+        from docproc_spark.facade import DocprocSpark
+        from tests.test_ooxml import make_docx
+        from tests.test_pdf_source import make_pdf
+
+        d = tmp_path / "in"
+        d.mkdir()
+        (d / "a.pdf").write_bytes(make_pdf())
+        (d / "b.docx").write_bytes(make_docx())
+        (d / "broken.docx").write_bytes(b"not a zip")
+
+        eng = DocprocSpark(spark=spark)
+        docs, quarantine = eng.ingest_files(str(d), str(tmp_path / "tbl"))
+        assert {r["doc_id"] for r in quarantine.collect()} == {"broken.docx"}
+        assert "n_spans" in docs.columns
+        res = {
+            r["doc_id"]: r
+            for r in eng.extract_table(
+                docs.drop("sheet_names", "parse_error")
+            ).collect()
+        }
+        assert set(res) == {"a.pdf", "b.docx"}
+        assert "Hello world" in res["b.docx"]["markdown"]
+
 
 class TestCompletions:
     """Reference cli.py:94-112 parity: a completions subcommand emitting a
