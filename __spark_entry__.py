@@ -2250,6 +2250,33 @@ WHERE "rank" <= 3
 """
 
 
+def _rag_chunks(spark, sf):
+    """Token-window RAG chunking (operators/packing.chunk_documents):
+    32-token windows with 8-token overlap — small enough that the sf
+    corpus (max 99 tokens/doc) exercises the multi-chunk + overlap path,
+    not just the single-window degenerate case. The operator's defaults
+    (512/64) are the rag config block's chunk_size."""
+    from docproc_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), 32, 8)
+
+
+_RAG_CHUNKS_SQL = f"""
+WITH b AS (
+  SELECT doc_id, {_NTOKS} AS toks, len({_NTOKS}) AS n FROM documents
+), nz AS (SELECT * FROM b WHERE n > 0),
+st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(n - 8 - 1, 0), 24)) AS s
+  FROM nz)
+SELECT doc_id,
+       CAST(s // 24 AS INT) AS chunk_id,
+       array_to_string(toks[s+1:s+32], ' ') AS chunk_text,
+       CAST(len(toks[s+1:s+32]) AS INT) AS n_tokens
+FROM st
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2263,6 +2290,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminated_docs": _decontaminated,
     "rebalanced_sources": _rebalanced,
     "doc_keywords_top3": _keywords,
+    "rag_chunks_32_8": _rag_chunks,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2278,6 +2306,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "decontaminated_docs": _DECONTAM_SQL,
     "rebalanced_sources": _REBALANCE_SQL,
     "doc_keywords_top3": _KEYWORDS_SQL,
+    "rag_chunks_32_8": _RAG_CHUNKS_SQL,
 }
 
 

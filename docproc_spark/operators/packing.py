@@ -223,3 +223,67 @@ def cap_per_group(
         k,
         rank_name=rn,
     ).drop(rn)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking for retrieval indexing (the operator behind
+    the rag config block's chunk_size=512 default — reference
+    `docproc/config/schema.py` carries the knob; this materializes it):
+    each document becomes overlapping windows of ``chunk_tokens``
+    whitespace tokens, consecutive windows sharing ``overlap_tokens``.
+
+    Returns (doc_id, chunk_id, chunk_text, n_tokens): chunk_id counts
+    from 0 in token order; chunk_text is the single-space join of the
+    window's tokens (token-level chunking over normalized whitespace —
+    the usual RAG shape; callers needing original byte offsets should
+    chunk upstream of normalization). Window starts step by
+    ``chunk_tokens - overlap_tokens``; a final window that would add no
+    new tokens (start past n - overlap) is not emitted, so every chunk
+    contributes at least one unseen token and the union of chunks covers
+    the document exactly. Documents with no tokens emit nothing.
+
+    Plan: one scan, tokens staged once as a column (never re-split per
+    window — the HOF-quadratic trap), starts via F.sequence +
+    posexplode, per-row slices. No shuffle at all: chunking is
+    embarrassingly parallel and the output keeps the input partitioning
+    (a downstream embed/index stage shuffles if IT needs to).
+    """
+    from docproc_spark.operators.dedupe import tokens_col
+
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap_tokens
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
+    ).withColumn("_n", F.size("_tk"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - overlap_tokens - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = staged.select(
+        "doc_id", "_tk", F.posexplode(starts).alias("chunk_id", "_s")
+    )
+    window = F.slice(F.col("_tk"), F.col("_s") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", window).alias("chunk_text"),
+        F.size(window).alias("n_tokens"),
+        # empty-doc suppression HERE, not as a pre-explode `_n > 0` filter:
+        # Catalyst sinks that filter below the tokenize projection and
+        # evaluates the whole split expression a second time per row (the
+        # filter-below-its-own-projection trap). Post-explode the predicate
+        # references the generate output, so it cannot sink; a token-bearing
+        # doc's every window holds >= 1 token (last start <= n-overlap-1),
+        # so only the empty-doc placeholder window is dropped.
+    ).filter(F.col("n_tokens") > 0)

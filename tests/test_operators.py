@@ -928,3 +928,42 @@ def test_top_keywords_ranking(spark):
     # empty docs emit nothing
     df2 = spark.createDataFrame([(9, "")], "doc_id long, text string")
     assert top_keywords(df2, k=2).count() == 0
+
+
+def test_chunk_documents_windows(spark):
+    """512/64-style token chunking at small sizes: stride layout, overlap
+    content, no all-overlap tail window, short/empty/null docs."""
+    import pytest
+
+    from docproc_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(toks)),      # 10 tokens: chunks at 0, 3, 6 (stride 3)
+        (2, "a b"),               # shorter than one window
+        (3, ""),                  # empty
+        (4, None),                # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): r.asDict()
+        for r in chunk_documents(df, chunk_tokens=5, overlap_tokens=2).collect()
+    }
+    # starts step by 3 while start <= n - overlap - 1 = 7 -> 0, 3, 6
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert got[(1, 0)]["chunk_text"] == "t0 t1 t2 t3 t4"
+    assert got[(1, 1)]["chunk_text"] == "t3 t4 t5 t6 t7"   # 2-token overlap
+    assert got[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"      # short tail
+    assert got[(1, 2)]["n_tokens"] == 4
+    assert got[(2, 0)]["chunk_text"] == "a b" and got[(2, 0)]["n_tokens"] == 2
+    assert not any(k[0] in (3, 4) for k in got)            # no empty chunks
+
+    # exact-boundary doc: n == chunk_tokens emits exactly one window
+    df2 = spark.createDataFrame([(9, " ".join(toks[:5]))], "doc_id long, text string")
+    one = chunk_documents(df2, chunk_tokens=5, overlap_tokens=2).collect()
+    assert len(one) == 1 and one[0]["n_tokens"] == 5
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=5, overlap_tokens=5)
