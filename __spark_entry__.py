@@ -2277,6 +2277,51 @@ FROM st
 """
 
 
+def _hash_embed(spark, sf):
+    """Feature-hashing embeddings (functions/text.hash_embed, dims=16),
+    exploded to (doc_id, dim, val) — doubles compare bit-exactly across
+    engines where a double→string CSV would diverge on formatting."""
+    from docproc_spark.functions.text import hash_embed
+
+    e = hash_embed(_t(spark, sf, "documents"), dims=16)
+    return e.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "val")
+    )
+
+
+_HASH_EMBED_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform({_LTOKS}, t -> struct_pack(
+             bucket := CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 16,
+             sign := 1 - 2 * (CAST(concat('0x', substr(md5(t), 9, 1)) AS BIGINT) % 2)
+         )) AS bs
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), d ->
+           CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(bs, x ->
+                      CASE WHEN x.bucket = d THEN x.sign
+                           ELSE CAST(0 AS BIGINT) END)),
+                  (a, v) -> a + v) AS DOUBLE)) AS raw
+  FROM b
+), nm AS (
+  SELECT doc_id, raw,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(raw, x -> x * x)), (a, v) -> a + v)) AS nrm
+  FROM r
+), v AS (
+  SELECT doc_id,
+         CASE WHEN nrm > 0 THEN list_transform(raw, x -> x / nrm)
+              ELSE raw END AS vec
+  FROM nm)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS dim, v.vec[u.i] AS val
+FROM v, LATERAL unnest(generate_series(1, len(v.vec))) AS u(i)
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2291,6 +2336,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebalanced_sources": _rebalanced,
     "doc_keywords_top3": _keywords,
     "rag_chunks_32_8": _rag_chunks,
+    "hash_embed_16": _hash_embed,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2307,6 +2353,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "rebalanced_sources": _REBALANCE_SQL,
     "doc_keywords_top3": _KEYWORDS_SQL,
     "rag_chunks_32_8": _RAG_CHUNKS_SQL,
+    "hash_embed_16": _HASH_EMBED_SQL,
 }
 
 

@@ -437,3 +437,94 @@ def top_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "df", "score", "rank")
     )
+
+
+def hash_embed(
+    docs: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing text embedding (the hashing trick, Weinberger et
+    al. 2009): every lowercased whitespace token hashes to a (bucket,
+    sign) pair via md5; the document vector is the signed token count
+    per bucket, L2-normalized. Vocabulary-free and deterministic, so it
+    is THE self-contained embedding source for the ANN/near-dup family
+    (cosine_topk, lsh_topk, quantize_embeddings) when no model-served
+    embedding column exists — and, like the LSH hyperplanes, md5-derived
+    on purpose: bucket = first-8-hex of md5(token) mod dims, sign =
+    parity of hex digit 9, both bit-identical in Spark and the DuckDB
+    oracle (sqrt and IEEE division are correctly rounded everywhere, so
+    the normalized doubles match bit-for-bit too).
+
+    Returns (doc_id, embedding: array<double>): zero-token documents get
+    the all-zeros vector (norm 0 — never NaN).
+
+    Plan: shuffle-free. Tokens and their (bucket, sign) structs are
+    staged as columns (one md5 per token), then one fold per output dim
+    sums the matching signs — O(tokens x dims) per document inside
+    whole-stage codegen, the right trade below ~10^3 dims (the
+    alternative, explode + groupBy(doc, bucket) + re-assemble, costs two
+    shuffles of the whole corpus). The staged-column discipline matters:
+    referencing an UNstaged derived array inside the per-dim lambda
+    would re-tokenize per dim (the HOF re-evaluation trap).
+    """
+    if dims <= 0:
+        raise ValueError("dims must be positive")
+    ltoks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    staged = (
+        docs.select(F.col(id_col).alias("doc_id"), ltoks.alias("_tk"))
+        .withColumn(
+            "_bs",
+            F.transform(
+                F.col("_tk"),
+                lambda t: F.struct(
+                    (
+                        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                        % dims
+                    ).alias("bucket"),
+                    (
+                        1
+                        - 2
+                        * (
+                            F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast(
+                                "long"
+                            )
+                            % 2
+                        )
+                    ).alias("sign"),
+                ),
+            ),
+        )
+        .withColumn(
+            "_raw",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda d: F.aggregate(
+                    F.col("_bs"),
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.when(b["bucket"] == d.cast("long"), b["sign"]).otherwise(
+                        F.lit(0)
+                    ),
+                ).cast("double"),
+            ),
+        )
+        .withColumn(
+            "_norm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("_raw"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        F.when(
+            F.col("_norm") > 0,
+            F.transform(F.col("_raw"), lambda x: x / F.col("_norm")),
+        )
+        .otherwise(F.col("_raw"))
+        .alias("embedding"),
+    )

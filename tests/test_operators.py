@@ -967,3 +967,36 @@ def test_chunk_documents_windows(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=5, overlap_tokens=5)
+
+
+def test_hash_embed_properties(spark):
+    """Feature-hashing embeddings: unit norm for token-bearing docs, zero
+    vector for empty/null, determinism, and the vectors feed the ANN
+    family directly (self-similarity wins brute-force top-k)."""
+    import math
+
+    from docproc_spark.functions.text import hash_embed
+    from docproc_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (1, "spark shuffle partition broadcast join spark spark"),
+        (2, "spark shuffle partition broadcast join spark spark"),  # dup of 1
+        (3, "completely different tokens about cooking pasta tonight"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["embedding"] for r in hash_embed(df, dims=16).collect()}
+    assert all(len(v) == 16 for v in got.values())
+    for d in (1, 2, 3):
+        assert math.isclose(sum(x * x for x in got[d]), 1.0, rel_tol=1e-12)
+    assert got[1] == got[2]                      # content-addressed
+    assert got[4] == [0.0] * 16 and got[5] == [0.0] * 16
+    assert got[1] != got[3]
+
+    # composition: hash_embed output is a valid `embeddings` table
+    emb = hash_embed(df.filter("text IS NOT NULL AND text <> ''"), dims=16).select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding")
+    )
+    top = brute_force_topk(emb, 1, 1).collect()
+    assert top[0]["vec_id"] == 2 and math.isclose(top[0]["cos_sim"], 1.0, abs_tol=1e-9)
