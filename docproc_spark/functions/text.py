@@ -460,14 +460,17 @@ def hash_embed(
     Returns (doc_id, embedding: array<double>): zero-token documents get
     the all-zeros vector (norm 0 — never NaN).
 
-    Plan: shuffle-free. Tokens and their (bucket, sign) structs are
-    staged as columns (one md5 per token), then one fold per output dim
-    sums the matching signs — O(tokens x dims) per document inside
-    whole-stage codegen, the right trade below ~10^3 dims (the
-    alternative, explode + groupBy(doc, bucket) + re-assemble, costs two
-    shuffles of the whole corpus). The staged-column discipline matters:
-    referencing an UNstaged derived array inside the per-dim lambda
-    would re-tokenize per dim (the HOF re-evaluation trap).
+    Plan: shuffle-free. ONE fold over the (bucket, sign) array updates a
+    dims-length accumulator (O(tokens x dims) adds per document, the
+    right trade below ~10^3 dims — the alternative, explode +
+    groupBy(doc, bucket) + re-assemble, costs two shuffles of the whole
+    corpus). The single-fold shape is chosen over per-dim folds for HOF
+    safety, not speed: a collection argument of one aggregate() is
+    evaluated once per row even after CollapseProject inlines the
+    single-use _tk/_bs aliases into it, whereas a derived array
+    referenced inside a per-dim lambda BODY re-evaluates per dim under
+    the HOF re-evaluation trap (interpreted lambda bodies get no
+    subexpression reuse).
     """
     if dims <= 0:
         raise ValueError("dims must be positive")
@@ -499,15 +502,18 @@ def hash_embed(
         .withColumn(
             "_raw",
             F.transform(
-                F.sequence(F.lit(0), F.lit(dims - 1)),
-                lambda d: F.aggregate(
+                F.aggregate(
                     F.col("_bs"),
-                    F.lit(0).cast("long"),
-                    lambda acc, b: acc
-                    + F.when(b["bucket"] == d.cast("long"), b["sign"]).otherwise(
-                        F.lit(0)
+                    F.array_repeat(F.lit(0).cast("long"), dims),
+                    lambda acc, b: F.transform(
+                        acc,
+                        lambda v, i: v
+                        + F.when(
+                            b["bucket"] == i.cast("long"), b["sign"]
+                        ).otherwise(F.lit(0).cast("long")),
                     ),
-                ).cast("double"),
+                ),
+                lambda x: x.cast("double"),
             ),
         )
         .withColumn(
