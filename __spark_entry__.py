@@ -2322,6 +2322,63 @@ FROM v, LATERAL unnest(generate_series(1, len(v.vec))) AS u(i)
 """
 
 
+_BM25_QUERY = "shuffle partition scan"
+
+
+def _bm25(spark, sf):
+    """BM25-shaped lexical top-10 (operators/retrieval.bm25_topk) for a
+    fixed query over the documents corpus — the rational-idf surrogate
+    keeps every arithmetic step IEEE-exact, so scores (not just ranks)
+    match the oracle bit-for-bit."""
+    from docproc_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), _BM25_QUERY, k=10)
+
+
+def _bm25_sql(query: str, k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of bm25_topk, generated from the SAME term list and
+    constants (sorted distinct tokens; left-assoc sums and the exact
+    parenthesization of the Spark expression — float addition is not
+    associative, so term order IS part of the contract)."""
+    from docproc_spark.operators.retrieval import query_terms
+
+    terms = query_terms(query)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(lt, x -> x = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"((((n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i}) * {k1 + 1.0!r})"
+        f" / (tf{i} + ({k1!r} * ({1.0 - b!r} + (({b!r} * dl)"
+        f" / (CAST(sdl AS DOUBLE) / n)))))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_LTOKS} AS lt FROM documents
+), t AS (
+  SELECT doc_id, len(lt)::BIGINT AS dl,
+         {tf_cols}
+  FROM d
+), s AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl,
+         {df_cols}
+  FROM t
+), sc AS (
+  SELECT t.doc_id, {parts} AS score
+  FROM t CROSS JOIN s)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS "rank"
+FROM sc WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2337,6 +2394,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_keywords_top3": _keywords,
     "rag_chunks_32_8": _rag_chunks,
     "hash_embed_16": _hash_embed,
+    "bm25_topk10": _bm25,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2354,6 +2412,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "doc_keywords_top3": _KEYWORDS_SQL,
     "rag_chunks_32_8": _RAG_CHUNKS_SQL,
     "hash_embed_16": _HASH_EMBED_SQL,
+    "bm25_topk10": _bm25_sql(_BM25_QUERY),
 }
 
 

@@ -1000,3 +1000,48 @@ def test_hash_embed_properties(spark):
     )
     top = brute_force_topk(emb, 1, 1).collect()
     assert top[0]["vec_id"] == 2 and math.isclose(top[0]["cos_sim"], 1.0, abs_tol=1e-9)
+
+
+def test_bm25_topk_ranking(spark):
+    """BM25-shaped lexical retrieval: tf monotonicity at equal length,
+    rare-term idf dominance, zero-score drop, dl normalization direction,
+    tie-break by doc_id, and input validation."""
+    import pytest as _pytest
+
+    from docproc_spark.operators.retrieval import bm25_topk, query_terms
+
+    assert query_terms("Scan  shuffle scan\tSCAN") == ["scan", "shuffle"]
+
+    rows = [
+        (1, "scan scan scan pad pad pad"),      # tf(scan)=3, dl=6
+        (2, "scan scan pad pad pad pad"),       # tf(scan)=2, dl=6
+        (3, "scan pad pad pad pad pad"),        # tf(scan)=1, dl=6
+        (4, "pad pad pad pad pad pad"),         # no query term -> dropped
+        (5, "scan pad pad pad pad pad"),        # identical to 3 -> doc_id tie
+        (6, "rare scan pad pad pad pad"),       # rare term present
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = bm25_topk(df, "scan", k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 4 not in ids                          # zero-score dropped
+    assert ids[:2] == [1, 2]                     # tf-monotone at equal dl
+    assert ids[2:] == [3, 5, 6]                  # equal scores -> doc_id order
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+
+    # rare term ("rare" df=1) outscores a common one ("scan" df=5) at tf=1
+    both = {r["doc_id"]: r["score"] for r in bm25_topk(df, "rare scan", k=10).collect()}
+    assert both[6] > both[1]
+
+    # longer doc with same tf scores lower (length normalization, b>0)
+    df2 = spark.createDataFrame(
+        [(1, "scan pad"), (2, "scan pad pad pad pad pad pad pad")],
+        "doc_id long, text string",
+    )
+    s2 = {r["doc_id"]: r["score"] for r in bm25_topk(df2, "scan", k=2).collect()}
+    assert s2[1] > s2[2]
+
+    with _pytest.raises(ValueError):
+        bm25_topk(df, "   ", k=3)
+    with _pytest.raises(ValueError):
+        bm25_topk(df, "scan", k=0)
