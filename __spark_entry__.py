@@ -2289,8 +2289,7 @@ def _hash_embed(spark, sf):
     )
 
 
-_HASH_EMBED_SQL = f"""
-WITH b AS (
+_HASH_EMBED_CTES = f"""b AS (
   SELECT doc_id,
          list_transform({_LTOKS}, t -> struct_pack(
              bucket := CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 16,
@@ -2316,7 +2315,10 @@ WITH b AS (
   SELECT doc_id,
          CASE WHEN nrm > 0 THEN list_transform(raw, x -> x / nrm)
               ELSE raw END AS vec
-  FROM nm)
+  FROM nm)"""
+
+_HASH_EMBED_SQL = f"""
+WITH {_HASH_EMBED_CTES}
 SELECT doc_id, CAST(u.i - 1 AS INT) AS dim, v.vec[u.i] AS val
 FROM v, LATERAL unnest(generate_series(1, len(v.vec))) AS u(i)
 """
@@ -2379,6 +2381,112 @@ LIMIT {k}
 """
 
 
+def _bm25_indexed(spark, sf):
+    """Same query served from the inverted index (build_text_index →
+    bm25_topk_indexed) — the oracle is the SAME scan-path SQL, so a green
+    row proves the indexed path is bit-equal to the batch scorer."""
+    from docproc_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    postings, doclens = build_text_index(
+        _t(spark, sf, "documents"), n_term_buckets=64
+    )
+    return bm25_topk_indexed(postings, doclens, _BM25_QUERY, k=10)
+
+
+def _hash_embed_query_py(text: str, dims: int = 16) -> list[float]:
+    """Python twin of functions/text.hash_embed for a single query
+    string: the resulting floats are embedded as LITERALS in both the
+    Spark plan and the oracle SQL (repr round-trips doubles exactly), so
+    the query vector itself carries zero cross-engine risk."""
+    import hashlib as _hl
+    import math as _math
+
+    raw = [0] * dims
+    for t in text.lower().split():
+        h = _hl.md5(t.encode("utf-8")).hexdigest()
+        raw[int(h[:8], 16) % dims] += 1 - 2 * (int(h[8], 16) % 2)
+    nrm = _math.sqrt(sum(float(x) * float(x) for x in raw))
+    if nrm > 0:
+        return [x / nrm for x in raw]
+    return [float(x) for x in raw]
+
+
+def _hybrid(spark, sf):
+    """Hybrid retrieval: RRF fusion (operators/retrieval.rrf_fuse) of the
+    BM25 lexical top-10 and the dense top-10 (hash_embed doc vectors
+    scored against the query's literal hash_embed vector by the same
+    left-fold dot product the ANN family uses). Ranks, not scores, cross
+    the fusion boundary, and 1/(60+rank) sums are fixed-order doubles —
+    the whole composition stays bit-exact in DuckDB."""
+    from pyspark.sql import Window
+
+    from docproc_spark.functions.text import hash_embed
+    from docproc_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf, "documents")
+    lex = bm25_topk(docs, _BM25_QUERY, k=10)
+    qv = _hash_embed_query_py(_BM25_QUERY, 16)
+    emb = hash_embed(docs, dims=16)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(x) for x in qv]),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    top = (
+        emb.select("doc_id", dot.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+    dense = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("doc_id"))),
+    )
+    return rrf_fuse([lex, dense], k=10)
+
+
+def _hybrid_sql(query: str) -> str:
+    """DuckDB mirror of _hybrid: the scan-path BM25 SQL as a nested CTE,
+    the shared hash_embed CTE chain for doc vectors, the same literal
+    query vector, and the same fixed-order RRF arithmetic."""
+    qv = _hash_embed_query_py(query, 16)
+    qlits = ", ".join(repr(x) for x in qv)
+    return f"""
+WITH {_HASH_EMBED_CTES},
+bm AS ({_bm25_sql(query)}),
+q AS (SELECT [{qlits}]::DOUBLE[] AS qv),
+dns AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, 17), i -> vec[i] * qv[i])),
+           (a, x) -> a + x) AS cos
+  FROM v CROSS JOIN q
+), dn AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rnk
+  FROM dns
+  ORDER BY cos DESC, doc_id
+  LIMIT 10
+), f AS (
+  SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+         (coalesce(CAST(1.0 AS DOUBLE) / (60 + bm."rank"), CAST(0.0 AS DOUBLE))
+          + coalesce(CAST(1.0 AS DOUBLE) / (60 + dn.rnk), CAST(0.0 AS DOUBLE)))
+           AS rrf_score
+  FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id)
+SELECT doc_id, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS "rank"
+FROM f
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2395,6 +2503,8 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rag_chunks_32_8": _rag_chunks,
     "hash_embed_16": _hash_embed,
     "bm25_topk10": _bm25,
+    "bm25_indexed_topk10": _bm25_indexed,
+    "hybrid_rrf_topk10": _hybrid,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2413,6 +2523,8 @@ _SPARE_ORACLES: dict[str, str] = {
     "rag_chunks_32_8": _RAG_CHUNKS_SQL,
     "hash_embed_16": _HASH_EMBED_SQL,
     "bm25_topk10": _bm25_sql(_BM25_QUERY),
+    "bm25_indexed_topk10": _bm25_sql(_BM25_QUERY),
+    "hybrid_rrf_topk10": _hybrid_sql(_BM25_QUERY),
 }
 
 

@@ -2,13 +2,20 @@
 
 Complements the vector side (functions/text.hash_embed + the ANN family in
 operators/similarity) with classic full-text ranking, so the engine covers
-both retrieval modalities a RAG stack needs. The reference has no search
-path at all — this is a beyond-reference capability, built engine-portable
-on purpose (every arithmetic step is IEEE-exact, so the DuckDB oracle
-reproduces scores bit-for-bit).
+both retrieval modalities a RAG stack needs: a batch BM25 scan scorer
+(bm25_topk), an inverted-index serving path that is bit-equal to it
+(build_text_index + bm25_topk_indexed, partition-pruned by term bucket),
+and reciprocal-rank fusion (rrf_fuse) to hybridize lexical and dense
+rankings. The reference has no search path at all — this is a
+beyond-reference capability, built engine-portable on purpose (every
+arithmetic step is IEEE-exact, so the DuckDB oracle reproduces scores
+bit-for-bit).
 """
 
 from __future__ import annotations
+
+import hashlib
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -21,6 +28,28 @@ def query_terms(query: str) -> list[str]:
     the fixed term order both engines sum scores in (floating-point
     addition is not associative; a fixed order makes the total exact)."""
     return sorted({t for t in query.lower().split() if t})
+
+
+def _bm25_score(n_terms: int, k1: float, b: float) -> Column:
+    """The shared BM25 score expression over columns tf0..tfN, dl, n,
+    sdl, df0..dfN — ONE construction used by both the scan path and the
+    indexed path, so their float arithmetic (every operand, every
+    parenthesization, the left-assoc term sum) is identical by
+    construction and the two paths return bit-equal scores."""
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+    score = None
+    for i in range(n_terms):
+        tf = F.col(f"tf{i}")
+        idf = (F.col("n") - F.col(f"df{i}") + F.lit(0.5)) / (
+            F.col(f"df{i}") + F.lit(0.5)
+        )
+        part = (idf * tf * F.lit(k1 + 1.0)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / avgdl)
+        )
+        score = part if score is None else score + part
+    return score
 
 
 def bm25_topk(
@@ -53,8 +82,9 @@ def bm25_topk(
     the same two-consumer shape as repeated_window_fraction; checkpoint
     upstream if the source is expensive) and never shuffled: top-k is a
     sort-limit (TakeOrderedAndProject), not a global sort. Query cost is
-    O(corpus x |terms|); for interactive serving build an inverted index
-    instead — this operator is the batch-scoring / evaluation path.
+    O(corpus x |terms|); this operator is the batch-scoring / evaluation
+    path — for serving, ``build_text_index`` + ``bm25_topk_indexed``
+    answer the same query (bit-equal) from a partition-pruned index.
     """
     terms = query_terms(query)
     if not terms:
@@ -84,22 +114,178 @@ def bm25_topk(
         ],
     )
     joined = staged.crossJoin(stats)
-    avgdl = F.col("sdl").cast("double") / F.col("n")
-    score = None
-    for i in range(len(terms)):
-        tf = F.col(f"tf{i}")
-        idf = (F.col("n") - F.col(f"df{i}") + F.lit(0.5)) / (
-            F.col(f"df{i}") + F.lit(0.5)
-        )
-        part = (idf * tf * F.lit(k1 + 1.0)) / (
-            tf
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / avgdl)
-        )
-        score = part if score is None else score + part
-    scored = joined.select("doc_id", score.alias("score")).filter(
-        F.col("score") > 0
-    )
+    scored = joined.select(
+        "doc_id", _bm25_score(len(terms), k1, b).alias("score")
+    ).filter(F.col("score") > 0)
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Python twin of the JVM-side term_bucket expression (md5 first 8
+    hex mod n) — lets query time compute the pruning buckets without
+    touching the cluster."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def build_text_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_term_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted index for BM25 serving: returns ``(postings, doclens)``
+    with postings (term, term_bucket, doc_id, tf) — one row per distinct
+    (term, doc) — and doclens (doc_id, dl) covering EVERY input document
+    (zero-token docs included with dl=0, so corpus stats derived from
+    doclens match the scan path exactly).
+
+    term_bucket = md5(term) mod ``n_term_buckets``: write the postings
+    ``partitionBy("term_bucket")`` (or bucketBy on term) and a query's
+    bucket filter becomes partition pruning — the 100 TB serving flow is
+    build once (one explode + one (doc,term) groupBy shuffle), then each
+    query reads only |query_terms| buckets of postings instead of the
+    corpus. Tokenization matches bm25_topk (lowercased whitespace), so
+    ``bm25_topk_indexed`` over this index is bit-equal to the scan path.
+    """
+    if n_term_buckets <= 0:
+        raise ValueError("n_term_buckets must be positive")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("_lt"),
+    )
+    doclens = staged.select(
+        "doc_id", F.size("_lt").cast("long").alias("dl")
+    )
+    postings = (
+        staged.select("doc_id", F.explode("_lt").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            "term",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+                % n_term_buckets
+            ).cast("int").alias("term_bucket"),
+            "doc_id",
+            "tf",
+        )
+    )
+    return postings, doclens
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_term_buckets: int | None = 64,
+) -> DataFrame:
+    """BM25 top-``k`` served from a ``build_text_index`` index —
+    bit-equal to ``bm25_topk`` on the same corpus (shared score
+    expression, identical stats), but the per-query cost is
+    O(docs containing a query term), not O(corpus):
+
+    - postings are filtered to the query terms (a bare ``term IN``
+      predicate that reaches the parquet scan) plus, when
+      ``n_term_buckets`` is given, the terms' ``term_bucket IN`` — on a
+      term_bucket-partitioned index that is partition PRUNING, so only
+      |terms| of the buckets are read at all;
+    - per-term df is a 1-row aggregate of the filtered postings; N and
+      sum(dl) are a 1-row aggregate of doclens (metadata-sized —
+      precompute and store alongside the index to skip even that scan);
+    - candidates pivot to fixed tf0..tfN columns in ONE groupBy(doc_id)
+      with map-side combine, join doclens for dl (candidate side is
+      query-sized; AQE broadcasts it), and score with the exact scan-path
+      expression.
+    """
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    p = postings.filter(F.col("term").isin(terms))
+    if n_term_buckets is not None and "term_bucket" in postings.columns:
+        buckets = sorted({_term_bucket_py(t, n_term_buckets) for t in terms})
+        p = p.filter(F.col("term_bucket").isin(buckets))
+
+    stats = doclens.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").alias("sdl"),
+    ).crossJoin(
+        p.agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("term") == t, F.lit(1)).otherwise(F.lit(0))),
+                    F.lit(0),
+                ).cast("long").alias(f"df{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    cand = p.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    joined = cand.join(doclens, "doc_id").crossJoin(stats)
+    scored = joined.select(
+        "doc_id", _bm25_score(len(terms), k1, b).alias("score")
+    ).filter(F.col("score") > 0)
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists:
+    rrf_score(d) = sum over lists of 1/(k_rrf + rank_l(d)), summed in
+    the given list order (missing lists contribute exactly 0.0, which
+    preserves the other terms' total bit-for-bit). The standard way to
+    hybridize lexical (bm25_topk) and dense (cosine) retrieval without
+    score calibration — only ranks cross the boundary.
+
+    Inputs carry (id_col, rank_col); returns (id_col, rrf_score, rank)
+    with ties broken by id. Plan: the inputs are top-k lists (rows ≤ k
+    per list), so the chained full-outer joins are metadata-sized —
+    every heavy scan lives inside the per-list retrieval upstream.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if k_rrf < 0:
+        raise ValueError("k_rrf must be non-negative")
+
+    fused = None
+    for i, r in enumerate(rankings):
+        part = r.select(
+            F.col(id_col).alias("_id"), F.col(rank_col).alias(f"_r{i}")
+        )
+        if fused is None:
+            fused = part
+        else:
+            fused = fused.join(part, "_id", "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    scored = fused.select(F.col("_id").alias(id_col), score.alias("rrf_score"))
+    top = scored.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))

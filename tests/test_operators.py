@@ -1045,3 +1045,87 @@ def test_bm25_topk_ranking(spark):
         bm25_topk(df, "   ", k=3)
     with _pytest.raises(ValueError):
         bm25_topk(df, "scan", k=0)
+
+
+def test_bm25_indexed_bitequal_to_scan_path(spark):
+    """The inverted-index serving path must return bit-identical rows to
+    the batch scan scorer (shared score expression + identical stats),
+    including docs matching only a subset of the query terms."""
+    from docproc_spark.operators.retrieval import (
+        _term_bucket_py,
+        bm25_topk_indexed,
+        build_text_index,
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "scan scan shuffle pad pad"),
+        (2, "shuffle pad pad"),
+        (3, "scan pad pad pad pad pad pad"),
+        (4, "pad pad"),
+        (5, None),          # null text -> dl=0, counts toward N
+        (6, "scan shuffle scan shuffle scan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    postings, doclens = build_text_index(df, n_term_buckets=8)
+
+    # doclens covers every doc (null text included); postings skip it
+    dl = {r["doc_id"]: r["dl"] for r in doclens.collect()}
+    assert dl == {1: 5, 2: 3, 3: 7, 4: 2, 5: 0, 6: 5}
+    pr = postings.collect()
+    assert all(r["term_bucket"] == _term_bucket_py(r["term"], 8) for r in pr)
+    assert {(r["term"], r["doc_id"]): r["tf"] for r in pr}[("scan", 6)] == 3
+
+    q = "shuffle scan"
+    scan_rows = bm25_topk(df, q, k=10).collect()
+    idx_rows = bm25_topk_indexed(postings, doclens, q, k=10, n_term_buckets=8).collect()
+    assert [tuple(r) for r in idx_rows] == [tuple(r) for r in scan_rows]
+    assert any(r["score"] != scan_rows[0]["score"] for r in scan_rows[1:])
+
+    # index without the bucket filter engaged (n_term_buckets=None)
+    idx2 = bm25_topk_indexed(postings, doclens, q, k=10, n_term_buckets=None).collect()
+    assert [tuple(r) for r in idx2] == [tuple(r) for r in scan_rows]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_text_index(df, n_term_buckets=0)
+    with _pytest.raises(ValueError):
+        bm25_topk_indexed(postings, doclens, " ", k=5)
+
+
+def test_rrf_fuse_math_and_ordering(spark):
+    """RRF fusion: exact 1/(k_rrf+rank) sums in list order, docs missing
+    from one list contribute 0.0 there, ties break by id, k cuts."""
+    from docproc_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank int"
+    )
+    got = rrf_fuse([a, b], k=10, k_rrf=60).collect()
+    scores = {r["doc_id"]: r["rrf_score"] for r in got}
+    assert scores[20] == 1.0 / 62 + 1.0 / 61          # both lists
+    assert scores[10] == 1.0 / 61 + 0.0               # only list a
+    assert scores[40] == 0.0 + 1.0 / 62               # only list b
+    assert scores[30] == 1.0 / 63
+    assert [r["doc_id"] for r in got] == [20, 10, 40, 30]
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
+
+    # tie-break: two docs with identical contributions order by id
+    c = spark.createDataFrame([(7, 1), (3, 1)], "doc_id long, rank int")
+    tied = rrf_fuse([c], k=2).collect()
+    assert [r["doc_id"] for r in tied] == [3, 7]
+
+    # k cut happens after fusion
+    cut = rrf_fuse([a, b], k=2).collect()
+    assert [r["doc_id"] for r in cut] == [20, 10]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], k=3)
+    with _pytest.raises(ValueError):
+        rrf_fuse([a], k=0)

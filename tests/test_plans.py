@@ -155,3 +155,33 @@ def test_pin_lifetime_call_leaves_no_cached_tables(spark):
 
     with _pytest.raises(ValueError, match="pin_lifetime"):
         lsh_topk(corpus(), pin_lifetime="forever")
+
+
+def test_bm25_index_partition_pruning(spark, tmp_path):
+    """A term_bucket-partitioned postings index must serve queries as a
+    partition-PRUNED scan (the 100 TB contract: |query terms| buckets
+    read, not the corpus) with the term equality pushed to parquet."""
+    from docproc_spark.operators.retrieval import (
+        _term_bucket_py,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    postings, doclens = build_text_index(docs, n_term_buckets=16)
+    idx = str(tmp_path / "postings")
+    dlp = str(tmp_path / "doclens")
+    postings.write.partitionBy("term_bucket").parquet(idx)
+    doclens.write.parquet(dlp)
+
+    q = bm25_topk_indexed(
+        spark.read.parquet(idx), spark.read.parquet(dlp), "shuffle scan", k=5,
+        n_term_buckets=16,
+    )
+    plan = _plan(q)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan[:2000]
+    want = sorted({_term_bucket_py(t, 16) for t in ("shuffle", "scan")})
+    assert all(str(b) in m.group(1) for b in want)
+    pf = pushed_filters(q)
+    assert any("In(term, [scan,shuffle])" in f or "term" in f for f in pf), pf
