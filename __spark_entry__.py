@@ -2487,6 +2487,54 @@ LIMIT 10
 """
 
 
+def _lm_buckets(spark, sf):
+    """CCNet-style LM quality tiles (functions/text.lm_surprisal_buckets):
+    corpus-trained bigram LM, integer bit-count surprisal (no floats
+    anywhere — floor(log2(d/n)) via binary-string length), NTILE(3)
+    head/middle/tail by mean millibits."""
+    from docproc_spark.functions.text import lm_surprisal_buckets
+
+    return lm_surprisal_buckets(_t(spark, sf, "documents"), n_buckets=3)
+
+
+_LM_BUCKETS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_LTOKS} AS lt FROM documents
+), bgx AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(lt)), i -> lt[i] || ' ' || lt[i+1])) AS bg
+  FROM d WHERE len(lt) >= 2
+), uni AS (
+  SELECT w, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(lt) AS w FROM d) GROUP BY w
+), voc AS (
+  SELECT count(*)::BIGINT AS v FROM uni
+), bigc AS (
+  SELECT bg, count(*)::BIGINT AS c2 FROM bgx GROUP BY bg
+), bt AS (
+  SELECT b.doc_id,
+         (length(bin((u.c1 + voc.v) // (bc.c2 + 1))) - 1)::BIGINT AS sbits
+  FROM bgx b
+  JOIN bigc bc USING (bg)
+  JOIN uni u ON u.w = split_part(b.bg, ' ', 1)
+  CROSS JOIN voc
+), per AS (
+  SELECT doc_id, sum(sbits)::BIGINT AS lm_bits, count(*)::BIGINT AS n_bigrams
+  FROM bt GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id,
+         coalesce(per.lm_bits, 0)::BIGINT AS lm_bits,
+         coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+         (CASE WHEN coalesce(per.n_bigrams, 0) > 0
+               THEN (1000 * per.lm_bits) // per.n_bigrams
+               ELSE 1000000000 END)::BIGINT AS mean_millibits
+  FROM d LEFT JOIN per ON d.doc_id = per.doc_id)
+SELECT doc_id, lm_bits, n_bigrams, mean_millibits,
+       CAST(ntile(3) OVER (ORDER BY mean_millibits, doc_id) AS BIGINT) AS bucket
+FROM base
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2505,6 +2553,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk10": _bm25,
     "bm25_indexed_topk10": _bm25_indexed,
     "hybrid_rrf_topk10": _hybrid,
+    "lm_quality_buckets": _lm_buckets,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2525,6 +2574,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "bm25_topk10": _bm25_sql(_BM25_QUERY),
     "bm25_indexed_topk10": _bm25_sql(_BM25_QUERY),
     "hybrid_rrf_topk10": _hybrid_sql(_BM25_QUERY),
+    "lm_quality_buckets": _LM_BUCKETS_SQL,
 }
 
 

@@ -534,3 +534,121 @@ def hash_embed(
         .otherwise(F.col("_raw"))
         .alias("embedding"),
     )
+
+
+def lm_surprisal_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    rank_buckets: int = 32,
+) -> DataFrame:
+    """CCNet-style LM-quality bucketing (Wenzek et al. 2020): score every
+    document by a bigram language model trained on the corpus itself,
+    then split the corpus into ``n_buckets`` quality tiles (CCNet's
+    head/middle/tail at the default 3) by mean per-bigram surprisal.
+
+    The LM is add-one-smoothed: p(w2|w1) = (c(w1 w2)+1) / (c(w1)+V).
+    Instead of -log2(p) — libm log2 is not identically rounded across
+    engines, and small-count ratios land EXACTLY on powers of two where
+    a 1-ulp error flips floor() — the per-bigram surprisal is the
+    INTEGER bit count floor(log2(1/p)) computed with no floats at all:
+    length(bin(den div num)) - 1, exact because
+    floor(log2(d/n)) == floor(log2(d div n)) for d >= n >= 1 (both sides
+    bracket the same power of two). Every downstream value (bit sums,
+    mean millibits, tile assignment) stays in integer arithmetic, so the
+    DuckDB oracle matches bit-for-bit with NO rounding contract.
+
+    Returns (doc_id, lm_bits, n_bigrams, mean_millibits, bucket):
+    lm_bits = total surprisal bits; mean_millibits = 1000*bits per
+    bigram (docs with <2 tokens get sentinel 10^9 → the tail tile);
+    bucket = NTILE(n_buckets) over (mean_millibits, doc_id) asc — tile 1
+    is the most predictable (head) slice.
+
+    Plan, and why it scales: two count aggregations (unigram, bigram)
+    with map-side combine, one metadata-sized vocab aggregate broadcast
+    back, one join of the exploded corpus against each count table
+    (shuffle on token keys — the canonical LM-count join; AQE handles
+    token skew), and a per-doc re-aggregation. The global tile split
+    uses operators/rank.global_row_number — range-bucketed exact
+    ranking, NOT a single-partition window — plus the closed-form
+    ntile_expr, so no stage ever funnels the corpus through one task.
+    The staged token frame is localCheckpointed: four consumers, and
+    fan-out gets no common-subexpression reuse.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    from docproc_spark.operators.rank import global_row_number, ntile_expr
+
+    staged = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias(
+                "_lt"
+            ),
+        )
+        .withColumn("_bg", _bigrams_from_tokens(F.col("_lt")))
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        staged.select(F.explode("_lt").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    voc = uni.agg(F.count("*").cast("long").alias("v"))
+    bigc = (
+        staged.select(F.explode("_bg").alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+    )
+    db = staged.select("doc_id", F.explode("_bg").alias("bg"))
+    joined = (
+        db.join(bigc, "bg")
+        .withColumn("_w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(uni.withColumnRenamed("w", "_w1"), "_w1")
+        .crossJoin(voc)
+    )
+    bits = joined.select(
+        "doc_id",
+        (F.length(F.bin(F.expr("(c1 + v) div (c2 + 1)"))) - 1)
+        .cast("long")
+        .alias("_bits"),
+    )
+    per = bits.groupBy("doc_id").agg(
+        F.sum("_bits").alias("lm_bits"),
+        F.count("*").alias("n_bigrams"),
+    )
+    base = (
+        staged.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lm_bits"), F.lit(0)).cast("long").alias("lm_bits"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+        )
+        .withColumn(
+            "mean_millibits",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("(1000 * lm_bits) div n_bigrams"),
+            )
+            .otherwise(F.lit(10**9))
+            .cast("long"),
+        )
+        # three consumers downstream (boundary probe, bucket sizes, the
+        # ranked output) and fan-out gets no CSE — freeze the join
+        # pipeline once instead of re-running it per consumer
+        .localCheckpoint(eager=True)
+    )
+    ranked, n_total = global_row_number(
+        base, "mean_millibits", "doc_id", out_col="_grank", rank_buckets=rank_buckets
+    )
+    return ranked.select(
+        "doc_id",
+        "lm_bits",
+        "n_bigrams",
+        "mean_millibits",
+        ntile_expr("_grank", n_total, n_buckets).alias("bucket"),
+    )

@@ -1129,3 +1129,86 @@ def test_rrf_fuse_math_and_ordering(spark):
         rrf_fuse([], k=3)
     with _pytest.raises(ValueError):
         rrf_fuse([a], k=0)
+
+
+def test_global_row_number_and_ntile(spark):
+    """Distributed global rank must equal the single-window row_number,
+    and ntile_expr must match SQL-standard NTILE for uneven splits."""
+    from docproc_spark.operators.rank import global_row_number, ntile_expr
+
+    rows = [(i, (i * 37) % 11) for i in range(100)]   # heavy value ties
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    ranked, n = global_row_number(df, "v", "doc_id", out_col="r", rank_buckets=7)
+    assert n == 100
+    got = {r["doc_id"]: r["r"] for r in ranked.collect()}
+    want = {
+        d: i + 1
+        for i, (d, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+
+    # ntile: 10 rows into 3 buckets -> sizes 4,3,3 (SQL standard)
+    small = spark.createDataFrame([(i,) for i in range(1, 11)], "r long")
+    tiles = [
+        row["t"] for row in
+        small.select(F.col("r"), ntile_expr("r", 10, 3).alias("t"))
+        .orderBy("r").collect()
+    ]
+    assert tiles == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    # n < k: every row its own tile
+    tiny = spark.createDataFrame([(1,), (2,)], "r long")
+    assert [
+        row["t"] for row in
+        tiny.select(ntile_expr("r", 2, 3).alias("t")).orderBy("t").collect()
+    ] == [1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_row_number(df, "v", "doc_id", rank_buckets=0)
+    with _pytest.raises(ValueError):
+        ntile_expr("r", 10, 0)
+
+
+def test_lm_surprisal_buckets_python_parity(spark):
+    """The integer-surprisal LM score must match an independent Python
+    reference (add-one bigram LM, floor-log2 bits via int.bit_length),
+    and repetitive docs must land in a better tile than shuffled-noise
+    docs."""
+    from collections import Counter
+
+    from docproc_spark.functions.text import lm_surprisal_buckets
+
+    rows = [
+        (1, "a b a b a b a b a b"),          # highly predictable
+        (2, "a b a b a b a b x y"),
+        (3, "q w e r t y u i o p"),          # every bigram unique
+        (4, "a"),                             # no bigrams -> sentinel
+        (5, None),                            # null text -> sentinel
+        (6, "b a b a b a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_surprisal_buckets(df, n_buckets=3).collect()}
+
+    # python reference
+    toks = {d: (t or "").lower().split() for d, t in rows}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    big = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    V = len(uni)
+    for d, ts in toks.items():
+        bits = sum(
+            ((uni[ts[i]] + V) // (big[(ts[i], ts[i + 1])] + 1)).bit_length() - 1
+            for i in range(len(ts) - 1)
+        )
+        nb = max(len(ts) - 1, 0)
+        assert got[d]["lm_bits"] == bits, d
+        assert got[d]["n_bigrams"] == nb, d
+        want_mean = (1000 * bits) // nb if nb else 10**9
+        assert got[d]["mean_millibits"] == want_mean, d
+
+    assert got[1]["bucket"] < got[3]["bucket"]
+    assert got[4]["bucket"] == 3 and got[5]["bucket"] == 3  # sentinel -> tail
+    # buckets are a permutation-complete NTILE: 6 docs -> sizes 2,2,2
+    assert sorted(r["bucket"] for r in got.values()) == [1, 1, 2, 2, 3, 3]
