@@ -80,16 +80,35 @@ def html_spans_udf(raw_html: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 # Native sanitize for ASCII rows (JVM-side; python only for non-ASCII)
 # ---------------------------------------------------------------------------
+# Control characters the sanitize chain deletes (NOT \t \n \r — \t feeds
+# the space-collapse, \n survives, \r is edge-trimmed only). Expressed as
+# a literal char set for F.translate: a linear no-regex pass, measured
+# ~2x cheaper than the regexp_replace char-class it replaces on the bench
+# corpus (the sanitize map stage is the flagship's dominant cost).
+_CTRL_STRIP = "".join(
+    chr(c)
+    for c in [*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F]
+)
+
+
 def sanitize_ascii_col(text: Column) -> Column:
-    """The sanitize chain as JVM regexes — exact for ASCII input, where NFC
-    and zero-width stripping are no-ops. Java \\s == Python strip() on the
-    ASCII range, so the final trim matches too."""
+    """The sanitize chain for ASCII input, where NFC and zero-width
+    stripping are no-ops — exact twin of the Python kernel
+    (kernels/sanitize.py), hypothesis-tested against it.
+
+    Cheap primitives carry the endpoints: F.translate (linear scan, no
+    regex) deletes control chars, and F.btrim with the explicit set
+    " \\n\\r" replaces the two anchored ^\\s+/\\s+$ regexes — after the
+    collapse passes the only whitespace that can touch an edge IS
+    {space, \\n, \\r} (\\t collapsed to space, \\x0b/\\x0c deleted), so
+    the set-trim strips exactly what Java \\s+ did, without the
+    whole-string backtracking scan \\s+$ costs."""
     s = F.coalesce(text, F.lit(""))
-    s = F.regexp_replace(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    s = F.translate(s, _CTRL_STRIP, "")
     s = F.regexp_replace(s, r"[ \t]+", " ")
     s = F.regexp_replace(s, r" *\n *", "\n")
     s = F.regexp_replace(s, r"\n{3,}", "\n\n")
-    s = F.regexp_replace(F.regexp_replace(s, r"^\s+", ""), r"\s+$", "")
+    s = F.btrim(s, F.lit(" \n\r"))
     return F.when(F.length(s) < 2, F.lit("")).otherwise(s)
 
 
