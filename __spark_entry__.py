@@ -2487,6 +2487,46 @@ LIMIT 10
 """
 
 
+def _remove_repeated(spark, sf):
+    """ExactSubstr-style repeated-window removal
+    (operators/dedupe.remove_repeated_windows): tokens covered by a
+    corpus-repeated 16-token shingle are deleted; the cleaned text plus
+    removal counts come back for every document."""
+    from docproc_spark.operators.dedupe import remove_repeated_windows
+
+    return remove_repeated_windows(_t(spark, sf, "documents"))
+
+
+_REMOVE_REPEATED_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), sh AS (
+  SELECT doc_id, u.pos,
+         md5(array_to_string(tk[u.pos+1:u.pos+16], ' ')) AS h
+  FROM d, LATERAL unnest(generate_series(0, greatest(len(tk) - 16, 0))) AS u(pos)
+), freq AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT s.doc_id, v.tidx
+  FROM sh s JOIN freq f ON s.h = f.h,
+       LATERAL unnest(generate_series(s.pos, s.pos + 15)) AS v(tidx)
+), drops AS (
+  SELECT doc_id, list(tidx) AS dl FROM cov GROUP BY doc_id
+), outp AS (
+  SELECT d.doc_id, d.tk,
+         CASE WHEN drops.dl IS NULL THEN d.tk
+              ELSE list_filter(d.tk, (x, i) -> NOT list_contains(drops.dl, i - 1))
+         END AS kept
+  FROM d LEFT JOIN drops ON d.doc_id = drops.doc_id)
+SELECT doc_id,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       coalesce(array_to_string(kept, ' '), '') AS text_clean,
+       len(tk)::BIGINT AS n_tokens,
+       (len(tk) - len(kept))::BIGINT AS n_removed
+FROM outp
+"""
+
+
 def _lm_buckets(spark, sf):
     """CCNet-style LM quality tiles (functions/text.lm_surprisal_buckets):
     corpus-trained bigram LM, integer bit-count surprisal (no floats
@@ -2554,6 +2594,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_indexed_topk10": _bm25_indexed,
     "hybrid_rrf_topk10": _hybrid,
     "lm_quality_buckets": _lm_buckets,
+    "repeated_windows_removed": _remove_repeated,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2575,6 +2616,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "bm25_indexed_topk10": _bm25_sql(_BM25_QUERY),
     "hybrid_rrf_topk10": _hybrid_sql(_BM25_QUERY),
     "lm_quality_buckets": _LM_BUCKETS_SQL,
+    "repeated_windows_removed": _REMOVE_REPEATED_SQL,
 }
 
 

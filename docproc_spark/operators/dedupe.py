@@ -523,6 +523,75 @@ def repeated_window_fraction(
     )
 
 
+def remove_repeated_windows(
+    docs: DataFrame,
+    window: int = 16,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style removal (Lee et al. 2021): delete every token
+    covered by a ``window``-token shingle whose hash occurs ≥
+    ``min_count`` times CORPUS-WIDE, and return the cleaned text
+    (surviving tokens re-joined with single spaces — whitespace layout
+    is not preserved; this is the token-level form of the suffix-array
+    method's character cuts). Complements repeated_window_fraction
+    (same shingle definition — a doc with < window tokens contributes
+    one short-shingle window that, when repeated, covers the whole doc).
+
+    Returns (doc_id, text_clean, n_tokens, n_removed) for EVERY input
+    document (unaffected docs pass through with n_removed = 0).
+
+    Plan: staged tokens → column-staged O(n) shingle hashes → posexplode
+    → one count shuffle keeps the repeated hashes (heavy hitters —
+    small, AQE broadcasts the probe join) → covered windows explode to
+    (doc, token_idx) and distinct-reduce → per-doc drop set joins back
+    to the staged frame. Token removal is array_except(index range,
+    drop set) + element_at — O(n + |drop|) per doc, never the
+    O(n x |drop|) a contains-per-token filter would cost on a
+    fully-covered doc. Shuffles: count, distinct, drop-set agg, final
+    join — all keyed small or doc-sized, none corpus-quadratic.
+    """
+    from docproc_spark.functions.text import rolling_hashes_from_tokens
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_tk")
+    ).withColumn("_sh", rolling_hashes_from_tokens(F.col("_tk"), window))
+    wins = staged.select("doc_id", F.posexplode(F.col("_sh")).alias("pos", "h"))
+    freq = (
+        wins.groupBy("h")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select(F.col("h").alias("fh"))
+    )
+    cov = (
+        wins.join(freq, wins["h"] == freq["fh"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("tidx"),
+        )
+        .distinct()
+    )
+    drops = cov.groupBy("doc_id").agg(F.collect_set("tidx").alias("_drop"))
+    joined = staged.join(drops, "doc_id", "left")
+    n_tok = F.size("_tk")
+    idxs = F.when(
+        n_tok > 0, F.sequence(F.lit(0), n_tok - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept_idx = F.when(
+        F.col("_drop").isNotNull(), F.array_except(idxs, F.col("_drop"))
+    ).otherwise(idxs)
+    kept = F.transform(kept_idx, lambda j: F.element_at(F.col("_tk"), j + 1))
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        n_tok.cast("long").alias("n_tokens"),
+        (n_tok - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
 ) -> DataFrame:

@@ -1212,3 +1212,37 @@ def test_lm_surprisal_buckets_python_parity(spark):
     assert got[4]["bucket"] == 3 and got[5]["bucket"] == 3  # sentinel -> tail
     # buckets are a permutation-complete NTILE: 6 docs -> sizes 2,2,2
     assert sorted(r["bucket"] for r in got.values()) == [1, 1, 2, 2, 3, 3]
+
+
+def test_remove_repeated_windows(spark):
+    """ExactSubstr-style removal: tokens covered by a corpus-repeated
+    shingle vanish, unique text survives, whole-doc duplicates empty
+    out, short docs use the single short-shingle window."""
+    from docproc_spark.operators.dedupe import remove_repeated_windows
+
+    boiler = " ".join(f"b{i}" for i in range(16))     # 16-token shared block
+    uniq1 = " ".join(f"u{i}" for i in range(10))
+    uniq2 = " ".join(f"v{i}" for i in range(10))
+    rows = [
+        (1, f"{uniq1} {boiler}"),                     # tail covered
+        (2, f"{boiler} {uniq2}"),                     # head covered
+        (3, "wholly unique text " + " ".join(f"w{i}" for i in range(20))),
+        (4, "tiny doc"),                              # short, unique
+        (5, "tiny doc"),                              # short dup of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_repeated_windows(df, window=16).collect()}
+
+    # the shared 16-token block is removed from both carriers; all
+    # windows overlapping it are repeated, so some unique-side tokens
+    # inside straddling windows go too — but the far ends survive
+    assert "b0" not in got[1]["text_clean"] and "b15" not in got[1]["text_clean"]
+    assert "b0" not in got[2]["text_clean"] and "b15" not in got[2]["text_clean"]
+    assert got[1]["text_clean"].startswith("u0")
+    assert got[2]["text_clean"].endswith("v9")
+    assert got[1]["n_tokens"] == 26 and got[1]["n_removed"] >= 16
+    # untouched doc passes through verbatim
+    assert got[3]["text_clean"] == rows[2][1] and got[3]["n_removed"] == 0
+    # duplicate short docs fully empty out (single short-shingle window)
+    assert got[4]["text_clean"] == "" and got[4]["n_removed"] == 2
+    assert got[5]["text_clean"] == "" and got[5]["n_removed"] == 2
