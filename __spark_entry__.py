@@ -2498,8 +2498,10 @@ def _remove_repeated(spark, sf):
 
 
 _REMOVE_REPEATED_SQL = f"""
-WITH d AS (
-  SELECT doc_id, {_TOKS} AS tk FROM documents
+WITH d0 AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), d AS (
+  SELECT doc_id, {_TOKS} AS tk FROM d0
 ), sh AS (
   SELECT doc_id, u.pos,
          md5(array_to_string(tk[u.pos+1:u.pos+16], ' ')) AS h

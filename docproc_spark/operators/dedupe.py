@@ -555,8 +555,15 @@ def remove_repeated_windows(
     from docproc_spark.functions.text import rolling_hashes_from_tokens
 
     staged = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_tk")
+        F.col(id_col).alias("doc_id"),
+        # null text coalesced to '' so the every-doc contract holds with
+        # n_tokens/n_removed = 0 (a bare tokens_col(NULL) is NULL, which
+        # would null both counts)
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
     ).withColumn("_sh", rolling_hashes_from_tokens(F.col("_tk"), window))
+    # three consumers below (freq count, cov join, final join) and
+    # fan-out gets no CSE — freeze tokenize+shingle-md5 once
+    staged = staged.localCheckpoint(eager=True)
     wins = staged.select("doc_id", F.posexplode(F.col("_sh")).alias("pos", "h"))
     freq = (
         wins.groupBy("h")

@@ -134,20 +134,31 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_term_buckets: int = 64,
+    single_pass: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Inverted index for BM25 serving: returns ``(postings, doclens)``
-    with postings (term, term_bucket, doc_id, tf) — one row per distinct
-    (term, doc) — and doclens (doc_id, dl) covering EVERY input document
-    (zero-token docs included with dl=0, so corpus stats derived from
-    doclens match the scan path exactly).
+    with postings (term, term_bucket, doc_id, tf, n_term_buckets) — one
+    row per distinct (term, doc); the constant n_term_buckets column
+    records the bucket modulus IN the index (RLE-compressed to ~nothing
+    in parquet) so query time can validate it instead of trusting a
+    caller-supplied default — and doclens (doc_id, dl) covering EVERY
+    input document (zero-token docs included with dl=0, so corpus stats
+    derived from doclens match the scan path exactly).
 
     term_bucket = md5(term) mod ``n_term_buckets``: write the postings
     ``partitionBy("term_bucket")`` (or bucketBy on term) and a query's
-    bucket filter becomes partition pruning — the 100 TB serving flow is
-    build once (one explode + one (doc,term) groupBy shuffle), then each
-    query reads only |query_terms| buckets of postings instead of the
-    corpus. Tokenization matches bm25_topk (lowercased whitespace), so
-    ``bm25_topk_indexed`` over this index is bit-equal to the scan path.
+    bucket filter becomes partition pruning — the 100 TB serving flow
+    builds once, then each query reads only |query_terms| buckets of
+    postings instead of the corpus. Tokenization matches bm25_topk
+    (lowercased whitespace), so ``bm25_topk_indexed`` over this index is
+    bit-equal to the scan path.
+
+    The two returned frames each re-derive the staged tokenization —
+    materializing both costs two corpus scans (fan-out gets no CSE).
+    ``single_pass=True`` localCheckpoints the token frame eagerly so
+    both outputs share one tokenization pass — right when building both
+    outputs now on an expensive source; leave False when the caller
+    persists only one side or checkpoints upstream itself.
     """
     if n_term_buckets <= 0:
         raise ValueError("n_term_buckets must be positive")
@@ -155,6 +166,8 @@ def build_text_index(
         F.col(id_col).alias("doc_id"),
         tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("_lt"),
     )
+    if single_pass:
+        staged = staged.localCheckpoint(eager=True)
     doclens = staged.select(
         "doc_id", F.size("_lt").cast("long").alias("dl")
     )
@@ -170,6 +183,7 @@ def build_text_index(
             ).cast("int").alias("term_bucket"),
             "doc_id",
             "tf",
+            F.lit(n_term_buckets).cast("int").alias("n_term_buckets"),
         )
     )
     return postings, doclens
@@ -193,7 +207,12 @@ def bm25_topk_indexed(
       predicate that reaches the parquet scan) plus, when
       ``n_term_buckets`` is given, the terms' ``term_bucket IN`` — on a
       term_bucket-partitioned index that is partition PRUNING, so only
-      |terms| of the buckets are read at all;
+      |terms| of the buckets are read at all. A wrong modulus would make
+      that filter silently drop valid postings, so when the index
+      carries its ``n_term_buckets`` column (build_text_index writes
+      it), the stored value is probed (a one-row limit(1) job — one
+      partition footer, negligible against the query) and a
+      caller-supplied mismatch raises instead of corrupting results;
     - per-term df is a 1-row aggregate of the filtered postings; N and
       sum(dl) are a 1-row aggregate of doclens (metadata-sized —
       precompute and store alongside the index to skip even that scan);
@@ -210,6 +229,14 @@ def bm25_topk_indexed(
 
     p = postings.filter(F.col("term").isin(terms))
     if n_term_buckets is not None and "term_bucket" in postings.columns:
+        if "n_term_buckets" in postings.columns:
+            probe = postings.select("n_term_buckets").limit(1).collect()
+            if probe and probe[0][0] != n_term_buckets:
+                raise ValueError(
+                    f"index was built with n_term_buckets={probe[0][0]}, "
+                    f"query asked for {n_term_buckets} — the bucket filter "
+                    "would silently drop valid postings"
+                )
         buckets = sorted({_term_bucket_py(t, n_term_buckets) for t in terms})
         p = p.filter(F.col("term_bucket").isin(buckets))
 

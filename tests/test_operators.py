@@ -1086,6 +1086,10 @@ def test_bm25_indexed_bitequal_to_scan_path(spark):
     idx2 = bm25_topk_indexed(postings, doclens, q, k=10, n_term_buckets=None).collect()
     assert [tuple(r) for r in idx2] == [tuple(r) for r in scan_rows]
 
+    # a bucket-modulus mismatch must raise loudly, not drop postings
+    with pytest.raises(ValueError, match="n_term_buckets"):
+        bm25_topk_indexed(postings, doclens, q, k=10, n_term_buckets=64)
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -1229,9 +1233,14 @@ def test_remove_repeated_windows(spark):
         (3, "wholly unique text " + " ".join(f"w{i}" for i in range(20))),
         (4, "tiny doc"),                              # short, unique
         (5, "tiny doc"),                              # short dup of 4
+        (6, None),                                    # null text
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in remove_repeated_windows(df, window=16).collect()}
+
+    # null text: every-doc contract with zero counts, never NULL
+    assert got[6]["text_clean"] == "" and got[6]["n_tokens"] == 0
+    assert got[6]["n_removed"] == 0
 
     # the shared 16-token block is removed from both carriers; all
     # windows overlapping it are repeated, so some unique-side tokens

@@ -183,5 +183,7 @@ def test_bm25_index_partition_pruning(spark, tmp_path):
     assert m and "term_bucket" in m.group(1), plan[:2000]
     want = sorted({_term_bucket_py(t, 16) for t in ("shuffle", "scan")})
     assert all(str(b) in m.group(1) for b in want)
+    # pushed_filters' regex stops at the first ']' (inside the In-list),
+    # so match the truncated prefix of the exact In(term, ...) predicate
     pf = pushed_filters(q)
-    assert any("In(term, [scan,shuffle])" in f or "term" in f for f in pf), pf
+    assert any("In(term, [scan,shuffle" in f for f in pf), pf
