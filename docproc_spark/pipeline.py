@@ -251,17 +251,39 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 def enrich_spans(rows: DataFrame) -> DataFrame:
     """Narrow (no-shuffle) per-span enrichment.
 
-    Only what the map side MUST produce goes through the shuffle: the
-    sanitized text (the Python kernel) plus the raw span fields. Everything
-    derivable from them — dedupe hash (64 hex bytes/span!), boilerplate
-    class, survival flags — is recomputed post-shuffle in _srt_col, keeping
-    shuffle bytes to raw+sanitized text only.
+    The map side produces the sanitized text (the Python kernel) PLUS the
+    cheap derived fields — boilerplate class (~10 bytes) and the four
+    classification booleans — because here they run inside whole-stage
+    codegen on flat rows, while recomputing them post-shuffle costs an
+    INTERPRETED evaluation per span inside the array program's HOF
+    lambdas (measured: moving bp map-side cut the post-shuffle stage
+    materially at sf0.1; the extra shuffle bytes are ~15/span). The
+    dedupe hash (64 hex bytes/span!) and the drop_kinds-dependent
+    `survives` stay post-shuffle in _srt_col: the hash would dominate
+    shuffle bytes, and survives is a two-comparison expression.
+
+    DRIFT GUARD: pipeline_salted._flat_rows carries column-form twins of
+    these flag definitions — change them TOGETHER; the executable guard
+    is test_salted_equals_array_path_fresh_seed.
     """
     is_textual = F.col("kind").isin(*TEXTUAL_KINDS)
-    sanitized = F.when(is_textual, sanitize_hybrid_col(F.col("text"))).otherwise(
-        F.lit(None)
+    is_media = F.col("kind").isin(*MEDIA_KINDS)
+    is_raster = (
+        (F.col("kind") == RASTER_KIND)
+        & F.col("media_ref").isNotNull()
+        & (F.col("media_ref") != "")
     )
-    return rows.select(
+    # _san staged as a real column: it feeds BOTH the struct field and the
+    # boilerplate classifier, and a multi-use non-cheap alias (it embeds
+    # the pandas UDF) blocks CollapseProject from inlining — the UDF runs
+    # once, bp consumes the attribute (the hash_embed lesson)
+    staged = rows.withColumn(
+        "_san",
+        F.when(is_textual, sanitize_hybrid_col(F.col("text"))).otherwise(
+            F.lit(None)
+        ),
+    )
+    return staged.select(
         "doc_id",
         F.struct(
             F.col("page"),
@@ -269,8 +291,15 @@ def enrich_spans(rows: DataFrame) -> DataFrame:
             F.col("pos"),
             F.col("kind"),
             F.col("text"),
-            sanitized.alias("sanitized"),
+            F.col("_san").alias("sanitized"),
             F.col("media_ref"),
+            is_textual.alias("is_textual"),
+            is_media.alias("is_media"),
+            is_raster.alias("is_raster"),
+            boilerplate_kind_col(F.col("_san")).alias("bp"),
+            # bool(text.strip()) — F.trim strips ASCII space ONLY and would
+            # let whitespace-only raw text block the raster fallback
+            (is_textual & has_nonblank_col(F.col("text"))).alias("raw_nonblank"),
         ).alias("s"),
     )
 
@@ -296,53 +325,24 @@ def _first_per_key(sorted_arr: Column, key) -> Column:
 
 
 def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
-    """Spans in document order (page, offset), with the derived per-span
-    fields (hash, boilerplate class, flags) recomputed post-shuffle —
-    they're pure functions of (kind, text, sanitized) and would otherwise
-    ride the exchange.
-
-    Two staged transforms, not one: HOF lambda bodies run INTERPRETED (no
-    whole-stage codegen, no subexpression elimination), so every reference
-    to a derived expression re-evaluates its whole subtree per element —
-    `survives` is referenced twice (own field + the hash gate) and used to
-    drag the boilerplate regex chain with it on every reference. Stage 1
-    materializes the expensive classification once per span as struct
-    fields; stage 2 derives the cheap booleans from those fields.
+    """Spans in document order (page, offset), deriving only what the map
+    side could not: ``survives`` depends on the caller's drop_kinds and
+    the dedupe hash is 64 hex bytes/span that should not ride the
+    exchange. Everything else (classification booleans, the boilerplate
+    class) arrives precomputed from enrich_spans, where it ran inside
+    whole-stage codegen on flat rows — recomputing it here would pay an
+    INTERPRETED evaluation per span (HOF lambda bodies get no codegen and
+    no subexpression elimination). Classification semantics notes (the
+    definitions live in enrich_spans): any media-KIND span counts for
+    per-page enumeration even with a null/empty ref — the oracle
+    (kernels/assembly.py:108-114,128) and reference
+    (vision_llm.py:395-399,494-496) enumerate raw_images themselves —
+    while ref-less RASTERS are inert (assembly.py:133-134 skips ''/null
+    refs before captioning).
 
     DRIFT GUARD: pipeline_salted._flat_rows carries the column-form twins
-    of these flag/survives/hash definitions — change them TOGETHER; the
+    of the survives/hash definitions — change them TOGETHER; the
     executable guard is test_salted_equals_array_path_fresh_seed."""
-
-    def classify(x):
-        is_textual = x["kind"].isin(*TEXTUAL_KINDS)
-        # any media-KIND span counts for per-page enumeration and the
-        # raster-fallback gate, even with a null/empty ref — the oracle
-        # (kernels/assembly.py:108-114,128) and reference
-        # (vision_llm.py:395-399,494-496) enumerate raw_images themselves
-        is_media = x["kind"].isin(*MEDIA_KINDS)
-        # ref-less rasters are inert (oracle assembly.py:133-134: '' or null
-        # refs are skipped before captioning)
-        is_raster = (
-            (x["kind"] == RASTER_KIND)
-            & x["media_ref"].isNotNull()
-            & (x["media_ref"] != "")
-        )
-        return F.struct(
-            x["page"].alias("page"),
-            x["offset"].alias("offset"),
-            x["pos"].alias("pos"),
-            x["kind"].alias("kind"),
-            x["text"].alias("text"),
-            x["sanitized"].alias("sanitized"),
-            x["media_ref"].alias("media_ref"),
-            is_textual.alias("is_textual"),
-            is_media.alias("is_media"),
-            is_raster.alias("is_raster"),
-            boilerplate_kind_col(x["sanitized"]).alias("bp"),
-            # bool(text.strip()) — F.trim strips ASCII space ONLY and would
-            # let whitespace-only raw text block the raster fallback
-            (is_textual & has_nonblank_col(x["text"])).alias("raw_nonblank"),
-        )
 
     def finalize(y):
         survives = F.coalesce(
@@ -368,7 +368,7 @@ def _srt_col(spans: Column, drop_kinds: frozenset) -> Column:
             y["raw_nonblank"].alias("raw_nonblank"),
         )
 
-    return F.array_sort(F.transform(F.transform(spans, classify), finalize))
+    return F.array_sort(F.transform(spans, finalize))
 
 
 def _texts_col(srt: Column, drop_exact_duplicates: bool = True) -> Column:
