@@ -49,6 +49,19 @@ def get_spark(
         # default analyzer/optimizer iteration caps are sized for flat plans
         .config("spark.sql.analyzer.maxIterations", "500")
         .config("spark.sql.optimizer.maxIterations", "500")
+        # InferFiltersFromGenerate adds `size(e) > 0 AND isnotnull(e)`
+        # below every explode; predicate pushdown then re-inlines the
+        # generator's defining expression into that filter — for the
+        # extract pipeline that re-embeds the HTML pandas UDF, running it
+        # TWICE per document (observed as a second ArrowEvalPython node).
+        # The filter is a pure optimization (Generate with outer=false
+        # drops empty/null arrays itself) and the derived span array is
+        # never empty anyway (sentinel span), so excluding the rule is
+        # semantics-free and halves the HTML kernel cost.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
