@@ -375,21 +375,31 @@ def _texts_col(srt: Column, drop_exact_duplicates: bool = True) -> Column:
     """First-wins exact dedupe over surviving textual spans: sort survivors
     by (hash, page, offset), keep first per hash, resort to document order.
     With drop_exact_duplicates=False (config toggle, mirrors the oracle
-    kernel's parameter) every surviving span is kept."""
+    kernel's parameter) every surviving span is kept.
+
+    Fast path: when every survivor hash is distinct (the common document),
+    first-wins dedupe is the identity, so the by-hash sort + adjacent
+    dedupe + resort are skipped behind one O(n) array_distinct probe —
+    CASE branches evaluate lazily, so only the taken branch runs. The two
+    branches produce identical arrays whenever the probe passes (nothing
+    to remove → both are the survivors in document order)."""
     survivors = F.filter(srt, lambda x: x["survives"])
-    if not drop_exact_duplicates:
-        return F.array_sort(
-            F.transform(
-                survivors,
-                lambda x: F.struct(
-                    x["page"].alias("page"),
-                    x["offset"].alias("offset"),
-                    x["pos"].alias("pos"),
-                    x["kind"].alias("kind"),
-                    x["sanitized"].alias("text"),
-                ),
-            )
+    plain = F.array_sort(
+        F.transform(
+            survivors,
+            lambda x: F.struct(
+                x["page"].alias("page"),
+                x["offset"].alias("offset"),
+                x["pos"].alias("pos"),
+                x["kind"].alias("kind"),
+                x["sanitized"].alias("text"),
+            ),
         )
+    )
+    if not drop_exact_duplicates:
+        return plain
+    hashes = F.transform(survivors, lambda x: x["hash"])
+    no_dups = F.size(F.array_distinct(hashes)) == F.size(hashes)
     by_hash = F.array_sort(
         F.transform(
             survivors,
@@ -406,7 +416,7 @@ def _texts_col(srt: Column, drop_exact_duplicates: bool = True) -> Column:
     kept = F.filter(
         _first_per_key(by_hash, lambda e: e["hash"]), lambda x: x.isNotNull()
     )
-    return F.array_sort(
+    deduped = F.array_sort(
         F.transform(
             kept,
             lambda x: F.struct(
@@ -418,6 +428,7 @@ def _texts_col(srt: Column, drop_exact_duplicates: bool = True) -> Column:
             ),
         )
     )
+    return F.when(no_dups, plain).otherwise(deduped)
 
 
 def _media_idx_col(media_all: Column, mmap: Column) -> Column:
