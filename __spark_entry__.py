@@ -1425,24 +1425,36 @@ def _duck_means_cte(assigned: str) -> str:
 )"""
 
 
-def _ivf_ann_sql(n_lists=16, n_probe=4, n_iter=2, k=10) -> str:
-    """IVF ANN unrolled: seed centroids → n_iter Lloyd rounds (assignment +
-    deterministic means, empty clusters keep their centroid) → probe the
-    n_probe nearest lists → exact re-rank. Bit-equal to ivf_topk."""
-    iters = []
+def _duck_kmeans_ctes(n_lists: int, n_iter: int) -> tuple[str, str]:
+    """The deterministic-k-means unroll shared by every oracle that embeds a
+    fitted quantizer (IVF ANN, semdedup): seed centroids c0 (the n_lists
+    lowest-id vectors) then n_iter Lloyd rounds of assignment + sorted-fold
+    means with empty clusters keeping their centroid — bit-equal to
+    similarity.kmeans_centroids. Returns (ctes_sql, final_cte_name);
+    expects an `e(vec_id, v)` CTE in scope."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cvec"
+        f" FROM e ORDER BY vec_id LIMIT {n_lists})"
+    ]
     prev = "c0"
     for i in range(1, n_iter + 1):
-        iters.append(f"a{i} AS {_duck_assign_cte(prev)}")
-        iters.append(f"m{i} AS {_duck_means_cte(f'a{i}')}")
-        iters.append(
+        parts.append(f"a{i} AS {_duck_assign_cte(prev)}")
+        parts.append(f"m{i} AS {_duck_means_cte(f'a{i}')}")
+        parts.append(
             f"c{i} AS (SELECT {prev}.cent_id, COALESCE(m{i}.new_cvec, {prev}.cvec)"
             f" AS cvec FROM {prev} LEFT JOIN m{i} USING (cent_id))"
         )
         prev = f"c{i}"
-    iters_sql = ",\n".join(iters)
+    return ",\n".join(parts), prev
+
+
+def _ivf_ann_sql(n_lists=16, n_probe=4, n_iter=2, k=10) -> str:
+    """IVF ANN unrolled: seed centroids → n_iter Lloyd rounds (assignment +
+    deterministic means, empty clusters keep their centroid) → probe the
+    n_probe nearest lists → exact re-rank. Bit-equal to ivf_topk."""
+    iters_sql, prev = _duck_kmeans_ctes(n_lists, n_iter)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cent_id, v AS cvec FROM e ORDER BY vec_id LIMIT {n_lists}),
 {iters_sql},
 af AS {_duck_assign_cte(prev)},
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -1455,6 +1467,38 @@ FROM af JOIN probes USING (cent_id) CROSS JOIN q
 WHERE af.vec_id <> 0
 ORDER BY cos_sim DESC, af.vec_id
 LIMIT {k}
+"""
+
+
+def _semdedup(spark, sf):
+    """SemDeDup (similarity.semdedup): cluster-scoped semantic dedup —
+    k-means assign, then first-wins within each cluster at cosine ≥ 0.3.
+    The corpus' within-cluster sims top out ~0.51, so 0.3 exercises keep
+    AND drop branches plus the NULL cluster-minimum rows at every sf."""
+    from docproc_spark.operators.similarity import semdedup
+
+    return semdedup(_t(spark, sf, "embeddings"), threshold=0.3)
+
+
+def _semdedup_sql(n_lists=16, n_iter=2, threshold=0.3) -> str:
+    """semdedup unrolled: the shared k-means CTEs, final assignment, then
+    max cosine to lower-id same-cluster members — keep compares the RAW
+    max against the threshold (bit-identical folds in both engines); the
+    rounded column is display-only."""
+    iters_sql, prev = _duck_kmeans_ctes(n_lists, n_iter)
+    cos = _duck_cos("a.v", "b.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{iters_sql},
+af AS {_duck_assign_cte(prev)},
+sims AS (
+  SELECT b.vec_id, max({cos}) AS mx
+  FROM af a JOIN af b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id)
+SELECT af.vec_id, af.cent_id,
+       round(s.mx, 4) AS max_prior_sim,
+       (s.mx IS NULL OR s.mx < {threshold}) AS keep
+FROM af LEFT JOIN sims s USING (vec_id)
 """
 
 
@@ -2597,6 +2641,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf_topk10": _hybrid,
     "lm_quality_buckets": _lm_buckets,
     "repeated_windows_removed": _remove_repeated,
+    "semdedup_keep03": _semdedup,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2619,6 +2664,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "hybrid_rrf_topk10": _hybrid_sql(_BM25_QUERY),
     "lm_quality_buckets": _LM_BUCKETS_SQL,
     "repeated_windows_removed": _REMOVE_REPEATED_SQL,
+    "semdedup_keep03": _semdedup_sql(),
 }
 
 

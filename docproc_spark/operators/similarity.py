@@ -273,6 +273,77 @@ def cosine_neardup_pairs_lsh(
     return out
 
 
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.7,
+    n_lists: int = 16,
+    kmeans_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pin_lifetime: str = "session",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings, then within each cluster drop every vector whose
+    cosine similarity to a LOWER-id cluster member reaches ``threshold``
+    (first-wins inside the cluster, mirroring the exact-dedupe keeper rule).
+
+    Returns one row per input vector:
+      (vec_id, cent_id, max_prior_sim, keep)
+    where max_prior_sim is the max cosine to any lower-id same-cluster
+    member (rounded to 4 for display; NULL for the cluster's lowest id) and
+    keep is the survival verdict. Callers drop ``keep = false`` rows.
+
+    Scale shape: this is the whole point of the clustering step — pairwise
+    similarity is CLUSTER-scoped, O(Σ cᵢ²) instead of O(n²); n_lists grows
+    with the corpus so cluster sizes stay bounded, the k-means fit runs
+    over a sample at scale (``kmeans_centroids(deterministic=False)``), and
+    the assignment is one scan with a broadcast centroid table. The
+    within-cluster self-join shuffles on cent_id only.
+
+    Determinism: centroids, assignment tie-breaks, and the fold-based dot
+    products are all bit-reproducible (see module docstring), so the full
+    operator is DuckDB-oracle-able; keep compares the RAW max (bit-identical
+    in both engines) against the threshold, never the rounded display value.
+
+    Cache contract (``pin_lifetime``): the assignment table feeds both
+    sides of the self-join plus the final left join (fan-out gets no CSE),
+    so it is cached. ``"session"`` (batch default) leaves the cache pinned
+    until clearCache; ``"call"`` materializes the result via an eager
+    localCheckpoint and unpersists before returning — the long-lived
+    service contract shared with cosine_neardup_pairs_lsh.
+    """
+    if pin_lifetime not in ("session", "call"):
+        raise ValueError(f"pin_lifetime must be session|call: {pin_lifetime!r}")
+    cents = kmeans_centroids(
+        emb, n_lists=n_lists, n_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _assign_to_centroids(emb, cents, id_col, vec_col).cache()
+    left = assigned.select(
+        "cent_id", F.col("vec_id").alias("a"), F.col(vec_col).alias("va")
+    )
+    right = assigned.select(
+        "cent_id", F.col("vec_id").alias("b"), F.col(vec_col).alias("vb")
+    )
+    sims = (
+        left.join(right, "cent_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("b")
+        .agg(F.max(cosine_col(F.col("va"), F.col("vb"))).alias("mx"))
+        .select(F.col("b").alias("vec_id"), "mx")
+    )
+    out = assigned.select("vec_id", "cent_id").join(sims, "vec_id", "left").select(
+        "vec_id",
+        "cent_id",
+        F.round(F.col("mx"), 4).alias("max_prior_sim"),
+        (F.col("mx").isNull() | (F.col("mx") < F.lit(threshold))).alias("keep"),
+    )
+    if pin_lifetime == "call":
+        out = out.localCheckpoint(eager=True)
+        assigned.unpersist()
+        cents.unpersist()  # kmeans_centroids returns its frame cached
+    return out
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_lists: int = 16,

@@ -1255,3 +1255,53 @@ def test_remove_repeated_windows(spark):
     # duplicate short docs fully empty out (single short-shingle window)
     assert got[4]["text_clean"] == "" and got[4]["n_removed"] == 2
     assert got[5]["text_clean"] == "" and got[5]["n_removed"] == 2
+
+
+def test_semdedup_cluster_scoped_first_wins(spark):
+    """SemDeDup contract: within a cluster, a vector whose cosine to a
+    LOWER-id member reaches the threshold is dropped; the lowest-id member
+    of every cluster survives with a NULL max_prior_sim; near-orthogonal
+    members survive. pin_lifetime="call" leaves the SQL cache empty."""
+    from docproc_spark.operators.similarity import semdedup
+
+    # two tight clusters along axes 0 and 1, plus an odd vector per cluster
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # ~dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),   # ~dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),      # orthogonal to both seeds
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semdedup(emb, threshold=0.95, n_lists=2, kmeans_iter=1).collect()
+    }
+    assert len(got) == 5
+    # cluster minima keep with NULL prior sim
+    assert got[0]["keep"] and got[0]["max_prior_sim"] is None
+    assert got[2]["keep"] and got[2]["max_prior_sim"] is None
+    # near-duplicates of a lower-id member drop
+    assert not got[1]["keep"] and got[1]["max_prior_sim"] > 0.99
+    assert not got[3]["keep"] and got[3]["max_prior_sim"] > 0.99
+    # the odd vector is below threshold against its cluster-mates
+    assert got[4]["keep"]
+    # dedupe is CLUSTER-scoped: 1 and 3 land in different clusters, so
+    # their prior-sim reflects their own cluster only
+    assert got[1]["cent_id"] != got[3]["cent_id"]
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    got_call = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup(
+            emb, threshold=0.95, n_lists=2, kmeans_iter=1, pin_lifetime="call"
+        ).collect()
+    }
+    assert got_call == {k: v["keep"] for k, v in got.items()}
+    assert cache_mgr.isEmpty(), "semdedup call-mode left a pinned cache"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pin_lifetime"):
+        semdedup(emb, pin_lifetime="forever")
