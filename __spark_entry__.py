@@ -1470,6 +1470,29 @@ LIMIT {k}
 """
 
 
+def _shard_assign(spark, sf):
+    """Serpentine balanced shard assignment (rank.assign_shards): order by
+    (n_tokens DESC, doc_id) and deal across 8 shards, alternating direction
+    each block — the closed form is reproducible from row_number alone."""
+    from docproc_spark.operators.rank import assign_shards
+
+    return assign_shards(_t(spark, sf, "documents"), 8)
+
+
+_SHARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(len({_TOKS}), 0)::BIGINT AS n_tokens FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+  FROM t)
+SELECT doc_id, n_tokens, rank::BIGINT AS rank,
+       (CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+             ELSE 7 - ((rank - 1) % 8) END)::BIGINT AS shard
+FROM r
+"""
+
+
 def _semdedup(spark, sf):
     """SemDeDup (similarity.semdedup): cluster-scoped semantic dedup —
     k-means assign, then first-wins within each cluster at cosine ≥ 0.3.
@@ -2642,6 +2665,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality_buckets": _lm_buckets,
     "repeated_windows_removed": _remove_repeated,
     "semdedup_keep03": _semdedup,
+    "shard_assign_8": _shard_assign,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2665,6 +2689,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "lm_quality_buckets": _LM_BUCKETS_SQL,
     "repeated_windows_removed": _REMOVE_REPEATED_SQL,
     "semdedup_keep03": _semdedup_sql(),
+    "shard_assign_8": _SHARD_SQL,
 }
 
 

@@ -82,6 +82,68 @@ def global_row_number(
     return out, running
 
 
+def assign_shards(
+    docs: DataFrame,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    rank_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic near-balanced output-shard assignment for training-data
+    writers: order documents by (n_tokens DESC, id ASC) and deal them
+    serpentine (boustrophedon) across ``n_shards`` — block k of n_shards
+    rows runs left→right when k is even, right→left when odd, so the shard
+    that just received the largest document of a block receives the
+    smallest of the next. Closed-form from the global rank alone (no
+    sequential greedy state, unlike LPT bin packing), so the assignment is
+    reproducible by any engine from the same ordering.
+
+    Scale shape: the only global coordination is the range-bucketed exact
+    rank (global_row_number — never a single-reducer window); the narrow
+    (id, n_tokens) frame is localCheckpointed so the rank's probe jobs and
+    the final pass tokenize each document ONCE. Null/empty texts count 0
+    tokens and are still assigned — a shard writer must place every row.
+
+    Output: (id_col, n_tokens, rank, shard), shard ∈ [0, n_shards).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from docproc_spark.functions.text import token_count_col
+
+    nt = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else token_count_col(F.col(text_col)).cast("long")
+    )
+    neg = "_sh_neg"
+    while neg in docs.columns:
+        neg += "_"
+    base = docs.select(
+        F.col(id_col),
+        F.coalesce(nt, F.lit(0)).alias("n_tokens"),
+    ).withColumn(neg, -F.col("n_tokens"))
+    # freeze the narrow frame: global_row_number runs eager probe jobs and
+    # a final window — uncheckpointed, each one re-tokenizes the corpus
+    # (fan-out gets no CSE) and a nondeterministic source could feed the
+    # probe and the window different rows
+    base = base.localCheckpoint(eager=True)
+    ranked, _ = global_row_number(
+        base, neg, id_col, out_col="rank", rank_buckets=rank_buckets
+    )
+    pos = (F.col("rank") - 1) % n_shards
+    block = F.expr(f"(rank - 1) div {n_shards}")
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        "rank",
+        F.when(block % 2 == 0, pos)
+        .otherwise(F.lit(n_shards - 1) - pos)
+        .cast("long")
+        .alias("shard"),
+    )
+
+
 def ntile_expr(rank_col: str, n_rows: int, n_buckets: int):
     """SQL-standard NTILE(``n_buckets``) as a closed-form expression over
     a precomputed global rank: the first n_rows % n_buckets tiles get

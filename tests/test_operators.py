@@ -1305,3 +1305,48 @@ def test_semdedup_cluster_scoped_first_wins(spark):
 
     with _pytest.raises(ValueError, match="pin_lifetime"):
         semdedup(emb, pin_lifetime="forever")
+
+
+def test_assign_shards_serpentine_balance(spark):
+    """assign_shards contract: serpentine deal over (n_tokens DESC, id)
+    order, every row placed (null/empty text = 0 tokens), near-balanced
+    per-shard token totals, closed-form reproducible from the rank."""
+    import pytest as _pytest
+
+    from docproc_spark.operators.rank import assign_shards
+
+    rows = [(i, " ".join(["tok"] * (50 - i))) for i in range(20)]
+    rows += [(100, None), (101, ""), (102, "   ")]  # all count 0 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in assign_shards(docs, 4, rank_buckets=3).collect()}
+    assert len(got) == 23  # every row assigned, including 0-token docs
+    assert got[100]["n_tokens"] == 0 and got[101]["n_tokens"] == 0
+
+    # ranks are (n_tokens desc, id asc): doc 0 has 50 tokens -> rank 1
+    assert got[0]["rank"] == 1 and got[19]["rank"] == 20
+    assert [got[i]["rank"] for i in (100, 101, 102)] == [21, 22, 23]
+
+    # serpentine: block 0 deals 0,1,2,3; block 1 deals 3,2,1,0; ...
+    for did, r in got.items():
+        block, pos = (r["rank"] - 1) // 4, (r["rank"] - 1) % 4
+        want = pos if block % 2 == 0 else 3 - pos
+        assert r["shard"] == want, (did, r)
+
+    # near-balance: per-shard token totals within one max-doc of each other
+    totals = [0] * 4
+    for r in got.values():
+        totals[r["shard"]] += r["n_tokens"]
+    assert max(totals) - min(totals) <= 50, totals
+
+    # precomputed-count path bypasses tokenization
+    pre = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 7)], "doc_id long, nt long"
+    )
+    got_pre = {
+        r["doc_id"]: r["rank"]
+        for r in assign_shards(pre, 2, n_tokens_col="nt").collect()
+    }
+    assert got_pre == {1: 1, 2: 2, 3: 3}  # tie on tokens -> id asc
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        assign_shards(docs, 0)
