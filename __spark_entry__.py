@@ -1103,6 +1103,63 @@ FROM reach GROUP BY v
 """
 
 
+def _keep_best(spark, sf):
+    """End-to-end fuzzy-dedup keeper selection: the _dup_clusters planted-
+    variant corpus → minhash pairs → connected components → keep the max-
+    token member per cluster (dedupe.keep_best_per_cluster). Each planted
+    chain's +2-token variant wins; singletons keep themselves."""
+    from docproc_spark.operators.dedupe import (
+        dup_components,
+        keep_best_per_cluster,
+        minhash_neardup_pairs,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 25).select("doc_id", "text")
+    v1 = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
+    )
+    v2 = d.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedtoken plantedtwo")).alias("text"),
+    )
+    corpus = d.unionByName(v1).unionByName(v2)
+    pairs = minhash_neardup_pairs(
+        corpus, k=4, rows_per_band=2, n=3, min_jaccard=0.5, log_dropped=False
+    )
+    comps = dup_components(pairs.select("a", "b"))
+    return keep_best_per_cluster(corpus, comps).select(
+        "doc_id", "component", "keep"
+    )
+
+
+def _keep_best_sql() -> str:
+    # the full dup_clusters oracle embedded as a CTE, then the keeper rule:
+    # max whitespace-token count per component, ties to the lowest doc_id,
+    # singletons (docs outside every component) keep themselves
+    return f"""
+WITH comp AS ({_dup_clusters_sql()}),
+kb_base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 25
+), kb_corpus AS (
+  SELECT doc_id, text FROM kb_base
+  UNION ALL
+  SELECT doc_id + 10000, text || ' plantedtoken' FROM kb_base
+  UNION ALL
+  SELECT doc_id + 20000, text || ' plantedtoken plantedtwo' FROM kb_base
+), kb_j AS (
+  SELECT c.doc_id, coalesce(m.component, c.doc_id) AS component,
+         coalesce(len({_TOKS}), 0)::BIGINT AS nt
+  FROM kb_corpus c LEFT JOIN comp m USING (doc_id)
+), kb_r AS (
+  SELECT doc_id, component,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY nt DESC, doc_id) AS rn
+  FROM kb_j)
+SELECT doc_id, component, (rn = 1) AS keep FROM kb_r
+"""
+
+
 def _simhash(spark, sf):
     from docproc_spark.operators.dedupe import simhash64
 
@@ -2666,6 +2723,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_windows_removed": _remove_repeated,
     "semdedup_keep03": _semdedup,
     "shard_assign_8": _shard_assign,
+    "dedup_keep_best": _keep_best,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2690,6 +2748,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "repeated_windows_removed": _REMOVE_REPEATED_SQL,
     "semdedup_keep03": _semdedup_sql(),
     "shard_assign_8": _SHARD_SQL,
+    "dedup_keep_best": _keep_best_sql(),
 }
 
 

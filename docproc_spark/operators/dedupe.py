@@ -398,6 +398,55 @@ def dup_components(
     return final
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    score: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Representative selection after fuzzy dedup: given the corpus and the
+    ``dup_components`` output (doc_id, component), keep exactly ONE document
+    per near-dup cluster — the max-``score`` member, ties to the lowest id.
+    Documents in no cluster are singletons and keep themselves. The default
+    score is the whitespace token count ("keep the longest variant", the
+    common curation rule); pass any deterministic Column (e.g. a quality
+    score) to change the policy.
+
+    Returns ``docs``' columns plus (component, keep); callers filter
+    ``keep``. ``id_col`` must be non-null and unique.
+
+    Scale shape: one broadcast-eligible left join (the component table has
+    one row per CLUSTERED doc — a small fraction of the corpus) and one
+    window shuffled on component. Near-dup clusters are shallow AND small,
+    so the per-partition window state is bounded; the corpus never
+    self-joins here.
+    """
+    if score is None:
+        from docproc_spark.functions.text import token_count_col
+
+        score = F.coalesce(
+            token_count_col(F.col(text_col)).cast("long"), F.lit(0)
+        )
+    comp_col, rn_col = "component", "_kb_rn"
+    while rn_col in docs.columns:
+        rn_col += "_"
+    if comp_col in docs.columns:
+        raise ValueError("docs already has a 'component' column")
+    comp = components.select(
+        F.col("doc_id").alias(id_col), F.col("component").alias(comp_col)
+    )
+    joined = docs.join(comp, id_col, "left").withColumn(
+        comp_col, F.coalesce(F.col(comp_col), F.col(id_col))
+    )
+    w = Window.partitionBy(comp_col).orderBy(score.desc(), F.col(id_col))
+    return (
+        joined.withColumn(rn_col, F.row_number().over(w))
+        .withColumn("keep", F.col(rn_col) == 1)
+        .drop(rn_col)
+    )
+
+
 def drop_repeated_lines(
     docs: DataFrame,
     min_count: int = 3,

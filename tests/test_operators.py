@@ -1350,3 +1350,46 @@ def test_assign_shards_serpentine_balance(spark):
 
     with _pytest.raises(ValueError, match="n_shards"):
         assign_shards(docs, 0)
+
+
+def test_keep_best_per_cluster(spark):
+    """Keeper rule: max score per component wins, ties to lowest id,
+    singletons keep themselves, custom score column changes the policy."""
+    import pytest as _pytest
+
+    from docproc_spark.operators.dedupe import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),        # cluster 1: 3 tokens
+            (2, "a b c d e"),    # cluster 1: 5 tokens -> keeper
+            (3, "a b c d"),      # cluster 1: 4 tokens
+            (4, "x y"),          # cluster 4, tie on tokens with 5
+            (5, "p q"),          # cluster 4 -> id tie-break keeps 4
+            (6, "solo doc"),     # singleton
+            (7, None),           # singleton, null text -> 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "doc_id long, component long"
+    )
+    got = {r["doc_id"]: r for r in keep_best_per_cluster(docs, comps).collect()}
+    assert len(got) == 7
+    assert {d for d, r in got.items() if r["keep"]} == {2, 4, 6, 7}
+    assert got[3]["component"] == 1 and got[5]["component"] == 4
+    assert got[6]["component"] == 6 and got[7]["component"] == 7  # singletons
+
+    # custom score flips the policy: prefer the SHORTEST member
+    from pyspark.sql import functions as F
+    from docproc_spark.functions.text import token_count_col
+
+    short = -F.coalesce(token_count_col(F.col("text")).cast("long"), F.lit(0))
+    got_s = {
+        r["doc_id"]: r["keep"]
+        for r in keep_best_per_cluster(docs, comps, score=short).collect()
+    }
+    assert {d for d, k in got_s.items() if k} == {1, 4, 6, 7}
+
+    with _pytest.raises(ValueError, match="component"):
+        keep_best_per_cluster(docs.withColumn("component", F.lit(0)), comps)
