@@ -1017,13 +1017,11 @@ WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
 """
 
 
-def _dup_clusters(spark, sf):
-    """Full dedup chain: plant TRANSITIVE near-dup chains (base → +1 token →
-    +2 tokens; the ends may not pair directly), find pairs with
-    minhash→Jaccard, then cluster via connected components — keeping one
-    doc per CLUSTER needs the transitive closure, not the pair list."""
-    from docproc_spark.operators.dedupe import dup_components, minhash_neardup_pairs
-
+def _planted_corpus(spark, sf) -> DataFrame:
+    """The transitive near-dup test corpus shared by _dup_clusters and
+    _keep_best (ONE definition — its SQL twin is _PLANTED_CORPUS_CTES):
+    base docs → +1-token variant → +2-token variant; the chain ends may
+    not pair directly, forcing the transitive closure."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 25).select("doc_id", "text")
     v1 = d.select(
         (F.col("doc_id") + 10000).alias("doc_id"),
@@ -1033,18 +1031,12 @@ def _dup_clusters(spark, sf):
         (F.col("doc_id") + 20000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" plantedtoken plantedtwo")).alias("text"),
     )
-    corpus = d.unionByName(v1).unionByName(v2)
-    pairs = minhash_neardup_pairs(
-        corpus, k=4, rows_per_band=2, n=3, min_jaccard=0.5, log_dropped=False
-    )
-    return dup_components(pairs.select("a", "b"))
+    return d.unionByName(v1).unionByName(v2)
 
 
-def _dup_clusters_sql() -> str:
-    # the _NEARDUP_MINHASH_SQL pair pipeline over a 3-variant corpus, then
-    # connected components via a recursive reachability CTE
-    return f"""
-WITH RECURSIVE base AS (
+# SQL twin of _planted_corpus — interpolated into BOTH _dup_clusters_sql and
+# _keep_best_sql so the three sites cannot drift apart independently.
+_PLANTED_CORPUS_CTES = """base AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 25
 ), corpus AS (
   SELECT doc_id, text FROM base
@@ -1052,7 +1044,38 @@ WITH RECURSIVE base AS (
   SELECT doc_id + 10000, text || ' plantedtoken' FROM base
   UNION ALL
   SELECT doc_id + 20000, text || ' plantedtoken plantedtwo' FROM base
-), sig AS (
+)"""
+
+
+def _planted_components(spark, sf) -> DataFrame:
+    """minhash→Jaccard pairs → connected components over _planted_corpus —
+    the single chain behind both dup_clusters and dedup_keep_best."""
+    from docproc_spark.operators.dedupe import dup_components, minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(
+        _planted_corpus(spark, sf),
+        k=4,
+        rows_per_band=2,
+        n=3,
+        min_jaccard=0.5,
+        log_dropped=False,
+    )
+    return dup_components(pairs.select("a", "b"))
+
+
+def _dup_clusters(spark, sf):
+    """Full dedup chain: plant TRANSITIVE near-dup chains (base → +1 token →
+    +2 tokens; the ends may not pair directly), find pairs with
+    minhash→Jaccard, then cluster via connected components — keeping one
+    doc per CLUSTER needs the transitive closure, not the pair list."""
+    return _planted_components(spark, sf)
+
+
+def _dup_clusters_sql() -> str:
+    # the _NEARDUP_MINHASH_SQL pair pipeline over a 3-variant corpus, then
+    # connected components via a recursive reachability CTE
+    return f"""
+WITH RECURSIVE {_PLANTED_CORPUS_CTES}, sig AS (
   SELECT doc_id,
          {_mh_sql_expr(0)} AS mh0,
          {_mh_sql_expr(1)} AS mh1,
@@ -1108,29 +1131,11 @@ def _keep_best(spark, sf):
     variant corpus → minhash pairs → connected components → keep the max-
     token member per cluster (dedupe.keep_best_per_cluster). Each planted
     chain's +2-token variant wins; singletons keep themselves."""
-    from docproc_spark.operators.dedupe import (
-        dup_components,
-        keep_best_per_cluster,
-        minhash_neardup_pairs,
-    )
+    from docproc_spark.operators.dedupe import keep_best_per_cluster
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 25).select("doc_id", "text")
-    v1 = d.select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
-    )
-    v2 = d.select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" plantedtoken plantedtwo")).alias("text"),
-    )
-    corpus = d.unionByName(v1).unionByName(v2)
-    pairs = minhash_neardup_pairs(
-        corpus, k=4, rows_per_band=2, n=3, min_jaccard=0.5, log_dropped=False
-    )
-    comps = dup_components(pairs.select("a", "b"))
-    return keep_best_per_cluster(corpus, comps).select(
-        "doc_id", "component", "keep"
-    )
+    return keep_best_per_cluster(
+        _planted_corpus(spark, sf), _planted_components(spark, sf)
+    ).select("doc_id", "component", "keep")
 
 
 def _keep_best_sql() -> str:
@@ -1139,18 +1144,11 @@ def _keep_best_sql() -> str:
     # singletons (docs outside every component) keep themselves
     return f"""
 WITH comp AS ({_dup_clusters_sql()}),
-kb_base AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 25
-), kb_corpus AS (
-  SELECT doc_id, text FROM kb_base
-  UNION ALL
-  SELECT doc_id + 10000, text || ' plantedtoken' FROM kb_base
-  UNION ALL
-  SELECT doc_id + 20000, text || ' plantedtoken plantedtwo' FROM kb_base
-), kb_j AS (
+{_PLANTED_CORPUS_CTES},
+kb_j AS (
   SELECT c.doc_id, coalesce(m.component, c.doc_id) AS component,
          coalesce(len({_TOKS}), 0)::BIGINT AS nt
-  FROM kb_corpus c LEFT JOIN comp m USING (doc_id)
+  FROM corpus c LEFT JOIN comp m USING (doc_id)
 ), kb_r AS (
   SELECT doc_id, component,
          row_number() OVER (PARTITION BY component
@@ -1547,6 +1545,33 @@ SELECT doc_id, n_tokens, rank::BIGINT AS rank,
        (CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
              ELSE 7 - ((rank - 1) % 8) END)::BIGINT AS shard
 FROM r
+"""
+
+
+def _corpus_report(spark, sf):
+    """Dataset-card composition table (report.corpus_report): one CUBE pass
+    over (source, lang) with integer metrics; rollup cells labelled <all>."""
+    from docproc_spark.operators.report import corpus_report
+
+    return corpus_report(_t(spark, sf, "documents"))
+
+
+_CORPUS_REPORT_SQL = f"""
+WITH s AS (
+  SELECT coalesce(source, '<null>') AS source,
+         coalesce(lang, '<null>') AS lang,
+         coalesce(len({_TOKS}), 0)::BIGINT AS nt,
+         coalesce(length(text), 0)::BIGINT AS nc,
+         (CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn
+  FROM documents)
+SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       count(*)::BIGINT AS n_docs,
+       sum(nn)::BIGINT AS n_null_text,
+       sum(nt)::BIGINT AS total_tokens,
+       sum(nc)::BIGINT AS total_chars,
+       (sum(nt) // count(*))::BIGINT AS tokens_per_doc
+FROM s GROUP BY CUBE (source, lang)
 """
 
 
@@ -2724,6 +2749,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_keep03": _semdedup,
     "shard_assign_8": _shard_assign,
     "dedup_keep_best": _keep_best,
+    "corpus_report_cube": _corpus_report,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2749,6 +2775,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "semdedup_keep03": _semdedup_sql(),
     "shard_assign_8": _SHARD_SQL,
     "dedup_keep_best": _keep_best_sql(),
+    "corpus_report_cube": _CORPUS_REPORT_SQL,
 }
 
 

@@ -431,8 +431,9 @@ def keep_best_per_cluster(
     comp_col, rn_col = "component", "_kb_rn"
     while rn_col in docs.columns:
         rn_col += "_"
-    if comp_col in docs.columns:
-        raise ValueError("docs already has a 'component' column")
+    for out_col in (comp_col, "keep"):  # output columns — never overwrite
+        if out_col in docs.columns:
+            raise ValueError(f"docs already has a {out_col!r} column")
     comp = components.select(
         F.col("doc_id").alias(id_col), F.col("component").alias(comp_col)
     )

@@ -281,6 +281,8 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pin_lifetime: str = "session",
+    fit_fraction: float | None = None,
+    deterministic_fit: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     cluster the embeddings, then within each cluster drop every vector whose
@@ -295,15 +297,17 @@ def semdedup(
 
     Scale shape: this is the whole point of the clustering step — pairwise
     similarity is CLUSTER-scoped, O(Σ cᵢ²) instead of O(n²); n_lists grows
-    with the corpus so cluster sizes stay bounded, the k-means fit runs
-    over a sample at scale (``kmeans_centroids(deterministic=False)``), and
-    the assignment is one scan with a broadcast centroid table. The
-    within-cluster self-join shuffles on cent_id only.
-
-    Determinism: centroids, assignment tie-breaks, and the fold-based dot
-    products are all bit-reproducible (see module docstring), so the full
-    operator is DuckDB-oracle-able; keep compares the RAW max (bit-identical
-    in both engines) against the threshold, never the rounded display value.
+    with the corpus so cluster sizes stay bounded, and the assignment is
+    one scan with a broadcast centroid table. The within-cluster self-join
+    shuffles on cent_id only, and each vector's norm is computed ONCE in
+    the cached assignment table, not per pair (HOF folds are interpreted —
+    no subexpression elimination across pairs). At 100-TB scale fit the
+    quantizer on a sample: ``fit_fraction`` filters the fit input by the
+    engine-portable md5 hash of the id (sampling.hash_sample — still
+    deterministic), and ``deterministic_fit=False`` swaps the sorted-fold
+    centroid means for streaming avg (kmeans_centroids' documented
+    massive-fit path, bit-reproducibility traded away). The defaults
+    (full-corpus, deterministic) are the oracle-checkable configuration.
 
     Cache contract (``pin_lifetime``): the assignment table feeds both
     sides of the self-join plus the final left join (fan-out gets no CSE),
@@ -314,21 +318,47 @@ def semdedup(
     """
     if pin_lifetime not in ("session", "call"):
         raise ValueError(f"pin_lifetime must be session|call: {pin_lifetime!r}")
+    fit_input = emb
+    if fit_fraction is not None:
+        if not 0.0 < fit_fraction <= 1.0:
+            raise ValueError(f"fit_fraction must be in (0, 1]: {fit_fraction}")
+        from docproc_spark.operators.sampling import hash_sample
+
+        fit_input = hash_sample(emb, fit_fraction, key_col=id_col)
     cents = kmeans_centroids(
-        emb, n_lists=n_lists, n_iter=kmeans_iter, id_col=id_col, vec_col=vec_col
+        fit_input,
+        n_lists=n_lists,
+        n_iter=kmeans_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        deterministic=deterministic_fit,
     )
-    assigned = _assign_to_centroids(emb, cents, id_col, vec_col).cache()
+    assigned = (
+        _assign_to_centroids(emb, cents, id_col, vec_col)
+        .withColumn("_sd_norm", norm_col(F.col(vec_col)))
+        .cache()
+    )
     left = assigned.select(
-        "cent_id", F.col("vec_id").alias("a"), F.col(vec_col).alias("va")
+        "cent_id",
+        F.col("vec_id").alias("a"),
+        F.col(vec_col).alias("va"),
+        F.col("_sd_norm").alias("na"),
     )
     right = assigned.select(
-        "cent_id", F.col("vec_id").alias("b"), F.col(vec_col).alias("vb")
+        "cent_id",
+        F.col("vec_id").alias("b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_sd_norm").alias("nb"),
     )
     sims = (
         left.join(right, "cent_id")
         .filter(F.col("a") < F.col("b"))
         .groupBy("b")
-        .agg(F.max(cosine_col(F.col("va"), F.col("vb"))).alias("mx"))
+        .agg(
+            F.max(
+                dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("mx")
+        )
         .select(F.col("b").alias("vec_id"), "mx")
     )
     out = assigned.select("vec_id", "cent_id").join(sims, "vec_id", "left").select(

@@ -1301,10 +1301,23 @@ def test_semdedup_cluster_scoped_first_wins(spark):
     assert got_call == {k: v["keep"] for k, v in got.items()}
     assert cache_mgr.isEmpty(), "semdedup call-mode left a pinned cache"
 
+    # scale-path knobs: fit_fraction=1.0 is the identity sample; the
+    # streaming-avg fit still separates these clearly-split clusters
+    for kw in ({"fit_fraction": 1.0}, {"deterministic_fit": False}):
+        got_alt = {
+            r["vec_id"]: r["keep"]
+            for r in semdedup(
+                emb, threshold=0.95, n_lists=2, kmeans_iter=1, **kw
+            ).collect()
+        }
+        assert got_alt == {k: v["keep"] for k, v in got.items()}, kw
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="pin_lifetime"):
         semdedup(emb, pin_lifetime="forever")
+    with _pytest.raises(ValueError, match="fit_fraction"):
+        semdedup(emb, fit_fraction=0.0)
 
 
 def test_assign_shards_serpentine_balance(spark):
@@ -1393,3 +1406,43 @@ def test_keep_best_per_cluster(spark):
 
     with _pytest.raises(ValueError, match="component"):
         keep_best_per_cluster(docs.withColumn("component", F.lit(0)), comps)
+    with _pytest.raises(ValueError, match="keep"):
+        keep_best_per_cluster(docs.withColumn("keep", F.lit(True)), comps)
+
+
+def test_corpus_report_cube_rollups(spark):
+    """corpus_report: one row per CUBE cell, rollups labelled <all>, real
+    NULL dim values labelled <null> (never colliding with rollups),
+    integer metrics, reserved-name validation."""
+    import pytest as _pytest
+
+    from docproc_spark.operators.report import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "web", "en"),
+            (2, "d e", "web", "de"),
+            (3, None, "books", "en"),
+            (4, "f", None, "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    rows = {
+        (r["source"], r["lang"]): r for r in corpus_report(docs).collect()
+    }
+    # 4 distinct (source,lang) + 3 source rollups + 2 lang rollups + grand
+    assert len(rows) == 10
+    g = rows[("<all>", "<all>")]
+    assert (g["n_docs"], g["n_null_text"], g["total_tokens"]) == (4, 1, 6)
+    assert g["tokens_per_doc"] == 1  # 6 div 4
+    assert rows[("web", "<all>")]["total_tokens"] == 5
+    assert rows[("<null>", "en")]["n_docs"] == 1  # null value, not rollup
+    assert rows[("books", "en")]["n_null_text"] == 1
+    assert rows[("books", "en")]["total_chars"] == 0
+
+    with _pytest.raises(ValueError, match="dims"):
+        corpus_report(docs, dims=())
+    with _pytest.raises(ValueError, match="not in docs"):
+        corpus_report(docs, dims=("nope",))
+    with _pytest.raises(ValueError, match="collide"):
+        corpus_report(docs.withColumn("n_docs", F.lit(1)), dims=("n_docs",))
