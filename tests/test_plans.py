@@ -187,3 +187,72 @@ def test_bm25_index_partition_pruning(spark, tmp_path):
     # so match the truncated prefix of the exact In(term, ...) predicate
     pf = pushed_filters(q)
     assert any("In(term, [scan,shuffle" in f for f in pf), pf
+
+
+def test_semdedup_plan_shape(spark):
+    """semdedup at scale: the centroid assignment must be a BROADCAST
+    nested-loop against the tiny centroid table (never a shuffled or
+    cartesian join of the corpus), the pairwise stage must join on
+    cent_id (cluster-scoped — the O(n^2) guard), and no driver-side
+    single-partition exchange anywhere."""
+    from docproc_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 5) % 17) - 8.0 for d in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup(emb, threshold=0.9, n_lists=4, kmeans_iter=1, pin_lifetime="call")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, "unguarded cartesian in semdedup"
+    assert "Exchange SinglePartition" not in plan
+    spark.catalog.clearCache()
+
+    # static plan of a fresh (uncollected) call shows the structure:
+    # broadcast assignment + a cent_id-keyed equi-join for the pairs
+    out2 = semdedup(emb, threshold=0.9, n_lists=4, kmeans_iter=1)
+    plan2 = _plan(out2)
+    assert "BroadcastNestedLoopJoin" in plan2, "centroid table not broadcast"
+    assert re.search(r"hashpartitioning\(cent_id", plan2), (
+        "pairwise stage is not cluster-scoped (no cent_id shuffle)"
+    )
+    spark.catalog.clearCache()
+
+
+def test_assign_shards_no_global_window(spark):
+    """assign_shards must never funnel the corpus through one reducer: no
+    Exchange SinglePartition in the executed plan (the rank is range-
+    bucketed; the serpentine deal is a closed-form projection)."""
+    from docproc_spark.operators.rank import assign_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * (1 + i % 40))) for i in range(200)],
+        "doc_id long, text string",
+    ).repartition(4)
+    out = assign_shards(docs, 8, rank_buckets=8)
+    out.collect()
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan, (
+        "assign_shards funnels through a single partition"
+    )
+
+
+def test_corpus_report_single_pass(spark, tmp_path):
+    """corpus_report: ONE source scan and map-side partial aggregation —
+    the CUBE must not re-scan per grouping set."""
+    from docproc_spark.operators.report import corpus_report
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"w{i} x y", ["a", "b"][i % 2], ["en", "de"][i % 3 == 0]) for i in range(50)],
+        "doc_id long, text string, source string, lang string",
+    ).write.parquet(src)
+    out = corpus_report(spark.read.parquet(src))
+    # read the plan BEFORE collect: after an action the AdaptiveSparkPlan
+    # toString repeats the tree under '== Initial Plan ==', double-counting
+    # every node
+    s = plan_summary(out)
+    assert s["scans"] == 1, "CUBE re-scanned the source"
+    plan = _plan(out)
+    assert plan.count("Expand") >= 1  # grouping sets expand, one pass
+    assert "partial_count" in plan, "no map-side partial aggregation"
+    out.collect()  # and it actually runs
