@@ -42,10 +42,12 @@ class SparkConfig:
 class RagConfig:
     """RAG block, reference schema parity (config/schema.py:72-80 —
     backend / top_k=5 / chunk_size=512 / namespace defaults, checked by
-    reference tests/test_config.py:8-30). The engine-side consumers are
-    kernels/refine.chunk_by_pages (chunk_size) and the ANN operators
-    (operators/similarity top-k); `backend` selects which similarity
-    entry point a deployment wires ("embedding" → cosine/LSH/IVF ANN)."""
+    reference tests/test_config.py:8-30). Engine-side consumers:
+    facade.rag_chunks (chunk_size → operators/packing.chunk_documents)
+    and facade.rag_search (top_k → operators/retrieval.bm25_topk);
+    `backend` selects which similarity entry point a deployment wires
+    ("embedding" → cosine/LSH/IVF ANN); namespace/persist_path are the
+    index-location knobs for build_text_index/build_lsh_index paths."""
 
     backend: str = "embedding"
     top_k: int = 5
@@ -94,6 +96,14 @@ def parse_config(path: str | None = None) -> EngineConfig:
     cfg = EngineConfig()
     chosen = path
     if chosen is None:
+        # DOCPROC_SPARK_CONFIG is EXPLICIT user intent — a typo'd path
+        # must error like parse_config(bad_path) does, not silently fall
+        # through to defaults with (e.g.) use_llm_refine quietly off
+        env_path = os.environ.get("DOCPROC_SPARK_CONFIG")
+        if env_path and not os.path.exists(env_path):
+            raise FileNotFoundError(
+                f"DOCPROC_SPARK_CONFIG points at a missing file: {env_path}"
+            )
         for probe in _SEARCH:
             p = probe()
             if p and os.path.exists(p):

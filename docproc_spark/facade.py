@@ -64,8 +64,12 @@ class DocprocSpark:
         stage (pipeline.py:124-141) runs after extraction: markdown is
         replaced by the chunk→chat→rejoin output of
         ``ingest.refine_provider`` (per-document failure falls back to the
-        raw text). One extra join exchange — noise next to the LLM calls
-        the stage exists to make."""
+        raw text). The extract result is materialized (eager
+        localCheckpoint) BEFORE the refine join: both join sides derive
+        from it and DataFrame fan-out gets no common-subexpression reuse —
+        uncheckpointed, the full extraction pipeline would execute twice.
+        The join exchange that remains is noise next to the LLM calls the
+        stage exists to make."""
         from docproc_spark.pipeline import extract
 
         result = extract(
@@ -74,10 +78,9 @@ class DocprocSpark:
             drop_exact_duplicates=self.config.ingest.drop_exact_duplicates,
         )
         if self.config.ingest.use_llm_refine:
-            from pyspark.sql import functions as F
-
             from docproc_spark.operators.refine import refine_table
 
+            result = result.localCheckpoint(eager=True)
             refined = refine_table(
                 result, provider_id=self.config.ingest.refine_provider
             ).withColumnRenamed("refined", "markdown")
@@ -85,6 +88,23 @@ class DocprocSpark:
                 "doc_id", "markdown", "n_pages", "spans"
             )
         return result
+
+    def rag_chunks(self, docs: DataFrame) -> DataFrame:
+        """The rag config block's indexing side: token-window chunking at
+        ``rag.chunk_size`` (reference config/schema.py:72-80 default 512)
+        with the conventional 1/8-window overlap — the consumer that makes
+        `rag.chunk_size` a real knob rather than schema decoration."""
+        from docproc_spark.operators.packing import chunk_documents
+
+        cs = self.config.rag.chunk_size
+        return chunk_documents(docs, chunk_tokens=cs, overlap_tokens=cs // 8)
+
+    def rag_search(self, docs: DataFrame, query: str) -> DataFrame:
+        """The rag config block's serving side: lexical BM25 retrieval at
+        ``rag.top_k`` (reference default 5) over a document/chunk table."""
+        from docproc_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(docs, query, k=self.config.rag.top_k)
 
     def caption_media(
         self, media: DataFrame, ref_col: str = "media_ref", ctx_col: str = "context"

@@ -111,7 +111,11 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     preexisting = SparkSession.getActiveSession() is not None
-    spark = get_spark(master=cfg.spark.master, shuffle_partitions=cfg.spark.shuffle_partitions)
+    spark = get_spark(
+        master=cfg.spark.master,
+        shuffle_partitions=cfg.spark.shuffle_partitions,
+        arrow_batch=cfg.spark.arrow_batch,
+    )
     eng = DocprocSpark(spark=spark, config=cfg)
     docs = spark.read.parquet(args.input)
 

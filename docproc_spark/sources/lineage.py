@@ -137,7 +137,7 @@ def run_with_lineage(
     # a corrupt lineage footer propagates from completed_parts, and the
     # conf restore below must not be skippable by that raise
     done = completed_parts(spark, lineage_path, n_parts=n_parts)
-    if "part" in transform(with_part(docs.limit(0), n_parts).drop(_PART_COL)).columns:
+    if "part" in transform(docs.limit(0)).columns:
         raise ValueError(
             "transform output already has a 'part' column — it would "
             "collide with the lineage partition layout; rename it upstream"

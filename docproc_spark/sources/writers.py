@@ -149,7 +149,11 @@ def write_sqlite(
         os.replace(tmp, path)  # atomic commit of the whole partition
 
     if single_file:
-        prep.coalesce(1).foreachPartition(write_partition)
+        # repartition(1), NOT coalesce(1): coalesce propagates the 1-task
+        # constraint UPSTREAM to the last shuffle boundary, serializing
+        # the whole scan+prep pipeline; repartition inserts an exchange so
+        # prep stays parallel and only the sqlite write is single-task
+        prep.repartition(1).foreachPartition(write_partition)
         return
 
     def write_partition_yielding_pid(rows):

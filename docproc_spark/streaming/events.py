@@ -224,8 +224,20 @@ def run_stream_once(
         d = os.path.join(tempfile.gettempdir(), f"stream_src_{key}")
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, os.path.basename(events_path))
-        if not os.path.exists(link):
-            os.symlink(abs_src, link)
+        # lexists, not exists: exists() follows the link, so a DANGLING
+        # symlink (target regenerated under a new name) reads as absent
+        # and the re-symlink raises EEXIST forever. Two concurrent runs
+        # share the deterministic key — the loser of the create race must
+        # tolerate EEXIST, then both must agree the link targets abs_src.
+        if os.path.lexists(link):
+            tgt = os.readlink(link) if os.path.islink(link) else None
+            if tgt != abs_src:
+                os.unlink(link)
+        if not os.path.lexists(link):
+            try:
+                os.symlink(abs_src, link)
+            except FileExistsError:
+                pass  # concurrent run won the race with the same target
         src = d
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

@@ -627,3 +627,75 @@ def test_config_knobs_are_wired(spark):
     caps = {r["media_ref"]: r["caption"]
             for r in DocprocSpark(spark=spark).caption_media(media).collect()}
     assert caps["m1"] == caption_stub("m1", "Page 1, image 1.")
+
+
+def test_write_table_filename_routing_and_iceberg_mode():
+    """Dotted relative FILENAMES must be filesystem destinations, not
+    catalog identifiers ('out.parquet' previously became a bogus
+    `out`.`parquet` Iceberg table on Iceberg-enabled clusters)."""
+    from docproc_spark.sources.tables import _is_table_identifier
+
+    for fname in ("out.parquet", "results.db", "x.sqlite", "dump.jsonl",
+                  "notes.md", "t.csv", "w.orc"):
+        assert not _is_table_identifier(fname), fname
+    # real identifiers still route to the catalog
+    assert _is_table_identifier("cat.db.tbl")
+    assert _is_table_identifier("warehouse.documents")
+
+
+def test_config_env_path_typo_errors(monkeypatch, tmp_path):
+    """An explicitly set DOCPROC_SPARK_CONFIG pointing nowhere must raise
+    like parse_config(bad_path) would — never silently fall back to
+    defaults."""
+    monkeypatch.setenv("DOCPROC_SPARK_CONFIG", str(tmp_path / "nope.ymll"))
+    with pytest.raises(FileNotFoundError, match="DOCPROC_SPARK_CONFIG"):
+        parse_config(None)
+    # a VALID env path still loads
+    good = tmp_path / "ok.yml"
+    good.write_text("spark:\n  shuffle_partitions: 5\n")
+    monkeypatch.setenv("DOCPROC_SPARK_CONFIG", str(good))
+    assert parse_config(None).spark.shuffle_partitions == 5
+
+
+def test_rag_config_consumed_by_facade(spark):
+    """rag.chunk_size and rag.top_k must be REAL knobs: facade.rag_chunks
+    chunks at chunk_size and facade.rag_search returns top_k rows."""
+    from docproc_spark.config import EngineConfig
+    from docproc_spark.facade import DocprocSpark
+
+    cfg = EngineConfig()
+    cfg.rag.chunk_size = 8
+    cfg.rag.top_k = 3
+    eng = DocprocSpark(spark=spark, config=cfg)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20)) + " needle") for i in range(6)],
+        "doc_id long, text string",
+    )
+    chunks = eng.rag_chunks(docs).collect()
+    assert chunks and all(r["n_tokens"] <= 8 for r in chunks)
+    hits = eng.rag_search(docs, "needle").collect()
+    assert len(hits) == 3
+
+
+def test_refine_fanout_is_checkpointed(spark):
+    """With use_llm_refine on, extract_table must materialize the extract
+    result before the refine join — both join sides derive from it and
+    fan-out gets no CSE, so an uncheckpointed plan runs the whole
+    extraction twice. A checkpointed plan shows the join reading
+    ExistingRDD scans, not two copies of the extraction subtree."""
+    from docproc_spark import corpus
+    from docproc_spark.config import EngineConfig
+    from docproc_spark.facade import DocprocSpark
+
+    cfg = EngineConfig()
+    cfg.ingest.use_llm_refine = True
+    cfg.ingest.refine_provider = "stub-chat"
+    eng = DocprocSpark(spark=spark, config=cfg)
+    docs = corpus.corpus_df(spark, 8, seed=11, mega_spans=50, partitions=2)
+    out = eng.extract_table(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "extract result not checkpointed pre-join"
+    # the extraction pipeline's groupBy shuffle must NOT appear twice
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 1, plan[:800]
+    rows = out.collect()
+    assert len(rows) == 8 and all(r["markdown"] is not None for r in rows)

@@ -104,3 +104,43 @@ def test_stream_dedupe_across_micro_batches(spark, tmp_path):
     n_src = spark.read.parquet(src).count()
     assert out.count() == n_src                      # replay fully suppressed
     assert out.select("event_id").distinct().count() == n_src
+
+
+def test_single_file_symlink_staging_repairs(spark, tmp_path):
+    """The single-file staging dir must survive (a) a DANGLING symlink
+    left by a deleted/regenerated source (exists() follows links and
+    reported it absent, then symlink() raised EEXIST forever) and (b) a
+    lost creation race (concurrent run with the same deterministic key)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from docproc_spark.streaming.events import run_stream_once
+
+    src = str(tmp_path / "one.parquet")
+    spark.createDataFrame([(1,), (2,)], "v long").coalesce(1).write.parquet(
+        str(tmp_path / "d")
+    )
+    part = next(
+        p for p in os.listdir(str(tmp_path / "d")) if p.endswith(".parquet")
+    )
+    os.rename(os.path.join(str(tmp_path / "d"), part), src)
+
+    ident = lambda st: st.groupBy().agg(F.count("*").alias("n"))
+    got = run_stream_once(spark, src, ident, query_name="t_link1")
+    assert got.collect()[0]["n"] == 2
+
+    # find the staged link and break it: point it at a deleted target
+    import glob
+    import tempfile
+
+    links = glob.glob(os.path.join(tempfile.gettempdir(), "stream_src_*", "one.parquet"))
+    assert links, "staging link not found"
+    for link in links:
+        os.unlink(link)
+        os.symlink(src + ".gone", link)  # dangling
+    got2 = run_stream_once(spark, src, ident, query_name="t_link2")
+    assert got2.collect()[0]["n"] == 2
+    # and a healthy pre-existing link is reused without error
+    got3 = run_stream_once(spark, src, ident, query_name="t_link3")
+    assert got3.collect()[0]["n"] == 2
