@@ -46,16 +46,29 @@ def media_ref_col(blob: F.Column) -> F.Column:
     return F.sha2(blob, 256)
 
 
-def _fake_decode(blob: bytes) -> dict:
-    """Deterministic stand-in for a real decoder (PIL/ffmpeg not in this
-    container). Derives plausible metadata purely from the bytes' hash so
-    tests are stable. Replace with a real decoder in production."""
-    h = hashlib.sha256(blob or b"").digest()
+def _fake_decode_from_hex(ref: str) -> dict:
+    """_fake_decode keyed on an ALREADY-computed media_ref: the hex ref IS
+    the sha256 digest, so kernels that computed the ref can derive the
+    fake metadata without hashing the blob a second time."""
+    h = bytes.fromhex(ref)
     return {
         "width": 64 + h[0] * 4,
         "height": 64 + h[1] * 4,
         "duration_ms": int.from_bytes(h[2:4], "big"),
     }
+
+
+def _fake_decode(blob: bytes) -> dict:
+    """Deterministic stand-in for a real decoder (PIL/ffmpeg not in this
+    container). Derives plausible metadata purely from the bytes' hash so
+    tests are stable. Replace with a real decoder in production."""
+    return _fake_decode_from_hex(hashlib.sha256(blob or b"").hexdigest())
+
+
+def _ref(b) -> str:
+    """Content-addressed media_ref — ONE definition for every kernel (the
+    four inline copies of this lambda drifted independently before)."""
+    return hashlib.sha256(b or b"").hexdigest()
 
 
 def extract_media_meta(media: DataFrame, blob_col: str = "blob", kind_col: str = "media_kind") -> DataFrame:
@@ -67,12 +80,14 @@ def extract_media_meta(media: DataFrame, blob_col: str = "blob", kind_col: str =
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf[blob_col]
-            metas = blobs.map(lambda b: _fake_decode(b if b is not None else b""))
+            # hash each blob ONCE: media_ref IS the digest _fake_decode
+            # keys on, so recomputing sha256 inside it doubled the
+            # hashing on the metadata path
+            refs = blobs.map(_ref)
+            metas = refs.map(lambda r: _fake_decode_from_hex(r))
             out = pd.DataFrame(
                 {
-                    "media_ref": blobs.map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
-                    ),
+                    "media_ref": refs,
                     "media_kind": pdf[kind_col] if kind_col in pdf else "image",
                     "n_bytes": blobs.map(lambda b: len(b or b"")),
                     "width": metas.map(lambda m: m["width"]),
@@ -103,7 +118,7 @@ def extract_media_features(media: DataFrame, blob_col: str = "blob", dims: int =
 
             yield pd.DataFrame(
                 {
-                    "media_ref": blobs.map(lambda b: hashlib.sha256(b or b"").hexdigest()),
+                    "media_ref": blobs.map(_ref),
                     "feature": blobs.map(feat),
                 }
             )
@@ -125,7 +140,7 @@ def resize_images(media: DataFrame, width: int, height: int, blob_col: str = "bl
             blobs = pdf[blob_col]
             yield pd.DataFrame(
                 {
-                    "media_ref": blobs.map(lambda b: hashlib.sha256(b or b"").hexdigest()),
+                    "media_ref": blobs.map(_ref),
                     "resized": blobs,  # PIL resize goes here
                     "width": width,
                     "height": height,
@@ -147,12 +162,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, blob_col: str = "blob"
     tested with realistic shapes.
     """
 
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive: {every_ms}")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_ref": [], "frame_idx": [], "ts_ms": [], "frame_ref": []}
             for b in pdf[blob_col]:
-                ref = hashlib.sha256(b or b"").hexdigest()
-                duration = _fake_decode(b or b"")["duration_ms"]
+                ref = _ref(b)
+                duration = _fake_decode_from_hex(ref)["duration_ms"]
                 for i, ts in enumerate(range(0, int(duration), every_ms)):
                     out["media_ref"].append(ref)
                     out["frame_idx"].append(i)

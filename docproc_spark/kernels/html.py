@@ -89,12 +89,42 @@ class _BlockParser(HTMLParser):
         # implicit close: pop still-open descendants up to this tag (a
         # stray endtag with no matching open element pops nothing). On
         # well-formed HTML the tag is on top and this is a plain pop, so
-        # the original semantics below are untouched.
+        # the original semantics below are untouched. Implicitly-closed
+        # descendants must ALSO release their parser state: an unclosed
+        # <a> popped here previously left _link_depth raised forever
+        # (every later block read as 100% link chars and was dropped),
+        # and an implicitly-closed heading left _heading set (the next
+        # block was misclassified as kind='header').
         if tag in self._stack:
+            idx = len(self._stack) - 1 - self._stack[::-1].index(tag)
+            crosses_ignore = any(
+                t in IGNORE_TAGS for t in self._stack[idx + 1 :]
+            )
+            if crosses_ignore and tag not in IGNORE_TAGS and tag not in BLOCK_TAGS:
+                # a stray INLINE endtag (</a>, </span>) whose match lies
+                # below an open ignored subtree must not pop the ignore
+                # tag on its way down — that leaked nav/footer chrome
+                # into the content buffer. Splice the matched element out
+                # in place (its own state still closes: the outer <a>
+                # really did end) and leave the ignore subtree standing.
+                # Structural closes (</div>, </section>) still terminate
+                # an unclosed nav, matching browser recovery.
+                del self._stack[idx]
+                if tag == "a":
+                    self._link_depth = max(0, self._link_depth - 1)
+                return
             while self._stack:
                 t = self._stack.pop()
                 if t in IGNORE_TAGS:
                     self._ignore_depth = max(0, self._ignore_depth - 1)
+                elif t == tag:
+                    break  # the matching tag's own state is handled below
+                elif t == "a":
+                    self._link_depth = max(0, self._link_depth - 1)
+                elif t in BLOCK_TAGS and not self._ignore_depth:
+                    self._flush()
+                    if self._heading == t:
+                        self._heading = None
                 if t == tag:
                     break
         if tag in IGNORE_TAGS and tag not in VOID_TAGS:

@@ -91,13 +91,26 @@ def classify_block_col(text: Column, y_center: Column, page_height: Column) -> C
 
 
 def blocks_df_to_spans(
-    blocks: DataFrame, page_height: float = 0.0, doc_col: str = "doc_id"
+    blocks: DataFrame,
+    page_height: float = 0.0,
+    doc_col: str = "doc_id",
+    pos_col: str | None = None,
 ) -> DataFrame:
     """Native path: DataFrame of (doc_id, page, x0, y0, x1, y1, text) →
     (doc_id, kind, text, media_ref, page, offset) in reading order.
 
     One window keyed by doc_id — same clustering as the extraction shuffle,
     so this stage composes with pipeline.extract with no extra exchange.
+
+    Tie-break contract: the must-agree scalar kernel stable-sorts by
+    (page, y0, x0), which preserves INPUT order for coordinate ties
+    (stacked/overlapping boxes) — a window orderBy alone breaks such ties
+    arbitrarily per run. Pass ``pos_col`` (an input-position column, the
+    same fix the fulltext operators use) for bit-stable kernel parity; it
+    defaults to a column literally named 'pos' when one exists. Without
+    one, remaining coordinates + text are appended to the ordering so the
+    output is at least DETERMINISTIC (equal-coordinate equal-text blocks
+    are interchangeable), never partition-order-dependent.
     """
     # pystrip/has_nonblank, NOT F.trim: the must-agree scalar kernel uses
     # python str.strip() — F.trim (U+0020 only) kept '\t\t' blocks the
@@ -106,7 +119,12 @@ def blocks_df_to_spans(
     from docproc_spark.pipeline import has_nonblank_col, pystrip_col
 
     kept = blocks.filter(has_nonblank_col(F.col("text")))
-    w = Window.partitionBy(doc_col).orderBy("page", "y0", "x0")
+    if pos_col is None and "pos" in blocks.columns:
+        pos_col = "pos"
+    tie = [F.col(pos_col)] if pos_col else [
+        F.col("y1"), F.col("x1"), F.col("text")
+    ]
+    w = Window.partitionBy(doc_col).orderBy(F.col("page"), F.col("y0"), F.col("x0"), *tie)
     yc = (F.col("y0") + F.col("y1")) / 2
     return kept.select(
         F.col(doc_col),

@@ -60,7 +60,10 @@ def _nfc_series(s: pd.Series) -> pd.Series:
     unicodedata — but only on the non-ASCII minority (ASCII is NFC-invariant),
     keeping the common path fully vectorized.
     """
-    out = s.fillna("").astype(str)
+    # non-str objects map to "" like the scalar twin's isinstance guard —
+    # astype(str) alone coerced 123/True to "123"/"True", so the two
+    # must-agree paths diverged on any non-string payload
+    out = s.map(lambda x: x if isinstance(x, str) else "")
     non_ascii = out.str.contains(r"[^\x00-\x7f]", regex=True)
     if non_ascii.any():
         out = out.copy()

@@ -93,7 +93,10 @@ def stage_flagship_expected(
     Gives the DuckDB side of the driver's correctness gate a table to read
     (read_parquet(path)) so extract_flagship is verified on rows + schema +
     value hash, not rows-only. Idempotent; cache keyed by corpus + oracle
-    version so stale files can't poison the comparison.
+    version AND the corpus parameters (n_docs/seed/mega_spans) so a stale
+    file can't poison the comparison — versions alone let a second call
+    with different parameters at the same path silently return the old
+    table.
     """
     import os
 
@@ -102,10 +105,19 @@ def stage_flagship_expected(
 
     from docproc_spark.corpus import CORPUS_VERSION, gen_doc
 
-    marker = path + f".c{CORPUS_VERSION}o{FLAGSHIP_ORACLE_VERSION}"
+    marker = (
+        path
+        + f".c{CORPUS_VERSION}o{FLAGSHIP_ORACLE_VERSION}"
+        + f"n{n_docs}s{seed}m{mega_spans}"
+    )
     if os.path.exists(path) and os.path.exists(marker):
         return path
-    for stale in (path, marker):
+    # remove EVERY marker for this path, not just the one being written:
+    # a lingering old-parameter marker would make a later call with those
+    # parameters cache-hit against the new file's different contents
+    import glob as _glob
+
+    for stale in [path] + _glob.glob(path + ".c*o*"):
         if os.path.exists(stale):
             os.remove(stale)
     os.makedirs(os.path.dirname(path), exist_ok=True)

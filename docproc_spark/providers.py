@@ -168,8 +168,12 @@ class BatchingVisionProvider(CaptionProvider):
                     s["val"] = self.transport.describe_batch(b)
                 except Exception as exc:  # noqa: BLE001 — transport errors blank the batch
                     s["err"] = exc
-                s["ev"].set()
+                # stamp BEFORE set: the main thread wakes on set() and may
+                # immediately evaluate the deadline for the NEXT slot — a
+                # pre-set stale stamp there spuriously blanked every
+                # remaining batch when completions ran near timeout_s
                 progress["t"] = _time.monotonic()
+                s["ev"].set()
 
         for _ in range(min(self.max_parallel, len(batches))):
             threading.Thread(target=worker, daemon=True).start()

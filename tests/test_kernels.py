@@ -256,3 +256,69 @@ class TestJvmSanitizeParity:
         }
         for i, s in enumerate(cases):
             assert got[i] == sanitize_text(s), (i, repr(s), repr(got[i]), repr(sanitize_text(s)))
+
+
+def test_html_unclosed_anchor_releases_link_state():
+    """An <a> implicitly closed by its block's endtag must release
+    _link_depth — previously all later text counted as link chars and
+    whole articles were dropped by link density."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><p><a href='/x'>Read more</p>"
+        "<p>Long article paragraph well over twenty five characters long.</p>"
+        "</body>"
+    )
+    texts = [t for _, t in html_main_blocks(html)]
+    assert any("Long article paragraph" in t for t in texts)
+
+
+def test_html_implicitly_closed_heading_clears_heading_state():
+    """A heading closed by an ancestor's endtag must clear _heading: the
+    next block is body text, not kind='header'."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><div><h2>Title</h2></div>"
+        "<div><h3>Other title</div>"
+        "<p>Trailing article text of more than twenty five characters.</p></body>"
+    )
+    blocks = html_main_blocks(html)
+    trailing = [k for k, t in blocks if "Trailing article" in t]
+    assert trailing == ["text"]
+    assert ("header", "Other title") in blocks  # the implicit flush kept it
+
+
+def test_html_stray_inline_endtag_does_not_unwind_ignore():
+    """A stray inline endtag (</a>) whose match lies below an open ignored
+    subtree must NOT pop the ignore tag on its way down — that leaked nav
+    chrome into the content. Structural closes (</div>) still terminate an
+    unclosed nav (browser recovery)."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><a href='/'>x<nav>"
+        "<p>Navigation tagline chrome longer than twenty five characters.</p>"
+        "</a>"
+        "<p>More menu chrome also much longer than twenty five characters.</p>"
+        "</nav>"
+        "<p>Real article content, definitely longer than twenty five chars.</p>"
+        "</body>"
+    )
+    texts = [t for _, t in html_main_blocks(html)]
+    assert not any("chrome" in t for t in texts), texts
+    assert any("Real article content" in t for t in texts)
+
+
+def test_sanitize_series_nonstring_matches_scalar():
+    """The vectorized path must agree with the scalar twin on non-string
+    payloads: sanitize_text(123) == '' so the series path must not coerce
+    123 -> '123'."""
+    import pandas as pd
+
+    from docproc_spark.kernels.sanitize import sanitize_series, sanitize_text
+
+    vals = [123, True, None, "kept text long enough", 4.5, b"bytes"]
+    got = sanitize_series(pd.Series(vals, dtype=object)).tolist()
+    want = [sanitize_text(v) for v in vals]
+    assert got == want

@@ -1446,3 +1446,74 @@ def test_corpus_report_cube_rollups(spark):
         corpus_report(docs, dims=("nope",))
     with _pytest.raises(ValueError, match="collide"):
         corpus_report(docs.withColumn("n_docs", F.lit(1)), dims=("n_docs",))
+
+
+def test_sample_frames_rejects_nonpositive_interval(spark):
+    """every_ms <= 0 must fail fast on the driver, not ValueError inside
+    the mapInPandas kernel mid-job."""
+    import pytest as _pytest
+
+    from docproc_spark.functions.media import sample_frames
+
+    df = spark.createDataFrame([(b"xx",)], "blob binary")
+    for bad in (0, -5):
+        with _pytest.raises(ValueError, match="every_ms"):
+            sample_frames(df, every_ms=bad)
+
+
+def test_fake_decode_from_hex_matches_blob_decode():
+    """The hash-once metadata path must produce the identical fake decode
+    as the blob path (the ref IS the digest)."""
+    import hashlib
+
+    from docproc_spark.functions.media import _fake_decode, _fake_decode_from_hex
+
+    for blob in (b"", b"abc", bytes(range(100))):
+        ref = hashlib.sha256(blob).hexdigest()
+        assert _fake_decode_from_hex(ref) == _fake_decode(blob)
+
+
+def test_stage_flagship_expected_param_keyed_cache(tmp_path):
+    """The staged expected cache must restage when corpus PARAMETERS
+    change at the same path — versions alone silently served the old
+    table (and a lingering old marker must not resurrect stale data)."""
+    import duckdb
+
+    from docproc_spark.oracle import stage_flagship_expected
+
+    p = str(tmp_path / "exp.parquet")
+    stage_flagship_expected(p, 12)
+    n1 = duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0]
+    assert n1 == 12
+    stage_flagship_expected(p, 5, seed=7)
+    n2 = duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0]
+    assert n2 == 5
+    # returning to the FIRST parameters must restage again (the original
+    # marker was removed with the file, not left to alias the 5-doc data)
+    stage_flagship_expected(p, 12)
+    n3 = duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0]
+    assert n3 == 12
+
+
+def test_blocks_df_to_spans_tie_break_stability(spark):
+    """Coordinate-tied blocks must order deterministically: with a pos
+    column the INPUT order wins (scalar-kernel stable-sort parity);
+    without one the text tie-break still gives a deterministic result."""
+    from docproc_spark.kernels.pdf_layout import blocks_df_to_spans
+
+    rows = [
+        ("d", 0, 0.0, 10.0, 5.0, 12.0, "second in input", 1),
+        ("d", 0, 0.0, 10.0, 5.0, 12.0, "first in input", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, page int, x0 double, y0 double, "
+        "x1 double, y1 double, text string, pos int"
+    )
+    got = {r["text"]: r["offset"] for r in blocks_df_to_spans(df).collect()}
+    assert got == {"first in input": 0, "second in input": 1}
+    # without pos: deterministic fallback (text ordering)
+    got2 = {
+        r["text"]: r["offset"]
+        for r in blocks_df_to_spans(df.drop("pos")).collect()
+    }
+    assert got2 == {"first in input": 0, "second in input": 1}
