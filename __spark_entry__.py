@@ -2726,6 +2726,148 @@ FROM base
 """
 
 
+def _vocab(spark, sf):
+    """Top-20 corpus vocabulary with counts + running coverage
+    (functions/text.build_vocab) — distributed TakeOrdered top-k, all
+    integer metrics."""
+    from docproc_spark.functions.text import build_vocab
+
+    return build_vocab(_t(spark, sf, "documents"), k=20)
+
+
+_VOCAB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS token FROM documents
+), g AS (
+  SELECT token, count(*)::BIGINT AS tf,
+         count(DISTINCT doc_id)::BIGINT AS df
+  FROM tok GROUP BY token
+), tot AS (SELECT sum(tf)::BIGINT AS total_tf FROM g),
+top AS (SELECT token, tf, df FROM g ORDER BY tf DESC, token ASC LIMIT 20)
+SELECT row_number() OVER (ORDER BY tf DESC, token ASC)::BIGINT AS rank,
+       token, tf, df,
+       sum(tf) OVER (ORDER BY tf DESC, token ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS cum_tf,
+       tot.total_tf
+FROM top, tot
+"""
+
+
+def _classifier(spark, sf):
+    """fastText-style hashed linear classifier scores (functions/
+    text.linear_classifier_score) — md5-derived stand-in weights, left-
+    fold mean, shuffle-free map-side plan."""
+    from docproc_spark.functions.text import linear_classifier_score
+
+    return linear_classifier_score(_t(spark, sf, "documents"), n_features=256, seed=7)
+
+
+_CLASSIFIER_SQL = f"""
+WITH d AS (SELECT doc_id, {_LTOKS} AS lt FROM documents),
+w AS (
+  SELECT doc_id, len(lt)::BIGINT AS n_tokens,
+         list_transform(lt, t ->
+           CAST(CAST(concat('0x', substr(md5(concat('7:',
+                 CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 256
+                      AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE)
+           / 500000.0 - 1.0) AS wts
+  FROM d),
+s AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN list_reduce(list_prepend(0.0::DOUBLE, wts),
+                               (a, x) -> a + x) / n_tokens
+              ELSE 0.0 END AS score
+  FROM w)
+SELECT doc_id, n_tokens, score,
+       (n_tokens > 0 AND score > 0.0) AS keep
+FROM s
+"""
+
+
+def _winnow(spark, sf):
+    """Winnowing fingerprints (functions/text.winnow_fingerprints) —
+    MOSS-style robust selection (rightmost min per window) over 8-token
+    shingle hashes, window 4."""
+    from docproc_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf, "documents"), ngram=8, window=4)
+
+
+_WINNOW_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+f AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(tk) - 8, 0) + 1),
+                        i -> md5(array_to_string(tk[i+1:i+8], ' '))) AS h
+  FROM d WHERE len(tk) >= 8),
+w AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(h) - 4, 0) + 1),
+                        i -> h[i+1:i+4]) AS wins
+  FROM f),
+sel AS (
+  SELECT doc_id, unnest(list_transform(wins, (x, i) -> struct_pack(
+             pos := CAST(i - 1 + len(x)
+                         - list_position(list_reverse(x),
+                                         list_aggregate(x, 'min'))
+                         AS BIGINT),
+             fp := list_aggregate(x, 'min')))) AS s
+  FROM w)
+SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM sel
+"""
+
+
+def _src_overlap(spark, sf):
+    """KMV-sketch cross-source Jaccard overlap estimates (operators/
+    report.source_overlap) — bottom-32 md5 sketches over 8-token
+    shingles, integer jaccard_e4."""
+    from docproc_spark.operators.report import source_overlap
+
+    return source_overlap(_t(spark, sf, "documents"), k=32, ngram=8)
+
+
+_SRC_OVERLAP_SQL = f"""
+WITH d AS (
+  SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS source,
+         {_TOKS} AS tk
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source, h FROM (
+    SELECT source,
+           unnest(list_transform(range(0, greatest(len(tk) - 8, 0) + 1),
+                  i -> md5(array_to_string(tk[i+1:i+8], ' ')))) AS h
+    FROM d WHERE len(tk) >= 8)),
+r AS (
+  SELECT source, h,
+         count(*) OVER (PARTITION BY source) AS nd,
+         row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+  FROM sh),
+sk AS (
+  SELECT source, list(h ORDER BY h) AS sketch, min(nd)::BIGINT AS n_distinct
+  FROM r WHERE rn <= 32 GROUP BY source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.sketch AS ska, b.sketch AS skb,
+         a.n_distinct AS sketch_a, b.n_distinct AS sketch_b
+  FROM sk a JOIN sk b ON a.source < b.source),
+e AS (
+  SELECT *, list_sort(list_distinct(list_concat(ska, skb))) AS uni FROM p),
+e2 AS (
+  SELECT *, least(32, len(uni))::BIGINT AS k_used, uni[1:32] AS bottom
+  FROM e),
+e3 AS (
+  SELECT *, len(list_filter(bottom,
+               x -> list_contains(ska, x) AND list_contains(skb, x))
+             )::BIGINT AS n_common
+  FROM e2)
+SELECT source_a, source_b, sketch_a, sketch_b, k_used, n_common,
+       ((10000 * n_common) // k_used)::BIGINT AS jaccard_e4
+FROM e3
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2750,6 +2892,10 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_assign_8": _shard_assign,
     "dedup_keep_best": _keep_best,
     "corpus_report_cube": _corpus_report,
+    "vocab_top20": _vocab,
+    "classifier_scores": _classifier,
+    "winnow_fps": _winnow,
+    "source_overlap_kmv": _src_overlap,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2776,6 +2922,10 @@ _SPARE_ORACLES: dict[str, str] = {
     "shard_assign_8": _SHARD_SQL,
     "dedup_keep_best": _keep_best_sql(),
     "corpus_report_cube": _CORPUS_REPORT_SQL,
+    "vocab_top20": _VOCAB_SQL,
+    "classifier_scores": _CLASSIFIER_SQL,
+    "winnow_fps": _WINNOW_SQL,
+    "source_overlap_kmv": _SRC_OVERLAP_SQL,
 }
 
 

@@ -652,3 +652,231 @@ def lm_surprisal_buckets(
         "mean_millibits",
         ntile_expr("_grank", n_total, n_buckets).alias("bucket"),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` corpus vocabulary with counts and cumulative coverage —
+    the table a tokenizer-training / stopword-discovery step starts from.
+
+    Tokens are lowercased whitespace tokens (the pipeline-wide tokenizer,
+    ``tokens_col``). Rank order is (tf desc, token asc) — fully
+    deterministic; ties cannot depend on partitioning. All metrics are
+    integers (tf, df, cum_tf, total_tf), so the DuckDB oracle needs no
+    rounding contract; coverage = cum_tf / total_tf is left to the
+    consumer.
+
+    Returns (rank, token, tf, df, cum_tf, total_tf).
+
+    Scale shape: one explode -> groupBy(token) shuffle with map-side
+    partial aggregation; the global top-k is Spark's distributed
+    TakeOrdered (per-partition heaps, never a single-partition window
+    over the full vocabulary). Only the k survivors see a window (one
+    tiny partition) for rank + running sum. total_tf is aggregated from
+    the same grouped frame and attached as a 1-row crossJoin — a second
+    pass over grouped token counts, NOT a rescan of the corpus.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    ltoks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    grouped = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(ltoks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        # two consumers (top-k and the total_tf scalar) and fan-out gets
+        # no CSE — freeze the exploded/grouped frame once
+        .localCheckpoint(eager=True)
+    )
+    top = grouped.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+    total = grouped.agg(F.sum("tf").cast("long").alias("total_tf"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return (
+        top.crossJoin(total)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_tf",
+            F.sum("tf")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .select("rank", "token", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "cum_tf", "total_tf")
+    )
+
+
+def classifier_weight(seed: int, bucket: int) -> float:
+    """The deterministic 'pretrained' weight for one hashed feature
+    bucket: uniform in [-1, 1), derived from md5(f"{seed}:{bucket}") —
+    bit-identical in Python hashlib, Spark md5/conv/cast, and DuckDB
+    CAST(concat('0x', ...) AS BIGINT) (the same construction as the LSH
+    hyperplanes, similarity.plane_weight)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{bucket}".encode()).hexdigest()
+    return (int(h[:8], 16) % 1_000_000) / 500_000.0 - 1.0
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    n_features: int = 4096,
+    seed: int = 7,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style hashed linear text classifier scoring — the
+    model-based quality-filter shape (CCNet / GPT-3 appendix A / LLaMA
+    use a linear classifier over hashed bag-of-words features to keep or
+    drop documents). Each lowercased token hashes to one of
+    ``n_features`` buckets (md5, the hashing trick); the document score
+    is the MEAN of the buckets' weights over the token sequence; ``keep``
+    = score > threshold.
+
+    Weights are md5-derived from (seed, bucket) — this ships the
+    *serving* path with a deterministic stand-in for trained parameters
+    (swap ``classifier_weight`` for a broadcast weight array to serve a
+    real model). Everything is IEEE-exact across engines: the weight
+    doubles are integer-derived, the sum is a left fold in token order
+    (F.aggregate ≡ DuckDB list_reduce bit-for-bit), and mean = sum/n is
+    one correctly-rounded division.
+
+    Returns (doc_id, n_tokens, score, keep); empty documents score 0.0
+    with keep = false (never NULL/NaN).
+
+    Scale shape: shuffle-free — a single projection per document (token
+    array -> bucket array -> weight array -> fold). No explode, no
+    groupBy, no join; the classifier is a map-side filter at any scale.
+    """
+    if n_features <= 0:
+        raise ValueError("n_features must be positive")
+    ltoks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    staged = (
+        docs.select(F.col(id_col).alias("doc_id"), ltoks.alias("_tk"))
+        .withColumn(
+            "_wt",
+            F.transform(
+                F.col("_tk"),
+                lambda t: (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{seed}:"),
+                                    (
+                                        F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                                        .cast("long")
+                                        % n_features
+                                    ).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 1_000_000
+                ).cast("double")
+                / 500_000.0
+                - 1.0,
+            ),
+        )
+        .withColumn("n_tokens", F.size("_tk").cast("long"))
+        .withColumn(
+            "_sum", F.aggregate(F.col("_wt"), F.lit(0.0), lambda a, x: a + x)
+        )
+    )
+    score = F.when(
+        F.col("n_tokens") > 0, F.col("_sum") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        ((F.col("n_tokens") > 0) & (score > F.lit(float(threshold)))).alias("keep"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    ngram: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``ngram``-token
+    shingle, slide a ``window`` over the hash sequence, keep the minimum
+    hash of each window (ties -> the RIGHTMOST minimal position, the
+    paper's robust-winnowing rule), and deduplicate selections. The
+    guarantee: any shared run of at least ngram + window - 1 tokens
+    between two documents yields at least one shared fingerprint —
+    bounded fingerprint density with detection guarantees, unlike
+    fixed-stride sampling.
+
+    Hashes are md5 hex strings compared lexicographically (engine-
+    identical). Documents with fewer than ``ngram`` tokens emit no rows.
+    If a document has fewer than ``window`` shingles, one window covers
+    the whole (short) hash sequence.
+
+    Returns one row per selected fingerprint: (doc_id, pos, fp) with pos
+    the 0-based SHINGLE position; (doc_id, pos) is unique.
+
+    Scale shape: shuffle-free per-document array work — tokens and
+    shingle hashes are staged as columns (referenced inside HOF lambdas,
+    so inlining them would re-evaluate per element: the O(n^2) trap),
+    selection is one transform over window starts (O(n_windows x window)
+    string compares), then array_distinct + explode. No groupBy, no
+    join.
+    """
+    if ngram <= 0 or window <= 0:
+        raise ValueError("ngram and window must be positive")
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    staged = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+        .filter(F.size("_tk") >= ngram)
+        .withColumn("_h", rolling_hashes_from_tokens(F.col("_tk"), ngram))
+    )
+    # stage the window arrays first (one O(window) slice per start); the
+    # selection lambda then only touches its own argument — re-evaluating
+    # array_min(w) twice costs O(window) on a materialized element, not a
+    # re-slice of the staged hash column
+    staged = staged.withColumn(
+        "_win",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("_h") - window, F.lit(0))),
+            lambda i: F.slice(F.col("_h"), i + 1, window),
+        ),
+    )
+    # two-arg transform lambda receives (element, index): index == the
+    # 0-based window start. Rightmost-minimum rule: first occurrence of
+    # the min in the REVERSED window (1-based p) sits at offset len - p.
+    sel = F.transform(
+        F.col("_win"),
+        lambda w, i: F.struct(
+            (
+                i.cast("long")
+                + F.size(w)
+                - F.array_position(F.reverse(w), F.array_min(w))
+            ).cast("long").alias("pos"),
+            F.array_min(w).alias("fp"),
+        ),
+    )
+    return (
+        staged.withColumn("_sel", F.array_distinct(sel))
+        .select("doc_id", F.explode("_sel").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            F.col("s.fp").alias("fp"),
+        )
+    )

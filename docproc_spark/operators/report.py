@@ -78,3 +78,107 @@ def corpus_report(
         F.col("total_chars"),
         F.expr("total_tokens div n_docs").alias("tokens_per_doc"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    k: int = 64,
+    ngram: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Estimated cross-source content overlap for the dataset card — a
+    KMV (k-minimum-values / bottom-k) sketch Jaccard estimate between
+    every pair of sources, the number a curation report wants next to
+    the composition table ("how much of source A is also in source B?").
+
+    Each source's sketch is its k lexicographically-smallest DISTINCT
+    md5 hashes over ``ngram``-token shingles. For a pair, take the
+    bottom-k' of the sketch union (k' = min(k, |union|)) and count how
+    many of those members both sources contain; J ≈ n_common / k_used
+    (Bar-Yossef et al. 2002; Beyer et al. 2007). md5 ordering makes the
+    sketch deterministic and engine-identical. Sources whose documents
+    never reach ``ngram`` tokens have no sketch and emit no pairs.
+
+    Returns one row per unordered pair (source_a < source_b):
+    (source_a, source_b, sketch_a, sketch_b, k_used, n_common,
+    jaccard_e4) — jaccard_e4 = (10000 * n_common) div k_used, an integer
+    so the DuckDB oracle needs no float contract. sketch_a/sketch_b are
+    the per-source DISTINCT shingle counts (sketch inputs), giving the
+    reader scale context for the estimate.
+
+    Scale shape: explode -> distinct(source, hash) is one shuffle;
+    the bottom-k filter is a per-source window over the distinct frame
+    (state = k rows per source); the pair table is |sources| rows — the
+    self-join is trivially broadcast. The corpus is scanned once; no
+    all-pairs work ever touches document rows.
+    """
+    from pyspark.sql import Window
+
+    from docproc_spark.functions.text import rolling_hashes_from_tokens
+    from docproc_spark.operators.dedupe import tokens_col
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if ngram <= 0:
+        raise ValueError("ngram must be positive")
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    hashed = (
+        docs.select(
+            F.coalesce(F.col(source_col).cast("string"), F.lit("<null>")).alias(
+                "source"
+            ),
+            toks.alias("_tk"),
+        )
+        .filter(F.size("_tk") >= ngram)
+        .withColumn("_h", rolling_hashes_from_tokens(F.col("_tk"), ngram))
+        .select("source", F.explode("_h").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h").asc())
+    sketches = (
+        hashed.withColumn("_nd", F.count("*").over(Window.partitionBy("source")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("source")
+        .agg(
+            F.array_sort(F.collect_list("h")).alias("sketch"),
+            F.first("_nd").cast("long").alias("n_distinct"),
+        )
+    )
+    a = sketches.select(
+        F.col("source").alias("source_a"),
+        F.col("sketch").alias("_ska"),
+        F.col("n_distinct").alias("sketch_a"),
+    )
+    b = sketches.select(
+        F.col("source").alias("source_b"),
+        F.col("sketch").alias("_skb"),
+        F.col("n_distinct").alias("sketch_b"),
+    )
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    union_sorted = F.array_sort(F.array_union(F.col("_ska"), F.col("_skb")))
+    paired = (
+        pairs.withColumn(
+            "k_used", F.least(F.lit(k), F.size(union_sorted)).cast("long")
+        )
+        .withColumn("_bottom", F.slice(union_sorted, 1, k))
+        .withColumn(
+            "n_common",
+            F.size(
+                F.array_intersect(
+                    F.col("_bottom"),
+                    F.array_intersect(F.col("_ska"), F.col("_skb")),
+                )
+            ).cast("long"),
+        )
+    )
+    return paired.select(
+        "source_a",
+        "source_b",
+        "sketch_a",
+        "sketch_b",
+        "k_used",
+        "n_common",
+        F.expr("(10000 * n_common) div k_used").cast("long").alias("jaccard_e4"),
+    )

@@ -1517,3 +1517,181 @@ def test_blocks_df_to_spans_tie_break_stability(spark):
         for r in blocks_df_to_spans(df.drop("pos")).collect()
     }
     assert got2 == {"first in input": 0, "second in input": 1}
+
+
+def test_build_vocab_counts_and_coverage(spark):
+    """Counts/ranks against a hand Counter; deterministic tie order
+    (tf desc, token asc); cum_tf telescopes to total_tf when k covers
+    the whole vocabulary; k larger than the vocab is fine."""
+    from collections import Counter
+
+    from docproc_spark.functions.text import build_vocab
+
+    texts = ["b a a", "A b", "c  a", None, ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = build_vocab(df, k=10).orderBy("rank").collect()
+    tf = Counter()
+    dfreq = Counter()
+    for t in texts:
+        toks = (t or "").lower().split()
+        tf.update(toks)
+        dfreq.update(set(toks))
+    # a:4 docs{0,1,2}=3, b:2 docs{0,1}=2, c:1
+    want = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["token"], r["tf"], r["df"]) for r in rows] == [
+        (tok, cnt, dfreq[tok]) for tok, cnt in want
+    ]
+    assert [r["rank"] for r in rows] == list(range(1, len(want) + 1))
+    total = sum(tf.values())
+    assert all(r["total_tf"] == total for r in rows)
+    assert rows[-1]["cum_tf"] == total
+    cums = [r["cum_tf"] for r in rows]
+    assert cums == sorted(cums)
+    with pytest.raises(ValueError):
+        build_vocab(df, k=0)
+
+
+def test_linear_classifier_score_python_parity(spark):
+    """Scores match a pure-python reimplementation (hashlib md5 bucket →
+    classifier_weight, mean in token order); empty/None docs score 0.0
+    with keep=False; threshold strictness (> not >=)."""
+    import hashlib
+
+    from docproc_spark.functions.text import (
+        classifier_weight,
+        linear_classifier_score,
+    )
+
+    texts = ["Spark shuffle PARTITION scan", "one", "", None, "a b c d e f"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in linear_classifier_score(
+            df, n_features=64, seed=3, threshold=0.0
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if toks:
+            buckets = [
+                int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+                for tok in toks
+            ]
+            acc = 0.0
+            for b in buckets:
+                acc = acc + classifier_weight(3, b)
+            want_score = acc / len(toks)
+        else:
+            want_score = 0.0
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["score"] == want_score, f"doc {i}"
+        assert r["keep"] == (len(toks) > 0 and want_score > 0.0)
+    # a doc scoring exactly the threshold is NOT kept (strict >)
+    one = got[1]
+    again = linear_classifier_score(
+        df.filter("doc_id = 1"), n_features=64, seed=3, threshold=one["score"]
+    ).collect()[0]
+    assert not again["keep"]
+    with pytest.raises(ValueError):
+        linear_classifier_score(df, n_features=0)
+
+
+def _py_winnow(tokens, ngram, window):
+    """Reference winnowing (Schleimer et al. 2003, robust rule)."""
+    import hashlib
+
+    if len(tokens) < ngram:
+        return set()
+    hashes = [
+        hashlib.md5(" ".join(tokens[i : i + ngram]).encode()).hexdigest()
+        for i in range(len(tokens) - ngram + 1)
+    ]
+    out = set()
+    for start in range(max(len(hashes) - window, 0) + 1):
+        win = hashes[start : start + window]
+        m = min(win)
+        # rightmost minimal position
+        pos = start + max(j for j, h in enumerate(win) if h == m)
+        out.add((pos, m))
+    return out
+
+
+def test_winnow_fingerprints_python_parity_and_guarantee(spark):
+    """Selections equal the reference algorithm; the winnowing guarantee
+    holds (a shared run of >= ngram+window-1 tokens shares at least one
+    fingerprint); short docs: < ngram tokens emit nothing, < window
+    shingles still emit from the single clipped window."""
+    from docproc_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        "x1 y2 " + shared + " z3",
+        shared + " completely different tail here",
+        "only three tokens",          # 3 < ngram -> no rows
+        "t1 t2 t3 t4 t5 t6 t7 t8 t9",  # 2 shingles < window -> 1 window
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, ngram=8, window=4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        want = _py_winnow((t or "").split(), 8, 4)
+        assert got.get(i, set()) == want, f"doc {i}"
+    # guarantee needs a shared run of >= ngram + window - 1 = 11 tokens;
+    # build one explicitly (15 shared tokens, different contexts)
+    long_shared = " ".join(f"w{i}" for i in range(15))
+    df2 = spark.createDataFrame(
+        [(0, "pre1 pre2 " + long_shared), (1, long_shared + " post1 post2")],
+        "doc_id long, text string",
+    )
+    rows2 = winnow_fingerprints(df2, ngram=8, window=4).collect()
+    sets2 = {}
+    for r in rows2:
+        sets2.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets2[0] & sets2[1], "15-token shared run must share a fingerprint"
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, ngram=0)
+
+
+def test_source_overlap_kmv_bounds(spark):
+    """Identical sources estimate J=1 (jaccard_e4 = 10000); disjoint
+    sources estimate 0; sub-ngram sources emit no pairs; NULL source is
+    labelled <null>."""
+    from docproc_spark.operators.report import source_overlap
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"diff{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (0, base, "s1"),
+            (1, base, "s2"),          # s2 == s1 content
+            (2, other, "s3"),         # disjoint
+            (3, "too short", "s4"),   # < ngram tokens: no sketch
+            (4, base, None),          # null source label
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap(df, k=16, ngram=8).collect()
+    got = {(r["source_a"], r["source_b"]): r for r in rows}
+    assert got[("s1", "s2")]["jaccard_e4"] == 10000
+    assert got[("s1", "s3")]["jaccard_e4"] == 0
+    assert got[("s2", "s3")]["n_common"] == 0
+    assert not any("s4" in k for k in got)
+    assert ("<null>", "s1") in got and got[("<null>", "s1")]["jaccard_e4"] == 10000
+    # sketch sizes are the per-source DISTINCT shingle counts
+    assert got[("s1", "s2")]["sketch_a"] == 30 - 8 + 1
+    # k_used never exceeds the union size and bounds n_common
+    for r in rows:
+        assert 1 <= r["k_used"] <= 16
+        assert 0 <= r["n_common"] <= r["k_used"]
+    with pytest.raises(ValueError):
+        source_overlap(df, k=0)
