@@ -2764,7 +2764,8 @@ def _classifier(spark, sf):
 
 
 _CLASSIFIER_SQL = f"""
-WITH d AS (SELECT doc_id, {_LTOKS} AS lt FROM documents),
+WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+d AS (SELECT doc_id, {_LTOKS} AS lt FROM d0),
 w AS (
   SELECT doc_id, len(lt)::BIGINT AS n_tokens,
          list_transform(lt, t ->

@@ -715,14 +715,12 @@ def build_vocab(
 
 def classifier_weight(seed: int, bucket: int) -> float:
     """The deterministic 'pretrained' weight for one hashed feature
-    bucket: uniform in [-1, 1), derived from md5(f"{seed}:{bucket}") —
-    bit-identical in Python hashlib, Spark md5/conv/cast, and DuckDB
-    CAST(concat('0x', ...) AS BIGINT) (the same construction as the LSH
-    hyperplanes, similarity.plane_weight)."""
-    import hashlib
+    bucket: uniform in [-1, 1) from md5(f"{seed}:{bucket}") — the shared
+    cross-engine primitive (similarity.md5_uniform; same formula as the
+    LSH hyperplanes, so the oracle contract lives in ONE place)."""
+    from docproc_spark.operators.similarity import md5_uniform
 
-    h = hashlib.md5(f"{seed}:{bucket}".encode()).hexdigest()
-    return (int(h[:8], 16) % 1_000_000) / 500_000.0 - 1.0
+    return md5_uniform(f"{seed}:{bucket}")
 
 
 def linear_classifier_score(
@@ -743,57 +741,72 @@ def linear_classifier_score(
 
     Weights are md5-derived from (seed, bucket) — this ships the
     *serving* path with a deterministic stand-in for trained parameters
-    (swap ``classifier_weight`` for a broadcast weight array to serve a
-    real model). Everything is IEEE-exact across engines: the weight
-    doubles are integer-derived, the sum is a left fold in token order
-    (F.aggregate ≡ DuckDB list_reduce bit-for-bit), and mean = sum/n is
-    one correctly-rounded division.
+    (swap the ``classifier_weight`` literals for a trained weight array
+    to serve a real model). Everything is IEEE-exact across engines: the
+    weight doubles are integer-derived, the sum is a left fold in token
+    order (F.aggregate ≡ DuckDB list_reduce bit-for-bit), and mean =
+    sum/n is one correctly-rounded division.
 
     Returns (doc_id, n_tokens, score, keep); empty documents score 0.0
     with keep = false (never NULL/NaN).
 
     Scale shape: shuffle-free — a single projection per document (token
-    array -> bucket array -> weight array -> fold). No explode, no
-    groupBy, no join; the classifier is a map-side filter at any scale.
+    array -> bucket -> weight lookup -> fold). No explode, no groupBy,
+    no join; the classifier is a map-side filter at any scale. The
+    weight table is materialized driver-side as a LITERAL array staged
+    once per row (the similarity._plane_weights pattern: one md5 per
+    token for the bucket, zero hash work for the weight) up to 2^16
+    features; beyond that the weight is md5-derived inline per token
+    (two md5s/token) rather than shipping a multi-MB literal in the
+    plan.
     """
     if n_features <= 0:
         raise ValueError("n_features must be positive")
+
+    def _weight_inline(bucket: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), bucket.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        ).cast("double") / 500_000.0 - 1.0
+
+    def _bucket(t: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % n_features
+        )
+
     ltoks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    staged = (
-        docs.select(F.col(id_col).alias("doc_id"), ltoks.alias("_tk"))
-        .withColumn(
+    staged = docs.select(F.col(id_col).alias("doc_id"), ltoks.alias("_tk"))
+    if n_features <= 1 << 16:
+        # literal weight table, built once per row in the projection;
+        # the lambda only touches its argument and the staged attribute
+        staged = staged.withColumn(
+            "_warr",
+            F.array(
+                *[F.lit(classifier_weight(seed, b)) for b in range(n_features)]
+            ),
+        ).withColumn(
             "_wt",
             F.transform(
                 F.col("_tk"),
-                lambda t: (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"{seed}:"),
-                                    (
-                                        F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-                                        .cast("long")
-                                        % n_features
-                                    ).cast("string"),
-                                )
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % 1_000_000
-                ).cast("double")
-                / 500_000.0
-                - 1.0,
+                lambda t: F.element_at(
+                    F.col("_warr"), (_bucket(t) + 1).cast("int")
+                ),
             ),
         )
-        .withColumn("n_tokens", F.size("_tk").cast("long"))
-        .withColumn(
-            "_sum", F.aggregate(F.col("_wt"), F.lit(0.0), lambda a, x: a + x)
+    else:
+        staged = staged.withColumn(
+            "_wt", F.transform(F.col("_tk"), lambda t: _weight_inline(_bucket(t)))
         )
+    staged = staged.withColumn("n_tokens", F.size("_tk").cast("long")).withColumn(
+        "_sum", F.aggregate(F.col("_wt"), F.lit(0.0), lambda a, x: a + x)
     )
     score = F.when(
         F.col("n_tokens") > 0, F.col("_sum") / F.col("n_tokens")

@@ -91,10 +91,20 @@ def _dims_of(emb: DataFrame, vec_col: str, dims: int | None = None) -> int:
     return len(emb.select(vec_col).first()[0])
 
 
+def md5_uniform(key: str) -> float:
+    """Deterministic uniform in [-1, 1) from an md5 key — THE cross-engine
+    pseudo-random-parameter primitive (bit-identical in Python hashlib,
+    Spark md5/conv/cast, and DuckDB CAST(concat('0x', substr(md5(..), 1,
+    8)) AS BIGINT)). Every derived-parameter family (LSH hyperplanes,
+    classifier weights) must share this exact formula: the constants
+    (first 8 hex digits, % 1e6, / 5e5) are part of the oracle contract."""
+    h = hashlib.md5(key.encode()).hexdigest()
+    return (int(h[:8], 16) % 1_000_000) / 500_000.0 - 1.0
+
+
 def plane_weight(seed: int, plane: int, d: int) -> float:
     """One hyperplane component — see the module determinism contract."""
-    h = hashlib.md5(f"{seed}:{plane}:{d}".encode()).hexdigest()
-    return (int(h[:8], 16) % 1_000_000) / 500_000.0 - 1.0
+    return md5_uniform(f"{seed}:{plane}:{d}")
 
 
 def _plane_values(plane: int, dims: int, seed: int) -> list[float]:

@@ -1635,6 +1635,12 @@ def test_winnow_fingerprints_python_parity_and_guarantee(spark):
         "only three tokens",          # 3 < ngram -> no rows
         "t1 t2 t3 t4 t5 t6 t7 t8 t9",  # 2 shingles < window -> 1 window
         None,
+        # all shingles identical: every window is an all-ties window, so
+        # the rightmost-min rule (not first-min) decides every position —
+        # guards the reverse/array_position arithmetic in both engines
+        " ".join(["a"] * 14),
+        # periodic text: repeated (but not all-equal) shingle hashes
+        "p q r " * 6,
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -1695,3 +1701,52 @@ def test_source_overlap_kmv_bounds(spark):
         assert 0 <= r["n_common"] <= r["k_used"]
     with pytest.raises(ValueError):
         source_overlap(df, k=0)
+
+
+def test_new_spare_oracles_null_text_parity(spark, tmp_path):
+    """The sf corpora carry no NULL-text / NULL-source rows, so the spare
+    parity gate can't exercise those paths — run the four new spare
+    oracles over an adversarial mini-corpus (NULL text, empty text, NULL
+    source, duplicate content across sources) and require exact
+    equality. Guards the coalesce contracts in the SQL (a missing
+    coalesce(text,'') returned n_tokens=NULL where Spark returns 0)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s1"),
+        (1, None, "s1"),
+        (2, "", None),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s2"),
+        (4, "short text only", None),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    p = str(tmp_path / "documents.parquet")
+    sdf.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    qs, osql = entrymod.spare_queries(), entrymod.spare_oracle_sql()
+    for name in (
+        "vocab_top20",
+        "classifier_scores",
+        "winnow_fps",
+        "source_overlap_kmv",
+    ):
+        got = qs[name](spark, str(tmp_path)).toPandas()
+        want = con.execute(osql[name]).df()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns), na_position="last"
+        ).reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(
+            by=sorted(want.columns), na_position="last"
+        ).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+        for c in got.columns:
+            g = got[c].tolist()
+            w = want[c].tolist()
+            assert g == w, f"{name}.{c}: {g[:5]} vs {w[:5]}"
+    con.close()
