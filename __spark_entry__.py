@@ -2869,6 +2869,101 @@ FROM e3
 """
 
 
+def _incremental_neardup(spark, sf):
+    """Incremental near-dup (operators/dedupe.build_minhash_index +
+    neardup_vs_index): index the base corpus ONCE (bands partitioned by
+    (band_id, bucket), md5-shingle digests, parameters recorded in the
+    index), then verify a planted new batch against it with explicit
+    partition-pruning predicates. The planted batch (+' plantedtoken')
+    guarantees the positive path: every new doc near-dups its source."""
+    import os
+
+    from docproc_spark.operators.dedupe import build_minhash_index, neardup_vs_index
+
+    base = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    new = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
+    )
+    key = sf.rstrip("/").rsplit("/", 1)[-1]
+    src = f"{sf.rstrip('/')}/documents.parquet"
+    try:
+        st = os.stat(src)
+        data_key = f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        data_key = "nostat"
+    path = f"/root/repo/.bench_cache/mh_index_v1_{key}_{data_key}"
+    if not os.path.exists(os.path.join(path, "sizes", "_SUCCESS")):
+        from docproc_spark.streaming.events import _commit_staging_dir
+
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build_minhash_index(base, tmp, k=4, rows_per_band=2, n=3, n_buckets=64)
+        path = _commit_staging_dir(tmp, path)
+    return neardup_vs_index(new, path, min_jaccard=0.5)
+
+
+_INCREMENTAL_NEARDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+), newb AS (
+  SELECT doc_id + 10000 AS doc_id, text || ' plantedtoken' AS text FROM base
+), sigo AS (
+  SELECT doc_id,
+         {_mh_sql_expr(0)} AS mh0, {_mh_sql_expr(1)} AS mh1,
+         {_mh_sql_expr(2)} AS mh2, {_mh_sql_expr(3)} AS mh3
+  FROM base
+), sign AS (
+  SELECT doc_id,
+         {_mh_sql_expr(0)} AS mh0, {_mh_sql_expr(1)} AS mh1,
+         {_mh_sql_expr(2)} AS mh2, {_mh_sql_expr(3)} AS mh3
+  FROM newb
+), bo AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS bk FROM sigo
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS bk FROM sigo
+), bn AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS bk FROM sign
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS bk FROM sign
+), ok AS (
+  SELECT band_id, bk FROM bo GROUP BY band_id, bk HAVING count(*) <= 1000
+), cands AS (
+  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+  FROM bn x JOIN ok USING (band_id, bk) JOIN bo y USING (band_id, bk)
+), sho AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len({_TOKS}) - 3, 0) + 1),
+           i -> array_to_string(({_TOKS})[i+1:i+3], ' ')))) AS shingle
+  FROM base
+), shn AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len({_TOKS}) - 3, 0) + 1),
+           i -> array_to_string(({_TOKS})[i+1:i+3], ' ')))) AS shingle
+  FROM newb
+), szo AS (SELECT doc_id, count(*) AS n_sh FROM sho GROUP BY doc_id),
+szn AS (SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY doc_id),
+shared AS (
+  SELECT c.new_id, c.old_id, count(*) AS shared
+  FROM cands c
+  JOIN shn x ON x.doc_id = c.new_id
+  JOIN sho y ON y.doc_id = c.old_id AND y.shingle = x.shingle
+  GROUP BY c.new_id, c.old_id
+)
+SELECT new_id, old_id, shared,
+       round(shared / (sn.n_sh + so.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN szn sn ON sn.doc_id = new_id
+JOIN szo so ON so.doc_id = old_id
+WHERE round(shared / (sn.n_sh + so.n_sh - shared), 4) >= 0.5
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -2897,6 +2992,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_scores": _classifier,
     "winnow_fps": _winnow,
     "source_overlap_kmv": _src_overlap,
+    "incremental_neardup": _incremental_neardup,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -2927,6 +3023,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "classifier_scores": _CLASSIFIER_SQL,
     "winnow_fps": _WINNOW_SQL,
     "source_overlap_kmv": _SRC_OVERLAP_SQL,
+    "incremental_neardup": _INCREMENTAL_NEARDUP_SQL,
 }
 
 

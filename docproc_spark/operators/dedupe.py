@@ -872,3 +872,211 @@ def decontaminate(
         hits.alias("n_contaminated"),
         (hits > 0).alias("contaminated"),
     )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+    n_buckets: int = 64,
+    max_bucket: int = 1000,
+) -> None:
+    """Persist a corpus's near-dup side for INCREMENTAL dedup — the
+    production shape where yesterday's 100-TB corpus is indexed ONCE and
+    every new batch is checked against it without re-scanning old text
+    (the batch minhash_neardup_pairs re-hashes the whole corpus per run).
+
+    Layout under ``path``:
+      - ``bands/``    (doc_id, band_key, band_id, bucket) partitioned by
+        (band_id, bucket); bucket = md5(band_key) mod ``n_buckets``, so a
+        query's touched partitions are bounded by n_bands x n_buckets —
+        a small new batch prunes to the partitions its keys hash into.
+      - ``shingles/`` (doc_id, h): md5 of each distinct n-token shingle —
+        equality joins need only the 32-hex digest, ~an order smaller
+        than raw shingle text at typical shingle sizes.
+      - ``sizes/``    (doc_id, n_sh) + the index's parameters as constant
+        columns (k, rows_per_band, n, bucket_mod — RLE, ~free): queries
+        derive every parameter FROM the index, so a caller-default
+        mismatch (the silent-empty-result bug class) cannot occur.
+      - ``dropped/``  (band_id, band_key, n) buckets over ``max_bucket``
+        excluded from bands/ — the skew cap is never silent.
+
+    One corpus scan computes signatures (cached — the cap accounting and
+    the band write share it), one computes shingles; sizes aggregate from
+    the WRITTEN shingles so tokenization never runs a third time.
+    """
+    spark = docs.sparkSession
+    sig = minhash_signature(docs, text_col, id_col, k).cache()
+    try:
+        bands = _band_table(sig, k, rows_per_band).withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("band_key")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % n_buckets,
+        )
+        counts = bands.groupBy("band_id", "band_key").agg(
+            F.count("*").alias("n")
+        )
+        counts.filter(F.col("n") > max_bucket).write.mode("overwrite").parquet(
+            f"{path}/dropped"
+        )
+        ok = counts.filter(F.col("n") <= max_bucket).select(
+            "band_id", "band_key"
+        )
+        (
+            bands.join(ok, ["band_id", "band_key"])
+            .write.mode("overwrite")
+            .partitionBy("band_id", "bucket")
+            .parquet(f"{path}/bands")
+        )
+    finally:
+        sig.unpersist()
+    (
+        _exploded_shingles(docs, text_col, id_col, n)
+        .select("doc_id", F.md5("shingle").alias("h"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/shingles")
+    )
+    (
+        spark.read.parquet(f"{path}/shingles")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_sh"))
+        .select(
+            "doc_id",
+            "n_sh",
+            F.lit(k).alias("k"),
+            F.lit(rows_per_band).alias("rows_per_band"),
+            F.lit(n).alias("n"),
+            F.lit(n_buckets).alias("bucket_mod"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/sizes")
+    )
+
+
+def neardup_vs_index(
+    new_docs: DataFrame,
+    path: str,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dups of a NEW batch against a persisted build_minhash_index —
+    returns (new_id, old_id, shared, jaccard) with jaccard >= min_jaccard,
+    the same LSH-candidates → exact-Jaccard-verify contract as
+    minhash_neardup_pairs, but old-corpus work is index scans only.
+
+    Every parameter (k, rows_per_band, n, bucket mod) comes FROM the
+    index's sizes table — a query cannot silently disagree with the build
+    (the mismatched-modulus-empties-results bug class).
+
+    Scale shape: the new batch is staged once (localCheckpoint — sig and
+    shingles both consume it; fan-out gets no CSE) and is assumed
+    batch-sized, not corpus-sized. The distinct (band_id, bucket) combos
+    of the batch are collected — bounded by n_bands x bucket_mod, NEVER
+    by batch size — and pushed as explicit per-band partition predicates,
+    so the bands/ scan prunes to the touched partitions; candidates then
+    drive equality joins against shingles/ for the verify. Old-side skew
+    is pre-capped at build time (see dropped/)."""
+    spark = new_docs.sparkSession
+    sizes_old = spark.read.parquet(f"{path}/sizes")
+    meta = sizes_old.select("k", "rows_per_band", "n", "bucket_mod").first()
+    if meta is None:
+        raise ValueError(f"minhash index at {path} is empty")
+    k, rpb = int(meta["k"]), int(meta["rows_per_band"])
+    n, m = int(meta["n"]), int(meta["bucket_mod"])
+    staged = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).localCheckpoint(eager=True)
+    sig = minhash_signature(staged, "text", "doc_id", k)
+    bands_new = (
+        _band_table(sig, k, rpb)
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("band_key")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % m,
+        )
+        # consumed twice (combo collect + candidate join)
+        .localCheckpoint(eager=True)
+    )
+    per_band: dict[int, list[int]] = {}
+    for r in bands_new.select("band_id", "bucket").distinct().collect():
+        per_band.setdefault(int(r["band_id"]), []).append(int(r["bucket"]))
+    # explicit schema: an index whose every bucket was skew-capped (or a
+    # rebuilt-empty index) has a bands/ dir with NO parquet files — schema
+    # inference fails there, but the schema is fully determined by the
+    # index contract (doc_id's type comes from sizes/)
+    from pyspark.sql import types as T
+
+    bands_schema = T.StructType(
+        [
+            T.StructField(
+                "doc_id", sizes_old.schema["doc_id"].dataType, True
+            ),
+            T.StructField("band_key", T.StringType(), True),
+            T.StructField("band_id", T.IntegerType(), True),
+            T.StructField("bucket", T.LongType(), True),
+        ]
+    )
+    idx = spark.read.schema(bands_schema).parquet(f"{path}/bands")
+    if per_band:
+        cond = None
+        for band, buckets in sorted(per_band.items()):
+            c = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
+            cond = c if cond is None else (cond | c)
+        idx = idx.filter(cond)
+    cands = (
+        bands_new.select(
+            F.col("doc_id").alias("new_id"), "band_id", "bucket", "band_key"
+        )
+        .join(
+            idx.select(
+                F.col("doc_id").alias("old_id"), "band_id", "bucket", "band_key"
+            ),
+            ["band_id", "bucket", "band_key"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = (
+        _exploded_shingles(staged, "text", "doc_id", n)
+        .select(F.col("doc_id").alias("new_id"), F.md5("shingle").alias("h"))
+        # consumed twice (shared join + sizes agg)
+        .localCheckpoint(eager=True)
+    )
+    sizes_new = sh_new.groupBy("new_id").agg(F.count("*").alias("n_new"))
+    sh_old = spark.read.parquet(f"{path}/shingles").select(
+        F.col("doc_id").alias("old_id"), "h"
+    )
+    shared = (
+        cands.join(sh_new, "new_id")
+        .join(sh_old, ["old_id", "h"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes_new, "new_id")
+        .join(
+            sizes_old.select(
+                F.col("doc_id").alias("old_id"), F.col("n_sh").alias("n_old")
+            ),
+            "old_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_new") + F.col("n_old") - F.col("shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("new_id", "old_id", "shared", "jaccard")
+    )

@@ -1750,3 +1750,83 @@ def test_new_spare_oracles_null_text_parity(spark, tmp_path):
             w = want[c].tolist()
             assert g == w, f"{name}.{c}: {g[:5]} vs {w[:5]}"
     con.close()
+
+
+def test_minhash_index_incremental_neardup(spark, tmp_path):
+    """build_minhash_index + neardup_vs_index: planted near-dups across
+    the old/new boundary are found with the same verify contract as
+    minhash_neardup_pairs; unrelated docs are not; query parameters come
+    FROM the index; the bands scan carries partition-pruning predicates;
+    the max_bucket cap is accounted in dropped/, never silent."""
+    import re
+
+    from docproc_spark.operators.dedupe import (
+        build_minhash_index,
+        neardup_vs_index,
+    )
+
+    olds = [
+        (f"old{i}", f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
+        for i in range(6)
+    ]
+    df_old = spark.createDataFrame(olds, "doc_id string, text string")
+    news = [
+        ("new0", olds[0][1] + " plantedtail"),   # near-dup of old0
+        ("new1", "totally unrelated content tokens here nothing shared"),
+    ]
+    df_new = spark.createDataFrame(news, "doc_id string, text string")
+
+    path = str(tmp_path / "idx")
+    build_minhash_index(df_old, path, k=4, rows_per_band=2, n=3, n_buckets=8)
+
+    out = neardup_vs_index(df_new, path, min_jaccard=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*band_id", plan), plan
+    rows = {(r["new_id"], r["old_id"]): r for r in out.collect()}
+    assert ("new0", "old0") in rows
+    assert not any(n == "new1" for (n, _) in rows)
+    r = rows[("new0", "old0")]
+    # 6-token doc -> 4 distinct 3-shingles; +1 token adds one shingle
+    assert r["shared"] == 4 and abs(r["jaccard"] - round(4 / 5, 4)) < 1e-12
+
+    # parity with the batch operator on the combined corpus (restricted
+    # to cross-boundary pairs)
+    from docproc_spark.operators.dedupe import minhash_neardup_pairs
+
+    both = df_old.union(df_new)
+    batch = {}
+    for r in minhash_neardup_pairs(both, min_jaccard=0.3).collect():
+        # batch pairs are lexicographic (a < b); normalize to (new, old)
+        pair = {r["a"], r["b"]}
+        new = next((x for x in pair if x.startswith("new")), None)
+        old = next((x for x in pair if x.startswith("old")), None)
+        if new and old:
+            batch[(new, old)] = (r["shared"], r["jaccard"])
+    incr = {k: (v["shared"], v["jaccard"]) for k, v in rows.items()}
+    assert incr == batch
+
+    # skew cap accounting: identical docs overflow a max_bucket=1 index
+    dup_old = spark.createDataFrame(
+        [(f"d{i}", "same same same same") for i in range(3)],
+        "doc_id string, text string",
+    )
+    path2 = str(tmp_path / "idx2")
+    build_minhash_index(dup_old, path2, max_bucket=1)
+    dropped = spark.read.parquet(f"{path2}/dropped")
+    assert dropped.count() > 0
+    out2 = neardup_vs_index(
+        spark.createDataFrame(
+            [("nd", "same same same same")], "doc_id string, text string"
+        ),
+        path2,
+    )
+    assert out2.count() == 0  # capped bucket -> no candidates, by design
+
+    # empty index raises instead of returning silent emptiness
+    import pytest as _pytest
+
+    empty = df_old.filter("doc_id = 'nope'")
+    path3 = str(tmp_path / "idx3")
+    build_minhash_index(empty, path3)
+    with _pytest.raises(ValueError):
+        neardup_vs_index(df_new, path3)

@@ -144,3 +144,75 @@ def test_single_file_symlink_staging_repairs(spark, tmp_path):
     # and a healthy pre-existing link is reused without error
     got3 = run_stream_once(spark, src, ident, query_name="t_link3")
     assert got3.collect()[0]["n"] == 2
+
+
+def test_extract_stream_parity_and_resume(spark, tmp_path):
+    """Streaming ingestion (streaming/ingest.extract_stream): per-document
+    output is bit-equal to the batch extract (foreachBatch frames are
+    static, so the span oracle applies verbatim); availableNow +
+    maxFilesPerTrigger=1 yields one batch dir per input file; a re-run on
+    the same checkpoint processes NOTHING new; files added later are
+    picked up without reprocessing old ones."""
+    import os
+
+    from docproc_spark.corpus import corpus_df
+    from docproc_spark.pipeline import extract
+    from docproc_spark.streaming.ingest import run_extract_stream_once
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_df(spark, 24, seed=5, partitions=3).repartition(3).write.parquet(src)
+
+    got1 = run_extract_stream_once(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    )
+    assert got1.count() == 24
+    # one batch dir per input file (3 files -> 3 micro-batches)
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert len(batch_dirs) == 3, batch_dirs
+
+    # bit-parity with the batch pipeline, spans included
+    def rowmap(df):
+        return {
+            r["doc_id"]: (
+                r["markdown"],
+                r["n_pages"],
+                [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in (r["spans"] or [])
+                ],
+            )
+            for r in df.collect()
+        }
+
+    want = rowmap(extract(spark.read.parquet(src)))
+    assert rowmap(got1.drop("batch_id")) == want
+
+    # resume: nothing new -> nothing reprocessed, output unchanged
+    got2 = run_extract_stream_once(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    )
+    assert got2.count() == 24
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    ) == sorted(batch_dirs)
+
+    # late-arriving file: only the new docs are added
+    new = corpus_df(spark, 6, seed=8, partitions=1).select(
+        F.concat(F.lit("new_"), F.col("doc_id")).alias("doc_id"),
+        "doc_type",
+        "raw_html",
+        "spans",
+    )
+    new.coalesce(1).write.mode("append").parquet(src)
+    got3 = run_extract_stream_once(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    )
+    assert got3.count() == 30
+    ids = {r["doc_id"] for r in got3.select("doc_id").collect()}
+    assert sum(1 for i in ids if i.startswith("new_")) == 6
+    # old rows bit-unchanged after the incremental drain
+    m3 = rowmap(got3.drop("batch_id"))
+    for k, v in want.items():
+        assert m3[k] == v
