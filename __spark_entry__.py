@@ -1851,38 +1851,51 @@ def _ivf_topk(spark, sf):
     return ivf_topk(_emb64(spark, sf), query_vec_id=0, k=10)
 
 
-def _lsh_index_ann(spark, sf):
-    """Persisted-index ANN: build once (partitioned by band/bucket), then a
-    partition-PRUNED scan + exact re-rank — the 100-TB query path."""
+def _cached_index(prefix: str, sf: str, src_name: str, build_fn) -> str:
+    """Deterministic on-disk cache for a built index — ONE scaffold for
+    every index-backed spare. Key = (sf basename, source parquet
+    size+mtime_ns): a version-only key would keep serving an index built
+    from a REGENERATED corpus while the DuckDB oracle reads the new one
+    (a spurious, hard-to-diagnose gate failure), and mtime_ns (not
+    seconds) so a same-second regeneration with identical size cannot
+    silently reuse stale data. The build goes to a private tmp dir and
+    commits by rename (root _SUCCESS probed), so concurrent runs sharing
+    the key only ever see a COMPLETE index dir and a crashed partial
+    build is repaired, not served."""
     import os
 
-    from docproc_spark.operators.similarity import build_lsh_index, lsh_index_topk
-
     key = sf.rstrip("/").rsplit("/", 1)[-1]
-    # v2: plane scheme changed xxhash64 → md5 (cross-engine determinism).
-    # The cache key also folds in the SOURCE DATA's (size, mtime): if the
-    # driver regenerates embeddings.parquet, a version-only key would keep
-    # serving buckets/vectors built from the old corpus while the DuckDB
-    # oracle reads the new one — a spurious, hard-to-diagnose gate failure.
-    src = f"{sf.rstrip('/')}/embeddings.parquet"
+    src = f"{sf.rstrip('/')}/{src_name}"
     try:
         st = os.stat(src)
-        # mtime_ns, not seconds: a regeneration inside the same second
-        # with identical size must not silently reuse the stale index
         data_key = f"{st.st_size}_{st.st_mtime_ns}"
     except OSError:
         data_key = "nostat"
-    path = f"/root/repo/.bench_cache/lsh_index_v2_{key}_{data_key}"
-    emb = _emb64(spark, sf)
+    path = f"/root/repo/.bench_cache/{prefix}_{key}_{data_key}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # build into a private tmp dir, commit by rename: concurrent runs
-        # sharing the key only ever see a COMPLETE index dir, and a stale
-        # incomplete dir at the final name is repaired, not served
         from docproc_spark.streaming.events import _commit_staging_dir
 
         tmp = f"{path}.tmp-{os.getpid()}"
-        build_lsh_index(emb, tmp, n_bands=12, planes_per_band=3, dims=_EMB_DIMS)
+        build_fn(tmp)
         path = _commit_staging_dir(tmp, path)
+    return path
+
+
+def _lsh_index_ann(spark, sf):
+    """Persisted-index ANN: build once (partitioned by band/bucket), then a
+    partition-PRUNED scan + exact re-rank — the 100-TB query path.
+    (v2: plane scheme is md5 — cross-engine determinism.)"""
+    from docproc_spark.operators.similarity import build_lsh_index, lsh_index_topk
+
+    emb = _emb64(spark, sf)
+    path = _cached_index(
+        "lsh_index_v2",
+        sf,
+        "embeddings.parquet",
+        lambda tmp: build_lsh_index(
+            emb, tmp, n_bands=12, planes_per_band=3, dims=_EMB_DIMS
+        ),
+    )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_index_topk(
         spark, path, qvec, k=10, n_bands=12, planes_per_band=3, exclude_vec_id=0
@@ -2876,8 +2889,6 @@ def _incremental_neardup(spark, sf):
     index), then verify a planted new batch against it with explicit
     partition-pruning predicates. The planted batch (+' plantedtoken')
     guarantees the positive path: every new doc near-dups its source."""
-    import os
-
     from docproc_spark.operators.dedupe import build_minhash_index, neardup_vs_index
 
     base = (
@@ -2889,20 +2900,14 @@ def _incremental_neardup(spark, sf):
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" plantedtoken")).alias("text"),
     )
-    key = sf.rstrip("/").rsplit("/", 1)[-1]
-    src = f"{sf.rstrip('/')}/documents.parquet"
-    try:
-        st = os.stat(src)
-        data_key = f"{st.st_size}_{st.st_mtime_ns}"
-    except OSError:
-        data_key = "nostat"
-    path = f"/root/repo/.bench_cache/mh_index_v1_{key}_{data_key}"
-    if not os.path.exists(os.path.join(path, "sizes", "_SUCCESS")):
-        from docproc_spark.streaming.events import _commit_staging_dir
-
-        tmp = f"{path}.tmp-{os.getpid()}"
-        build_minhash_index(base, tmp, k=4, rows_per_band=2, n=3, n_buckets=64)
-        path = _commit_staging_dir(tmp, path)
+    path = _cached_index(
+        "mh_index_v2",
+        sf,
+        "documents.parquet",
+        lambda tmp: build_minhash_index(
+            base, tmp, k=4, rows_per_band=2, n=3, n_buckets=64
+        ),
+    )
     return neardup_vs_index(new, path, min_jaccard=0.5)
 
 
@@ -2931,9 +2936,12 @@ WITH base AS (
   SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS bk FROM sign
 ), ok AS (
   SELECT band_id, bk FROM bo GROUP BY band_id, bk HAVING count(*) <= 1000
+), okn AS (
+  SELECT band_id, bk FROM bn GROUP BY band_id, bk HAVING count(*) <= 1000
 ), cands AS (
   SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
-  FROM bn x JOIN ok USING (band_id, bk) JOIN bo y USING (band_id, bk)
+  FROM bn x JOIN okn USING (band_id, bk) JOIN ok USING (band_id, bk)
+  JOIN bo y USING (band_id, bk)
 ), sho AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(

@@ -874,6 +874,19 @@ def decontaminate(
     )
 
 
+
+
+def _hash_bucket_col(col: Column, mod: int) -> Column:
+    """md5-derived bucket in [0, mod) — THE single bucket formula shared by
+    index build and query (both sides of every partition-pruned join MUST
+    hash identically; recording the modulus in the index protects the
+    modulus, this helper protects the formula)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % mod
+    )
+
+
 def build_minhash_index(
     docs: DataFrame,
     path: str,
@@ -883,6 +896,7 @@ def build_minhash_index(
     rows_per_band: int = 2,
     n: int = 3,
     n_buckets: int = 64,
+    n_doc_buckets: int = 64,
     max_bucket: int = 1000,
 ) -> None:
     """Persist a corpus's near-dup side for INCREMENTAL dedup — the
@@ -895,33 +909,40 @@ def build_minhash_index(
         (band_id, bucket); bucket = md5(band_key) mod ``n_buckets``, so a
         query's touched partitions are bounded by n_bands x n_buckets —
         a small new batch prunes to the partitions its keys hash into.
-      - ``shingles/`` (doc_id, h): md5 of each distinct n-token shingle —
-        equality joins need only the 32-hex digest, ~an order smaller
-        than raw shingle text at typical shingle sizes.
-      - ``sizes/``    (doc_id, n_sh) + the index's parameters as constant
-        columns (k, rows_per_band, n, bucket_mod — RLE, ~free): queries
-        derive every parameter FROM the index, so a caller-default
-        mismatch (the silent-empty-result bug class) cannot occur.
+      - ``shingles/`` (doc_id, h) partitioned by doc_bucket =
+        md5(doc_id) mod ``n_doc_buckets``: h is the md5 of each distinct
+        n-token shingle (equality joins need only the 32-hex digest),
+        and the partitioning lets the verify stage prune to the
+        candidate docs' buckets instead of scanning the corpus's
+        shingles per batch.
+      - ``sizes/``    (doc_id, n_sh), partitioned by the same doc_bucket,
+        + the index's parameters as constant columns (k, rows_per_band,
+        n, bucket_mod, doc_bucket_mod — RLE, ~free): queries derive
+        every parameter FROM the index, so a caller-default mismatch
+        (the silent-empty-result bug class) cannot occur.
       - ``dropped/``  (band_id, band_key, n) buckets over ``max_bucket``
         excluded from bands/ — the skew cap is never silent.
+      - ``_SUCCESS``  root-level completeness marker, written LAST — what
+        cache-staging helpers (_commit_staging_dir) probe to tell a
+        complete committed index from a crashed partial build.
 
     One corpus scan computes signatures (cached — the cap accounting and
-    the band write share it), one computes shingles; sizes aggregate from
-    the WRITTEN shingles so tokenization never runs a third time.
+    the band write share it; the bucket counts are likewise cached so
+    the corpus-sized band aggregation shuffles once, not once per
+    consumer), one computes shingles; sizes aggregate from the WRITTEN
+    shingles so tokenization never runs a third time.
     """
+    import os
+
     spark = docs.sparkSession
     sig = minhash_signature(docs, text_col, id_col, k).cache()
+    bands = _band_table(sig, k, rows_per_band).withColumn(
+        "bucket", _hash_bucket_col(F.col("band_key"), n_buckets)
+    )
+    counts = (
+        bands.groupBy("band_id", "band_key").agg(F.count("*").alias("n")).cache()
+    )
     try:
-        bands = _band_table(sig, k, rows_per_band).withColumn(
-            "bucket",
-            F.conv(F.substring(F.md5(F.col("band_key")), 1, 8), 16, 10).cast(
-                "long"
-            )
-            % n_buckets,
-        )
-        counts = bands.groupBy("band_id", "band_key").agg(
-            F.count("*").alias("n")
-        )
         counts.filter(F.col("n") > max_bucket).write.mode("overwrite").parquet(
             f"{path}/dropped"
         )
@@ -935,16 +956,34 @@ def build_minhash_index(
             .parquet(f"{path}/bands")
         )
     finally:
+        counts.unpersist()
         sig.unpersist()
     (
         _exploded_shingles(docs, text_col, id_col, n)
-        .select("doc_id", F.md5("shingle").alias("h"))
+        .select(
+            "doc_id",
+            F.md5("shingle").alias("h"),
+            _hash_bucket_col(F.col("doc_id"), n_doc_buckets).alias("doc_bucket"),
+        )
         .write.mode("overwrite")
+        .partitionBy("doc_bucket")
         .parquet(f"{path}/shingles")
     )
+    from pyspark.sql import types as T
+
+    # explicit schema on the read-back: an EMPTY corpus writes zero files
+    # under the partitioned shingles/ dir, where inference has nothing
+    # to see — but the layout's schema is fixed by this function
+    sh_schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema[id_col].dataType, True),
+            T.StructField("h", T.StringType(), True),
+            T.StructField("doc_bucket", T.LongType(), True),
+        ]
+    )
     (
-        spark.read.parquet(f"{path}/shingles")
-        .groupBy("doc_id")
+        spark.read.schema(sh_schema).parquet(f"{path}/shingles")
+        .groupBy("doc_id", "doc_bucket")
         .agg(F.count("*").cast("long").alias("n_sh"))
         .select(
             "doc_id",
@@ -953,10 +992,17 @@ def build_minhash_index(
             F.lit(rows_per_band).alias("rows_per_band"),
             F.lit(n).alias("n"),
             F.lit(n_buckets).alias("bucket_mod"),
+            F.lit(n_doc_buckets).alias("doc_bucket_mod"),
+            "doc_bucket",
         )
         .write.mode("overwrite")
+        .partitionBy("doc_bucket")
         .parquet(f"{path}/sizes")
     )
+    # local-FS marker; on an object store / HDFS deployment the moral
+    # equivalent is the final rename of a staging prefix
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
 
 
 def neardup_vs_index(
@@ -965,44 +1011,79 @@ def neardup_vs_index(
     min_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 1000,
+    log_dropped: bool = True,
+    checkpoint_candidates: bool = True,
 ) -> DataFrame:
     """Near-dups of a NEW batch against a persisted build_minhash_index —
     returns (new_id, old_id, shared, jaccard) with jaccard >= min_jaccard,
     the same LSH-candidates → exact-Jaccard-verify contract as
-    minhash_neardup_pairs, but old-corpus work is index scans only.
+    minhash_neardup_pairs, but old-corpus work is partition-pruned index
+    scans only.
 
-    Every parameter (k, rows_per_band, n, bucket mod) comes FROM the
-    index's sizes table — a query cannot silently disagree with the build
-    (the mismatched-modulus-empties-results bug class).
+    Every structural parameter (k, rows_per_band, n, bucket moduli) comes
+    FROM the index's sizes table — a query cannot silently disagree with
+    the build (the mismatched-modulus-empties-results bug class).
+    ``max_bucket`` caps the NEW side: a degenerate band key shared by
+    more than max_bucket batch docs is dropped (and logged) before the
+    index join — the old side was capped at build time (see dropped/),
+    and without the new-side cap a batch of near-identical docs would
+    multiply against a full old bucket (the quadratic the batch
+    operator's cap exists to prevent).
 
     Scale shape: the new batch is staged once (localCheckpoint — sig and
     shingles both consume it; fan-out gets no CSE) and is assumed
     batch-sized, not corpus-sized. The distinct (band_id, bucket) combos
     of the batch are collected — bounded by n_bands x bucket_mod, NEVER
-    by batch size — and pushed as explicit per-band partition predicates,
-    so the bands/ scan prunes to the touched partitions; candidates then
-    drive equality joins against shingles/ for the verify. Old-side skew
-    is pre-capped at build time (see dropped/)."""
+    by batch size — and pushed as explicit per-band partition predicates
+    on bands/; the candidate pairs are then checkpointed and their
+    distinct old-doc buckets (bounded by doc_bucket_mod) prune the
+    shingles/ and sizes/ scans, so the verify joins touch only candidate
+    partitions of the old corpus."""
     spark = new_docs.sparkSession
-    sizes_old = spark.read.parquet(f"{path}/sizes")
-    meta = sizes_old.select("k", "rows_per_band", "n", "bucket_mod").first()
+    try:
+        sizes_all = spark.read.parquet(f"{path}/sizes")
+        meta = sizes_all.select(
+            "k", "rows_per_band", "n", "bucket_mod", "doc_bucket_mod"
+        ).first()
+    except Exception as exc:  # empty partitioned dir: no files, no schema
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        meta = None
     if meta is None:
         raise ValueError(f"minhash index at {path} is empty")
     k, rpb = int(meta["k"]), int(meta["rows_per_band"])
     n, m = int(meta["n"]), int(meta["bucket_mod"])
+    doc_mod = int(meta["doc_bucket_mod"])
     staged = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).localCheckpoint(eager=True)
     sig = minhash_signature(staged, "text", "doc_id", k)
-    bands_new = (
-        _band_table(sig, k, rpb)
-        .withColumn(
-            "bucket",
-            F.conv(F.substring(F.md5(F.col("band_key")), 1, 8), 16, 10).cast(
-                "long"
+    bands_all = _band_table(sig, k, rpb)
+    key_counts = (
+        bands_all.groupBy("band_id", "band_key").agg(F.count("*").alias("n"))
+    )
+    if log_dropped:
+        dropped = key_counts.filter(F.col("n") > max_bucket).collect()
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "neardup_vs_index: max_bucket=%d dropped %d degenerate "
+                "new-batch band keys (%s docs) — these docs are NOT "
+                "checked against the index",
+                max_bucket,
+                len(dropped),
+                sum(r["n"] for r in dropped),
             )
-            % m,
+    bands_new = (
+        bands_all.join(
+            key_counts.filter(F.col("n") <= max_bucket).select(
+                "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
         )
+        .withColumn("bucket", _hash_bucket_col(F.col("band_key"), m))
         # consumed twice (combo collect + candidate join)
         .localCheckpoint(eager=True)
     )
@@ -1017,9 +1098,7 @@ def neardup_vs_index(
 
     bands_schema = T.StructType(
         [
-            T.StructField(
-                "doc_id", sizes_old.schema["doc_id"].dataType, True
-            ),
+            T.StructField("doc_id", sizes_all.schema["doc_id"].dataType, True),
             T.StructField("band_key", T.StringType(), True),
             T.StructField("band_id", T.IntegerType(), True),
             T.StructField("bucket", T.LongType(), True),
@@ -1045,6 +1124,21 @@ def neardup_vs_index(
         .select("new_id", "old_id")
         .distinct()
     )
+    if checkpoint_candidates:
+        # consumed twice (old-bucket collect + verify join); candidate
+        # count is bounded by new-batch bands x max_bucket. False trades
+        # one re-execution of the candidate join for a fully-lazy
+        # returned plan (plan-shape tests assert the partition pruning
+        # on the bands scan, which a checkpoint would hide)
+        cands = cands.localCheckpoint(eager=True)
+    old_buckets = [
+        int(r["b"])
+        for r in cands.select(
+            _hash_bucket_col(F.col("old_id"), doc_mod).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
     sh_new = (
         _exploded_shingles(staged, "text", "doc_id", n)
         .select(F.col("doc_id").alias("new_id"), F.md5("shingle").alias("h"))
@@ -1052,12 +1146,15 @@ def neardup_vs_index(
         .localCheckpoint(eager=True)
     )
     sizes_new = sh_new.groupBy("new_id").agg(F.count("*").alias("n_new"))
-    sh_old = spark.read.parquet(f"{path}/shingles").select(
-        F.col("doc_id").alias("old_id"), "h"
+    # always prune — an empty bucket list means no candidates, and the
+    # empty In() keeps the old-corpus scans at zero partitions
+    sh_old = spark.read.parquet(f"{path}/shingles").filter(
+        F.col("doc_bucket").isin(old_buckets)
     )
+    sizes_old = sizes_all.filter(F.col("doc_bucket").isin(old_buckets))
     shared = (
         cands.join(sh_new, "new_id")
-        .join(sh_old, ["old_id", "h"])
+        .join(sh_old.select(F.col("doc_id").alias("old_id"), "h"), ["old_id", "h"])
         .groupBy("new_id", "old_id")
         .agg(F.count("*").alias("shared"))
     )

@@ -1779,9 +1779,15 @@ def test_minhash_index_incremental_neardup(spark, tmp_path):
     path = str(tmp_path / "idx")
     build_minhash_index(df_old, path, k=4, rows_per_band=2, n=3, n_buckets=8)
 
-    out = neardup_vs_index(df_new, path, min_jaccard=0.3)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # checkpoint_candidates=False keeps the returned plan fully lazy so
+    # the partition pruning on BOTH old-corpus scans is assertable
+    lazy = neardup_vs_index(
+        df_new, path, min_jaccard=0.3, checkpoint_candidates=False
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*band_id", plan), plan
+    assert re.search(r"PartitionFilters: \[[^\]]*doc_bucket", plan), plan
+    out = neardup_vs_index(df_new, path, min_jaccard=0.3)
     rows = {(r["new_id"], r["old_id"]): r for r in out.collect()}
     assert ("new0", "old0") in rows
     assert not any(n == "new1" for (n, _) in rows)
