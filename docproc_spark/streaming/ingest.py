@@ -30,9 +30,12 @@ uncommitted batch instead of rescanning committed input.
 
 from __future__ import annotations
 
+import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -78,10 +81,44 @@ def extract_stream(
     docs = reader.parquet(source_dir)
 
     def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract(batch_df, **kwargs)
+        from pyspark.sql import Observation
+
+        t0 = time.monotonic()
+        # metrics piggyback on the write job itself (Observation) — no
+        # second pass over the batch
+        obs = Observation(f"extract_stream_b{batch_id}")
+        out = extract(batch_df, **kwargs).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum("n_pages").alias("n_pages"),
+        )
         out.write.mode("overwrite").parquet(
             os.path.join(output_dir, f"batch_id={batch_id}")
         )
+        wall = time.monotonic() - t0
+        m = obs.get
+        n_docs = int(m["n_docs"] or 0)
+        rec = {
+            "batch_id": int(batch_id),
+            "n_docs": n_docs,
+            "n_spans": int(m["n_spans"] or 0),
+            "n_pages": int(m["n_pages"] or 0),
+            "wall_s": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 2) if wall > 0 else None,
+        }
+        # one small json per batch under an underscore-prefixed dir
+        # (parquet readers of output_dir ignore _-prefixed paths); a
+        # REPLAYED batch overwrites its own record — lineage mirrors the
+        # idempotent data write. tmp+rename so readers never see a torn
+        # file.
+        ldir = os.path.join(output_dir, "_lineage")
+        os.makedirs(ldir, exist_ok=True)
+        final = os.path.join(ldir, f"batch-{batch_id}.json")
+        tmp = f"{final}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, final)
 
     writer = (
         docs.writeStream.foreachBatch(_do_batch)
@@ -130,3 +167,18 @@ def run_extract_stream_once(
     if q.exception() is not None:
         raise q.exception()
     return spark.read.parquet(output_dir)
+
+
+def stream_lineage(output_dir: str) -> list[dict]:
+    """The per-batch lineage records written by extract_stream, sorted by
+    batch_id — the resumable-run audit trail (what ran, how many docs and
+    spans, at what throughput)."""
+    ldir = os.path.join(output_dir, "_lineage")
+    if not os.path.isdir(ldir):
+        return []
+    out = []
+    for name in os.listdir(ldir):
+        if name.startswith("batch-") and name.endswith(".json"):
+            with open(os.path.join(ldir, name)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda r: r["batch_id"])

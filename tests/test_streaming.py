@@ -212,6 +212,16 @@ def test_extract_stream_parity_and_resume(spark, tmp_path):
     assert got3.count() == 30
     ids = {r["doc_id"] for r in got3.select("doc_id").collect()}
     assert sum(1 for i in ids if i.startswith("new_")) == 6
+    # per-batch lineage: one record per batch, doc counts sum to the
+    # corpus, spans and throughput recorded
+    from docproc_spark.streaming.ingest import stream_lineage
+
+    lin = stream_lineage(out)
+    assert [r["batch_id"] for r in lin] == sorted(r["batch_id"] for r in lin)
+    assert len(lin) == 4  # 3 initial files + 1 late file
+    assert sum(r["n_docs"] for r in lin) == 30
+    assert all(r["n_spans"] > 0 and r["wall_s"] > 0 for r in lin)
+    assert all(r["docs_per_sec"] > 0 for r in lin)
     # old rows bit-unchanged after the incremental drain
     m3 = rowmap(got3.drop("batch_id"))
     for k, v in want.items():
