@@ -226,3 +226,49 @@ def test_extract_stream_parity_and_resume(spark, tmp_path):
     m3 = rowmap(got3.drop("batch_id"))
     for k, v in want.items():
         assert m3[k] == v
+
+
+def test_extract_stream_replays_uncommitted_batch_idempotently(spark, tmp_path):
+    """Exactly-once across a crash INSIDE a batch: simulate 'output dir
+    written but checkpoint commit lost' (the crash window between the
+    sink write and the commit) by deleting the newest commit marker —
+    the restart must replay that batch, overwrite its batch_id dir (no
+    duplicate rows), and refresh its lineage record."""
+    import os
+
+    from docproc_spark.corpus import corpus_df
+    from docproc_spark.streaming.ingest import (
+        run_extract_stream_once,
+        stream_lineage,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_df(spark, 20, seed=3, partitions=2).repartition(2).write.parquet(src)
+    got = run_extract_stream_once(spark, src, out, ckpt, max_files_per_trigger=1)
+    assert got.count() == 20
+    lin1 = {r["batch_id"]: r for r in stream_lineage(out)}
+    commits = sorted(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+    )
+    assert len(commits) == 2
+    # crash simulation: the last batch's data is on disk, its commit is
+    # not (remove the Hadoop LocalFS .crc sidecar too — an orphaned crc
+    # makes the metadata log read as concurrently-modified)
+    for name in (str(commits[-1]), f".{commits[-1]}.crc"):
+        p = os.path.join(ckpt, "commits", name)
+        if os.path.exists(p):
+            os.remove(p)
+
+    got2 = run_extract_stream_once(spark, src, out, ckpt, max_files_per_trigger=1)
+    assert got2.count() == 20  # replayed batch overwrote, never appended
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in got2.groupBy("batch_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(per_batch) == {0, 1}
+    lin2 = {r["batch_id"]: r for r in stream_lineage(out)}
+    assert set(lin2) == {0, 1}
+    assert lin2[0] == lin1[0]  # committed batch untouched
+    assert sum(r["n_docs"] for r in lin2.values()) == 20
