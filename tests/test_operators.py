@@ -1836,3 +1836,62 @@ def test_minhash_index_incremental_neardup(spark, tmp_path):
     build_minhash_index(empty, path3)
     with _pytest.raises(ValueError):
         neardup_vs_index(df_new, path3)
+
+
+class TestNewOpHypothesisParity:
+    """Property parity for the session's array-heavy operators: a tiny
+    token alphabet forces repeated shingles and min-hash TIES, the paths
+    a fixed corpus rarely exercises."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _doc = st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "b1"]), min_size=0, max_size=40
+    )
+
+    @given(st.lists(_doc, min_size=1, max_size=25))
+    @settings(max_examples=8, deadline=None)
+    def test_winnow_matches_python_reference(self, spark, corpus):
+        from docproc_spark.functions.text import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        rows = winnow_fingerprints(df, ngram=3, window=3).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+        for i, toks in enumerate(corpus):
+            assert got.get(i, set()) == _py_winnow(toks, 3, 3), f"doc {i}"
+
+    @given(st.lists(_doc, min_size=1, max_size=25))
+    @settings(max_examples=8, deadline=None)
+    def test_classifier_matches_python_fold(self, spark, corpus):
+        import hashlib
+
+        from docproc_spark.functions.text import (
+            classifier_weight,
+            linear_classifier_score,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in linear_classifier_score(df, n_features=16, seed=5).collect()
+        }
+        for i, toks in enumerate(corpus):
+            if toks:
+                acc = 0.0
+                for t in toks:
+                    b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16
+                    acc = acc + classifier_weight(5, b)
+                want = acc / len(toks)
+            else:
+                want = 0.0
+            assert got[i]["score"] == want, f"doc {i}"
+            assert got[i]["keep"] == (len(toks) > 0 and want > 0.0)
