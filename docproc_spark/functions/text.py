@@ -763,24 +763,18 @@ def linear_classifier_score(
     if n_features <= 0:
         raise ValueError("n_features must be positive")
 
+    from docproc_spark.operators.dedupe import _hash_bucket_col
+    from docproc_spark.operators.similarity import md5_uniform_col
+
     def _weight_inline(bucket: Column) -> Column:
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:"), bucket.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1_000_000
-        ).cast("double") / 500_000.0 - 1.0
+        # shared Column twin of md5_uniform — one formula, three engines
+        return md5_uniform_col(
+            F.concat(F.lit(f"{seed}:"), bucket.cast("string"))
+        )
 
     def _bucket(t: Column) -> Column:
-        return (
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % n_features
-        )
+        # the index-family bucket helper: same md5 formula everywhere
+        return _hash_bucket_col(t, n_features)
 
     ltoks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     staged = docs.select(F.col(id_col).alias("doc_id"), ltoks.alias("_tk"))

@@ -1064,17 +1064,24 @@ def neardup_vs_index(
         bands_all.groupBy("band_id", "band_key").agg(F.count("*").alias("n"))
     )
     if log_dropped:
-        dropped = key_counts.filter(F.col("n") > max_bucket).collect()
-        if dropped:
+        over = key_counts.filter(F.col("n") > max_bucket)
+        n_docs_touched = (
+            bands_all.join(over.select("band_id", "band_key"), ["band_id", "band_key"])
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        if n_docs_touched:
             import logging
 
             logging.getLogger(__name__).warning(
                 "neardup_vs_index: max_bucket=%d dropped %d degenerate "
-                "new-batch band keys (%s docs) — these docs are NOT "
-                "checked against the index",
+                "new-batch band keys touching %d distinct docs — those "
+                "docs lose THESE bands only and may still match via "
+                "their other bands",
                 max_bucket,
-                len(dropped),
-                sum(r["n"] for r in dropped),
+                over.count(),
+                n_docs_touched,
             )
     bands_new = (
         bands_all.join(
@@ -1111,6 +1118,10 @@ def neardup_vs_index(
             c = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
             cond = c if cond is None else (cond | c)
         idx = idx.filter(cond)
+    else:
+        # an empty batch (or one whose every band key was capped) must
+        # not cost a FULL index scan joined against nothing
+        idx = idx.filter(F.lit(False))
     cands = (
         bands_new.select(
             F.col("doc_id").alias("new_id"), "band_id", "bucket", "band_key"

@@ -102,6 +102,16 @@ def md5_uniform(key: str) -> float:
     return (int(h[:8], 16) % 1_000_000) / 500_000.0 - 1.0
 
 
+def md5_uniform_col(key: Column) -> Column:
+    """Column twin of md5_uniform — SAME constants, JVM-side. Any Spark
+    plan that derives parameters per row must build the expression here
+    so the formula cannot drift from the Python/DuckDB copies (guarded
+    by tests/test_operators.py::test_md5_uniform_twins_agree)."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 1_000_000
+    ).cast("double") / 500_000.0 - 1.0
+
+
 def plane_weight(seed: int, plane: int, d: int) -> float:
     """One hyperplane component — see the module determinism contract."""
     return md5_uniform(f"{seed}:{plane}:{d}")

@@ -39,6 +39,79 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+
+def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id Spark records in <ckpt>/metadata — stable
+    across restarts of the same checkpoint, different for a re-created
+    one. None for a fresh (not-yet-started) checkpoint."""
+    p = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(p) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def _guard_output_lineage(output_dir: str, checkpoint_dir: str) -> None:
+    """Refuse to mix output lineages. Batch numbering restarts at 0 under
+    a fresh checkpoint, and a shorter re-run only overwrites the batch_id
+    dirs it reaches — stale higher-numbered dirs from a previous lineage
+    would silently ride along in spark.read.parquet(output_dir). The
+    output dir records its checkpoint's query id (_lineage/_checkpoint
+    .json); a mismatch, or pre-existing batch dirs under a fresh
+    checkpoint, is an error, not a silent merge. A marker-less output
+    WITH batch dirs under an EXISTING checkpoint is adopted (the
+    pre-marker layout, and the crash window between batch write and
+    marker write)."""
+    cid = _checkpoint_query_id(checkpoint_dir)
+    marker_p = os.path.join(output_dir, "_lineage", "_checkpoint.json")
+    marker = None
+    try:
+        with open(marker_p) as f:
+            marker = json.load(f)
+    except (OSError, ValueError):
+        pass
+    has_batches = os.path.isdir(output_dir) and any(
+        name.startswith("batch_id=") for name in os.listdir(output_dir)
+    )
+    if marker is not None:
+        if cid is None:
+            raise ValueError(
+                f"{output_dir} carries lineage from checkpoint query "
+                f"{marker.get('query_id')!r}, but {checkpoint_dir} is a "
+                "fresh checkpoint — its batch numbering restarts at 0 and "
+                "stale batch_id dirs would silently duplicate. Use a new "
+                "output_dir (or restore the original checkpoint)."
+            )
+        if marker.get("query_id") != cid:
+            raise ValueError(
+                f"{output_dir} belongs to checkpoint query "
+                f"{marker.get('query_id')!r}, not {cid!r} — refusing to "
+                "mix output lineages."
+            )
+    elif has_batches and cid is None:
+        raise ValueError(
+            f"{output_dir} already contains batch_id dirs but no lineage "
+            f"marker, and {checkpoint_dir} is fresh — stale batches would "
+            "silently merge. Use a new output_dir."
+        )
+
+
+def _write_output_marker(output_dir: str, checkpoint_dir: str) -> None:
+    cid = _checkpoint_query_id(checkpoint_dir)
+    if cid is None:
+        return
+    ldir = os.path.join(output_dir, "_lineage")
+    os.makedirs(ldir, exist_ok=True)
+    final = os.path.join(ldir, "_checkpoint.json")
+    if os.path.exists(final):
+        return
+    tmp = f"{final}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"query_id": cid}, f)
+    os.replace(tmp, final)
+
+
 def extract_stream(
     spark: SparkSession,
     source_dir: str,
@@ -72,6 +145,7 @@ def extract_stream(
     from docproc_spark.pipeline import extract
 
     kwargs = dict(extract_kwargs or {})
+    _guard_output_lineage(output_dir, checkpoint_dir)
     schema = spark.read.parquet(source_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -83,6 +157,7 @@ def extract_stream(
     def _do_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Observation
 
+        _write_output_marker(output_dir, checkpoint_dir)
         t0 = time.monotonic()
         # metrics piggyback on the write job itself (Observation) — no
         # second pass over the batch

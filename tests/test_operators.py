@@ -1895,3 +1895,54 @@ class TestNewOpHypothesisParity:
                 want = 0.0
             assert got[i]["score"] == want, f"doc {i}"
             assert got[i]["keep"] == (len(toks) > 0 and want > 0.0)
+
+
+def test_md5_uniform_twins_agree(spark):
+    """The Python scalar (md5_uniform), the Column twin (md5_uniform_col),
+    and the bucket helper (_hash_bucket_col) must produce identical values
+    — they are three copies of one oracle-contract formula."""
+    from docproc_spark.operators.dedupe import _hash_bucket_col
+    from docproc_spark.operators.similarity import md5_uniform, md5_uniform_col
+
+    keys = ["7:0", "7:255", "x", "", "unicode-café", "3:17"]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    rows = df.select(
+        "key",
+        md5_uniform_col(F.col("key")).alias("u"),
+        _hash_bucket_col(F.col("key"), 64).alias("b"),
+    ).collect()
+    import hashlib
+
+    for r in rows:
+        assert r["u"] == md5_uniform(r["key"]), r["key"]
+        want_b = int(hashlib.md5(r["key"].encode()).hexdigest()[:8], 16) % 64
+        assert r["b"] == want_b, r["key"]
+
+
+def test_linear_classifier_inline_weight_branch(spark):
+    """Above 2^16 features the classifier derives weights inline (two
+    md5s/token) instead of the literal table — the two branches must
+    score identically for buckets in range of both."""
+    import hashlib
+
+    from docproc_spark.functions.text import (
+        classifier_weight,
+        linear_classifier_score,
+    )
+
+    nf = (1 << 16) + 1  # force the inline branch
+    df = spark.createDataFrame(
+        [(0, "spark shuffle partition scan"), (1, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in linear_classifier_score(df, n_features=nf, seed=9).collect()
+    }
+    toks = "spark shuffle partition scan".split()
+    acc = 0.0
+    for t in toks:
+        b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nf
+        acc = acc + classifier_weight(9, b)
+    assert got[0]["score"] == acc / len(toks)
+    assert got[1]["score"] == 0.0 and not got[1]["keep"]

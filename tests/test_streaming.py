@@ -272,3 +272,36 @@ def test_extract_stream_replays_uncommitted_batch_idempotently(spark, tmp_path):
     assert set(lin2) == {0, 1}
     assert lin2[0] == lin1[0]  # committed batch untouched
     assert sum(r["n_docs"] for r in lin2.values()) == 20
+
+
+def test_extract_stream_refuses_mixed_output_lineage(spark, tmp_path):
+    """A fresh checkpoint over an output dir holding another lineage's
+    batch_id dirs must raise, not silently merge stale batches (batch
+    numbering restarts at 0 and only overwrites dirs the new run
+    reaches); the same checkpoint keeps working; a different existing
+    checkpoint is also refused."""
+    import pytest as _pytest
+
+    from docproc_spark.corpus import corpus_df
+    from docproc_spark.streaming.ingest import run_extract_stream_once
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_df(spark, 8, seed=2, partitions=1).write.parquet(src)
+    got = run_extract_stream_once(spark, src, out, ckpt)
+    assert got.count() == 8
+
+    # same checkpoint: fine (resume)
+    assert run_extract_stream_once(spark, src, out, ckpt).count() == 8
+
+    # fresh checkpoint over the same output dir: refused
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        run_extract_stream_once(spark, src, out, str(tmp_path / "ckpt2"))
+
+    # a DIFFERENT existing checkpoint: refused too
+    out_b = str(tmp_path / "out_b")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    run_extract_stream_once(spark, src, out_b, ckpt_b)
+    with _pytest.raises(ValueError, match="refusing to mix"):
+        run_extract_stream_once(spark, src, out, ckpt_b)
