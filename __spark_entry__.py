@@ -2972,6 +2972,71 @@ WHERE round(shared / (sn.n_sh + so.n_sh - shared), 4) >= 0.5
 """
 
 
+def _bpe(spark, sf):
+    """Distributed BPE-merge training (operators/bpe.train_bpe): first 8
+    merges over the corpus's alphanumeric words — one corpus reduction,
+    then per-round vocabulary aggregations; the merge fold is a left
+    string fold identical to DuckDB list_reduce, so the oracle unrolls
+    all 8 rounds as a generated CTE chain and matches bit-for-bit
+    (composed merges included — round 8 consumes round 7's symbol)."""
+    from docproc_spark.operators.bpe import train_bpe
+
+    return train_bpe(
+        _t(spark, sf, "documents"), n_merges=8, word_pattern="^[a-z0-9]+$"
+    )
+
+
+def _bpe_round_sql(i: int) -> str:
+    prev = f"v{i-1}"
+    return f"""
+p{i} AS (
+  SELECT u.p.x AS x, u.p.y AS y, sum(t.freq)::BIGINT AS cnt
+  FROM (SELECT freq, string_split(syms, ' ') AS arr FROM {prev}) t,
+       LATERAL unnest(list_transform(range(1, len(t.arr)),
+              j -> struct_pack(x := t.arr[j], y := t.arr[j+1]))) AS u(p)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+v{i} AS (
+  SELECT v.freq,
+         list_reduce(list_prepend('', string_split(v.syms, ' ')), (a, c) ->
+           CASE WHEN b.x IS NULL THEN CASE WHEN a = '' THEN c
+                                       ELSE a || ' ' || c END
+                WHEN (a = b.x OR ends_with(a, ' ' || b.x)) AND c = b.y
+                  THEN CASE WHEN a = b.x THEN b.x || b.y
+                       ELSE substr(a, 1, len(a) - len(b.x)) || b.x || b.y END
+                WHEN a = '' THEN c
+                ELSE a || ' ' || c END) AS syms
+  FROM {prev} v LEFT JOIN b{i} b ON true
+)"""
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """DuckDB mirror of train_bpe — rounds unrolled into a CTE chain; the
+    winning pair rides along as a cross-joined 1-row CTE (b.x/b.y inside
+    the fold lambda), so symbol values never become SQL literals and no
+    escaping contract is needed. The NULL-b.x arm mirrors the operator's
+    early stop (an exhausted round rebuilds the vocab unchanged and
+    contributes no merges row)."""
+    blocks = ",".join(_bpe_round_sql(i) for i in range(1, n_merges + 1))
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS rank, x, y, x || y AS merged, cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({_LTOKS}) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), v0 AS (
+  SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS syms
+  FROM words
+),
+{blocks}
+SELECT * FROM ({union}) ORDER BY rank
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -3001,6 +3066,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fps": _winnow,
     "source_overlap_kmv": _src_overlap,
     "incremental_neardup": _incremental_neardup,
+    "bpe_merges_8": _bpe,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3032,6 +3098,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "winnow_fps": _WINNOW_SQL,
     "source_overlap_kmv": _SRC_OVERLAP_SQL,
     "incremental_neardup": _INCREMENTAL_NEARDUP_SQL,
+    "bpe_merges_8": _bpe_sql(8),
 }
 
 

@@ -1946,3 +1946,63 @@ def test_linear_classifier_inline_weight_branch(spark):
         acc = acc + classifier_weight(9, b)
     assert got[0]["score"] == acc / len(toks)
     assert got[1]["score"] == 0.0 and not got[1]["keep"]
+
+
+def _py_bpe(word_freqs, n_merges):
+    """Reference BPE (Sennrich et al. 2016): count all adjacent pairs
+    weighted by word freq; merge the (count desc, pair asc) winner
+    leftmost-non-overlapping; stop when no pairs remain."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for r in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        (x, y), c = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((r + 1, x, y, x + y, c))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == x and s == y:
+                    out[-1] = x + y
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_train_bpe_python_reference_parity(spark):
+    """train_bpe matches classic BPE on a corpus engineered for the edge
+    cases: adjacent-repeat runs (leftmost non-overlap: 'aaaa' -> aa aa),
+    merge chains (round N consuming round N-1's symbol), count ties
+    (pair-asc tie-break), and early stop (single-char words only)."""
+    from collections import Counter
+
+    from docproc_spark.operators.bpe import train_bpe
+
+    texts = [
+        "aaaa aaaa banana banana bandana",
+        "aaaa banana anna a b c",
+        "abab abab abab cdcd",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf = Counter(w for t in texts for w in t.split())
+    want = _py_bpe(dict(wf), 6)
+    got = [
+        (r["rank"], r["x"], r["y"], r["merged"], r["cnt"])
+        for r in train_bpe(df, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == want
+
+    # early stop: a vocabulary of single-character words has no pairs
+    df1 = spark.createDataFrame([(0, "a b c a b")], "doc_id long, text string")
+    assert train_bpe(df1, n_merges=4).count() == 0
+    with pytest.raises(ValueError):
+        train_bpe(df, n_merges=0)
