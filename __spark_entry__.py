@@ -3000,9 +3000,9 @@ b{i} AS (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
 v{i} AS (
   SELECT v.freq,
          list_reduce(list_prepend('', string_split(v.syms, ' ')), (a, c) ->
-           CASE WHEN b.x IS NULL THEN CASE WHEN a = '' THEN c
-                                       ELSE a || ' ' || c END
-                WHEN (a = b.x OR ends_with(a, ' ' || b.x)) AND c = b.y
+           -- NULL b.x (exhausted round): condition is NULL -> falsy ->
+           -- the rebuild arms return the string unchanged
+           CASE WHEN (a = b.x OR ends_with(a, ' ' || b.x)) AND c = b.y
                   THEN CASE WHEN a = b.x THEN b.x || b.y
                        ELSE substr(a, 1, len(a) - len(b.x)) || b.x || b.y END
                 WHEN a = '' THEN c

@@ -7,8 +7,10 @@ every merge round then runs on the vocabulary table alone: adjacent
 symbol-pair counts (explode weighted by word freq, map-side partial
 aggs), a distributed top-1 (TakeOrdered, never a global window), and a
 leftmost-non-overlapping merge applied as a per-word string fold. The
-vocabulary is localCheckpoint'ed per round so round N's plan does not
-replay rounds 1..N-1 (the dup_components iterative-operator discipline).
+initial vocabulary is localCheckpoint'ed (cuts the corpus lineage); each
+round's merged vocabulary is cached, materialized, and its predecessor
+unpersisted (the dup_components iterative-operator discipline, both
+halves), so storage stays at one vocabulary copy however many rounds run.
 At 100-TB corpus scale the vocabulary (distinct words) is orders smaller
 than the corpus, so rounds are cheap after the single corpus reduction.
 
@@ -22,10 +24,13 @@ bit-identically as F.aggregate in Spark and list_reduce in DuckDB, so
 the whole training loop is SQL-oracle-able (the oracle unrolls rounds
 into a generated CTE chain; see __spark_entry__._bpe_sql).
 
-Symbols start as the word's codepoints. Java regex '.' matches a UTF-16
-code unit while RE2 matches a codepoint (surrogate pairs diverge) — pass
-``word_pattern`` (the spare uses '^[a-z0-9]+$') when the corpus can
-carry astral-plane characters and the oracle must match.
+Symbols start as the word's codepoints, extracted with a DOTALL '(?s).'
+so Unicode line separators inside a token (U+0085/U+2028/U+2029 survive
+the ASCII-whitespace tokenizer) are kept as symbols rather than silently
+dropped. Java regex still matches UTF-16 code units while RE2 matches
+codepoints (surrogate pairs diverge) — pass ``word_pattern`` (the spare
+uses '^[a-z0-9]+$') when the corpus can carry astral-plane characters
+and the oracle must match.
 """
 
 from __future__ import annotations
@@ -38,18 +43,16 @@ from docproc_spark.operators.dedupe import tokens_col
 
 def merge_fold_col(syms: Column, x: Column, y: Column) -> Column:
     """Apply ONE merge (x, y) -> x||y to a space-joined symbol string,
-    leftmost non-overlapping, as a left fold (stack rule). NULL x (no
-    merge chosen this round) rebuilds the string unchanged — the arm the
-    SQL oracle needs for an exhausted-pairs round."""
+    leftmost non-overlapping, as a left fold (stack rule). A NULL x (the
+    SQL oracle's exhausted-pairs round, LEFT JOIN against an empty best
+    row) needs no special arm: the merge condition is three-valued-NULL,
+    which CASE treats as false in both engines, so control falls through
+    to the rebuild arms and the string comes back unchanged."""
     merged = F.concat(x, y)
     return F.aggregate(
         F.split(syms, " "),
         F.lit(""),
         lambda acc, cur: F.when(
-            x.isNull(),
-            F.when(acc == "", cur).otherwise(F.concat(acc, F.lit(" "), cur)),
-        )
-        .when(
             ((acc == x) | acc.endswith(F.concat(F.lit(" "), x))) & (cur == y),
             F.when(acc == x, merged).otherwise(
                 F.concat(
@@ -114,7 +117,7 @@ def train_bpe(
         .select(
             "freq",
             F.array_join(
-                F.regexp_extract_all(F.col("w"), F.lit("."), 0), " "
+                F.regexp_extract_all(F.col("w"), F.lit("(?s)."), 0), " "
             ).alias("syms"),
         )
         .localCheckpoint(eager=True)
@@ -131,10 +134,22 @@ def train_bpe(
             break
         bx, by, bc = best[0]["x"], best[0]["y"], best[0]["cnt"]
         merges.append((r + 1, bx, by, bx + by, bc))
-        vocab = vocab.select(
+        if r == n_merges - 1:
+            break  # the last round's rebuilt vocabulary is never read
+        # per-round cache + unpersist (the dup_components discipline,
+        # BOTH halves): materialize the merged vocabulary from the
+        # superseded frame's blocks, then free them — thousands of
+        # merge rounds must not accumulate a copy per round. Lineage
+        # depth grows one projection per round (fine); an evicted round
+        # replays folds from the round-0 checkpoint, never the corpus.
+        new_vocab = vocab.select(
             "freq",
             merge_fold_col(F.col("syms"), F.lit(bx), F.lit(by)).alias("syms"),
-        ).localCheckpoint(eager=True)
+        ).cache()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
     return spark.createDataFrame(
         merges, "rank long, x string, y string, merged string, cnt long"
     )
