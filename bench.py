@@ -327,14 +327,47 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _arm_logging(spark)
     corpus_path = _corpus_cache(spark, n_docs)
+    _quiet_teardown(spark)
+    spark.stop()
+
+    # Headline repeats are INTERLEAVED across the whole bench run
+    # (start / after the query phase / end) instead of back-to-back: this
+    # host is a shared tenant, and three recorded rounds in a row had the
+    # single headline window land on a load spike (loadavg 12.1 recorded
+    # 2,692 docs/sec while ten controlled runs of the same code read
+    # 3,187-4,418). One busy window can no longer poison every repeat at
+    # once; each repeat is gated on the busy sampler (bounded retry via
+    # _settle) and records its own (wall, busy-at-release, loadavg) so a
+    # slow recorded number explains itself.
+    headline_meta: list[dict] = []
+    headline_walls: list[float] = []
+    headline_n = [0]
+    hl_repeats = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
+
+    def headline_repeat(tag: str) -> None:
+        busy = _settle()
+        load = round(os.getloadavg()[0], 1)
+        wall, n_run = _extract_run(
+            f"local[{CPUS}]", corpus_path, CPUS, repeats=hl_repeats
+        )
+        headline_meta.append(
+            {"at": tag, "wall_s": round(wall, 3), "busy": busy, "loadavg": load}
+        )
+        headline_walls.append(wall)
+        headline_n[0] = n_run
+
+    headline_repeat("start")
 
     # per-query timings at the high parallelism level — min-of-2 with a
     # FRESH DataFrame per repeat (a second collect on the same frame hits
     # result/stage reuse and reads ~0.1 s): the first repeat eats one-time
     # whole-stage-codegen compile, the min is the host-noise-resistant
     # number the plan actually costs.
+    spark = get_spark(app_name="bench_queries", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    _arm_logging(spark)
     qtimes: dict[str, float] = {}
-    headline_loads = [round(os.getloadavg()[0], 1)]
     qs = entrymod.queries()
     q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     for name in BENCH_QUERIES:
@@ -348,28 +381,15 @@ def main() -> None:
     _quiet_teardown(spark)
     spark.stop()
 
-    # headline extraction throughput at local[CPUS] — min-of-3: high thread
-    # counts are the worst victims of host tenant spikes (see BASELINE.md)
-    headline_loads.append(round(os.getloadavg()[0], 1))
-    result_busy = [_settle()]
-    wall_hi, n = _extract_run(f"local[{CPUS}]", corpus_path, CPUS, repeats=3)
-    docs_per_sec = n / wall_hi if wall_hi > 0 else 0.0
-    qtimes["extract_flagship"] = round(wall_hi, 3)
+    headline_repeat("mid")
 
     result = {
         "metric": "extract_docs_per_sec",
-        "value": round(docs_per_sec, 2),
+        "value": 0.0,  # finalized after the last interleaved repeat
         "unit": "docs/sec",
         "queries": qtimes,
         "sf": sf_key,
-        "n_docs": n,
-        # 1-min loadavg at query-phase start and headline start: shared
-        # host — a high value here explains a slow recorded number
-        "loadavg_headline": headline_loads,
-        # /proc/stat busy fraction at release of the pre-headline settle
-        # gate (bounded wait for a quiet window; >0.25 = gate timed out
-        # into a busy window and the headline is pessimistic)
-        "busy_at_headline": result_busy[0],
+        "n_docs": 0,
     }
 
     if DO_SCALING:
@@ -523,6 +543,22 @@ def main() -> None:
             "busy_per_round": busys,
             "busy_end_per_round": busys_end,
         }
+
+    # last interleaved headline window, then finalize: the reported wall
+    # is the min across the start/mid/end windows (each itself min-of-k
+    # on fresh frames), i.e. the cleanest window this run could find.
+    headline_repeat("end")
+    wall_hi = min(headline_walls)
+    n = headline_n[0]
+    best_i = headline_walls.index(wall_hi)
+    result["value"] = round(n / wall_hi if wall_hi > 0 else 0.0, 2)
+    result["n_docs"] = n
+    result["queries"]["extract_flagship"] = round(wall_hi, 3)
+    # per-repeat telemetry: where each window ran, what it measured, and
+    # how busy/loaded the host was at its settle-gate release
+    result["headline_repeats"] = headline_meta
+    result["loadavg_headline"] = [m["loadavg"] for m in headline_meta]
+    result["busy_at_headline"] = headline_meta[best_i]["busy"]
 
     print(json.dumps(result))
 

@@ -195,6 +195,8 @@ class DocprocSpark:
         )
 
     def _binary_files(self, path: str, exts: tuple[str, ...]) -> DataFrame:
+        import os
+
         from pyspark.sql import functions as F
 
         def ci(ext: str) -> str:
@@ -205,12 +207,34 @@ class DocprocSpark:
             if len(exts) == 1
             else "*.{" + ",".join(ci(e) for e in exts) + "}"
         )
+        # doc_id is the path RELATIVE to the ingest root, not the bare
+        # file name: two same-named files under different subdirectories
+        # (multiple roots merged later, recursiveFileLookup) must not
+        # collide in the span table, where doc_id is the unique document
+        # key for dedupe/lineage/joins. For a flat directory this equals
+        # the file name. binaryFile's `path` is a file: URI — strip the
+        # scheme, then the normalized root prefix; fall back to the bare
+        # name if the prefix doesn't match. A glob root (`dir/*`)
+        # anchors at the last separator before its first wildcard.
+        base = path
+        if any(c in path for c in "*?[{"):
+            base = path.split("*", 1)[0].split("?", 1)[0]
+            base = base.split("[", 1)[0].split("{", 1)[0]
+            base = os.path.dirname(base)
+        root = os.path.abspath(base or ".").rstrip("/") + "/"
+        fs_path = F.regexp_replace(
+            F.col("path"), r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/"
+        )
+        rel = F.when(
+            fs_path.startswith(root),
+            fs_path.substr(F.lit(len(root) + 1), F.length(fs_path)),
+        ).otherwise(F.regexp_extract(F.col("path"), r"([^/]+)$", 1))
         return (
             self.spark.read.format("binaryFile")
             .option("pathGlobFilter", glob)
             .load(path)
             .select(
-                F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("doc_id"),
+                rel.alias("doc_id"),
                 F.lower(
                     F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
                 ).alias("fmt"),

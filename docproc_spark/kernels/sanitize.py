@@ -91,14 +91,14 @@ def sanitize_series(s: pd.Series) -> pd.Series:
 # THANK_YOU pattern before the QUESTIONS pattern ever runs, so it classifies
 # as thank_you (reference dedupe.py:34-43 keeps the same order).
 BOILERPLATE_PATTERNS: list[tuple[str, re.Pattern]] = [
-    ("thank_you", re.compile(r"^(thank\s*you|thanks|gracias|merci)\s*\!?\s*$", re.I)),
-    ("thank_you", re.compile(r"^(questions\s*\?|q\s*&\s*a|any\s*questions)\s*$", re.I)),
+    ("thank_you", re.compile(r"^(?:thank\s*you|thanks|gracias|merci)\s*\!?\s*$", re.I)),
+    ("thank_you", re.compile(r"^(?:questions\s*\?|q\s*&\s*a|any\s*questions)\s*$", re.I)),
     ("questions", re.compile(r"^questions\s*\??\s*$", re.I)),
     ("questions", re.compile(r"^q\s*&\s*a\s*$", re.I)),
-    ("appendix", re.compile(r"^append(i|x)(ces)?\s*$", re.I)),
+    ("appendix", re.compile(r"^append(?:i|x)(?:ces)?\s*$", re.I)),
     ("appendix", re.compile(r"^references?\s*$", re.I)),
     ("agenda", re.compile(r"^agenda\s*$", re.I)),
-    ("objectives", re.compile(r"^(objectives?|learning\s+outcomes)\s*$", re.I)),
+    ("objectives", re.compile(r"^(?:objectives?|learning\s+outcomes)\s*$", re.I)),
 ]
 
 DROP_KINDS_DEFAULT = frozenset({"thank_you", "questions", "blank"})

@@ -48,7 +48,11 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    # NULL (not NaN / ANSI DIVIDE_BY_ZERO) when either norm is zero:
+    # similarity to a zero-norm vector is undefined, and NULL is exactly
+    # what the DuckDB oracle's x/0.0 yields — engine-identical, and NULL
+    # falls out of max()/comparisons instead of NaN winning them.
+    return dot_col(a, b) / F.nullif(norm_col(a) * norm_col(b), F.lit(0.0))
 
 
 def brute_force_topk(
@@ -375,8 +379,17 @@ def semdedup(
         .filter(F.col("a") < F.col("b"))
         .groupBy("b")
         .agg(
+            # Zero-norm guard: Spark 0.0/0.0 is NaN (which wins max() and
+            # defeats `mx < threshold`), DuckDB x/0.0 is NULL. Emit NULL
+            # for zero-norm pairs so all-zero embeddings (e.g. hash_embed
+            # of empty docs) are never silently dropped as duplicates of
+            # each other, matching the oracle's NULL-division semantics.
             F.max(
-                dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                F.when(
+                    (F.col("na") > 0) & (F.col("nb") > 0),
+                    dot_col(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")),
+                )
             ).alias("mx")
         )
         .select(F.col("b").alias("vec_id"), "mx")
@@ -649,8 +662,13 @@ def _assign_to_centroids(
         .withColumn("dist", -cosine_col(F.col(vec_col), F.col("cvec")))
         .withColumn(
             "rn",
+            # asc_nulls_last mirrors DuckDB's ASC default: a zero-norm
+            # vector (all dists NULL) lands on the lowest cent_id in both
+            # engines instead of crashing or diverging
             F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_id"))
+                Window.partitionBy(id_col).orderBy(
+                    F.col("dist").asc_nulls_last(), F.col("cent_id")
+                )
             ),
         )
         .filter(F.col("rn") == 1)

@@ -50,6 +50,7 @@ loop; at 100 TB the same plan fans the zip parsing across executors with
 
 from __future__ import annotations
 
+import hashlib
 import io
 import re
 import zipfile
@@ -212,7 +213,20 @@ def parse_pptx_bytes(data: bytes) -> list[tuple[str, str, str | None, int]]:
                     blip = next(iter(shape.iter(_q(NS_A, "blip"))), None)
                     rid = blip.get(_q(NS_R, "embed")) if blip is not None else None
                     target = srels.get(rid) if rid else None
-                    ref = _resolve_part(sdir, target) if target else None
+                    part = _resolve_part(sdir, target) if target else None
+                    # media_ref is the sha256 of the embedded image BYTES
+                    # (the span contract / vision_llm.py:292-294 identity),
+                    # never the package part name: every deck calls its
+                    # first image `ppt/media/image1.png`, so part names
+                    # collide across documents and would break corpus-wide
+                    # media dedupe. Unreadable part → fall back to the
+                    # part name (still document-locally identifying).
+                    ref = part
+                    if part is not None:
+                        try:
+                            ref = hashlib.sha256(z.read(part)).hexdigest()
+                        except KeyError:
+                            pass
                     spans.append(("image", None, ref, page))
     return spans
 

@@ -20,8 +20,10 @@ with a parse_error instead of failing the job):
   - one block per BT…ET group, bbox from the text origin (PDF y-up
     flipped to top-down so (y0, x0) reading order matches pdf_layout)
   - images: /XObject /Subtype /Image resources invoked with `name Do`
-    emit an ``image`` span whose media_ref is the resource name, ordered
-    at the position of the current transform's translate
+    emit an ``image`` span whose media_ref is the sha256 of the decoded
+    image stream (content-addressed identity, vision_llm.py:292-294;
+    streamless objects fall back to the resource name), ordered at the
+    position of the current transform's translate
 
 Full-text parity: page texts joined "\\n\\n" with empty pages INCLUDED
 (pdf_loader.get_full_text, :56-61) is exactly operators/fulltext.
@@ -33,6 +35,7 @@ per-document CPU work, no shuffle), same contract as sources/ooxml.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 from typing import Iterable, Iterator
@@ -71,8 +74,15 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
             root_pages = _dict_ref(body, b"Pages")
             break
     order: list[int] = []
+    seen: set[int] = set()
 
-    def walk(num: int) -> None:
+    def walk(num: int, depth: int = 0) -> None:
+        # A corrupt/malicious /Pages tree can be cyclic or arbitrarily
+        # deep; skip already-visited nodes and bound depth so we never
+        # burn the interpreter stack to RecursionError per document.
+        if num in seen or depth > 64:
+            return
+        seen.add(num)
         body = objs.get(num)
         if body is None:
             return
@@ -80,7 +90,7 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
             order.append(num)
             return
         for kid in _kids(body):
-            walk(kid)
+            walk(kid, depth + 1)
 
     if root_pages is not None:
         walk(root_pages)
@@ -136,17 +146,28 @@ def _content_streams(objs: dict[int, bytes], page_body: bytes) -> bytes:
     return b""
 
 
-def _image_xobjects(objs: dict[int, bytes], page_body: bytes) -> set[bytes]:
-    """Resource names on this page that resolve to /Subtype /Image."""
+def _image_xobjects(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, str]:
+    """Resource name → media_ref for /Subtype /Image XObjects on this page.
+
+    media_ref is the sha256 hex of the image's decoded stream bytes (the
+    span contract / reference vision_llm.py:292-294 identity) — resource
+    names like ``Im1`` are page-scoped and collide across documents, so
+    they cannot serve as corpus-wide media identity. A streamless image
+    object falls back to its resource name."""
     m = re.search(rb"/XObject\s*<<(.*?)>>", page_body, re.S)
     if not m:
-        return set()
-    names = set()
+        return {}
+    refs: dict[bytes, str] = {}
     for name, ref in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", m.group(1)):
         tgt = objs.get(int(ref), b"")
         if re.search(rb"/Subtype\s*/Image", tgt):
-            names.add(name)
-    return names
+            stream = _stream_bytes(objs, int(ref))
+            refs[name] = (
+                hashlib.sha256(stream).hexdigest()
+                if stream
+                else name.decode("latin-1")
+            )
+    return refs
 
 
 def _decode_pdf_string(tok: bytes) -> str:
@@ -365,11 +386,15 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
         _, page_h = _media_box(objs, body)
         page_heights[page] = page_h
         content = _content_streams(objs, body)
-        blocks, images = _page_blocks(
-            content, page, page_h, _image_xobjects(objs, body)
-        )
+        xobjs = _image_xobjects(objs, body)
+        blocks, images = _page_blocks(content, page, page_h, xobjs)
         all_blocks.extend(blocks)
-        image_rows.extend((page, y, name) for name, y in images)
+        # ordering key stays the page-local resource name (deterministic
+        # tie-break); the emitted media_ref is the content hash
+        image_rows.extend(
+            (page, y, name, xobjs.get(name.encode("latin-1"), name))
+            for name, y in images
+        )
     # a parseable file with no /Page objects yields zero spans (empty doc),
     # not a quarantine row; each page classifies against its OWN height
     spans = [
@@ -379,12 +404,14 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
     # interleave image spans after the page's text spans (the reference
     # collects page images separately after text, pdf_loader.py:38-49)
     out: list[tuple[str, str | None, str | None, int]] = []
-    pages = sorted({p for *_, p in spans} | {p for p, _, _ in image_rows})
+    pages = sorted({p for *_, p in spans} | {p for p, *_ in image_rows})
     for p in pages:
         out.extend(s for s in spans if s[3] == p)
         out.extend(
-            ("image", None, name, p)
-            for pg, y, name in sorted(image_rows, key=lambda r: (r[0], r[1], r[2]))
+            ("image", None, ref, p)
+            for pg, y, name, ref in sorted(
+                image_rows, key=lambda r: (r[0], r[1], r[2])
+            )
             if pg == p
         )
     return out

@@ -370,6 +370,25 @@ class TestLoadFiles:
         assert set(res) == {"a.pdf", "b.docx"}
         assert "Hello world" in res["b.docx"]["markdown"]
 
+    def test_same_named_files_in_subdirs_do_not_collide(self, spark, tmp_path):
+        """doc_id is the path RELATIVE to the ingest root: two files both
+        named report.docx under different subdirectories must stay two
+        distinct documents (doc_id is the unique key for dedupe/lineage/
+        joins downstream)."""
+        from docproc_spark.facade import DocprocSpark
+        from tests.test_ooxml import make_docx
+
+        d = tmp_path / "in"
+        (d / "q1").mkdir(parents=True)
+        (d / "q2").mkdir()
+        (d / "q1" / "report.docx").write_bytes(make_docx())
+        (d / "q2" / "report.docx").write_bytes(make_docx())
+
+        eng = DocprocSpark(spark=spark)
+        table = eng.load_files(str(d) + "/*")
+        ids = {r["doc_id"] for r in table.select("doc_id").collect()}
+        assert ids == {"q1/report.docx", "q2/report.docx"}
+
 
 class TestCompletions:
     """Reference cli.py:94-112 parity: a completions subcommand emitting a

@@ -11,6 +11,7 @@ computed by the code under test.
 
 from __future__ import annotations
 
+import hashlib
 import io
 import zipfile
 
@@ -128,11 +129,16 @@ def make_pptx() -> bytes:
 
 # slide order: B (page 0) then A (page 1); table second row " | " is
 # non-empty so it is KEPT (pptx_loader.py:45 `if row_text:` — " | " is
-# truthy); whitespace-only shape dropped
+# truthy); whitespace-only shape dropped. The image span's media_ref is
+# the sha256 of the embedded PART BYTES (content-addressed identity,
+# vision_llm.py:292-294) — every deck names its first image
+# ppt/media/image1.png, so part names cannot identify media corpus-wide.
+LOGO_SHA = hashlib.sha256(b"\x89PNG fake").hexdigest()
+
 PPTX_EXPECT = [
     ("text", "Title B\nSub B", None, 0),
     ("table", "c1 | c2\n | ", None, 0),
-    ("image", None, "ppt/media/image1.png", 0),
+    ("image", None, LOGO_SHA, 0),
     ("text", "Only A", None, 1),
 ]
 
@@ -199,6 +205,63 @@ def test_parse_xlsx_bytes():
     spans, names = parse_xlsx_bytes(make_xlsx())
     assert spans == XLSX_EXPECT
     assert names == XLSX_SHEETS
+
+
+def _pptx_with_image(part_name: str, blob: bytes) -> bytes:
+    """Minimal 1-slide deck embedding `blob` at ppt/media/<part_name>."""
+    pres = f"""<p:presentation xmlns:p="{P}" xmlns:r="{R}">
+      <p:sldIdLst><p:sldId id="256" r:id="rId1"/></p:sldIdLst>
+    </p:presentation>"""
+    pres_rels = f"""<Relationships xmlns="{PKG_R}">
+      <Relationship Id="rId1" Target="slides/slide1.xml"/>
+    </Relationships>"""
+    slide = f"""<p:sld xmlns:p="{P}" xmlns:a="{A}" xmlns:r="{R}"><p:cSld><p:spTree>
+      <p:pic><p:blipFill><a:blip r:embed="rId9"/></p:blipFill></p:pic>
+    </p:spTree></p:cSld></p:sld>"""
+    slide_rels = f"""<Relationships xmlns="{PKG_R}">
+      <Relationship Id="rId9" Target="../media/{part_name}"/>
+    </Relationships>"""
+    return _zip(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "ppt/presentation.xml": pres,
+            "ppt/_rels/presentation.xml.rels": pres_rels,
+            "ppt/slides/slide1.xml": slide,
+            "ppt/slides/_rels/slide1.xml.rels": slide_rels,
+            f"ppt/media/{part_name}": blob,
+        }
+    )
+
+
+def _image_refs(data: bytes) -> list[str]:
+    return [m for k, _t, m, _p in parse_pptx_bytes(data) if k == "image"]
+
+
+def test_media_ref_is_content_hash_across_documents():
+    """Cross-document media identity (SURVEY §1.3 / vision_llm.py:292-294):
+    identical image bytes under DIFFERENT part names hash equal — the
+    corpus-wide dedupe key a repeated logo collapses on — while different
+    images under the SAME part name stay distinct."""
+    logo = b"\x89PNG the-one-logo"
+    same_a = _image_refs(_pptx_with_image("image1.png", logo))
+    same_b = _image_refs(_pptx_with_image("image7.png", logo))
+    assert same_a == same_b == [hashlib.sha256(logo).hexdigest()]
+
+    other = _image_refs(_pptx_with_image("image1.png", b"\x89PNG different"))
+    assert other != same_a
+    assert other == [hashlib.sha256(b"\x89PNG different").hexdigest()]
+
+
+def test_media_ref_missing_part_falls_back_to_part_name():
+    """A dangling rels target (blob absent from the package) keeps the
+    span with the resolved part name — document-locally identifying."""
+    data = _pptx_with_image("image1.png", b"x")
+    # rebuild the zip WITHOUT the media part
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        entries = {
+            n: z.read(n) for n in z.namelist() if n != "ppt/media/image1.png"
+        }
+    assert _image_refs(_zip(entries)) == ["ppt/media/image1.png"]
 
 
 # ---------------------------------------------------------------------------

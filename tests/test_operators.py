@@ -1320,6 +1320,33 @@ def test_semdedup_cluster_scoped_first_wins(spark):
         semdedup(emb, fit_fraction=0.0)
 
 
+def test_semdedup_zero_norm_vectors_are_kept(spark):
+    """Zero-norm guard: Spark 0.0/0.0 is NaN (NaN wins max() and defeats
+    `mx < threshold`), so without the guard all-zero embeddings sharing a
+    cluster — e.g. hash_embed of empty docs — would silently drop as
+    'duplicates' of each other. They must be KEPT (similarity to a
+    zero-norm vector is undefined → NULL, matching DuckDB's x/0.0)."""
+    from docproc_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [0.999, 0.01, 0.0, 0.0]),  # real near-dup still drops
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semdedup(emb, threshold=0.95, n_lists=2, kmeans_iter=1).collect()
+    }
+    assert len(got) == 5
+    for vid in (0, 1, 2):
+        assert got[vid]["keep"], f"zero-norm vector {vid} wrongly dropped"
+        assert got[vid]["max_prior_sim"] is None
+    assert not got[4]["keep"] and got[4]["max_prior_sim"] > 0.99
+
+
 def test_assign_shards_serpentine_balance(spark):
     """assign_shards contract: serpentine deal over (n_tokens DESC, id)
     order, every row placed (null/empty text = 0 tokens), near-balanced

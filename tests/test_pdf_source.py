@@ -11,6 +11,7 @@ full_text_pdf with empty pages included.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import pandas as pd
@@ -76,6 +77,10 @@ def make_pdf() -> bytes:
     )
 
 
+# media_ref is the sha256 of the image XObject's stream bytes (b"abc"
+# above) — content-addressed identity, not the page-scoped resource name
+IM1_SHA = hashlib.sha256(b"abc").hexdigest()
+
 # reading order on page 1 (y-top asc): header 780→12, body 700→92,
 # table 600→192, image at cm ty=500→292, footer 20→772; image spans come
 # after the page's text spans (reference collects images separately)
@@ -84,7 +89,7 @@ PDF_EXPECT = [
     ("text", "Hello world\nHi!", None, 0),
     ("table", "a | b\nc | d", None, 0),
     ("footer", "page 1 of 2", None, 0),
-    ("image", None, "Im1", 0),
+    ("image", None, IM1_SHA, 0),
     ("text", "It(s) Here\nsecond", None, 1),
 ]
 
