@@ -10,13 +10,19 @@ ordering/classification kernel both paths already share.
 Supported subset (documented contract — anything outside it quarantines
 with a parse_error instead of failing the job):
 
-  - classic non-encrypted PDFs; objects located by scanning `N 0 obj …
-    endobj` (no xref needed — tolerant of linearized/appended files)
-  - page order from the /Catalog → /Pages → /Kids tree (recursive)
+  - non-encrypted PDFs; objects located by scanning `N 0 obj … endobj`
+    (no xref parsing — tolerant of linearized/appended files), then
+    /Type /ObjStm object streams expanded inline (PDF 1.5+ compressed
+    objects, the modern-writer default; the /XRef stream itself never
+    needs decoding — see _expand_object_streams)
+  - page order from the /Catalog → /Pages → /Kids tree (recursive,
+    cycle/depth-bounded)
   - content streams plain or /FlateDecode
   - text: BT…ET blocks; Tm/Td/TD/T* positioning (a new line per
     line-move, joined "\\n"); Tj / ' / TJ show ops; literal ( ) strings
-    with escapes + octal, and <hex> strings; Latin-1 byte decoding
+    with escapes + octal, and <hex> strings; Latin-1 byte decoding by
+    default, or the active font's /ToUnicode CMap (Tf-switched; 1- and
+    2-byte codes, bfchar + both bfrange forms) for composite/CID text
   - one block per BT…ET group, bbox from the text origin (PDF y-up
     flipped to top-down so (y0, x0) reading order matches pdf_layout)
   - images: /XObject /Subtype /Image resources invoked with `name Do`
@@ -50,7 +56,49 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    _expand_object_streams(objs)
+    return objs
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Inline the members of /Type /ObjStm object streams (PDF 1.5+).
+
+    Modern writers put the catalog / pages tree / font dicts inside
+    compressed object streams — the cross-reference is an /XRef stream
+    and NO `N 0 obj` wrapper exists for the members, so the raw object
+    scan alone sees an empty document. The stream layout (ISO 32000
+    §7.5.7): /N pairs of `objnum offset` ints, then the concatenated
+    object bodies starting at /First; offsets are relative to /First.
+    Members never carry streams themselves, so the body slice is
+    complete. Top-level definitions win on collision (`setdefault`):
+    an incremental update appends its replacement objects uncompressed
+    at the tail, which the direct scan already found.
+
+    No xref parsing is needed at all — the scan finds the ObjStm
+    containers, this expands them, and the /Catalog walk does the rest
+    (the /XRef stream object itself is just never referenced)."""
+    for num in list(objs):
+        body = objs[num]
+        if not re.search(rb"/Type\s*/ObjStm", body):
+            continue
+        n_m = re.search(rb"/N\s+(\d+)", body)
+        first_m = re.search(rb"/First\s+(\d+)", body)
+        if not (n_m and first_m):
+            continue
+        data = _stream_bytes(objs, num)
+        first = int(first_m.group(1))
+        if not data or first > len(data):
+            continue
+        try:
+            head = [int(t) for t in data[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(head[0::2], head[1::2]))[: int(n_m.group(1))]
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            if 0 <= off <= end:
+                objs.setdefault(onum, data[first + off : first + end])
 
 
 def _dict_ref(body: bytes, key: bytes) -> int | None:
@@ -146,6 +194,93 @@ def _content_streams(objs: dict[int, bytes], page_body: bytes) -> bytes:
     return b""
 
 
+def _resources_body(objs: dict[int, bytes], page_body: bytes) -> bytes:
+    """The body holding this page's /Resources entries — inline dict
+    (returns the page body itself: the name dicts are searched by key),
+    indirect `/Resources N 0 R`, or inherited from the /Parent chain."""
+    body: bytes | None = page_body
+    for _ in range(16):  # bounded parent walk
+        if body is None:
+            break
+        m = re.search(rb"/Resources\s+(\d+)\s+0\s+R", body)
+        if m:
+            return objs.get(int(m.group(1)), b"")
+        if re.search(rb"/Resources\s*<<", body):
+            return body
+        parent = _dict_ref(body, b"Parent")
+        body = objs.get(parent) if parent is not None else None
+    return page_body
+
+
+def _parse_tounicode(stream: bytes) -> tuple[int, dict[int, str]]:
+    """/ToUnicode CMap → (code byte-width, code→str map).
+
+    Supports the subset real writers emit (ISO 32000 §9.10.3):
+    codespacerange (fixes the code width, 1 or 2 bytes), bfchar pairs,
+    and bfrange in both forms — incrementing destination `<lo> <hi>
+    <dst>` and explicit array `<lo> <hi> [<d1> <d2> …]`. Destinations
+    are UTF-16BE hex."""
+
+    def uni(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+
+    width = 1
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", stream, re.S)
+    if m:
+        lows = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if lows:
+            width = max(1, min(2, len(lows[0]) // 2))
+    mapping: dict[int, str] = {}
+    for seg in re.findall(rb"beginbfchar(.*?)endbfchar", stream, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", seg
+        ):
+            mapping[int(src, 16)] = uni(dst)
+    for seg in re.findall(rb"beginbfrange(.*?)endbfrange", stream, re.S):
+        for lo, hi, rest in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            seg,
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if rest.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", rest)
+                for k, d in enumerate(dsts):
+                    if lo_i + k <= hi_i:
+                        mapping[lo_i + k] = uni(d)
+            else:
+                base = rest[1:-1]
+                if len(base) <= 4:  # single UTF-16 unit: increment it
+                    d0 = int(base, 16)
+                    for k in range(hi_i - lo_i + 1):
+                        mapping[lo_i + k] = chr(min(d0 + k, 0x10FFFF))
+                else:  # multi-unit string: increment the LAST unit
+                    prefix, last = uni(base[:-4]), int(base[-4:], 16)
+                    for k in range(hi_i - lo_i + 1):
+                        mapping[lo_i + k] = prefix + chr(min(last + k, 0xFFFF))
+    return width, mapping
+
+
+def _font_cmaps(
+    objs: dict[int, bytes], page_body: bytes
+) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """Font resource name (as the `/F1` token) → parsed /ToUnicode CMap
+    for every font on this page that carries one. Fonts without a
+    ToUnicode stream keep the Latin-1 byte decoding."""
+    res = _resources_body(objs, page_body)
+    m = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+    if not m:
+        return {}
+    out: dict[bytes, tuple[int, dict[int, str]]] = {}
+    for name, ref in re.findall(rb"/([\w.#]+)\s+(\d+)\s+0\s+R", m.group(1)):
+        tu = _dict_ref(objs.get(int(ref), b""), b"ToUnicode")
+        if tu is None:
+            continue
+        stream = _stream_bytes(objs, tu)
+        if stream:
+            out[b"/" + name] = _parse_tounicode(stream)
+    return out
+
+
 def _image_xobjects(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, str]:
     """Resource name → media_ref for /Subtype /Image XObjects on this page.
 
@@ -154,7 +289,7 @@ def _image_xobjects(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, str
     names like ``Im1`` are page-scoped and collide across documents, so
     they cannot serve as corpus-wide media identity. A streamless image
     object falls back to its resource name."""
-    m = re.search(rb"/XObject\s*<<(.*?)>>", page_body, re.S)
+    m = re.search(rb"/XObject\s*<<(.*?)>>", _resources_body(objs, page_body), re.S)
     if not m:
         return {}
     refs: dict[bytes, str] = {}
@@ -170,13 +305,14 @@ def _image_xobjects(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, str
     return refs
 
 
-def _decode_pdf_string(tok: bytes) -> str:
-    """Literal ( … ) with escapes/octal, or <hex>; Latin-1 bytes."""
+def _string_bytes(tok: bytes) -> bytes:
+    """Raw bytes of a literal ( … ) string (escapes/octal applied) or a
+    <hex> string — decoding to text happens per the CURRENT FONT."""
     if tok.startswith(b"<"):
         hx = re.sub(rb"[^0-9A-Fa-f]", b"", tok[1:-1])
         if len(hx) % 2:
             hx += b"0"
-        return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+        return bytes.fromhex(hx.decode("ascii"))
     body = tok[1:-1]
     out = bytearray()
     i = 0
@@ -199,7 +335,26 @@ def _decode_pdf_string(tok: bytes) -> str:
             continue
         out.append(c)
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
+
+
+def _decode_pdf_string(
+    tok: bytes, cmap: tuple[int, dict[int, str]] | None = None
+) -> str:
+    """String token → text: through the current font's /ToUnicode CMap
+    when one is in scope (composite/CID fonts — the bytes are code units,
+    not characters), else Latin-1 (the simple-font subset default).
+    Unmapped codes become U+FFFD, matching extractors that refuse to
+    guess glyph identity without a mapping."""
+    raw = _string_bytes(tok)
+    if cmap is None:
+        return raw.decode("latin-1")
+    width, mapping = cmap
+    end = len(raw) - len(raw) % width
+    return "".join(
+        mapping.get(int.from_bytes(raw[i : i + width], "big"), "�")
+        for i in range(0, end, width)
+    )
 
 
 _NONSTRING_TOKEN_RE = re.compile(
@@ -247,12 +402,22 @@ def _tokenize(content: bytes) -> list[bytes]:
     return out
 
 
-def _page_blocks(content: bytes, page: int, page_h: float, image_names: set[bytes]):
+def _page_blocks(
+    content: bytes,
+    page: int,
+    page_h: float,
+    image_names: dict[bytes, str] | set[bytes],
+    fonts: dict[bytes, tuple[int, dict[int, str]]] | None = None,
+):
     """Interpret one content stream → PyMuPDF-style block dicts + image
     spans. One block per BT…ET; PDF's y-up origin flipped to top-down so
-    blocks_to_spans' (y0, x0) order is visual reading order."""
+    blocks_to_spans' (y0, x0) order is visual reading order. `fonts`
+    carries per-font /ToUnicode CMaps: the `Tf` operator switches the
+    string decoder for subsequent show ops."""
     blocks: list[dict] = []
     images: list[tuple[str, float]] = []  # (name, y_sort)
+    fonts = fonts or {}
+    cur_cmap: tuple[int, dict[int, str]] | None = None
     tokens = _tokenize(content)
     tx = ty = 0.0
     leading = 12.0
@@ -339,6 +504,13 @@ def _page_blocks(content: bytes, page: int, page_h: float, image_names: set[byte
                     images.append((name.decode("latin-1"), page_h - cm_ty))
             stack.clear()
             continue
+        if tok == b"Tf":
+            # `/F1 12 Tf`: switch the active font — and with it the
+            # string decoder (ToUnicode CMap vs Latin-1 bytes)
+            if len(stack) >= 2 and stack[-2].startswith(b"/"):
+                cur_cmap = fonts.get(stack[-2])
+            stack.clear()
+            continue
         if tok in (b"Tj", b"'"):
             if tok == b"'":
                 ty -= leading
@@ -349,12 +521,14 @@ def _page_blocks(content: bytes, page: int, page_h: float, image_names: set[byte
             if s is not None:
                 if origin is None:
                     origin = (tx, ty)
-                cur_line += _decode_pdf_string(s)
+                cur_line += _decode_pdf_string(s, cur_cmap)
             stack.clear()
             continue
         if tok == b"TJ":
             parts = [
-                _decode_pdf_string(t) for t in stack if t.startswith((b"(", b"<"))
+                _decode_pdf_string(t, cur_cmap)
+                for t in stack
+                if t.startswith((b"(", b"<"))
             ]
             if parts:
                 if origin is None:
@@ -387,7 +561,9 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
         page_heights[page] = page_h
         content = _content_streams(objs, body)
         xobjs = _image_xobjects(objs, body)
-        blocks, images = _page_blocks(content, page, page_h, xobjs)
+        blocks, images = _page_blocks(
+            content, page, page_h, xobjs, fonts=_font_cmaps(objs, body)
+        )
         all_blocks.extend(blocks)
         # ordering key stays the page-local resource name (deterministic
         # tie-break); the emitted media_ref is the content hash

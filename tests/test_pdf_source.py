@@ -215,3 +215,185 @@ def test_parser_never_hangs_or_crashes_on_mutations():
             outcomes["err"] += 1
     assert outcomes["ok"] + outcomes["err"] == 120
     assert time.time() - t0 < 30, "mutation fuzz too slow — parser may scale badly on garbage"
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5+ reality: object streams + ToUnicode CMaps
+# ---------------------------------------------------------------------------
+def _objstm_obj(members: list[tuple[int, bytes]], compress: bool = True) -> bytes:
+    """An /ObjStm object body holding `members` (ISO 32000 §7.5.7):
+    header of `objnum offset` int pairs, then the concatenated member
+    bodies; offsets relative to /First."""
+    offs, chunks, pos = [], [], 0
+    for num, body in members:
+        offs.append(f"{num} {pos}")
+        chunks.append(body)
+        pos += len(body)
+    head = (" ".join(offs) + "\n").encode("ascii")
+    stream = head + b"".join(chunks)
+    data = zlib.compress(stream) if compress else stream
+    filt = b"/Filter /FlateDecode " if compress else b""
+    return (
+        b"<< /Type /ObjStm /N %d /First %d " % (len(members), len(head))
+        + filt
+        + b"/Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream\n"
+    )
+
+
+def test_object_stream_body_parses():
+    """PDF 1.5+ files keep the catalog / pages tree / page dicts inside a
+    compressed /ObjStm (no `N 0 obj` wrappers, /XRef cross-reference) —
+    the modern-writer default. Such a file must parse to spans, not
+    quarantine or yield an empty document."""
+    members = [
+        (10, b"<< /Type /Catalog /Pages 11 0 R >>"),
+        (11, b"<< /Type /Pages /Kids [12 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792] >>"),
+        (12, b"<< /Type /Page /Parent 11 0 R /Contents 2 0 R >>"),
+    ]
+    pdf = _pdf(
+        [
+            _objstm_obj(members),
+            _stream_obj(b"BT 72 400 Td (compressed body) Tj ET", compress=True),
+        ]
+    )
+    assert parse_pdf_bytes(pdf) == [("text", "compressed body", None, 0)]
+
+
+def test_object_stream_members_do_not_override_top_level():
+    """Incremental updates append replacement objects uncompressed at the
+    tail; the direct scan finds those, and an ObjStm member with the same
+    number must NOT shadow them."""
+    members = [(12, b"<< /Type /Page /Parent 11 0 R /Contents 2 0 R >>")]
+    pdf = _pdf(
+        [
+            _objstm_obj(members),
+            _stream_obj(b"BT 72 400 Td (old) Tj ET", compress=False),
+            # top-level redefinition of object 12's content target
+        ]
+    )
+    # direct object 2 (the stream) wins for number 2; member 12 fills in
+    from docproc_spark.sources.pdf import _objects
+
+    objs = _objects(pdf)
+    assert 12 in objs and b"/Type /Page" in objs[12]
+    assert b"stream" in objs[2]
+
+
+_CMAP = b"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+3 beginbfchar
+<0001> <0048>
+<0002> <00E9>
+<0003> <6F22>
+endbfchar
+1 beginbfrange
+<0010> <0012> <0061>
+endbfrange
+endcmap
+end
+"""
+
+
+def make_cmap_pdf() -> bytes:
+    """A composite-font page: 2-byte codes shown via <hex> Tj, decoded
+    through the font's /ToUnicode CMap (bfchar + incrementing bfrange)."""
+    return _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>\n",
+            _stream_obj(
+                b"BT /F1 12 Tf 72 700 Td <000100020003> Tj "
+                b"0 -14 Td <001000110012> Tj ET",
+                compress=False,
+            ),
+            b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\n",
+            _stream_obj(_CMAP, compress=True),
+        ]
+    )
+
+
+def test_tounicode_cmap_decodes_cid_text():
+    assert parse_pdf_bytes(make_cmap_pdf()) == [
+        ("text", "Hé漢\nabc", None, 0)
+    ]
+
+
+def test_cmap_scope_is_per_font():
+    """Latin-1 decoding must return the moment a CMap-less font is
+    selected (Tf switches the decoder, not the document)."""
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>\n",
+            _stream_obj(
+                b"BT /F1 12 Tf 72 700 Td <00010002> Tj "
+                b"/F2 12 Tf ( plain) Tj ET",
+                compress=False,
+            ),
+            b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\n",
+            _stream_obj(_CMAP, compress=False),
+            b"<< /Type /Font /Subtype /TrueType >>\n",
+        ]
+    )
+    assert parse_pdf_bytes(pdf) == [("text", "Hé plain", None, 0)]
+
+
+def test_unmapped_cid_yields_replacement_char():
+    pdf = make_cmap_pdf().replace(b"<000100020003>", b"<0001BEEF>")
+    spans = parse_pdf_bytes(pdf)
+    assert spans[0][1].startswith("H�")
+
+
+def test_cyclic_pages_tree_terminates():
+    """A /Pages node whose /Kids points back at itself (corrupt or
+    malicious) must terminate quickly — visited-set guard, no
+    RecursionError burn."""
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+            _stream_obj(b"BT 72 400 Td (survives cycle) Tj ET", compress=False),
+        ]
+    )
+    assert parse_pdf_bytes(pdf) == [("text", "survives cycle", None, 0)]
+
+
+def test_indirect_resources_dict():
+    """/Resources given as an indirect reference (common in real files)
+    still resolves fonts and image XObjects."""
+    img_sha = hashlib.sha256(b"imgbytes").hexdigest()
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources 5 0 R >>\n",
+            _stream_obj(
+                b"q 1 0 0 1 50 500 cm /Im9 Do Q\n"
+                b"BT 72 400 Td (with indirect res) Tj ET",
+                compress=False,
+            ),
+            b"<< /XObject << /Im9 6 0 R >> >>\n",
+            b"<< /Subtype /Image /Width 2 /Height 2 /Length 8 >>\n"
+            b"stream\nimgbytes\nendstream\n",
+        ]
+    )
+    assert parse_pdf_bytes(pdf) == [
+        ("text", "with indirect res", None, 0),
+        ("image", None, img_sha, 0),
+    ]
