@@ -2982,7 +2982,12 @@ def _bpe(spark, sf):
     from docproc_spark.operators.bpe import train_bpe
 
     return train_bpe(
-        _t(spark, sf, "documents"), n_merges=8, word_pattern="^[a-z0-9]+$"
+        _t(spark, sf, "documents"),
+        n_merges=8,
+        word_pattern="^[a-z0-9]+$",
+        # pinned: this spare oracle-checks the DISTRIBUTED fold machinery
+        # (auto would route 8 merges to the value-identical local refiner)
+        strategy="distributed",
     )
 
 

@@ -3,10 +3,16 @@ training step of a pre-training data pipeline, as Spark aggregations.
 
 Shape: the corpus is reduced ONCE to a word-frequency vocabulary (one
 explode + groupBy shuffle — the only pass that touches document text);
-every merge round then runs on the vocabulary table alone: adjacent
-symbol-pair counts (explode weighted by word freq, map-side partial
-aggs), a distributed top-1 (TakeOrdered, never a global window), and a
-leftmost-non-overlapping merge applied as a per-word string fold. The
+merge rounds then run on the vocabulary table alone. Two round
+strategies share bit-identical decisions: the LOCAL refiner (default
+at fitting vocab sizes) collects the vocabulary once and runs classic
+heap+incremental-count BPE on the driver — the scale path, since a real
+tokenizer is ~30k merges and one Spark job per merge would be 30k jobs;
+and the DISTRIBUTED rounds — adjacent symbol-pair counts (explode
+weighted by word freq, map-side partial aggs), a distributed top-1
+(TakeOrdered, never a global window), and a leftmost-non-overlapping
+merge applied as a per-word string fold — for vocabularies too large to
+collect (cap n_merges in the hundreds there: cost is O(rounds) jobs). The
 initial vocabulary is localCheckpoint'ed (cuts the corpus lineage); each
 round's merged vocabulary is cached, materialized, and its predecessor
 unpersisted (the dup_components iterative-operator discipline, both
@@ -90,22 +96,114 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _local_refine(
+    rows: list[tuple[int, str]], n_merges: int
+) -> list[tuple]:
+    """Classic driver-local BPE over a collected (freq, syms) vocabulary:
+    lazy-deletion heap for the best pair, incremental pair-count updates
+    touching only the words that contain the merged pair. Bit-identical
+    decisions to the distributed rounds — (count DESC, x ASC, y ASC)
+    selection and leftmost-non-overlapping application — verified by the
+    strategy-parity test. O(total_syms + merges·log P + touched words);
+    30k merges over a multi-million-word vocabulary is minutes, not 30k
+    Spark jobs."""
+    import heapq
+    from collections import defaultdict
+
+    freqs = [f for f, _ in rows]
+    words = [s.split(" ") for _, s in rows]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += freqs[wi]
+            pair_words[p].add(wi)
+    heap = [(-c, x, y) for (x, y), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for r in range(n_merges):
+        best = None
+        while heap:
+            negc, x, y = heapq.heappop(heap)
+            if pair_counts.get((x, y), 0) == -negc:  # else: stale entry
+                best = (x, y, -negc)
+                break
+        if best is None or best[2] <= 0:
+            break
+        bx, by, bc = best
+        merges.append((r + 1, bx, by, bx + by, bc))
+        touched: set[tuple[str, str]] = set()
+        for wi in list(pair_words.pop((bx, by), ())):
+            syms, f = words[wi], freqs[wi]
+            if (bx, by) not in {
+                (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+            }:
+                continue  # stale membership (word changed since insert)
+            new: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bx and syms[i + 1] == by:
+                    new.append(bx + by)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= f
+                touched.add(p)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] += f
+                pair_words[p].add(wi)
+                touched.add(p)
+            words[wi] = new
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     word_pattern: str | None = None,
+    strategy: str = "auto",
+    local_vocab_max: int = 5_000_000,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus's
     lowercased whitespace words. Returns (rank, x, y, merged, cnt) in
     merge order; stops early if the vocabulary runs out of pairs.
 
-    The per-round winning pair is collected to the driver (ONE row per
-    round — the iterative-algorithm scalar, same class as a k-means
-    convergence check); everything else stays distributed.
+    ``strategy`` picks how the merge ROUNDS run (the corpus reduction to
+    a word-frequency vocabulary is always the one distributed pass):
+
+    - ``"local"``: collect the vocabulary (|unique words| rows — orders
+      of magnitude smaller than the corpus) and refine on the driver
+      with incremental pair counts. THE scale path for real tokenizer
+      training: 30k merges is one collect + driver minutes, not 30k
+      Spark jobs.
+    - ``"distributed"``: one Spark aggregation round per merge (the
+      per-round winner is a 1-row collect). Bounded use: merge-rule
+      auditing / small n_merges, or a vocabulary too large to collect —
+      cost is O(n_merges) jobs, so cap n_merges in the hundreds here.
+    - ``"auto"`` (default): local when the vocabulary fits
+      ``local_vocab_max`` rows, else distributed.
+
+    Both strategies make bit-identical decisions (same (count DESC,
+    x ASC, y ASC) selection, same leftmost-non-overlapping application)
+    — asserted by the strategy-parity test and the shared SQL oracle.
     """
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"strategy must be auto|local|distributed: {strategy!r}")
     spark = docs.sparkSession
     words = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     w = docs.select(F.explode(words).alias("w"))
@@ -122,6 +220,15 @@ def train_bpe(
         )
         .localCheckpoint(eager=True)
     )
+    if strategy == "auto":
+        strategy = "local" if vocab.count() <= local_vocab_max else "distributed"
+    if strategy == "local":
+        rows = [(r["freq"], r["syms"]) for r in vocab.collect()]
+        vocab.unpersist()
+        return spark.createDataFrame(
+            _local_refine(rows, n_merges),
+            "rank long, x string, y string, merged string, cnt long",
+        )
     merges: list[tuple] = []
     for r in range(n_merges):
         best = (

@@ -304,6 +304,23 @@ class OllamaChatProvider(ChatProvider):
         )
         return data.get("message", {}).get("content", "")
 
+    def embed(self, texts: list, model: str | None = None) -> list:
+        """POST {base_url}/api/embeddings once PER TEXT (the Ollama embed
+        endpoint takes a single `prompt` — reference ollama_provider.py:
+        72-84, model default nomic-embed-text)."""
+        out: list = []
+        for t in texts:
+            data = _post_with_retries(
+                self.client,
+                f"{self.base_url}/api/embeddings",
+                {"Content-Type": "application/json"},
+                {"model": model or "nomic-embed-text", "prompt": t},
+                self.timeout_s,
+                self.max_retries,
+            )
+            out.append(data.get("embedding", []))
+        return out
+
 
 class LiteLLMChatProvider(OpenAIChatProvider):
     """The reference's litellm route (litellm_provider.py, factory.py:18-131):

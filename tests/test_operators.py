@@ -213,6 +213,69 @@ def test_ivf_with_kmeans_recall_on_clusters(spark):
     assert recall >= 0.8, f"IVF recall {recall} (bf={bf} ivf={ivf})"
 
 
+def test_ann_recall_at_10_vs_brute_force(spark):
+    """Recall@10 against exact cosine on the sf0.01 embeddings — the
+    quality number a 100-TB user asks first, recorded per configuration
+    in the test log. Documented floors (measured means with margin; the
+    corpus is fixed-seed so these are stable):
+
+    - IVF recall is MONOTONE in n_probe and reaches 1.0 when every list
+      is probed (full probe = exhaustive search with identical rounding
+      + tie-break, so equality with brute force is exact).
+    - LSH recall depends on (bands, planes/band): more bands OR fewer
+      planes/band = bigger candidate set = higher recall at higher cost.
+      The (8 bands, 4 planes) point is the documented quality config
+      (mean 0.66 measured); the cheap default (4, 6) trades recall for
+      a ~4x smaller candidate set and is NOT floor-asserted here.
+    """
+    import statistics
+
+    from docproc_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    emb.count()
+    queries = [0, 7, 123, 256, 444]
+    brute = {
+        q: {r["vec_id"] for r in brute_force_topk(emb, q, 10).collect()}
+        for q in queries
+    }
+
+    def mean_recall(fn):
+        return statistics.mean(
+            len({r["vec_id"] for r in fn(q).collect()} & brute[q]) / 10
+            for q in queries
+        )
+
+    lsh_recall = mean_recall(
+        lambda q: lsh_topk(emb, q, 10, n_bands=8, planes_per_band=4)
+    )
+    print(f"\nrecall@10 LSH(8 bands, 4 planes/band): {lsh_recall:.2f}")
+    assert lsh_recall >= 0.4, f"LSH recall@10 {lsh_recall} below floor 0.4"
+
+    ivf_recalls = {}
+    for n_probe in (1, 2, 4, 8, 16):
+        ivf_recalls[n_probe] = mean_recall(
+            lambda q, n_probe=n_probe: ivf_topk(
+                emb, q, 10, n_lists=16, n_probe=n_probe
+            )
+        )
+        print(f"recall@10 IVF(16 lists, probe={n_probe}): "
+              f"{ivf_recalls[n_probe]:.2f}")
+    probes = sorted(ivf_recalls)
+    assert all(
+        ivf_recalls[a] <= ivf_recalls[b] + 1e-9
+        for a, b in zip(probes, probes[1:])
+    ), f"IVF recall not monotone in n_probe: {ivf_recalls}"
+    assert ivf_recalls[4] >= 0.5, f"IVF probe=4 recall {ivf_recalls[4]} < 0.5"
+    assert ivf_recalls[8] >= 0.7, f"IVF probe=8 recall {ivf_recalls[8]} < 0.7"
+    assert ivf_recalls[16] == 1.0, "full probe must equal brute force"
+    emb.unpersist()
+
+
 def test_sessionize_subsecond_gap_precision(spark):
     """Gaps that straddle the threshold inside one second must classify at
     microsecond precision (matching the DuckDB oracle's epoch_us), not the
@@ -2033,3 +2096,81 @@ def test_train_bpe_python_reference_parity(spark):
     assert train_bpe(df1, n_merges=4).count() == 0
     with pytest.raises(ValueError):
         train_bpe(df, n_merges=0)
+    with pytest.raises(ValueError, match="strategy"):
+        train_bpe(df, n_merges=2, strategy="turbo")
+
+
+def test_train_bpe_strategies_agree(spark):
+    """The local refiner (heap + incremental counts, the 30k-merge scale
+    path) and the distributed rounds make bit-identical merge decisions
+    on the edge-case corpus (adjacent repeats, chains, ties) — including
+    running past pair exhaustion."""
+    from docproc_spark.operators.bpe import train_bpe
+
+    texts = [
+        "aaaa aaaa banana banana bandana",
+        "aaaa banana anna a b c",
+        "abab abab abab cdcd",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (3, 12, 64):  # 64 exhausts the vocabulary: early stop parity
+        dist = [
+            tuple(r)
+            for r in train_bpe(df, n_merges=n, strategy="distributed")
+            .orderBy("rank")
+            .collect()
+        ]
+        loc = [
+            tuple(r)
+            for r in train_bpe(df, n_merges=n, strategy="local")
+            .orderBy("rank")
+            .collect()
+        ]
+        assert loc == dist, f"strategy divergence at n_merges={n}"
+    # auto routes this tiny vocabulary to the local refiner
+    auto = [
+        tuple(r)
+        for r in train_bpe(df, n_merges=12).orderBy("rank").collect()
+    ]
+    assert auto == [
+        tuple(r)
+        for r in train_bpe(df, n_merges=12, strategy="local")
+        .orderBy("rank")
+        .collect()
+    ]
+
+
+def test_train_bpe_thousand_merges_bounded(spark):
+    """The verdict-4 scale contract: n_merges=1000 at sf0.01 completes in
+    bounded time (local refiner — NOT 1000 Spark jobs) and its prefix
+    agrees with a short distributed run."""
+    import time
+
+    from docproc_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    t0 = time.time()
+    merges = (
+        train_bpe(docs, n_merges=1000, word_pattern="^[a-z0-9]+$")
+        .orderBy("rank")
+        .collect()
+    )
+    wall = time.time() - t0
+    assert wall < 120, f"1000-merge training took {wall:.0f}s — not bounded"
+    # the synthetic sf0.01 vocabulary exhausts its pairs (~89 merges) —
+    # early stop is part of the contract; a real corpus would run all 1000
+    assert 50 < len(merges) <= 1000
+    # composed merges appear (some round consumed an earlier round's symbol)
+    assert any(len(r["merged"]) > 2 for r in merges)
+    # prefix parity with the distributed rounds
+    dist = [
+        tuple(r)
+        for r in train_bpe(
+            docs, n_merges=6, word_pattern="^[a-z0-9]+$", strategy="distributed"
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [tuple(r) for r in merges[:6]] == dist

@@ -138,6 +138,29 @@ class TestOllamaChat:
         assert req["url"] == "http://h:11434/api/chat"
         assert req["payload"]["stream"] is False
 
+    def test_embed_loops_per_text(self):
+        """Ollama's embed endpoint takes ONE prompt per call (reference
+        ollama_provider.py:72-84): N texts = N POSTs to /api/embeddings,
+        model defaulting to nomic-embed-text."""
+        c = CannedClient(
+            [{"embedding": [0.1, 0.2]}, {"embedding": [0.3, 0.4]}]
+        )
+        p = OllamaChatProvider(c, base_url="http://h:11434")
+        assert p.embed(["alpha", "beta"]) == [[0.1, 0.2], [0.3, 0.4]]
+        assert len(c.requests) == 2
+        for req, prompt in zip(c.requests, ["alpha", "beta"]):
+            assert req["url"] == "http://h:11434/api/embeddings"
+            assert req["payload"] == {
+                "model": "nomic-embed-text",
+                "prompt": prompt,
+            }
+
+    def test_embed_model_override_and_missing_key(self):
+        c = CannedClient([{}])  # reply without an `embedding` key
+        p = OllamaChatProvider(c)
+        assert p.embed(["x"], model="custom-embed") == [[]]
+        assert c.requests[0]["payload"]["model"] == "custom-embed"
+
 
 class TestOpenAIVisionTransport:
     def _transport(self, canned):
