@@ -9,9 +9,30 @@ The reference facade wraps one document; this one wraps a corpus table:
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from docproc_spark.config import EngineConfig, parse_config
+
+
+def _ingest_root(path: str) -> tuple[str, bool]:
+    """(root prefix ending in '/', scheme_kept) for relative doc_ids.
+
+    A glob root (`dir/*.pdf`, `dir/{a,b}/…`) anchors at the last
+    separator before its first wildcard. A scheme'd root (s3a://bucket/
+    data) is kept verbatim — os.path.abspath would fold `s3a://` into a
+    local path like /cwd/s3a:/bucket — and compared against the raw URI
+    in binaryFile's `path` column; a local root is absolutized."""
+    base = path
+    if any(c in path for c in "*?[{"):
+        base = path.split("*", 1)[0].split("?", 1)[0]
+        base = base.split("[", 1)[0].split("{", 1)[0]
+        base = base[: base.rfind("/") + 1] or "."
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", base):
+        return base.rstrip("/") + "/", True
+    return os.path.abspath(base or ".").rstrip("/") + "/", False
 
 
 class DocprocSpark:
@@ -195,8 +216,6 @@ class DocprocSpark:
         )
 
     def _binary_files(self, path: str, exts: tuple[str, ...]) -> DataFrame:
-        import os
-
         from pyspark.sql import functions as F
 
         def ci(ext: str) -> str:
@@ -212,23 +231,30 @@ class DocprocSpark:
         # (multiple roots merged later, recursiveFileLookup) must not
         # collide in the span table, where doc_id is the unique document
         # key for dedupe/lineage/joins. For a flat directory this equals
-        # the file name. binaryFile's `path` is a file: URI — strip the
-        # scheme, then the normalized root prefix; fall back to the bare
-        # name if the prefix doesn't match. A glob root (`dir/*`)
-        # anchors at the last separator before its first wildcard.
-        base = path
-        if any(c in path for c in "*?[{"):
-            base = path.split("*", 1)[0].split("?", 1)[0]
-            base = base.split("[", 1)[0].split("{", 1)[0]
-            base = os.path.dirname(base)
-        root = os.path.abspath(base or ".").rstrip("/") + "/"
-        fs_path = F.regexp_replace(
-            F.col("path"), r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/"
-        )
-        rel = F.when(
-            fs_path.startswith(root),
-            fs_path.substr(F.lit(len(root) + 1), F.length(fs_path)),
-        ).otherwise(F.regexp_extract(F.col("path"), r"([^/]+)$", 1))
+        # the file name. No-match falls back to the bare name rather
+        # than guessing.
+        root, scheme_kept = _ingest_root(path)
+        if scheme_kept:
+            # remote roots (s3a://, hdfs://…) match binaryFile's `path`
+            # URI string as-is — os.path.abspath would mangle the scheme
+            fs_path = F.col("path")
+        else:
+            # local roots match scheme-stripped (the path column carries
+            # raw, non-percent-encoded file: URIs — verified: a space
+            # survives as ' ')
+            fs_path = F.regexp_replace(
+                F.col("path"), r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/"
+            )
+        from urllib.parse import quote as _quote
+
+        rel = F.regexp_extract(F.col("path"), r"([^/]+)$", 1)
+        # a percent-quoted candidate is also tried in case a Hadoop FS
+        # encodes special chars in the path column
+        for cand in dict.fromkeys([root, _quote(root, safe="/:")]):
+            rel = F.when(
+                fs_path.startswith(cand),
+                fs_path.substr(F.lit(len(cand) + 1), F.length(fs_path)),
+            ).otherwise(rel)
         return (
             self.spark.read.format("binaryFile")
             .option("pathGlobFilter", glob)

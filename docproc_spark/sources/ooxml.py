@@ -225,7 +225,11 @@ def parse_pptx_bytes(data: bytes) -> list[tuple[str, str, str | None, int]]:
                     if part is not None:
                         try:
                             ref = hashlib.sha256(z.read(part)).hexdigest()
-                        except KeyError:
+                        except Exception:
+                            # missing member (KeyError) but also corrupt
+                            # CRC (BadZipFile) / encrypted (RuntimeError):
+                            # one bad image must NOT quarantine the whole
+                            # document's text — keep the part-name ref
                             pass
                     spans.append(("image", None, ref, page))
     return spans

@@ -56,12 +56,22 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
-    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
-    _expand_object_streams(objs)
+    # Collision rule without xref parsing: LATEST file position wins.
+    # Incremental updates APPEND their replacement objects — whether
+    # uncompressed at top level or inside a newer ObjStm — so the byte
+    # offset of a definition (members inherit their container's offset)
+    # is the update recency the xref table would otherwise encode.
+    objs: dict[int, bytes] = {}
+    pos: dict[int, int] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        objs[num] = m.group(2)
+        pos[num] = m.start()
+    _expand_object_streams(objs, pos)
     return objs
 
 
-def _expand_object_streams(objs: dict[int, bytes]) -> None:
+def _expand_object_streams(objs: dict[int, bytes], pos: dict[int, int]) -> None:
     """Inline the members of /Type /ObjStm object streams (PDF 1.5+).
 
     Modern writers put the catalog / pages tree / font dicts inside
@@ -71,17 +81,20 @@ def _expand_object_streams(objs: dict[int, bytes]) -> None:
     §7.5.7): /N pairs of `objnum offset` ints, then the concatenated
     object bodies starting at /First; offsets are relative to /First.
     Members never carry streams themselves, so the body slice is
-    complete. Top-level definitions win on collision (`setdefault`):
-    an incremental update appends its replacement objects uncompressed
-    at the tail, which the direct scan already found.
+    complete. Collisions resolve by FILE POSITION (see _objects): a
+    member inherits its container's offset, so an appended-update ObjStm
+    overrides the base file's copy, while a replacement object appended
+    uncompressed after the ObjStm overrides the member.
 
     No xref parsing is needed at all — the scan finds the ObjStm
     containers, this expands them, and the /Catalog walk does the rest
     (the /XRef stream object itself is just never referenced)."""
-    for num in list(objs):
+    containers = sorted(
+        (n for n in objs if re.search(rb"/Type\s*/ObjStm", objs[n])),
+        key=lambda n: pos.get(n, -1),
+    )
+    for num in containers:
         body = objs[num]
-        if not re.search(rb"/Type\s*/ObjStm", body):
-            continue
         n_m = re.search(rb"/N\s+(\d+)", body)
         first_m = re.search(rb"/First\s+(\d+)", body)
         if not (n_m and first_m):
@@ -94,11 +107,13 @@ def _expand_object_streams(objs: dict[int, bytes]) -> None:
             head = [int(t) for t in data[:first].split()]
         except ValueError:
             continue
+        cpos = pos.get(num, -1)
         pairs = list(zip(head[0::2], head[1::2]))[: int(n_m.group(1))]
         for i, (onum, off) in enumerate(pairs):
             end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
-            if 0 <= off <= end:
-                objs.setdefault(onum, data[first + off : first + end])
+            if 0 <= off <= end and pos.get(onum, -1) < cpos:
+                objs[onum] = data[first + off : first + end]
+                pos[onum] = cpos
 
 
 def _dict_ref(body: bytes, key: bytes) -> int | None:
@@ -248,60 +263,121 @@ def _parse_tounicode(stream: bytes) -> tuple[int, dict[int, str]]:
                     if lo_i + k <= hi_i:
                         mapping[lo_i + k] = uni(d)
             else:
-                base = rest[1:-1]
-                if len(base) <= 4:  # single UTF-16 unit: increment it
-                    d0 = int(base, 16)
-                    for k in range(hi_i - lo_i + 1):
-                        mapping[lo_i + k] = chr(min(d0 + k, 0x10FFFF))
-                else:  # multi-unit string: increment the LAST unit
-                    prefix, last = uni(base[:-4]), int(base[-4:], 16)
-                    for k in range(hi_i - lo_i + 1):
-                        mapping[lo_i + k] = prefix + chr(min(last + k, 0xFFFF))
+                # incrementing form: decode the WHOLE destination as
+                # UTF-16BE (surrogate pairs collapse to one code point —
+                # <D83DDE00> IS 😀), then add k to the final code point.
+                # A step landing in the surrogate range D800-DFFF would
+                # make an unencodable Python string that crashes Arrow
+                # serialization OUTSIDE the per-doc quarantine — clamp
+                # those to U+FFFD.
+                base_str = uni(rest[1:-1]) or "�"
+                last = ord(base_str[-1])
+                for k in range(hi_i - lo_i + 1):
+                    cp = last + k
+                    ch = (
+                        "�"
+                        if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF
+                        else chr(cp)
+                    )
+                    mapping[lo_i + k] = base_str[:-1] + ch
     return width, mapping
 
 
+def _named_dict(objs: dict[int, bytes], src: bytes, key: bytes) -> bytes:
+    """The body of `/key << … >>` (balanced — a non-greedy regex stops at
+    the first nested `>>` and loses every later entry) or `/key N 0 R`
+    resolved; b"" when absent."""
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+0\s+R", src)
+    if m:
+        inner = objs.get(int(m.group(1)), b"")
+        # the referenced object is the dict itself: strip one << >> shell
+        s = re.search(rb"<<(.*)>>", inner, re.S)
+        return s.group(1) if s else inner
+    m = re.search(rb"/" + key + rb"\s*<<", src)
+    if not m:
+        return b""
+    i, depth = m.end(), 1
+    while i < len(src) and depth:
+        if src.startswith(b"<<", i):
+            depth += 1
+            i += 2
+        elif src.startswith(b">>", i):
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    return src[m.end() : i - 2 if depth == 0 else i]
+
+
+# PDF name chars: anything but whitespace and delimiters ()<>[]{}/%
+# (ISO 32000 §7.3.5) — `/TT1-Bold` is ONE name, not `/TT1` + `-Bold`
+_NAME_BODY = rb"[^\s()<>\[\]{}/%]+"
+
+
 def _font_cmaps(
-    objs: dict[int, bytes], page_body: bytes
+    objs: dict[int, bytes],
+    page_body: bytes,
+    cache: dict[int, tuple[int, dict[int, str]]] | None = None,
 ) -> dict[bytes, tuple[int, dict[int, str]]]:
     """Font resource name (as the `/F1` token) → parsed /ToUnicode CMap
     for every font on this page that carries one. Fonts without a
-    ToUnicode stream keep the Latin-1 byte decoding."""
-    res = _resources_body(objs, page_body)
-    m = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
-    if not m:
+    ToUnicode stream keep the Latin-1 byte decoding. `cache` memoizes
+    parsed CMaps per ToUnicode OBJECT NUMBER across the document's pages
+    (a 1000-page CJK doc shares one 50k-entry CMap — decompress + parse
+    it once, not per page)."""
+    fdict = _named_dict(objs, _resources_body(objs, page_body), b"Font")
+    if not fdict:
         return {}
+    cache = cache if cache is not None else {}
     out: dict[bytes, tuple[int, dict[int, str]]] = {}
-    for name, ref in re.findall(rb"/([\w.#]+)\s+(\d+)\s+0\s+R", m.group(1)):
+    for name, ref in re.findall(
+        rb"/(" + _NAME_BODY + rb")\s+(\d+)\s+0\s+R", fdict
+    ):
         tu = _dict_ref(objs.get(int(ref), b""), b"ToUnicode")
         if tu is None:
             continue
-        stream = _stream_bytes(objs, tu)
-        if stream:
-            out[b"/" + name] = _parse_tounicode(stream)
+        if tu not in cache:
+            stream = _stream_bytes(objs, tu)
+            if not stream:
+                continue
+            cache[tu] = _parse_tounicode(stream)
+        out[b"/" + name] = cache[tu]
     return out
 
 
-def _image_xobjects(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, str]:
+def _image_xobjects(
+    objs: dict[int, bytes],
+    page_body: bytes,
+    cache: dict[int, str] | None = None,
+) -> dict[bytes, str]:
     """Resource name → media_ref for /Subtype /Image XObjects on this page.
 
     media_ref is the sha256 hex of the image's decoded stream bytes (the
     span contract / reference vision_llm.py:292-294 identity) — resource
     names like ``Im1`` are page-scoped and collide across documents, so
     they cannot serve as corpus-wide media identity. A streamless image
-    object falls back to its resource name."""
-    m = re.search(rb"/XObject\s*<<(.*?)>>", _resources_body(objs, page_body), re.S)
-    if not m:
+    object falls back to its resource name. `cache` memoizes the hash per
+    XObject number across pages (a per-page logo is hashed once)."""
+    xdict = _named_dict(objs, _resources_body(objs, page_body), b"XObject")
+    if not xdict:
         return {}
+    cache = cache if cache is not None else {}
     refs: dict[bytes, str] = {}
-    for name, ref in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", m.group(1)):
-        tgt = objs.get(int(ref), b"")
-        if re.search(rb"/Subtype\s*/Image", tgt):
-            stream = _stream_bytes(objs, int(ref))
-            refs[name] = (
+    for name, ref in re.findall(
+        rb"/(" + _NAME_BODY + rb")\s+(\d+)\s+0\s+R", xdict
+    ):
+        onum = int(ref)
+        tgt = objs.get(onum, b"")
+        if not re.search(rb"/Subtype\s*/Image", tgt):
+            continue
+        if onum not in cache:
+            stream = _stream_bytes(objs, onum)
+            cache[onum] = (
                 hashlib.sha256(stream).hexdigest()
                 if stream
                 else name.decode("latin-1")
             )
+        refs[name] = cache[onum]
     return refs
 
 
@@ -361,7 +437,9 @@ _NONSTRING_TOKEN_RE = re.compile(
     rb"<<|>>"
     rb"|<[0-9A-Fa-f\s]*>"        # hex string
     rb"|\[|\]"
-    rb"|/[\w.#]+"
+    rb"|/[^\s()<>\[\]{}/%]*"     # name: any non-delimiter chars (§7.3.5;
+                                 # `/TT1-Bold` must lex as ONE token or Tf
+                                 # silently keeps the previous font's CMap)
     rb"|[-+]?\d*\.?\d+"
     rb"|[A-Za-z'\"*]+"
 )
@@ -553,16 +631,21 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
     if not objs:
         raise ValueError("no PDF objects found")
     all_blocks: list[dict] = []
-    image_rows: list[tuple[int, float, str]] = []
+    image_rows: list[tuple[int, float, str, str]] = []  # (page, y, name, ref)
     page_heights: dict[int, float] = {}
+    # document-scoped memoization: pages share fonts and images — parse a
+    # ToUnicode CMap / hash an XObject stream once per OBJECT, not per page
+    cmap_cache: dict[int, tuple[int, dict[int, str]]] = {}
+    img_cache: dict[int, str] = {}
     for page, num in enumerate(_page_order(objs)):
         body = objs[num]
         _, page_h = _media_box(objs, body)
         page_heights[page] = page_h
         content = _content_streams(objs, body)
-        xobjs = _image_xobjects(objs, body)
+        xobjs = _image_xobjects(objs, body, cache=img_cache)
         blocks, images = _page_blocks(
-            content, page, page_h, xobjs, fonts=_font_cmaps(objs, body)
+            content, page, page_h, xobjs,
+            fonts=_font_cmaps(objs, body, cache=cmap_cache),
         )
         all_blocks.extend(blocks)
         # ordering key stays the page-local resource name (deterministic

@@ -389,6 +389,27 @@ class TestLoadFiles:
         ids = {r["doc_id"] for r in table.select("doc_id").collect()}
         assert ids == {"q1/report.docx", "q2/report.docx"}
 
+    def test_ingest_root_computation(self):
+        """Root derivation behind relative doc_ids: scheme'd roots are
+        kept verbatim (os.path.abspath would mangle s3a:// into a local
+        path, silently reinstating the bare-name collision); globs
+        anchor at the last separator before the first wildcard."""
+        import os
+
+        from docproc_spark.facade import _ingest_root
+
+        assert _ingest_root("s3a://bucket/data") == ("s3a://bucket/data/", True)
+        assert _ingest_root("s3a://bucket/data/*") == ("s3a://bucket/data/", True)
+        assert _ingest_root("hdfs://nn:8020/corp/{a,b}") == (
+            "hdfs://nn:8020/corp/",
+            True,
+        )
+        assert _ingest_root("/tmp/in") == ("/tmp/in/", False)
+        assert _ingest_root("/tmp/in/*.pdf") == ("/tmp/in/", False)
+        assert _ingest_root("/tmp/in/q?/x") == ("/tmp/in/", False)
+        rel_root, kept = _ingest_root("data")
+        assert not kept and rel_root == os.path.abspath("data") + "/"
+
 
 class TestCompletions:
     """Reference cli.py:94-112 parity: a completions subcommand emitting a

@@ -252,6 +252,19 @@ def test_media_ref_is_content_hash_across_documents():
     assert other == [hashlib.sha256(b"\x89PNG different").hexdigest()]
 
 
+def test_corrupt_image_member_does_not_quarantine_document():
+    """A bad-CRC (truncated/bit-rotted) image member must not take the
+    document's TEXT down with it: z.read raises BadZipFile, the span
+    keeps the part-name ref, everything else parses."""
+    blob = b"IMGPAYLOAD-UNIQUE"
+    data = _pptx_with_image("image1.png", blob)
+    corrupted = data.replace(b"IMGPAYLOAD-UNIQUE", b"IMGPAYLOAD-UNIQUX")
+    with pytest.raises(Exception):
+        with zipfile.ZipFile(io.BytesIO(corrupted)) as z:
+            z.read("ppt/media/image1.png")  # prove the member is broken
+    assert _image_refs(corrupted) == ["ppt/media/image1.png"]
+
+
 def test_media_ref_missing_part_falls_back_to_part_name():
     """A dangling rels target (blob absent from the package) keeps the
     span with the resolved part name — document-locally identifying."""

@@ -397,3 +397,99 @@ def test_indirect_resources_dict():
         ("text", "with indirect res", None, 0),
         ("image", None, img_sha, 0),
     ]
+
+
+def test_bfrange_non_bmp_and_surrogate_clamp():
+    """The incrementing bfrange form must decode the destination as full
+    UTF-16BE (a surrogate PAIR is one code point: <D83DDE00> IS U+1F600)
+    and clamp steps that land in the bare-surrogate range D800-DFFF —
+    a lone surrogate in a Python string crashes Arrow serialization
+    OUTSIDE the per-document quarantine, killing the whole task."""
+    from docproc_spark.sources.pdf import _parse_tounicode
+
+    emoji = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0001> <0003> <D83DDE00> endbfrange"
+    )
+    _, m = _parse_tounicode(emoji)
+    assert [m[1], m[2], m[3]] == ["\U0001F600", "\U0001F601", "\U0001F602"]
+
+    crossing = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0001> <0005> <D7FD> endbfrange"
+    )
+    _, m = _parse_tounicode(crossing)
+    assert m[1] == "퟽" and m[2] == "퟾" and m[3] == "퟿"
+    assert m[4] == "�" and m[5] == "�"  # would be D800/D801
+    for v in m.values():
+        v.encode("utf-8")  # every mapped value must be Arrow-safe
+
+
+def test_objstm_appended_update_overrides_base_object():
+    """Collision rule: LATEST file position wins — an appended-update
+    ObjStm (Acrobat 'save' writes replacements into a new object stream
+    at the tail) must override the base file's top-level copy, while a
+    replacement appended AFTER an ObjStm overrides the member (the
+    existing member-vs-top-level test covers that direction)."""
+    # base: page 3 shows (old); tail ObjStm redefines 3 to show obj 6
+    objstm = _objstm_obj(
+        [(3, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")]
+    )
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+            _stream_obj(b"BT 72 400 Td (old body) Tj ET", compress=False),
+            objstm,
+            _stream_obj(b"BT 72 400 Td (updated body) Tj ET", compress=False),
+        ]
+    )
+    assert parse_pdf_bytes(pdf) == [("text", "updated body", None, 0)]
+
+
+def test_indirect_font_dict_and_nested_entries():
+    """/Font given as an indirect reference (Ghostscript/TeX output), and
+    an inline font dict whose first entry is a NESTED dict: the balanced
+    extractor must not truncate at the nested >> and lose later fonts."""
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources 7 0 R >>\n",
+            _stream_obj(b"BT /F1 12 Tf 72 700 Td <00010002> Tj ET",
+                        compress=False),
+            b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\n",
+            _stream_obj(_CMAP, compress=False),
+            # indirect /Resources whose /Font dict has a nested inline
+            # entry BEFORE the one that matters
+            b"<< /Font << /F0 << /Subtype /TrueType >> /F1 5 0 R >> >>\n",
+        ]
+    )
+    assert parse_pdf_bytes(pdf) == [("text", "Hé", None, 0)]
+
+
+def test_hyphenated_font_name_resets_decoder():
+    """`/TT1-Bold` is ONE name token (§7.3.5): the old tokenizer split it
+    into /TT1 + Bold, so Tf never fired and the PREVIOUS font's CMap
+    decoded the next string as 2-byte garbage."""
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>\n",
+            _stream_obj(
+                b"BT /F1 12 Tf 72 700 Td <00010002> Tj "
+                b"/TT1-Bold 12 Tf ( plain) Tj ET",
+                compress=False,
+            ),
+            b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\n",
+            _stream_obj(_CMAP, compress=False),
+        ]
+    )
+    assert parse_pdf_bytes(pdf) == [("text", "Hé plain", None, 0)]
