@@ -237,6 +237,8 @@ def _parse_tounicode(stream: bytes) -> tuple[int, dict[int, str]]:
     are UTF-16BE hex."""
 
     def uni(hx: bytes) -> str:
+        if len(hx) % 2:  # odd-digit hex: pad like _string_bytes, don't
+            hx += b"0"   # quarantine the whole document for one entry
         return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
 
     width = 1

@@ -189,15 +189,18 @@ def test_mixed_page_heights_classify_per_page():
 def test_parser_never_hangs_or_crashes_on_mutations():
     """Robustness contract: arbitrary corruption of a valid PDF must
     either parse (possibly to fewer spans) or raise — never hang, never
-    corrupt the process. Deterministic mutation fuzz (fixed seed)."""
+    corrupt the process. Deterministic mutation fuzz (fixed seed) over
+    BOTH fixture families: the classic file and the PDF 1.5 one
+    (ObjStm header ints, CMap hex, Tf switching are all byte-fragile)."""
     import random
     import time
 
-    base = bytearray(make_pdf())
+    bases = [bytearray(make_pdf()), bytearray(make_cmap_pdf())]
     rng = random.Random(1234)
     t0 = time.time()
     outcomes = {"ok": 0, "err": 0}
-    for _ in range(120):
+    for i in range(120):
+        base = bases[i % len(bases)]
         data = bytearray(base)
         for _ in range(rng.randint(1, 12)):
             op = rng.randint(0, 2)
