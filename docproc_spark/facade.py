@@ -63,7 +63,7 @@ class DocprocSpark:
             "slides_pptx", "sheets_xlsx", "dup_spans", "dirty_text",
             "interleaved_media", "repeated_logo", "rasterized_doc",
             "html_boiler", "unicode_math", "mega_doc",
-            "pdf", "docx", "pptx", "xlsx", "html", "mixed",
+            "pdf", "docx", "pptx", "xlsx", "xlsm", "html", "mixed",
         }
     )
 
@@ -164,11 +164,15 @@ class DocprocSpark:
         )
 
     def load_files(self, path: str) -> DataFrame:
-        """Directory of real .pdf/.docx/.pptx/.xlsx files → one span table
-        (the reference CLI's file-in entry, distributed: binaryFile scan,
-        one mapInPandas parse per format branch, union by name). Rows that
-        fail to parse carry parse_error (quarantine column); feed the rest
-        to extract_table / extract_resumable.
+        """Directory of real .pdf/.docx/.pptx/.xlsx/.html files → one
+        document table (the reference CLI's file-in entry, distributed:
+        binaryFile scan, one mapInPandas parse per format branch, union by
+        name). Binary formats emit pre-parsed ``spans``; HTML emits the
+        charset-sniffed markup in ``raw_html`` (boilerplate stripping
+        happens once, in the extraction pipeline's density kernel — same
+        path as synthetic html_boiler docs). Rows that fail to parse carry
+        parse_error (quarantine column); feed the rest to extract_table /
+        extract_resumable.
 
         Each format family gets its OWN binaryFile read with its own
         pathGlobFilter: a shared read filtered post-hoc on a derived fmt
@@ -178,12 +182,18 @@ class DocprocSpark:
         Globs are per-character case classes: Hadoop glob matching is
         case-sensitive and an uppercase SCAN.PDF would otherwise vanish
         without even a quarantine row."""
+        from docproc_spark.sources.html import load_html
         from docproc_spark.sources.ooxml import load_ooxml
         from docproc_spark.sources.pdf import load_pdf
 
         pdfs = load_pdf(self._binary_files(path, ("pdf",)))
-        office = load_ooxml(self._binary_files(path, ("docx", "pptx", "xlsx")))
-        return pdfs.unionByName(office)
+        office = load_ooxml(
+            self._binary_files(path, ("docx", "pptx", "xlsx", "xlsm"))
+        )
+        html = load_html(
+            self._binary_files(path, ("html", "htm")).drop("fmt")
+        )
+        return pdfs.unionByName(office).unionByName(html)
 
     def ingest_files(
         self, path: str, table_path: str

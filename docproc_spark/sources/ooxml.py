@@ -377,6 +377,7 @@ _PARSERS = {
     "docx": parse_docx_bytes,
     "pptx": parse_pptx_bytes,
     "xlsx": parse_xlsx_bytes,
+    "xlsm": parse_xlsx_bytes,  # macro-enabled: same zip+XML workbook
 }
 
 
@@ -386,7 +387,7 @@ def parse_one(fmt: str, data: bytes):
     if fmt not in _PARSERS:
         raise ValueError(f"unsupported OOXML format: {fmt!r}")
     out = _PARSERS[fmt](data)
-    if fmt == "xlsx":
+    if fmt in ("xlsx", "xlsm"):
         return out
     return out, None
 

@@ -342,6 +342,26 @@ class TestLoadFiles:
         assert "Hello world" in res["b.docx"]["markdown"]
         assert res["a.pdf"]["n_pages"] == 2
 
+    def test_xlsm_routes_to_xlsx_parser(self, spark, tmp_path):
+        """Macro-enabled workbooks share the xlsx loader (reference
+        factory.py:18: '.xlsm': XLSXLoader) — same zip+XML kernel here;
+        the glob, the parser registry, and doc_type all accept it."""
+        from docproc_spark.facade import DocprocSpark
+        from tests.test_ooxml import make_xlsx
+
+        d = tmp_path / "in"
+        d.mkdir()
+        (d / "macro.xlsm").write_bytes(make_xlsx())
+        (d / "plain.xlsx").write_bytes(make_xlsx())
+
+        eng = DocprocSpark(spark=spark)
+        rows = {r["doc_id"]: r for r in eng.load_files(str(d)).collect()}
+        assert set(rows) == {"macro.xlsm", "plain.xlsx"}
+        m, p = rows["macro.xlsm"], rows["plain.xlsx"]
+        assert m["parse_error"] is None and m["doc_type"] == "xlsm"
+        assert [tuple(s) for s in m["spans"]] == [tuple(s) for s in p["spans"]]
+        assert m["sheet_names"] == p["sheet_names"]
+
     def test_ingest_files_checkpoint_flow(self, spark, tmp_path):
         """ingest_files: parse once → parquet → scan-backed (documents,
         quarantine) split; extraction from the checkpoint matches the
