@@ -2991,6 +2991,21 @@ def _bpe(spark, sf):
     )
 
 
+def _bpe_fold_sql(inner: str, bx: str, by: str) -> str:
+    """One leftmost-non-overlapping merge (bx, by) applied to the
+    space-joined symbol string ``inner`` — THE cross-engine fold formula
+    (operators/bpe.merge_fold_col), stated once and shared by the training
+    rounds and the encode oracle. A NULL bx (exhausted round via LEFT
+    JOIN against an empty best row) makes the condition three-valued-NULL
+    -> falsy -> the rebuild arms return the string unchanged."""
+    return f"""list_reduce(list_prepend('', string_split({inner}, ' ')), (a, c) ->
+           CASE WHEN (a = {bx} OR ends_with(a, ' ' || {bx})) AND c = {by}
+                  THEN CASE WHEN a = {bx} THEN {bx} || {by}
+                       ELSE substr(a, 1, len(a) - len({bx})) || {bx} || {by} END
+                WHEN a = '' THEN c
+                ELSE a || ' ' || c END)"""
+
+
 def _bpe_round_sql(i: int) -> str:
     prev = f"v{i-1}"
     return f"""
@@ -3004,14 +3019,7 @@ p{i} AS (
 b{i} AS (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
 v{i} AS (
   SELECT v.freq,
-         list_reduce(list_prepend('', string_split(v.syms, ' ')), (a, c) ->
-           -- NULL b.x (exhausted round): condition is NULL -> falsy ->
-           -- the rebuild arms return the string unchanged
-           CASE WHEN (a = b.x OR ends_with(a, ' ' || b.x)) AND c = b.y
-                  THEN CASE WHEN a = b.x THEN b.x || b.y
-                       ELSE substr(a, 1, len(a) - len(b.x)) || b.x || b.y END
-                WHEN a = '' THEN c
-                ELSE a || ' ' || c END) AS syms
+         {_bpe_fold_sql("v.syms", "b.x", "b.y")} AS syms
   FROM {prev} v LEFT JOIN b{i} b ON true
 )"""
 
@@ -3039,6 +3047,64 @@ WITH words AS (
 ),
 {blocks}
 SELECT * FROM ({union}) ORDER BY rank
+"""
+
+
+def _bpe_encode(spark, sf):
+    """BPE SERVING path (operators/bpe.bpe_encode): train 8 merges (the
+    local refiner — decision-identical to the distributed rounds, parity-
+    tested) then encode every document as one JVM column program — per
+    word, 8 nested merge folds, whole-stage-codegen'd, zero Python. The
+    oracle re-derives the same 8 merges with the training CTE chain and
+    applies the identical fold formula (_bpe_fold_sql — ONE statement of
+    the rule, shared with the training oracle) per word."""
+    from docproc_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = train_bpe(
+        docs, n_merges=8, word_pattern="^[a-z0-9]+$", strategy="local"
+    )
+    enc = bpe_encode(docs, merges, strategy="expr")
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        "n_tokens",
+    )
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """DuckDB mirror of train(8) -> encode: the training CTE chain
+    computes b1..b8 (1-row best-pair CTEs), LEFT-JOINed ON true into the
+    document scan so every word folds through all 8 merges in rank order
+    (a NULL row from an exhausted round is a no-op fold, matching the
+    shorter collected merge list on the Spark side). Words join with ' '
+    and tokens within a word join with ' ', so the flat token stream is
+    one string — lossless, since symbols never contain whitespace."""
+    blocks = ",".join(_bpe_round_sql(i) for i in range(1, n_merges + 1))
+    word_expr = "array_to_string(regexp_extract_all(w, '.'), ' ')"
+    for i in range(1, n_merges + 1):
+        word_expr = _bpe_fold_sql(word_expr, f"b{i}.x", f"b{i}.y")
+    joins = " ".join(f"LEFT JOIN b{i} ON true" for i in range(1, n_merges + 1))
+    return f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({_LTOKS}) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), v0 AS (
+  SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS syms
+  FROM words
+),
+{blocks},
+enc AS (
+  SELECT d.doc_id,
+         coalesce(array_to_string(
+           list_transform({_LTOKS}, w -> {word_expr}), ' '), '') AS tokens_str
+  FROM documents d {joins}
+)
+SELECT doc_id, tokens_str,
+       (CASE WHEN tokens_str = '' THEN 0
+             ELSE len(string_split(tokens_str, ' ')) END)::BIGINT AS n_tokens
+FROM enc
 """
 
 
@@ -3072,6 +3138,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_kmv": _src_overlap,
     "incremental_neardup": _incremental_neardup,
     "bpe_merges_8": _bpe,
+    "bpe_encode_8": _bpe_encode,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3104,6 +3171,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "source_overlap_kmv": _SRC_OVERLAP_SQL,
     "incremental_neardup": _INCREMENTAL_NEARDUP_SQL,
     "bpe_merges_8": _bpe_sql(8),
+    "bpe_encode_8": _bpe_encode_sql(8),
 }
 
 

@@ -260,3 +260,131 @@ def train_bpe(
     return spark.createDataFrame(
         merges, "rank long, x string, y string, merged string, cnt long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+    expr_max_merges: int = 64,
+) -> DataFrame:
+    """Encode each document with a trained merge table — the SERVING path
+    of ``train_bpe`` (reference scope: the engine's token-count functions
+    estimate BPE tokens; this materializes the real segmentation).
+    Returns (id_col, tokens: array<string>, n_tokens: long).
+
+    Tokenization matches training: lowercased whitespace words, each
+    word's codepoints as the initial symbols ('(?s).', see the module
+    docstring's astral-plane caveat), then every merge applied in rank
+    order, leftmost non-overlapping. No word filter: merges trained on a
+    ``word_pattern`` subset simply don't fire inside words where their
+    pairs never occur.
+
+    ``merges``: the ``train_bpe`` output DataFrame (collected here — a
+    merge table is vocabulary-sized metadata, never corpus-sized) or an
+    iterable of (x, y) pairs already in rank order.
+
+    Strategies (bit-identical outputs, asserted by the parity test):
+
+    - ``"expr"``: one JVM column program — per word, ``n_merges`` nested
+      ``merge_fold_col`` folds. Whole-stage-codegen'd, zero Python, and
+      exactly mirrorable in DuckDB SQL (the spare's oracle) — but
+      expression depth grows with the merge count, so it's capped at
+      ``expr_max_merges``.
+    - ``"pandas"``: one Arrow-batched pandas UDF; per-batch word memo,
+      then a per-merge leftmost scan (the ``_local_refine`` application
+      rule). The real-tokenizer path: 30k merges is a dict lookup per
+      word occurrence after the first sighting, not a 30k-deep column
+      expression.
+    - ``"auto"`` (default): expr when the merge table fits
+      ``expr_max_merges``, else pandas.
+    """
+    if strategy not in ("auto", "expr", "pandas"):
+        raise ValueError(f"strategy must be auto|expr|pandas: {strategy!r}")
+    if isinstance(merges, DataFrame):
+        pairs = [
+            (r["x"], r["y"]) for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        pairs = [(x, y) for x, y in merges]
+    if strategy == "auto":
+        strategy = "expr" if len(pairs) <= expr_max_merges else "pandas"
+    if strategy == "expr" and len(pairs) > expr_max_merges:
+        raise ValueError(
+            f"{len(pairs)} merges exceeds expr_max_merges={expr_max_merges}; "
+            "use strategy='pandas' (or raise the cap)"
+        )
+    words = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    if strategy == "expr":
+
+        def encode_word(w):
+            syms = F.array_join(
+                F.regexp_extract_all(w, F.lit("(?s)."), 0), " "
+            )
+            for x, y in pairs:
+                syms = merge_fold_col(syms, F.lit(x), F.lit(y))
+            return F.split(syms, " ")
+
+        tokens = F.flatten(F.transform(words, encode_word))
+    else:
+        import re
+
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, StringType
+
+        from docproc_spark.operators.dedupe import TOKEN_SPLIT
+
+        pairs_local = list(pairs)
+        # NOT str.split(): Python's splits on ALL Unicode whitespace, but
+        # the training tokenizer is the ASCII class — U+0085/U+2028-class
+        # codepoints must stay inside words as symbols (module docstring)
+        split_re = re.compile(TOKEN_SPLIT)
+
+        def _encode_series(texts: "pd.Series") -> "pd.Series":
+            memo: dict[str, list[str]] = {}
+
+            def enc_word(w: str) -> list[str]:
+                t = memo.get(w)
+                if t is None:
+                    syms = list(w)
+                    for x, y in pairs_local:
+                        new, i, n = [], 0, len(syms)
+                        while i < n:
+                            if (
+                                i + 1 < n
+                                and syms[i] == x
+                                and syms[i + 1] == y
+                            ):
+                                new.append(x + y)
+                                i += 2
+                            else:
+                                new.append(syms[i])
+                                i += 1
+                        syms = new
+                    t = memo[w] = syms
+                return t
+
+            out = []
+            for text in texts:
+                toks: list[str] = []
+                for w in split_re.split((text or "").lower()):
+                    if w:
+                        toks.extend(enc_word(w))
+                out.append(toks)
+            return pd.Series(out)
+
+        # wrapped via a hint-free lambda: the module uses
+        # `from __future__ import annotations`, and pandas_udf's type-hint
+        # inference cannot resolve the function-local `pd` from stringified
+        # annotations — an argless wrap defaults to the scalar eval type
+        _encode = F.pandas_udf(
+            lambda s: _encode_series(s), ArrayType(StringType())
+        )
+        tokens = _encode(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("long").alias("n_tokens"),
+    )

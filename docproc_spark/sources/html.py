@@ -77,12 +77,14 @@ def sniff_charset(data: bytes) -> tuple[str, str]:
         label = m.group(1).strip().lower()
         if label in _CP1252_LABELS or label == "x-user-defined":
             return "cp1252", "replace"
-        if label.replace("_", "-") in ("utf-16", "utf-16le", "utf-16be"):
-            # WHATWG: a meta-declared UTF-16 label is a lie (the prescan
-            # just parsed the bytes as ASCII-compatible) → treat as UTF-8
-            return "utf-8", "replace"
         try:
             info = codecs.lookup(label)
+            # WHATWG: a meta-declared UTF-16 family label is a lie (the
+            # prescan just parsed these bytes as ASCII-compatible) → treat
+            # as UTF-8. Resolve through codecs so aliases ("utf16",
+            # "ucs-2", "u16") hit the rule too, not just literal spellings.
+            if info.name.startswith("utf-16"):
+                return "utf-8", "replace"
             # binary transforms (hex, base64, zlib) pass lookup() but
             # blow up in str-producing decode — not charsets, skip them
             if getattr(info, "_is_text_encoding", True):

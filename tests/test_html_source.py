@@ -66,6 +66,15 @@ class TestCharsetSniff:
         assert sniff_charset(data)[0] == "utf-8"
         assert "héllo" in decode_html_bytes(data)
 
+    def test_meta_utf16_alias_labels_hit_the_lie_rule_too(self):
+        # codecs aliases ("utf16", "u16") resolve to the utf-16 codec; the
+        # lie rule must fire on the RESOLVED name, not the literal spelling
+        # — otherwise ASCII-compatible bytes get decoded as UTF-16 mush.
+        for label in ("utf16", "UTF_16", "u16", "utf-16le", "unicode"):
+            data = f'<meta charset="{label}"><p>héllo</p>'.encode("utf-8")
+            assert sniff_charset(data)[0] == "utf-8", label
+            assert "héllo" in decode_html_bytes(data), label
+
     def test_unknown_label_falls_through_to_utf8(self):
         data = '<meta charset="no-such-codec"><p>héllo</p>'.encode("utf-8")
         assert sniff_charset(data)[0] == "utf-8"

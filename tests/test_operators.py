@@ -2174,3 +2174,90 @@ def test_train_bpe_thousand_merges_bounded(spark):
         .collect()
     ]
     assert [tuple(r) for r in merges[:6]] == dist
+
+
+def test_bpe_encode_python_reference_and_strategy_parity(spark):
+    """bpe_encode: expr (nested JVM folds) and pandas (per-merge leftmost
+    scan with a word memo) agree with each other AND with a direct python
+    reference on tie/adjacent-repeat/composed-merge material; NULL and
+    empty texts encode to empty token arrays."""
+    from docproc_spark.operators.bpe import bpe_encode, train_bpe
+
+    rows = [
+        (1, "aaa banana band AAA"),
+        (2, "banana bandana aaaa"),
+        (3, None),
+        (4, ""),
+        (5, "x y zz  zz\tband"),
+        (6, "na na na banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges_df = train_bpe(df, n_merges=5, strategy="local")
+    pairs = [(r["x"], r["y"]) for r in merges_df.orderBy("rank").collect()]
+
+    def ref_encode(text):
+        toks = []
+        for w in (text or "").lower().split():
+            syms = list(w)
+            for x, y in pairs:
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                        new.append(x + y)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                syms = new
+            toks.extend(syms)
+        return toks
+
+    expected = {i: ref_encode(t) for i, t in rows}
+    for strategy in ("expr", "pandas"):
+        got = {
+            r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode(df, merges_df, strategy=strategy).collect()
+        }
+        for i, _ in rows:
+            assert got[i] == (expected[i], len(expected[i])), (strategy, i)
+
+    # merges also accepted as a plain pair list
+    via_list = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(df, pairs, strategy="expr").collect()
+    }
+    assert via_list == expected
+
+    with pytest.raises(ValueError):
+        bpe_encode(df, pairs, strategy="huffman")
+    with pytest.raises(ValueError):
+        bpe_encode(df, pairs, strategy="expr", expr_max_merges=2)
+
+
+def test_bpe_encode_pandas_scales_past_expr_cap(spark):
+    """auto routes a merge table larger than expr_max_merges to the pandas
+    path; output agrees with expr on the same (truncated-to-cap) prefix
+    check and the full table encodes without a 100-deep expression tree."""
+    from docproc_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    merges = train_bpe(docs, n_merges=80, word_pattern="^[a-z0-9]+$")
+    n_m = merges.count()
+    assert n_m > 8
+    auto = bpe_encode(docs, merges, expr_max_merges=8)  # -> pandas
+    expr = bpe_encode(docs, merges, strategy="expr", expr_max_merges=128)
+    a = {r["doc_id"]: list(r["tokens"]) for r in auto.collect()}
+    e = {r["doc_id"]: list(r["tokens"]) for r in expr.collect()}
+    assert a == e
+    # ASCII-whitespace tokenizer parity: U+2028 stays INSIDE a word on
+    # both paths (python str.split would have split it — regression
+    # guard for the TOKEN_SPLIT contract)
+    odd = spark.createDataFrame(
+        [(1, "ab\u2028ab ab")], "doc_id long, text string"
+    )
+    pairs = [("a", "b")]
+    for strategy in ("expr", "pandas"):
+        toks = bpe_encode(odd, pairs, strategy=strategy).collect()[0]["tokens"]
+        assert toks == ["ab", " ", "ab", "ab"], strategy
