@@ -3108,6 +3108,107 @@ FROM enc
 """
 
 
+def _bpe_token_ids(spark, sf):
+    """Tokenizer id serving path (operators/bpe.bpe_encode_ids): train 8
+    merges, build the id table (base codepoints 0..B-1 codepoint-sorted,
+    merged tokens B+rank-1, min-id on compose collisions), encode every
+    document and map tokens to ids via a driver-side map literal
+    (try_element_at — ANSI-safe NULL on unknowns). Training filters to
+    ^[a-z0-9]+$ but encoding doesn't, so out-of-vocabulary symbols
+    (accents, CJK, punctuation) exercise the '?'/n_unk path for real."""
+    from docproc_spark.operators.bpe import bpe_encode_ids, train_bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = train_bpe(
+        docs, n_merges=8, word_pattern="^[a-z0-9]+$", strategy="local"
+    )
+    out = bpe_encode_ids(
+        docs, merges, vocab_word_pattern="^[a-z0-9]+$", strategy="expr"
+    )
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "token_ids",
+                lambda i: F.coalesce(i.cast("string"), F.lit("?")),
+            ),
+            " ",
+        ).alias("ids_str"),
+        "n_tokens",
+        "n_unk",
+    )
+
+
+def _bpe_token_ids_sql(n_merges: int = 8) -> str:
+    """DuckDB mirror of train(8) -> vocab -> encode-to-ids. The id table:
+    base symbols are the DISTINCT codepoints of the v0 training vocabulary
+    ordered by DuckDB's binary collation (== codepoint order == the Spark
+    side's python sort), merged tokens get B+rank-1, and a composed-string
+    collision keeps the smallest id (min GROUP BY — the operator's
+    first-wins rule). Documents with no tokens survive via the final LEFT
+    JOIN with '' / 0 coalesces."""
+    blocks = ",".join(_bpe_round_sql(i) for i in range(1, n_merges + 1))
+    word_expr = "array_to_string(regexp_extract_all(w, '.'), ' ')"
+    for i in range(1, n_merges + 1):
+        word_expr = _bpe_fold_sql(word_expr, f"b{i}.x", f"b{i}.y")
+    joins = " ".join(f"LEFT JOIN b{i} ON true" for i in range(1, n_merges + 1))
+    munion = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS rank, x || y AS token FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({_LTOKS}) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), v0 AS (
+  SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS syms
+  FROM words
+),
+{blocks},
+base AS (
+  SELECT sym AS token,
+         (row_number() OVER (ORDER BY sym ASC) - 1)::BIGINT AS token_id
+  FROM (SELECT DISTINCT unnest(string_split(syms, ' ')) AS sym FROM v0)
+),
+mg AS (
+  SELECT token, (SELECT count(*) FROM base) + rank - 1 AS token_id
+  FROM ({munion})
+),
+vocab AS (
+  SELECT token, min(token_id)::BIGINT AS token_id
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM mg) GROUP BY token
+),
+enc AS (
+  SELECT d.doc_id,
+         flatten(list_transform({_LTOKS},
+                 w -> string_split({word_expr}, ' '))) AS toks
+  FROM documents d {joins}
+),
+flat AS (
+  SELECT e.doc_id, u.p.tok AS token, u.p.i AS i
+  FROM enc e, LATERAL unnest(list_transform(range(1, len(e.toks) + 1),
+       j -> struct_pack(tok := e.toks[j], i := j))) AS u(p)
+),
+ids AS (
+  SELECT f.doc_id, f.i, v.token_id
+  FROM flat f LEFT JOIN vocab v ON f.token = v.token
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(coalesce(token_id::VARCHAR, '?'), ' ' ORDER BY i) AS ids_str,
+         count(*) FILTER (WHERE token_id IS NULL)::BIGINT AS n_unk,
+         count(*)::BIGINT AS n_tokens
+  FROM ids GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.ids_str, '') AS ids_str,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_unk, 0)::BIGINT AS n_unk
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -3139,6 +3240,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_neardup": _incremental_neardup,
     "bpe_merges_8": _bpe,
     "bpe_encode_8": _bpe_encode,
+    "bpe_token_ids_8": _bpe_token_ids,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3172,6 +3274,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "incremental_neardup": _INCREMENTAL_NEARDUP_SQL,
     "bpe_merges_8": _bpe_sql(8),
     "bpe_encode_8": _bpe_encode_sql(8),
+    "bpe_token_ids_8": _bpe_token_ids_sql(8),
 }
 
 

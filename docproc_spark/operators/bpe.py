@@ -388,3 +388,108 @@ def bpe_encode(
         tokens.alias("tokens"),
         F.size(tokens).cast("long").alias("n_tokens"),
     )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    word_pattern: str | None = None,
+) -> DataFrame:
+    """Token-id table for a trained merge set: base symbols (the distinct
+    codepoints of the training words, codepoint-sorted) get ids 0..B-1,
+    merged tokens get B+rank-1. Returns (token string, token_id long).
+
+    The distinct-codepoint reduction is distributed (explode + distinct —
+    bounded by the Unicode repertoire, never corpus-sized); the id
+    assignment happens on the collected set, sorted in PYTHON (codepoint
+    order — identical to DuckDB's binary UTF-8 collation, and immune to
+    Java's UTF-16 code-unit order on astral-plane symbols; pass
+    ``word_pattern`` to pin the symbol universe when that matters, same
+    caveat as training).
+
+    Collision rule: two merges can compose the same string ((a,bc) and
+    (ab,c) both yield "abc") — the SMALLEST id wins (first-wins), stated
+    here once and mirrored in the SQL oracle's min(token_id) GROUP BY.
+    """
+    spark = docs.sparkSession
+    words = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    w = docs.select(F.explode(words).alias("w"))
+    if word_pattern is not None:
+        w = w.filter(F.col("w").rlike(word_pattern))
+    chars = sorted(
+        r["c"]
+        for r in w.select(
+            F.explode(
+                F.regexp_extract_all(F.col("w"), F.lit("(?s)."), 0)
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    if isinstance(merges, DataFrame):
+        mrows = [
+            (r["rank"], r["merged"]) for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        mrows = [(i + 1, x + y) for i, (x, y) in enumerate(merges)]
+    b = len(chars)
+    best: dict[str, int] = {}
+    for tok, tid in [(c, i) for i, c in enumerate(chars)] + [
+        (m, b + rk - 1) for rk, m in mrows
+    ]:
+        if tok not in best or tid < best[tok]:
+            best[tok] = tid
+    return spark.createDataFrame(
+        sorted(best.items(), key=lambda kv: kv[1]),
+        "token string, token_id long",
+    )
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+    expr_max_merges: int = 64,
+    vocab_word_pattern: str | None = None,
+) -> DataFrame:
+    """``bpe_encode`` + id lookup: (id_col, token_ids: array<long>,
+    n_tokens: long, n_unk: long). A token outside the vocabulary (the
+    corpus always has some when training filtered by ``word_pattern`` but
+    encoding doesn't) maps to a NULL id and counts in ``n_unk``.
+
+    The vocabulary rides as a driver-side map LITERAL inside the column
+    program — zero shuffle, zero Python (the linear_classifier_score
+    precedent: vocabulary-sized metadata below ~2^16 entries belongs in
+    the plan, not in a join). For genuinely huge vocabularies, join the
+    exploded tokens against ``bpe_vocab``'s table instead — this serving
+    path targets the literal-fits case. Lookup is ``try_element_at``:
+    plain ``element_at`` THROWS on a missing key under ANSI mode (the
+    Spark 4 default), and unknown tokens are a contract here, not an
+    error."""
+    enc = bpe_encode(
+        docs,
+        merges,
+        text_col=text_col,
+        id_col=id_col,
+        strategy=strategy,
+        expr_max_merges=expr_max_merges,
+    )
+    if vocab is None:
+        vocab = bpe_vocab(
+            docs, merges, text_col=text_col, word_pattern=vocab_word_pattern
+        )
+    items = [(r["token"], r["token_id"]) for r in vocab.collect()]
+    mapping = F.create_map(
+        *[lit for tok, tid in items for lit in (F.lit(tok), F.lit(tid))]
+    )
+    ids = F.transform(F.col("tokens"), lambda t: F.try_element_at(mapping, t))
+    return enc.select(
+        F.col(id_col),
+        ids.alias("token_ids"),
+        F.col("n_tokens"),
+        F.size(F.filter(ids, lambda i: i.isNull())).cast("long").alias("n_unk"),
+    )

@@ -2261,3 +2261,54 @@ def test_bpe_encode_pandas_scales_past_expr_cap(spark):
     for strategy in ("expr", "pandas"):
         toks = bpe_encode(odd, pairs, strategy=strategy).collect()[0]["tokens"]
         assert toks == ["ab", " ", "ab", "ab"], strategy
+
+
+def test_bpe_vocab_and_encode_ids_contracts(spark):
+    """bpe_vocab: base codepoints get 0..B-1 in codepoint order, merged
+    tokens B+rank-1, composed-string collisions keep the smallest id.
+    bpe_encode_ids: unknown tokens -> NULL id + n_unk, empty/NULL docs
+    keep empty arrays with zero counts."""
+    from docproc_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc abc ab c"), (2, "abc café"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    # hand-built merges forcing a compose collision: (a,b)->ab rank 1,
+    # (ab,c)->abc rank 2, (a,bc)->abc rank 3 — "abc" must keep rank-2's id
+    pairs = [("a", "b"), ("ab", "c"), ("a", "bc")]
+    vocab = {
+        r["token"]: r["token_id"]
+        for r in bpe_vocab(df, pairs, word_pattern="^[a-z]+$").collect()
+    }
+    # base symbols of the pattern-filtered words: a b c e f é? no — é is
+    # filtered by ^[a-z]+$ (café drops out), so base = {a, b, c}
+    assert vocab == {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4}
+
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode_ids(
+            df, pairs, vocab_word_pattern="^[a-z]+$", strategy="expr"
+        ).collect()
+    }
+    # doc 1: "abc abc ab c" -> [abc, abc, ab, c] = [4, 4, 3, 2], no unk
+    assert list(out[1]["token_ids"]) == [4, 4, 3, 2]
+    assert (out[1]["n_tokens"], out[1]["n_unk"]) == (4, 0)
+    # doc 2: "abc café" -> [abc] + [c, a, f, é] (no merge fires in café);
+    # f and é are out-of-vocab -> NULL ids counted as unk
+    assert list(out[2]["token_ids"]) == [4, 2, 0, None, None]
+    assert (out[2]["n_tokens"], out[2]["n_unk"]) == (5, 2)
+    # NULL/empty docs
+    for d in (3, 4):
+        assert list(out[d]["token_ids"]) == []
+        assert (out[d]["n_tokens"], out[d]["n_unk"]) == (0, 0)
+
+    # trained-merge path: vocab derives from the merges DataFrame
+    merges_df = train_bpe(df, n_merges=2, strategy="local")
+    v2 = bpe_vocab(df, merges_df)
+    ids2 = bpe_encode_ids(df, merges_df, vocab=v2)
+    assert ids2.filter(F.col("doc_id") == 1).collect()[0]["n_unk"] == 0
