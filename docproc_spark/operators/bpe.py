@@ -483,9 +483,15 @@ def bpe_encode_ids(
             docs, merges, text_col=text_col, word_pattern=vocab_word_pattern
         )
     items = [(r["token"], r["token_id"]) for r in vocab.collect()]
-    mapping = F.create_map(
-        *[lit for tok, tid in items for lit in (F.lit(tok), F.lit(tid))]
-    )
+    if items:
+        mapping = F.create_map(
+            *[lit for tok, tid in items for lit in (F.lit(tok), F.lit(tid))]
+        )
+    else:
+        # an argless create_map types as map<void,void> and the output
+        # schema silently flips to array<void> — a typed NULL map keeps
+        # token_ids:array<bigint> stable (try_element_at(NULL, t) is NULL)
+        mapping = F.lit(None).cast("map<string,bigint>")
     ids = F.transform(F.col("tokens"), lambda t: F.try_element_at(mapping, t))
     return enc.select(
         F.col(id_col),

@@ -2312,3 +2312,18 @@ def test_bpe_vocab_and_encode_ids_contracts(spark):
     v2 = bpe_vocab(df, merges_df)
     ids2 = bpe_encode_ids(df, merges_df, vocab=v2)
     assert ids2.filter(F.col("doc_id") == 1).collect()[0]["n_unk"] == 0
+
+
+def test_bpe_encode_ids_empty_vocab_keeps_schema(spark):
+    """An empty vocabulary must not flip token_ids to array<void> (an
+    argless create_map types as map<void,void>): the schema stays
+    array<bigint> and every token counts as unknown."""
+    from docproc_spark.operators.bpe import bpe_encode_ids
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    empty_vocab = spark.createDataFrame([], "token string, token_id long")
+    out = bpe_encode_ids(df, [], vocab=empty_vocab)
+    assert dict(out.dtypes)["token_ids"] == "array<bigint>"
+    row = out.collect()[0]
+    assert list(row["token_ids"]) == [None, None, None]
+    assert (row["n_tokens"], row["n_unk"]) == (3, 3)
