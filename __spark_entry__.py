@@ -3108,6 +3108,65 @@ FROM enc
 """
 
 
+def _nb_classify(spark, sf):
+    """Corpus-trained multinomial Naive Bayes (functions/text.nb_classify):
+    fit per-class token statistics on the lang labels, classify every
+    document, integer-bit scores only (the lm_surprisal no-floats
+    discipline) — so the DuckDB mirror matches bit-for-bit with no
+    rounding contract. Prediction = argmin (total_bits, label ASC)."""
+    from docproc_spark.functions.text import nb_classify
+
+    return nb_classify(_t(spark, sf, "documents"), label_col="lang")
+
+
+_NB_CLASSIFY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang AS label, {_LTOKS} AS lt FROM documents
+),
+train AS (SELECT * FROM toks WHERE label IS NOT NULL),
+ctc AS (
+  SELECT label, w, count(*)::BIGINT AS c
+  FROM (SELECT label, unnest(lt) AS w FROM train) GROUP BY 1, 2
+),
+voc AS (SELECT count(DISTINCT w)::BIGINT AS v FROM ctc),
+ntr AS (SELECT count(*)::BIGINT AS n FROM train),
+meta AS (
+  SELECT nc.label, coalesce(tt.t, 0)::BIGINT AS t, nc.n_c, voc.v,
+         (length(bin(ntr.n // nc.n_c)) - 1)::BIGINT AS pbits
+  FROM (SELECT label, count(*)::BIGINT AS n_c FROM train GROUP BY 1) nc
+  LEFT JOIN (SELECT label, sum(c)::BIGINT AS t FROM ctc GROUP BY 1) tt
+    USING (label), voc, ntr
+),
+dt AS (
+  SELECT doc_id, w, count(*)::BIGINT AS occ
+  FROM (SELECT doc_id, unnest(lt) AS w FROM toks) GROUP BY 1, 2
+),
+sc AS (
+  SELECT dt.doc_id, m.label, m.pbits,
+         sum(dt.occ *
+             (length(bin((m.t + m.v) // (coalesce(ctc.c, 0) + 1))) - 1)
+         )::BIGINT AS tok_bits
+  FROM dt CROSS JOIN meta m
+  LEFT JOIN ctc ON ctc.label = m.label AND ctc.w = dt.w
+  GROUP BY dt.doc_id, m.label, m.pbits
+),
+sel AS (
+  SELECT doc_id, label AS pred_label,
+         (tok_bits + pbits)::BIGINT AS score_bits
+  FROM (
+    SELECT doc_id, label, tok_bits, pbits,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tok_bits + pbits ASC, label ASC) AS rn
+    FROM sc) WHERE rn = 1
+),
+bp AS (SELECT label, pbits FROM meta ORDER BY pbits ASC, label ASC LIMIT 1)
+SELECT t.doc_id,
+       coalesce(s.pred_label, bp.label) AS pred_label,
+       coalesce(s.score_bits, bp.pbits)::BIGINT AS score_bits
+FROM toks t LEFT JOIN sel s USING (doc_id) CROSS JOIN bp
+"""
+
+
 def _bpe_token_ids(spark, sf):
     """Tokenizer id serving path (operators/bpe.bpe_encode_ids): train 8
     merges, build the id table (base codepoints 0..B-1 codepoint-sorted,
@@ -3241,6 +3300,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges_8": _bpe,
     "bpe_encode_8": _bpe_encode,
     "bpe_token_ids_8": _bpe_token_ids,
+    "nb_lang_pred": _nb_classify,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3275,6 +3335,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "bpe_merges_8": _bpe_sql(8),
     "bpe_encode_8": _bpe_encode_sql(8),
     "bpe_token_ids_8": _bpe_token_ids_sql(8),
+    "nb_lang_pred": _NB_CLASSIFY_SQL,
 }
 
 

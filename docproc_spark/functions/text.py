@@ -887,3 +887,149 @@ def winnow_fingerprints(
             F.col("s.fp").alias("fp"),
         )
     )
+
+
+def nb_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-TRAINED multinomial Naive Bayes text classification — the
+    companion to ``linear_classifier_score`` (which ships the serving
+    path with stand-in weights): train per-class token statistics on the
+    labeled rows, then classify EVERY document, in one job. The CCNet /
+    fastText curation shape: fit a cheap classifier on labels you have
+    (language, source, quality tier) and use its predictions to route or
+    filter the rest.
+
+    Add-one smoothing, and — the lm_surprisal_buckets discipline — NO
+    floats anywhere: the per-token cost of class c is the integer bit
+    count floor(log2((T_c + V) / (cnt_{t,c} + 1))) computed as
+    length(bin(num div den)) - 1 (exact: floor(log2(d/n)) ==
+    floor(log2(d div n)) for d >= n >= 1, and T_c + V >= cnt + 1 always
+    since cnt <= T_c and V >= 1), plus a class-prior cost
+    floor(log2(N / N_c)). Prediction = argmin (total_bits, label ASC) —
+    fully ordered, partition-independent, DuckDB-oracle-able
+    bit-for-bit with no rounding contract.
+
+    Returns (doc_id, pred_label, score_bits). Rows with a NULL label are
+    EXCLUDED from training but still classified; a document with no
+    tokens scores prior-only, so it gets the argmin-prior class.
+
+    Scale shape: two count aggregations (class-token, per-class
+    metadata) with map-side combine; the class-metadata table (labels ×
+    (T_c, N_c, prior)) is broadcast — the operator is for LOW-cardinality
+    labels (languages, sources, tiers), so the per-doc candidate fan-out
+    is ×k, never ×corpus; the doc-term -> class-count join shuffles on
+    the token key (the canonical LM-count join, AQE handles token skew);
+    one per-doc re-aggregation + min_by. The staged token frame is
+    localCheckpointed: three consumers, and fan-out gets no
+    common-subexpression reuse.
+    """
+    for col in ("_nb_lt", "_nb_label"):
+        if col in docs.columns:
+            raise ValueError(f"docs already has a {col!r} column")
+    ltoks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("_nb_label"),
+        ltoks.alias("_nb_lt"),
+    ).localCheckpoint(eager=True)
+    train = staged.filter(F.col("_nb_label").isNotNull())
+    # class-token counts and the training vocabulary size
+    ctc = (
+        train.select("_nb_label", F.explode("_nb_lt").alias("w"))
+        .groupBy("_nb_label", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    voc = ctc.select("w").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    n_total = train.count()
+    if n_total == 0:
+        raise ValueError("no labeled rows to train on")
+    # per-class metadata: token total, doc count, prior bits
+    meta = (
+        ctc.groupBy("_nb_label")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .join(
+            train.groupBy("_nb_label").agg(
+                F.count("*").cast("long").alias("n_c")
+            ),
+            "_nb_label",
+            "right",  # a class whose docs have zero tokens still exists
+        )
+        .crossJoin(voc)
+        .select(
+            "_nb_label",
+            F.coalesce("t", F.lit(0)).alias("t"),
+            "n_c",
+            "v",
+            (F.length(F.bin(F.expr(f"{n_total} div n_c"))) - 1)
+            .cast("long")
+            .alias("pbits"),
+        )
+    )
+    # per-document distinct-token occurrence counts
+    dt = (
+        staged.select("doc_id", F.explode("_nb_lt").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("occ"))
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(meta.select("_nb_label", "t", "v")))
+        .join(ctc, ["_nb_label", "w"], "left")
+        .select(
+            "doc_id",
+            "_nb_label",
+            (
+                F.col("occ")
+                * (
+                    F.length(
+                        F.bin(
+                            F.expr("(t + v) div (coalesce(c, CAST(0 AS LONG)) + 1)")
+                        )
+                    )
+                    - 1
+                )
+            ).alias("_bits"),
+        )
+        .groupBy("doc_id", "_nb_label")
+        .agg(F.sum("_bits").cast("long").alias("_tok_bits"))
+        .join(F.broadcast(meta.select("_nb_label", "pbits")), "_nb_label")
+        .select(
+            "doc_id",
+            "_nb_label",
+            (F.col("_tok_bits") + F.col("pbits")).alias("score_bits"),
+        )
+    )
+    pred = scored.groupBy("doc_id").agg(
+        F.min_by(
+            "_nb_label", F.struct(F.col("score_bits"), F.col("_nb_label"))
+        ).alias("pred_label"),
+        F.min("score_bits").cast("long").alias("score_bits"),
+    )
+    # token-less documents score prior-only: the argmin-(pbits, label)
+    # class, a single broadcastable scalar
+    best_prior = (
+        meta.select("_nb_label", "pbits")
+        .orderBy(F.col("pbits").asc(), F.col("_nb_label").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    return (
+        staged.select("doc_id")
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "pred_label", F.lit(best_prior["_nb_label"])
+            ).alias("pred_label"),
+            F.coalesce(
+                "score_bits", F.lit(int(best_prior["pbits"]))
+            )
+            .cast("long")
+            .alias("score_bits"),
+        )
+    )

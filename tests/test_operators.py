@@ -2327,3 +2327,67 @@ def test_bpe_encode_ids_empty_vocab_keeps_schema(spark):
     row = out.collect()[0]
     assert list(row["token_ids"]) == [None, None, None]
     assert (row["n_tokens"], row["n_unk"]) == (3, 3)
+
+
+def test_nb_classify_python_reference(spark):
+    """nb_classify matches a direct python NB implementation (add-one
+    smoothing, integer floor-log2 bits, argmin (bits, label)); NULL-label
+    rows are excluded from training but still classified; a token-less
+    document gets the argmin-prior class."""
+    from docproc_spark.functions.text import nb_classify
+
+    rows = [
+        (1, "spam spam buy now", "s"),
+        (2, "buy spam buy", "s"),
+        (3, "hello dear friend", "h"),
+        (4, "dear hello hello there", "h"),
+        (5, "spam hello", None),  # unlabeled: classified, never trained on
+        (6, "", "h"),             # token-less: prior-only
+        (7, None, None),          # NULL text AND label
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab string")
+
+    # python reference
+    import math
+
+    def fl2(d, n):  # floor(log2(d/n)) for d >= n >= 1 via integer div
+        return (d // n).bit_length() - 1
+
+    train = [(t, l) for _, t, l in rows if l is not None]
+    ctc, tc, nc = {}, {}, {}
+    vocab = set()
+    for t, l in train:
+        nc[l] = nc.get(l, 0) + 1
+        for w in (t or "").lower().split():
+            ctc[(l, w)] = ctc.get((l, w), 0) + 1
+            tc[l] = tc.get(l, 0) + 1
+            vocab.add(w)
+    v, n = len(vocab), len(train)
+    labels = sorted(nc)
+
+    def score(text, l):
+        bits = fl2(n, nc[l])
+        for w in (text or "").lower().split():
+            bits += fl2(tc.get(l, 0) + v, ctc.get((l, w), 0) + 1)
+        return bits
+
+    expected = {}
+    for i, t, _ in rows:
+        best = min((score(t, l), l) for l in labels)
+        expected[i] = (best[1], best[0])
+
+    got = {
+        r["doc_id"]: (r["pred_label"], r["score_bits"])
+        for r in nb_classify(df, label_col="lab").collect()
+    }
+    assert got == expected
+    # sanity on the material itself: the labeled docs classify correctly
+    assert got[1][0] == "s" and got[3][0] == "h"
+    # token-less doc: prior-only argmin (h has 3 docs vs s's 2 -> fewer
+    # prior bits -> h)
+    assert got[6][0] == "h" and got[7][0] == "h"
+
+    with pytest.raises(ValueError):
+        nb_classify(df.withColumn("_nb_lt", F.lit(1)), label_col="lab")
+    with pytest.raises(ValueError):
+        nb_classify(df.filter("doc_id = 7"), label_col="lab")
