@@ -3108,6 +3108,72 @@ FROM enc
 """
 
 
+def _md5_bucket_sql(expr: str, mod: int) -> str:
+    """DuckDB twin of operators/dedupe._hash_bucket_col — first 8 md5 hex
+    chars as an integer, mod the bucket count."""
+    return f"(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT) % {mod})"
+
+
+_DSIR_BUCKETS = 4096
+
+
+def _dsir(spark, sf):
+    """DSIR importance weights (functions/text.dsir_weights; Xie et al.
+    2023): hashed unigram+bigram features, add-one-smoothed raw (whole
+    corpus) vs target (lang='en') bucket distributions, per-doc integer
+    score = sum of bits_raw - bits_target (the lm_surprisal no-floats
+    discipline) — positive means more target-like. Bit-exact oracle, no
+    rounding contract."""
+    from docproc_spark.functions.text import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    return dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    )
+
+
+_DSIR_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         (lt || CASE WHEN len(lt) >= 2
+                THEN list_transform(range(1, len(lt)),
+                                    i -> lt[i] || ' ' || lt[i+1])
+                ELSE [] END) AS fs
+  FROM (SELECT doc_id, lang, {_LTOKS} AS lt FROM documents)
+),
+rawf AS (
+  SELECT doc_id, {_md5_bucket_sql('u.f', _DSIR_BUCKETS)} AS b
+  FROM feats, LATERAL unnest(fs) AS u(f)
+),
+tgtf AS (
+  SELECT {_md5_bucket_sql('u.f', _DSIR_BUCKETS)} AS b
+  FROM feats, LATERAL unnest(fs) AS u(f) WHERE lang = 'en'
+),
+raw_c AS (SELECT b, count(*)::BIGINT AS cr FROM rawf GROUP BY b),
+tgt_c AS (SELECT b, count(*)::BIGINT AS ct FROM tgtf GROUP BY b),
+tot AS (
+  SELECT (SELECT coalesce(sum(cr), 0) FROM raw_c)::BIGINT AS tr,
+         (SELECT coalesce(sum(ct), 0) FROM tgt_c)::BIGINT AS tt
+),
+bits AS (
+  SELECT r.b,
+         ((length(bin((tot.tr + {_DSIR_BUCKETS}) // (r.cr + 1))) - 1)
+          - (length(bin((tot.tt + {_DSIR_BUCKETS}) // (coalesce(t.ct, 0) + 1))) - 1)
+         )::BIGINT AS dbits
+  FROM raw_c r LEFT JOIN tgt_c t USING (b), tot
+),
+per AS (
+  SELECT rawf.doc_id, sum(bits.dbits)::BIGINT AS dsir_bits,
+         count(*)::BIGINT AS n_feats
+  FROM rawf JOIN bits USING (b) GROUP BY rawf.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.dsir_bits, 0)::BIGINT AS dsir_bits,
+       coalesce(p.n_feats, 0)::BIGINT AS n_feats
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def _nb_classify(spark, sf):
     """Corpus-trained multinomial Naive Bayes (functions/text.nb_classify):
     fit per-class token statistics on the lang labels, classify every
@@ -3301,6 +3367,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_8": _bpe_encode,
     "bpe_token_ids_8": _bpe_token_ids,
     "nb_lang_pred": _nb_classify,
+    "dsir_en_weights": _dsir,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3336,6 +3403,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "bpe_encode_8": _bpe_encode_sql(8),
     "bpe_token_ids_8": _bpe_token_ids_sql(8),
     "nb_lang_pred": _NB_CLASSIFY_SQL,
+    "dsir_en_weights": _DSIR_SQL,
 }
 
 

@@ -1033,3 +1033,131 @@ def nb_classify(
             .alias("score_bits"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by how much more likely its hashed n-gram features are under
+    a TARGET distribution than under the raw distribution — the published
+    method for selecting pretraining data that matches a high-quality
+    target domain. Features are the document's lowercased unigrams AND
+    bigrams, each md5-hashed into ``n_buckets`` (the paper's hashing
+    trick; the shared index-family bucket formula).
+
+    The raw distribution is fit on ``docs`` itself (the corpus being
+    filtered — the paper's setup); the target distribution on ``target``.
+    Both are add-one smoothed over the bucket space, and — the
+    lm_surprisal no-floats discipline — the per-feature log-ratio is the
+    integer surrogate bits_raw(b) - bits_target(b) with bits_x(b) =
+    floor(log2((T_x + n_buckets) / (c_x(b) + 1))), each computed exactly
+    as length(bin(num div den)) - 1. Positive total = more target-like.
+
+    Returns (doc_id, dsir_bits, n_feats); featureless documents score 0.
+    Select by dsir_bits DESC (deterministic top-k; the paper adds Gumbel
+    noise for soft sampling — compose with hash_sample for that).
+
+    Scale shape: one staged tokenization (localCheckpoint — the bigram
+    HOF must reference a materialized column, and the frame feeds both
+    the raw counts and the per-doc counts), two bucket-count
+    aggregations with map-side combine, a bucket-level score table of
+    exactly ``n_buckets`` rows broadcast into the per-doc join, one
+    re-aggregation. Nothing is ever corpus × corpus.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    from docproc_spark.operators.dedupe import _hash_bucket_col
+
+    def staged_feats(frame: DataFrame, with_id: bool) -> DataFrame:
+        ltoks = tokens_col(
+            F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        )
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        st = frame.select(*cols, ltoks.alias("_dt")).withColumn(
+            "_df",
+            F.concat(
+                F.col("_dt"), _bigrams_from_tokens(F.col("_dt"))
+            ),
+        )
+        out = st.select(
+            *(["doc_id"] if with_id else []),
+            F.transform(
+                F.col("_df"), lambda t: _hash_bucket_col(t, n_buckets)
+            ).alias("_fb"),
+        )
+        return out.localCheckpoint(eager=True)
+
+    raw = staged_feats(docs, with_id=True)
+    tgt = staged_feats(target, with_id=False)
+    raw_c = (
+        raw.select(F.explode("_fb").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("cr"))
+    )
+    tgt_c = (
+        tgt.select(F.explode("_fb").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    totals = raw_c.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt_c.agg(F.sum("ct").alias("tt"))
+    )
+    # bucket score table: <= n_buckets rows (buckets unseen ANYWHERE can't
+    # appear in a document, so raw-side buckets are the full support)
+    bits = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(totals)
+        .select(
+            "b",
+            (
+                (
+                    F.length(
+                        F.bin(
+                            F.expr(
+                                f"(coalesce(tr, CAST(0 AS LONG)) + {n_buckets}) "
+                                "div (cr + 1)"
+                            )
+                        )
+                    )
+                    - 1
+                )
+                - (
+                    F.length(
+                        F.bin(
+                            F.expr(
+                                f"(coalesce(tt, CAST(0 AS LONG)) + {n_buckets}) "
+                                "div (coalesce(ct, CAST(0 AS LONG)) + 1)"
+                            )
+                        )
+                    )
+                    - 1
+                )
+            )
+            .cast("long")
+            .alias("dbits"),
+        )
+    )
+    per = (
+        raw.select("doc_id", F.explode("_fb").alias("b"))
+        .join(F.broadcast(bits), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dbits").cast("long").alias("dsir_bits"),
+            F.count("*").cast("long").alias("n_feats"),
+        )
+    )
+    return (
+        raw.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dsir_bits", F.lit(0)).cast("long").alias("dsir_bits"),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        )
+    )

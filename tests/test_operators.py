@@ -2391,3 +2391,67 @@ def test_nb_classify_python_reference(spark):
         nb_classify(df.withColumn("_nb_lt", F.lit(1)), label_col="lab")
     with pytest.raises(ValueError):
         nb_classify(df.filter("doc_id = 7"), label_col="lab")
+
+
+def test_dsir_weights_python_reference(spark):
+    """dsir_weights matches a direct python implementation (hashed
+    unigram+bigram features, add-one smoothed integer bits, score =
+    bits_raw - bits_target summed over doc features); target-like docs
+    score higher than off-target docs; featureless docs score 0."""
+    import hashlib
+
+    from docproc_spark.functions.text import dsir_weights
+
+    rows = [
+        (1, "clean prose about science and method"),
+        (2, "clean prose about careful science"),
+        (3, "buy pills now cheap pills now"),
+        (4, "buy cheap pills buy cheap"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id IN (1, 2)")
+    B = 64
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % B
+
+    def feats(text):
+        toks = (text or "").lower().split()
+        bgs = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        return [bucket(f) for f in toks + bgs]
+
+    raw_c, tgt_c = {}, {}
+    for i, t in rows:
+        for b in feats(t):
+            raw_c[b] = raw_c.get(b, 0) + 1
+            if i in (1, 2):
+                tgt_c[b] = tgt_c.get(b, 0) + 1
+    tr, tt = sum(raw_c.values()), sum(tgt_c.values())
+
+    def fl2(d, n):
+        return (d // n).bit_length() - 1
+
+    def score(text):
+        fs = feats(text)
+        return (
+            sum(
+                fl2(tr + B, raw_c[b] + 1) - fl2(tt + B, tgt_c.get(b, 0) + 1)
+                for b in fs
+            ),
+            len(fs),
+        )
+
+    expected = {i: score(t) for i, t in rows}
+    got = {
+        r["doc_id"]: (r["dsir_bits"], r["n_feats"])
+        for r in dsir_weights(df, target, n_buckets=B).collect()
+    }
+    assert got == expected
+    # directionals: target members outrank the spam docs; featureless = 0
+    assert min(got[1][0], got[2][0]) > max(got[3][0], got[4][0])
+    assert got[5] == (0, 0) and got[6] == (0, 0)
+
+    with pytest.raises(ValueError):
+        dsir_weights(df, target, n_buckets=0)
