@@ -3024,6 +3024,29 @@ v{i} AS (
 )"""
 
 
+# the training-chain scaffolding is shared VERBATIM by all three BPE
+# oracles (train, encode, token-ids) — one statement of each piece, so a
+# future fix to the word filter / fold seed cannot silently diverge them
+_BPE_WORDS_V0_SQL = f"""words AS (
+  SELECT w, count(*)::BIGINT AS freq FROM (
+    SELECT unnest({_LTOKS}) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), v0 AS (
+  SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS syms
+  FROM words
+)"""
+
+
+def _bpe_chain_sql(n_merges: int) -> tuple[str, str, str]:
+    """(round blocks, per-word encode fold expression, b1..bN joins)."""
+    blocks = ",".join(_bpe_round_sql(i) for i in range(1, n_merges + 1))
+    word_expr = "array_to_string(regexp_extract_all(w, '.'), ' ')"
+    for i in range(1, n_merges + 1):
+        word_expr = _bpe_fold_sql(word_expr, f"b{i}.x", f"b{i}.y")
+    joins = " ".join(f"LEFT JOIN b{i} ON true" for i in range(1, n_merges + 1))
+    return blocks, word_expr, joins
+
+
 def _bpe_sql(n_merges: int = 8) -> str:
     """DuckDB mirror of train_bpe — rounds unrolled into a CTE chain; the
     winning pair rides along as a cross-joined 1-row CTE (b.x/b.y inside
@@ -3031,20 +3054,13 @@ def _bpe_sql(n_merges: int = 8) -> str:
     escaping contract is needed. The NULL-b.x arm mirrors the operator's
     early stop (an exhausted round rebuilds the vocab unchanged and
     contributes no merges row)."""
-    blocks = ",".join(_bpe_round_sql(i) for i in range(1, n_merges + 1))
+    blocks, _, _ = _bpe_chain_sql(n_merges)
     union = "\nUNION ALL\n".join(
         f"SELECT {i}::BIGINT AS rank, x, y, x || y AS merged, cnt FROM b{i}"
         for i in range(1, n_merges + 1)
     )
     return f"""
-WITH words AS (
-  SELECT w, count(*)::BIGINT AS freq FROM (
-    SELECT unnest({_LTOKS}) AS w FROM documents)
-  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
-), v0 AS (
-  SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS syms
-  FROM words
-),
+WITH {_BPE_WORDS_V0_SQL},
 {blocks}
 SELECT * FROM ({union}) ORDER BY rank
 """
@@ -3080,20 +3096,9 @@ def _bpe_encode_sql(n_merges: int = 8) -> str:
     shorter collected merge list on the Spark side). Words join with ' '
     and tokens within a word join with ' ', so the flat token stream is
     one string — lossless, since symbols never contain whitespace."""
-    blocks = ",".join(_bpe_round_sql(i) for i in range(1, n_merges + 1))
-    word_expr = "array_to_string(regexp_extract_all(w, '.'), ' ')"
-    for i in range(1, n_merges + 1):
-        word_expr = _bpe_fold_sql(word_expr, f"b{i}.x", f"b{i}.y")
-    joins = " ".join(f"LEFT JOIN b{i} ON true" for i in range(1, n_merges + 1))
+    blocks, word_expr, joins = _bpe_chain_sql(n_merges)
     return f"""
-WITH words AS (
-  SELECT w, count(*)::BIGINT AS freq FROM (
-    SELECT unnest({_LTOKS}) AS w FROM documents)
-  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
-), v0 AS (
-  SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS syms
-  FROM words
-),
+WITH {_BPE_WORDS_V0_SQL},
 {blocks},
 enc AS (
   SELECT d.doc_id,
@@ -3272,24 +3277,13 @@ def _bpe_token_ids_sql(n_merges: int = 8) -> str:
     collision keeps the smallest id (min GROUP BY — the operator's
     first-wins rule). Documents with no tokens survive via the final LEFT
     JOIN with '' / 0 coalesces."""
-    blocks = ",".join(_bpe_round_sql(i) for i in range(1, n_merges + 1))
-    word_expr = "array_to_string(regexp_extract_all(w, '.'), ' ')"
-    for i in range(1, n_merges + 1):
-        word_expr = _bpe_fold_sql(word_expr, f"b{i}.x", f"b{i}.y")
-    joins = " ".join(f"LEFT JOIN b{i} ON true" for i in range(1, n_merges + 1))
+    blocks, word_expr, joins = _bpe_chain_sql(n_merges)
     munion = "\nUNION ALL\n".join(
         f"SELECT {i}::BIGINT AS rank, x || y AS token FROM b{i}"
         for i in range(1, n_merges + 1)
     )
     return f"""
-WITH words AS (
-  SELECT w, count(*)::BIGINT AS freq FROM (
-    SELECT unnest({_LTOKS}) AS w FROM documents)
-  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
-), v0 AS (
-  SELECT freq, array_to_string(regexp_extract_all(w, '.'), ' ') AS syms
-  FROM words
-),
+WITH {_BPE_WORDS_V0_SQL},
 {blocks},
 base AS (
   SELECT sym AS token,

@@ -907,8 +907,12 @@ def nb_classify(
     floats anywhere: the per-token cost of class c is the integer bit
     count floor(log2((T_c + V) / (cnt_{t,c} + 1))) computed as
     length(bin(num div den)) - 1 (exact: floor(log2(d/n)) ==
-    floor(log2(d div n)) for d >= n >= 1, and T_c + V >= cnt + 1 always
-    since cnt <= T_c and V >= 1), plus a class-prior cost
+    floor(log2(d div n)) for d >= n >= 1; T_c + V >= cnt + 1 whenever the
+    training vocabulary is non-empty, since cnt <= T_c and V >= 1 — in
+    the degenerate V = 0 case, every labeled row token-less, the cost
+    expression evaluates to length(bin(0)) - 1 = 0 in BOTH engines, so
+    every class ties on token bits and the prior decides), plus a
+    class-prior cost
     floor(log2(N / N_c)). Prediction = argmin (total_bits, label ASC) —
     fully ordered, partition-independent, DuckDB-oracle-able
     bit-for-bit with no rounding contract.
@@ -937,39 +941,58 @@ def nb_classify(
         ltoks.alias("_nb_lt"),
     ).localCheckpoint(eager=True)
     train = staged.filter(F.col("_nb_label").isNotNull())
-    # class-token counts and the training vocabulary size
+    # class-token counts — localCheckpointed: this is the ONLY
+    # corpus-scale shuffle of the job (explode + groupBy), and it feeds
+    # the vocabulary count, the class totals AND the scoring join; without
+    # the checkpoint, fan-out (no common-subexpression reuse) re-runs the
+    # token explode once per consumer
     ctc = (
         train.select("_nb_label", F.explode("_nb_lt").alias("w"))
         .groupBy("_nb_label", "w")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    voc = ctc.select("w").distinct().agg(
-        F.count("*").cast("long").alias("v")
-    )
-    n_total = train.count()
+    # class metadata is k rows — collect it ONCE and re-enter the plan as
+    # a literal frame (three consumers below: the scoring broadcast, the
+    # prior broadcast, and the best-prior scalar; as live plans each would
+    # re-run its whole upstream)
+    v = ctc.select("w").distinct().count()
+    t_by = {
+        r["_nb_label"]: r["t"]
+        for r in ctc.groupBy("_nb_label")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .collect()
+    }
+    n_by = {
+        r["_nb_label"]: r["n"]
+        for r in train.groupBy("_nb_label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_total = sum(n_by.values())
     if n_total == 0:
         raise ValueError("no labeled rows to train on")
-    # per-class metadata: token total, doc count, prior bits
-    meta = (
-        ctc.groupBy("_nb_label")
-        .agg(F.sum("c").cast("long").alias("t"))
-        .join(
-            train.groupBy("_nb_label").agg(
-                F.count("*").cast("long").alias("n_c")
-            ),
-            "_nb_label",
-            "right",  # a class whose docs have zero tokens still exists
+    meta_rows = [
+        # a class whose docs have zero tokens still exists: t defaults 0
+        (
+            lab,
+            int(t_by.get(lab, 0)),
+            int(v),
+            (n_total // n_c).bit_length() - 1,
         )
-        .crossJoin(voc)
-        .select(
-            "_nb_label",
-            F.coalesce("t", F.lit(0)).alias("t"),
-            "n_c",
-            "v",
-            (F.length(F.bin(F.expr(f"{n_total} div n_c"))) - 1)
-            .cast("long")
-            .alias("pbits"),
-        )
+        for lab, n_c in n_by.items()
+    ]
+    lab_type = staged.schema["_nb_label"].dataType
+    meta = docs.sparkSession.createDataFrame(
+        meta_rows,
+        T.StructType(
+            [
+                T.StructField("_nb_label", lab_type),
+                T.StructField("t", T.LongType()),
+                T.StructField("v", T.LongType()),
+                T.StructField("pbits", T.LongType()),
+            ]
+        ),
     )
     # per-document distinct-token occurrence counts
     dt = (
@@ -1011,24 +1034,17 @@ def nb_classify(
         F.min("score_bits").cast("long").alias("score_bits"),
     )
     # token-less documents score prior-only: the argmin-(pbits, label)
-    # class, a single broadcastable scalar
-    best_prior = (
-        meta.select("_nb_label", "pbits")
-        .orderBy(F.col("pbits").asc(), F.col("_nb_label").asc())
-        .limit(1)
-        .collect()[0]
+    # class — already on the driver, no job
+    bp_label, _, _, bp_bits = min(
+        meta_rows, key=lambda r: (r[3], r[0])
     )
     return (
         staged.select("doc_id")
         .join(pred, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce(
-                "pred_label", F.lit(best_prior["_nb_label"])
-            ).alias("pred_label"),
-            F.coalesce(
-                "score_bits", F.lit(int(best_prior["pbits"]))
-            )
+            F.coalesce("pred_label", F.lit(bp_label)).alias("pred_label"),
+            F.coalesce("score_bits", F.lit(int(bp_bits)))
             .cast("long")
             .alias("score_bits"),
         )
@@ -1095,53 +1111,52 @@ def dsir_weights(
 
     raw = staged_feats(docs, with_id=True)
     tgt = staged_feats(target, with_id=False)
+    # the two bucket-count aggregations are the heavy shuffles of the job
+    # and each feeds two consumers (its total AND the score table) —
+    # localCheckpoint so the feature explode runs once per corpus, not
+    # twice (fan-out gets no common-subexpression reuse); post-agg they
+    # are <= n_buckets rows, so the checkpoint itself is metadata-sized
     raw_c = (
         raw.select(F.explode("_fb").alias("b"))
         .groupBy("b")
         .agg(F.count("*").cast("long").alias("cr"))
+        .localCheckpoint(eager=True)
     )
     tgt_c = (
         tgt.select(F.explode("_fb").alias("b"))
         .groupBy("b")
         .agg(F.count("*").cast("long").alias("ct"))
+        .localCheckpoint(eager=True)
     )
-    totals = raw_c.agg(F.sum("cr").alias("tr")).crossJoin(
-        tgt_c.agg(F.sum("ct").alias("tt"))
-    )
+    # the totals are two scalars over the checkpointed counts — collect
+    # them and inline as literals rather than crossJoining live plans
+    tr = int(raw_c.agg(F.sum("cr")).collect()[0][0] or 0)
+    tt = int(tgt_c.agg(F.sum("ct")).collect()[0][0] or 0)
     # bucket score table: <= n_buckets rows (buckets unseen ANYWHERE can't
     # appear in a document, so raw-side buckets are the full support)
-    bits = (
-        raw_c.join(tgt_c, "b", "left")
-        .crossJoin(totals)
-        .select(
-            "b",
+    bits = raw_c.join(tgt_c, "b", "left").select(
+        "b",
+        (
             (
-                (
-                    F.length(
-                        F.bin(
-                            F.expr(
-                                f"(coalesce(tr, CAST(0 AS LONG)) + {n_buckets}) "
-                                "div (cr + 1)"
-                            )
-                        )
-                    )
-                    - 1
+                F.length(
+                    F.bin(F.expr(f"({tr} + {n_buckets}) div (cr + 1)"))
                 )
-                - (
-                    F.length(
-                        F.bin(
-                            F.expr(
-                                f"(coalesce(tt, CAST(0 AS LONG)) + {n_buckets}) "
-                                "div (coalesce(ct, CAST(0 AS LONG)) + 1)"
-                            )
-                        )
-                    )
-                    - 1
-                )
+                - 1
             )
-            .cast("long")
-            .alias("dbits"),
+            - (
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"({tt} + {n_buckets}) "
+                            "div (coalesce(ct, CAST(0 AS LONG)) + 1)"
+                        )
+                    )
+                )
+                - 1
+            )
         )
+        .cast("long")
+        .alias("dbits"),
     )
     per = (
         raw.select("doc_id", F.explode("_fb").alias("b"))

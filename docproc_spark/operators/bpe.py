@@ -369,7 +369,12 @@ def bpe_encode(
             out = []
             for text in texts:
                 toks: list[str] = []
-                for w in split_re.split((text or "").lower()):
+                # text arrives ALREADY lowercased (JVM-side F.lower below):
+                # Python str.lower() uses the interpreter's Unicode case
+                # tables, which can differ from the JVM's by a Unicode
+                # version — lowercasing once on the JVM keeps the two
+                # strategies bit-identical by construction
+                for w in split_re.split(text or ""):
                     if w:
                         toks.extend(enc_word(w))
                 out.append(toks)
@@ -382,7 +387,7 @@ def bpe_encode(
         _encode = F.pandas_udf(
             lambda s: _encode_series(s), ArrayType(StringType())
         )
-        tokens = _encode(F.col(text_col))
+        tokens = _encode(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     return docs.select(
         F.col(id_col),
         tokens.alias("tokens"),

@@ -79,11 +79,15 @@ def sniff_charset(data: bytes) -> tuple[str, str]:
             return "cp1252", "replace"
         try:
             info = codecs.lookup(label)
-            # WHATWG: a meta-declared UTF-16 family label is a lie (the
-            # prescan just parsed these bytes as ASCII-compatible) → treat
-            # as UTF-8. Resolve through codecs so aliases ("utf16",
-            # "ucs-2", "u16") hit the rule too, not just literal spellings.
-            if info.name.startswith("utf-16"):
+            # WHATWG: a meta-declared UTF-16/UTF-32 family label is a lie
+            # (the prescan just parsed these bytes as ASCII-compatible) →
+            # treat as UTF-8. Resolve through codecs so python aliases
+            # ("utf16", "u16", "unicodelittleunmarked") hit the rule too,
+            # not just literal spellings. (WHATWG itself has no utf-32
+            # labels — an unknown label would fall through to the UTF-8
+            # attempt anyway — but python DOES resolve "utf-32"/"u32", and
+            # decoding ASCII-compatible bytes with them is total mush.)
+            if info.name.startswith(("utf-16", "utf-32")):
                 return "utf-8", "replace"
             # binary transforms (hex, base64, zlib) pass lookup() but
             # blow up in str-producing decode — not charsets, skip them

@@ -66,11 +66,20 @@ class TestCharsetSniff:
         assert sniff_charset(data)[0] == "utf-8"
         assert "héllo" in decode_html_bytes(data)
 
-    def test_meta_utf16_alias_labels_hit_the_lie_rule_too(self):
-        # codecs aliases ("utf16", "u16") resolve to the utf-16 codec; the
-        # lie rule must fire on the RESOLVED name, not the literal spelling
-        # — otherwise ASCII-compatible bytes get decoded as UTF-16 mush.
-        for label in ("utf16", "UTF_16", "u16", "utf-16le", "unicode"):
+    def test_meta_utf16_utf32_alias_labels_hit_the_lie_rule_too(self):
+        # codecs aliases resolve to the utf-16/utf-32 codecs; the lie rule
+        # must fire on the RESOLVED name, not the literal spelling —
+        # otherwise ASCII-compatible bytes get decoded as wide-char mush.
+        # Every label here is verified to resolve via codecs.lookup (the
+        # first round of this test used "unicode"/"ucs-2", which DON'T
+        # resolve in CPython and exercised only the fall-through).
+        for label in (
+            "utf16", "UTF_16", "u16", "utf-16le", "unicodelittleunmarked",
+            "utf-32", "utf32", "u32", "utf-32be",
+        ):
+            import codecs as _c
+
+            assert _c.lookup(label).name.startswith(("utf-16", "utf-32"))
             data = f'<meta charset="{label}"><p>héllo</p>'.encode("utf-8")
             assert sniff_charset(data)[0] == "utf-8", label
             assert "héllo" in decode_html_bytes(data), label
