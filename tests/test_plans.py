@@ -256,3 +256,45 @@ def test_corpus_report_single_pass(spark, tmp_path):
     assert plan.count("Expand") >= 1  # grouping sets expand, one pass
     assert "partial_count" in plan, "no map-side partial aggregation"
     out.collect()  # and it actually runs
+
+
+def test_nb_classify_plan_shape(spark):
+    """nb_classify at scale: the class-metadata joins must BROADCAST (the
+    per-doc fan-out is x k labels, never a corpus-sized shuffle side), no
+    cartesian, no single-partition exchange; the class-token aggregation
+    feeds the scoring join from its localCheckpoint (InMemory scan), not
+    by re-running the corpus explode."""
+    from docproc_spark.functions.text import nb_classify
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common", ["a", "b", "c"][i % 3]) for i in range(60)],
+        "doc_id long, text string, lab string",
+    )
+    out = nb_classify(df, label_col="lab")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        "class metadata must broadcast"
+    )
+    # the checkpointed ctc enters as a cached-scan leaf, not a re-explode
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
+
+
+def test_dsir_plan_shape(spark):
+    """dsir_weights at scale: the bucket score table (<= n_buckets rows)
+    must BROADCAST into the per-doc join; no cartesian, no
+    single-partition exchange; both count aggregations enter the plan
+    from their localCheckpoints."""
+    from docproc_spark.functions.text import dsir_weights
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta{i % 5} gamma{i % 11} delta") for i in range(80)],
+        "doc_id long, text string",
+    )
+    out = dsir_weights(df, df.filter("doc_id < 20"), n_buckets=64)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan, "bucket score table must broadcast"
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
