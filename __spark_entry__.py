@@ -3113,6 +3113,34 @@ FROM enc
 """
 
 
+_BLOCKLIST_TERMS = ("slow", "spam", "xxx")
+
+
+def _blocklist(spark, sf):
+    """C4-style bad-word screen (functions/text.blocklist_filter, Raffel
+    et al. 2020): whole-token case-insensitive blocklist hits per doc,
+    keep = zero hits. The list rides as a plan literal — zero shuffle,
+    a pure map-side filter. 'slow' occurs in the synthetic corpus, so
+    both keep outcomes are exercised."""
+    from docproc_spark.functions.text import blocklist_filter
+
+    return blocklist_filter(_t(spark, sf, "documents"), _BLOCKLIST_TERMS)
+
+
+_BLOCKLIST_SQL = f"""
+SELECT doc_id,
+       len(hits)::BIGINT AS n_hits,
+       len(list_distinct(hits))::BIGINT AS n_distinct_hits,
+       (len(hits) <= 0) AS keep
+FROM (
+  SELECT doc_id,
+         list_filter(coalesce({_LTOKS}, []),
+                     t -> list_contains({list(_BLOCKLIST_TERMS)!r}, t)) AS hits
+  FROM documents
+)
+"""
+
+
 def _md5_bucket_sql(expr: str, mod: int) -> str:
     """DuckDB twin of operators/dedupe._hash_bucket_col — first 8 md5 hex
     chars as an integer, mod the bucket count."""
@@ -3362,6 +3390,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_ids_8": _bpe_token_ids,
     "nb_lang_pred": _nb_classify,
     "dsir_en_weights": _dsir,
+    "blocklist_screen": _blocklist,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3398,6 +3427,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "bpe_token_ids_8": _bpe_token_ids_sql(8),
     "nb_lang_pred": _NB_CLASSIFY_SQL,
     "dsir_en_weights": _DSIR_SQL,
+    "blocklist_screen": _BLOCKLIST_SQL,
 }
 
 

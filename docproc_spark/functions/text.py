@@ -1176,3 +1176,43 @@ def dsir_weights(
             F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms,
+    max_hits: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style bad-word screening (Raffel et al. 2020 dropped any page
+    containing a blocklisted word; toxicity/word filters are a standard
+    curation stage). Counts case-insensitive whole-token blocklist hits
+    per document and keeps documents with at most ``max_hits`` (default
+    0 — the C4 rule).
+
+    Returns (id_col, n_hits, n_distinct_hits, keep). Matching is at the
+    whitespace-token level against lowercased terms — substrings do NOT
+    match ("class" never trips on "ass"), the same over-blocking
+    trade-off C4 made by matching words.
+
+    Scale shape: the blocklist rides as a driver-side literal array in
+    one map-side projection — zero shuffle, zero Python, a pure filter at
+    any corpus size (the linear_classifier_score literal-metadata
+    precedent). Blocklists are term-list-sized by contract (hundreds of
+    entries); for a list too large for a plan literal, broadcast-join the
+    exploded tokens instead."""
+    term_list = sorted({str(t).lower() for t in terms})
+    if not term_list:
+        raise ValueError("terms must be non-empty")
+    if max_hits < 0:
+        raise ValueError("max_hits must be >= 0")
+    ltoks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    blk = F.array(*[F.lit(t) for t in term_list])
+    hits = F.filter(ltoks, lambda t: F.array_contains(blk, t))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(hits).cast("long").alias("n_hits"),
+        F.size(F.array_distinct(hits)).cast("long").alias("n_distinct_hits"),
+        (F.size(hits) <= max_hits).alias("keep"),
+    )

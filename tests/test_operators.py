@@ -2455,3 +2455,40 @@ def test_dsir_weights_python_reference(spark):
 
     with pytest.raises(ValueError):
         dsir_weights(df, target, n_buckets=0)
+
+
+def test_blocklist_filter_contracts(spark):
+    """blocklist_filter: whole-token case-insensitive matching (no
+    substring hits), hit/distinct counts, max_hits threshold, NULL/empty
+    text keeps with zero hits, input validation."""
+    from docproc_spark.functions.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text about classes"),   # 'class' must NOT trip on 'classes'
+            (2, "SPAM spam and more Spam"),
+            (3, "one bad word here"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["n_distinct_hits"], r["keep"])
+        for r in blocklist_filter(df, ["spam", "BAD", "class"]).collect()
+    }
+    assert out[1] == (0, 0, True)
+    assert out[2] == (3, 1, False)
+    assert out[3] == (1, 1, False)
+    assert out[4] == (0, 0, True)
+    assert out[5] == (0, 0, True)
+    # threshold form
+    out2 = {
+        r["doc_id"]: r["keep"]
+        for r in blocklist_filter(df, ["spam"], max_hits=2).collect()
+    }
+    assert out2[2] is False and out2[3] is True
+    with pytest.raises(ValueError):
+        blocklist_filter(df, [])
+    with pytest.raises(ValueError):
+        blocklist_filter(df, ["x"], max_hits=-1)
