@@ -3141,6 +3141,87 @@ FROM (
 """
 
 
+# The synthetic corpus is punctuation-free word soup, so line structure is
+# synthesized deterministically — the SAME replace chain on both sides:
+# ' join '→'.\n' (line break WITH terminal punct), ' sort '→'\n' (break
+# WITHOUT), and word swaps that plant javascript / policy-phrase lines and
+# lorem-ipsum / '{' pages. Order matters (earlier replaces consume spaces
+# later patterns need); both engines apply it identically.
+_C4_REWRITES = (
+    (" join ", ".\n"),
+    (" sort ", "\n"),
+    (" spark ", " javascript "),
+    (" customer ", " privacy policy "),
+    (" big stream ", " lorem ipsum "),
+    (" hash scan ", " { "),
+)
+
+
+def _c4_clean(spark, sf):
+    """C4-style line-level page cleaning (functions/text.c4_clean_lines,
+    Raffel et al. 2020 §2.2): keep lines with >=3 words ending in terminal
+    punctuation, drop javascript/policy lines, page keep = >=2 sentences
+    survive (min_sentences=2 — the synthetic lines average 4.5/doc, so the
+    paper's 5 would keep only 3/500) and no lorem-ipsum / '{'."""
+    from docproc_spark.functions.text import c4_clean_lines
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    for pat, rep in _C4_REWRITES:
+        t = F.replace(t, F.lit(pat), F.lit(rep))
+    docs = _t(spark, sf, "documents").select("doc_id", t.alias("text"))
+    return c4_clean_lines(docs, min_sentences=2)
+
+
+# mirrors functions/text.tokens_col on a line: split on the written-out
+# Java \s class, drop empties (same class _LTOKS uses)
+_LINE_WORDS = (
+    "list_filter(regexp_split_to_array(trim(ln), '[ \t\n\x0b\f\r]+'),"
+    " w -> w <> '')"
+)
+_C4_LINE_OK = (
+    f"len({_LINE_WORDS}) >= 3"
+    " AND regexp_matches(rtrim(ln), '[.!?\"]$')"
+    " AND NOT contains(lower(ln), 'javascript')"
+    " AND NOT contains(lower(ln), 'cookie policy')"
+    " AND NOT contains(lower(ln), 'privacy policy')"
+    " AND NOT contains(lower(ln), 'terms of use')"
+    " AND NOT contains(lower(ln), 'use of cookies')"
+    " AND NOT contains(lower(ln), 'uses cookies')"
+)
+_C4_NSENT = "(length(clean_text) - length(regexp_replace(clean_text, '[.!?]', '', 'g')))"
+def _c4_rewrite_sql(expr: str) -> str:
+    """DuckDB twin of the _C4_REWRITES chain (same order)."""
+    for pat, rep in _C4_REWRITES:
+        rep_sql = "'" + rep.replace("\n", "' || chr(10) || '") + "'"
+        # fold empty-string concat artifacts from leading/trailing \n
+        rep_sql = rep_sql.replace("'' || ", "").replace(" || ''", "")
+        expr = f"replace({expr}, '{pat}', {rep_sql})"
+    return expr
+
+
+_C4_CLEAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_c4_rewrite_sql("coalesce(text, '')")} AS t
+  FROM documents
+), k AS (
+  SELECT doc_id, t,
+         len(string_split(t, chr(10)))::BIGINT AS n_lines,
+         list_filter(string_split(t, chr(10)), ln -> {_C4_LINE_OK}) AS kept
+  FROM d
+), c AS (
+  SELECT doc_id, t, n_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         len(kept)::BIGINT AS n_lines_kept
+  FROM k
+)
+SELECT doc_id, clean_text, n_lines, n_lines_kept,
+       {_C4_NSENT}::BIGINT AS n_sentences,
+       (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{{')
+        AND {_C4_NSENT} >= 2) AS keep
+FROM c
+"""
+
+
 def _md5_bucket_sql(expr: str, mod: int) -> str:
     """DuckDB twin of operators/dedupe._hash_bucket_col — first 8 md5 hex
     chars as an integer, mod the bucket count."""
@@ -3391,6 +3472,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_lang_pred": _nb_classify,
     "dsir_en_weights": _dsir,
     "blocklist_screen": _blocklist,
+    "c4_line_clean": _c4_clean,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3428,6 +3510,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "nb_lang_pred": _NB_CLASSIFY_SQL,
     "dsir_en_weights": _DSIR_SQL,
     "blocklist_screen": _BLOCKLIST_SQL,
+    "c4_line_clean": _C4_CLEAN_SQL,
 }
 
 

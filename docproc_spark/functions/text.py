@@ -1216,3 +1216,88 @@ def blocklist_filter(
         F.size(F.array_distinct(hits)).cast("long").alias("n_distinct_hits"),
         (F.size(hits) <= max_hits).alias("keep"),
     )
+
+
+# Boilerplate phrases whose lines C4 removed (Raffel et al. 2020 §2.2 and
+# the released TFDS c4_utils: cookie/policy notices are dropped per LINE,
+# while "lorem ipsum" and "{" disqualify the whole PAGE).
+C4_POLICY_PHRASES = (
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "use of cookies",
+    "uses cookies",
+)
+
+
+def c4_clean_lines(
+    docs: DataFrame,
+    min_words: int = 3,
+    min_sentences: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2) — the
+    line-filter companion to blocklist_filter's page-level word screen.
+
+    Line rules (a line is kept iff ALL hold):
+      - at least ``min_words`` whitespace tokens;
+      - ends in terminal punctuation after right-trimming spaces
+        (``. ! ?`` or a closing double quote — the paper's rule);
+      - does not contain "javascript" (case-insensitive substring, as in
+        the released c4_utils);
+      - does not contain a policy/cookie phrase (C4_POLICY_PHRASES).
+
+    Page rules (keep iff ALL hold):
+      - no "lorem ipsum" (case-insensitive) anywhere on the page;
+      - no "{" anywhere (the curly-bracket rule aimed at leaked code);
+      - at least ``min_sentences`` sentences survive cleaning. C4 counted
+        sentences with a language tokenizer; this counts terminal-punct
+        characters in the cleaned text — a deterministic, engine-portable
+        approximation (documented deviation).
+
+    Returns (doc_id, clean_text, n_lines, n_lines_kept, n_sentences, keep);
+    clean_text is the kept lines rejoined with NEWLINE ('' when none
+    survive). Dropped pages still report their cleaned text so callers can
+    audit the verdict.
+
+    Scale shape: one map-side projection — split/filter/rejoin are all
+    JVM array expressions over plan-literal phrase lists; zero shuffle,
+    zero Python, linear in page bytes at any corpus size."""
+    if min_words < 0:
+        raise ValueError("min_words must be >= 0")
+    if min_sentences < 0:
+        raise ValueError("min_sentences must be >= 0")
+
+    def _line_ok(ln: Column) -> Column:
+        low = F.lower(ln)
+        ok = F.size(tokens_col(ln)) >= min_words
+        ok = ok & F.rtrim(ln).rlike('[.!?"]$')
+        ok = ok & ~low.contains("javascript")
+        for p in C4_POLICY_PHRASES:
+            ok = ok & ~low.contains(p)
+        return ok
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_t"),
+        F.split(t, "\n").alias("_lines"),
+    ).withColumn("_kept", F.filter(F.col("_lines"), _line_ok))
+    clean = F.array_join(F.col("_kept"), "\n")
+    n_sentences = (
+        F.length(clean) - F.length(F.regexp_replace(clean, r"[.!?]", ""))
+    ).cast("long")
+    out = staged.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.col("_lines")).cast("long").alias("n_lines"),
+        F.size(F.col("_kept")).cast("long").alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        (
+            ~F.lower(F.col("_t")).contains("lorem ipsum")
+            & ~F.col("_t").contains("{")
+            & (n_sentences >= min_sentences)
+        ).alias("keep"),
+    )
+    return out

@@ -2492,3 +2492,69 @@ def test_blocklist_filter_contracts(spark):
         blocklist_filter(df, [])
     with pytest.raises(ValueError):
         blocklist_filter(df, ["x"], max_hits=-1)
+
+
+def test_c4_clean_lines_contracts(spark):
+    """c4_clean_lines: per-line word-count / terminal-punct / javascript /
+    policy-phrase rules, page-level lorem-ipsum / curly-brace / sentence
+    minimum, NULL text, param validation."""
+    from docproc_spark.functions.text import c4_clean_lines
+
+    doc1 = "\n".join(
+        [
+            "This line is a proper sentence.",  # kept
+            "too short.",  # <3 words
+            "No terminal punctuation here",  # no [.!?"] ending
+            "Enable JavaScript to view this page.",  # javascript
+            "We updated our Privacy Policy today.",  # policy phrase
+            'He said "stop right there!" loudly.',  # kept (2 sentences)
+            'Quoted line ends with a quote."',  # kept (closing quote)
+            "Trailing spaces are trimmed first.   ",  # kept (rtrim)
+        ]
+    )
+    five = [f"Sentence number {i} is fine." for i in range(5)]
+    doc2 = "\n".join(["Lorem Ipsum dolor sit amet."] + five[:4])  # page drop
+    doc3 = "\n".join(["This config has a { brace in it."] + five[:4])
+    doc5 = "One good sentence here."  # kept line but <5 sentences
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, None), (5, doc5)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_clean_lines(df).collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 8 and r1["n_lines_kept"] == 4
+    assert r1["clean_text"].split("\n")[0] == "This line is a proper sentence."
+    assert r1["n_sentences"] == 5 and r1["keep"] is True
+
+    # page-level drops fire even though every line passes the line rules
+    assert out[2]["n_lines_kept"] == 5 and out[2]["n_sentences"] == 5
+    assert out[2]["keep"] is False  # lorem ipsum
+    assert out[3]["n_lines_kept"] == 5 and out[3]["keep"] is False  # '{'
+
+    assert out[4] == {
+        "doc_id": 4,
+        "clean_text": "",
+        "n_lines": 1,
+        "n_lines_kept": 0,
+        "n_sentences": 0,
+        "keep": False,
+    }
+    assert out[5]["n_lines_kept"] == 1 and out[5]["keep"] is False
+
+    # thresholds are parameters
+    loose = {
+        r["doc_id"]: r["keep"]
+        for r in c4_clean_lines(df, min_sentences=1).collect()
+    }
+    assert loose[5] is True and loose[2] is False
+    strict = {
+        r["doc_id"]: r["n_lines_kept"]
+        for r in c4_clean_lines(df, min_words=7).collect()
+    }
+    assert strict[5] == 0  # "One good sentence here." has 4 words
+
+    with pytest.raises(ValueError):
+        c4_clean_lines(df, min_words=-1)
+    with pytest.raises(ValueError):
+        c4_clean_lines(df, min_sentences=-1)
