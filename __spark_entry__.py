@@ -3222,6 +3222,105 @@ FROM c
 """
 
 
+# URL-level dedupe: the corpus has no URL column, so one is synthesized
+# from doc_id alone via a shared ANSI expression (valid VERBATIM in Spark
+# and DuckDB): spelling noise the canonicalizer must wash out — scheme and
+# host case, www., default ports, tracking params + param order, trailing
+# slash, fragments — over a 420-class page identity (CRT over the mods:
+# lcm(3,4,7,5,10); the %2/%6/%8 decorations and %4-correlated tracking
+# params all cancel under canonicalization), so sf0.001's 500 rows hold
+# ~80 duplicate spellings of an earlier page and sf0.01 ~11 per class.
+_URL_SYNTH = """
+CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' ELSE 'https' END
+|| '://'
+|| CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+|| CASE doc_id % 4 WHEN 0 THEN 'News' WHEN 1 THEN 'blog' WHEN 2 THEN 'Docs' ELSE 'shop' END
+|| CAST(doc_id % 7 AS STRING) || '.Example.COM'
+|| CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END
+|| '/p' || CAST(doc_id % 10 AS STRING)
+|| CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+|| CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+        WHEN 1 THEN '?a=1&utm_campaign=x'
+        WHEN 2 THEN '?z=9&fbclid=abc' ELSE '' END
+|| CASE WHEN doc_id % 8 = 0 THEN '#Section-2' ELSE '' END
+""".strip().replace("\n", " ")
+
+
+def _url_dedupe(spark, sf):
+    """URL canonicalization + first-wins URL-level dedupe
+    (functions/web.url_dedupe): lowercase scheme/host, strip userinfo /
+    default ports / one www. / fragment / tracking params, sort surviving
+    params, trim trailing slashes; keep = lowest doc_id per canonical URL.
+    Canonicalization is map-side; the verdict is one near-unique-key
+    window shuffle."""
+    from docproc_spark.functions.web import url_dedupe
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH} AS url"
+    )
+    return url_dedupe(docs)
+
+
+def _url_dedupe_sql() -> str:
+    from docproc_spark.functions.web import TRACKING_PARAMS
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents
+), s AS (
+  SELECT doc_id, url,
+         split_part(split_part(trim(url), '#', 1), '?', 1) AS base,
+         CASE WHEN instr(split_part(trim(url), '#', 1), '?') > 0
+              THEN substr(split_part(trim(url), '#', 1),
+                          instr(split_part(trim(url), '#', 1), '?') + 1)
+              ELSE '' END AS query
+  FROM u
+), p AS (
+  SELECT doc_id, url, query,
+         CASE WHEN instr(base, '://') > 0
+              THEN lower(split_part(base, '://', 1)) ELSE 'http' END AS scheme,
+         CASE WHEN instr(base, '://') > 0
+              THEN substr(base, instr(base, '://') + 3) ELSE base END AS rest
+  FROM s
+), h AS (
+  SELECT doc_id, url, query, scheme,
+         lower(regexp_replace(split_part(rest, '/', 1), '^[^@]*@', '')) AS hostport,
+         CASE WHEN instr(rest, '/') > 0
+              THEN substr(rest, instr(rest, '/')) ELSE '' END AS rawpath
+  FROM p
+), c AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END,
+           '^www\\.', '') AS host,
+         CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+         list_sort(list_filter(string_split(query, '&'),
+           q -> q <> ''
+                AND NOT starts_with(lower(split_part(q, '=', 1)), 'utm_')
+                AND NOT list_contains({list(TRACKING_PARAMS)!r},
+                                      lower(split_part(q, '=', 1))))) AS params
+  FROM h
+), k AS (
+  SELECT doc_id, url,
+         scheme || '://' || host || path ||
+           CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END
+           AS canonical_url,
+         host,
+         CASE WHEN instr(split_part(host, ':', 1), '.') > 0
+              THEN regexp_extract(split_part(host, ':', 1), '[^.]+\\.[^.]+$')
+              ELSE split_part(host, ':', 1) END AS domain
+  FROM c
+)
+SELECT doc_id, url, canonical_url, host, domain,
+       (doc_id = min(doc_id) OVER (PARTITION BY canonical_url)) AS keep
+FROM k
+"""
+
+
 def _md5_bucket_sql(expr: str, mod: int) -> str:
     """DuckDB twin of operators/dedupe._hash_bucket_col — first 8 md5 hex
     chars as an integer, mod the bucket count."""
@@ -3473,6 +3572,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_en_weights": _dsir,
     "blocklist_screen": _blocklist,
     "c4_line_clean": _c4_clean,
+    "url_canonical_dedupe": _url_dedupe,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3511,6 +3611,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "dsir_en_weights": _DSIR_SQL,
     "blocklist_screen": _BLOCKLIST_SQL,
     "c4_line_clean": _C4_CLEAN_SQL,
+    "url_canonical_dedupe": _url_dedupe_sql(),
 }
 
 

@@ -1,0 +1,158 @@
+"""URL handling for a web-scale training-data pipeline.
+
+Web crawls reach the same page through many URL spellings — scheme/host
+case, ``www.`` prefixes, default ports, tracking query parameters
+(``utm_*``/``fbclid``/...), parameter order, trailing slashes, fragments.
+Canonicalizing before URL-level dedupe / per-domain capping is the
+standard first pass of CommonCrawl-derived pipelines (CCNet, C4, Dolma all
+dedupe or group by normalized URL/host before any content pass).
+
+All JVM-side Column expressions (string/array builtins inside whole-stage
+codegen; no Python, no shuffle) — canonicalization is a pure map-side
+projection at any corpus size. Only ``url_dedupe`` shuffles, once, on the
+canonical-URL hash.
+
+Semantics (documented choices, mirrored bit-for-bit by the SQL oracles):
+  - missing scheme → ``http`` assumed; scheme and host lowercased, path
+    and query values left case-sensitive;
+  - userinfo (up to the first ``@`` in the authority) stripped;
+  - default ports dropped (``:80`` for http, ``:443`` for https; any
+    other port kept); one leading ``www.`` stripped;
+  - fragment dropped; tracking params dropped (``utm_`` prefix or an
+    exact name in TRACKING_PARAMS, matched on the lowercased key);
+    surviving ``k=v`` params sorted bytewise and rejoined — bytewise is
+    exact for the ASCII params real trackers use;
+  - path: runs of trailing ``/`` stripped, empty path → ``/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Exact-name tracking params (lowercased key match); utm_* is a prefix
+# rule. The usual suspects from CommonCrawl cleaning recipes.
+TRACKING_PARAMS = (
+    "fbclid",
+    "gclid",
+    "msclkid",
+    "mc_cid",
+    "mc_eid",
+    "igshid",
+    "ref",
+    "ref_src",
+)
+
+
+def _strip_fragment(url: Column) -> Column:
+    return F.substring_index(F.trim(url), "#", 1)
+
+
+def _base_and_query(url: Column) -> tuple[Column, Column]:
+    defrag = _strip_fragment(url)
+    base = F.substring_index(defrag, "?", 1)
+    query = F.when(
+        F.instr(defrag, "?") > 0,
+        defrag.substr(F.instr(defrag, "?") + F.lit(1), F.length(defrag)),
+    ).otherwise(F.lit(""))
+    return base, query
+
+
+def _scheme_and_rest(base: Column) -> tuple[Column, Column]:
+    has_scheme = F.instr(base, "://") > 0
+    scheme = F.when(
+        has_scheme, F.lower(F.substring_index(base, "://", 1))
+    ).otherwise(F.lit("http"))
+    rest = F.when(
+        has_scheme, base.substr(F.instr(base, "://") + F.lit(3), F.length(base))
+    ).otherwise(base)
+    return scheme, rest
+
+
+def _canonical_host(scheme: Column, rest: Column) -> Column:
+    hostport = F.lower(
+        F.regexp_replace(F.substring_index(rest, "/", 1), r"^[^@]*@", "")
+    )
+    deport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    return F.regexp_replace(deport, r"^www\.", "")
+
+
+def _canonical_path(rest: Column) -> Column:
+    rawpath = F.when(
+        F.instr(rest, "/") > 0, rest.substr(F.instr(rest, "/"), F.length(rest))
+    ).otherwise(F.lit(""))
+    trimmed = F.regexp_replace(rawpath, "/+$", "")
+    return F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+
+
+def _kept_params(query: Column) -> Column:
+    def _keep(p: Column) -> Column:
+        key = F.lower(F.substring_index(p, "=", 1))
+        drop = key.startswith("utm_")
+        for name in TRACKING_PARAMS:
+            drop = drop | (key == name)
+        return (p != "") & ~drop
+
+    return F.array_sort(F.filter(F.split(query, "&"), _keep))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of ``url`` per the module rules; NULL stays NULL."""
+    base, query = _base_and_query(url)
+    scheme, rest = _scheme_and_rest(base)
+    host = _canonical_host(scheme, rest)
+    path = _canonical_path(rest)
+    params = _kept_params(query)
+    tail = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, tail)
+
+
+def url_host(url: Column) -> Column:
+    """Canonical host of ``url`` (lowercased, no userinfo/default port/www)."""
+    base, _ = _base_and_query(url)
+    scheme, rest = _scheme_and_rest(base)
+    return _canonical_host(scheme, rest)
+
+
+def registered_domain(url: Column) -> Column:
+    """Last two dot-labels of the canonical host (port stripped) — a
+    public-suffix-list-free approximation of the registered domain
+    (wrong for multi-label suffixes like ``.co.uk``; documented)."""
+    bare = F.substring_index(url_host(url), ":", 1)
+    return F.when(
+        F.instr(bare, ".") > 0, F.regexp_extract(bare, r"[^.]+\.[^.]+$", 0)
+    ).otherwise(bare)
+
+
+def url_dedupe(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level first-wins dedupe: canonicalize, keep the lowest id per
+    canonical URL. Returns every input row with its verdict so callers can
+    audit (filter on ``keep`` to drop).
+
+    Scale shape: canonicalization is map-side; the verdict is ONE shuffle
+    on the canonical-URL hash (min-id window — deterministic keeper, same
+    contract as operators/dedupe.first_wins_dedupe). Canonical URLs are
+    near-unique keys, so the shuffle is skew-free by construction; at
+    10^12 rows this is a plain hash-partitioned window, no salting needed.
+    """
+    u = F.col(url_col)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        u.alias("url"),
+        canonicalize_url(u).alias("canonical_url"),
+        url_host(u).alias("host"),
+        registered_domain(u).alias("domain"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return staged.withColumn(
+        "keep", F.col("doc_id") == F.min("doc_id").over(w)
+    )

@@ -298,3 +298,28 @@ def test_dsir_plan_shape(spark):
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan, "bucket score table must broadcast"
     assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
+
+
+def test_url_dedupe_plan_shape(spark, tmp_path):
+    """url_dedupe at scale: canonicalization is a pure map-side projection
+    over one source scan; the only shuffle is the canonical-URL window
+    (near-unique key — skew-free by construction). No joins, no
+    single-partition exchange."""
+    from docproc_spark.functions.web import url_dedupe
+
+    src = str(tmp_path / "urls")
+    spark.createDataFrame(
+        [(i, f"https://www.Site{i % 5}.com:443/p{i % 7}?utm_s=x&a={i % 3}")
+         for i in range(200)],
+        "doc_id long, url string",
+    ).write.parquet(src)
+    out = url_dedupe(spark.read.parquet(src))
+    s = plan_summary(out)
+    assert s["scans"] == 1
+    assert s["exchanges"] == 1, "url_dedupe must shuffle exactly once"
+    assert s["sort_merge_joins"] == 0 and s["broadcast_joins"] == 0
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(canonical_url", plan), (
+        "the one shuffle must key on the canonical URL"
+    )
