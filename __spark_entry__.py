@@ -3222,6 +3222,44 @@ FROM c
 """
 
 
+def _lexdiv(spark, sf):
+    """Lexical-diversity quality signals (functions/text.lexical_diversity
+    — the RedPajama-v2/Dolma frac-unique-words family): unigram and bigram
+    type-token ratios, keep = TTR >= 0.45 (the corpus median; the library
+    default 0.1 would keep everything in this synthetic word soup). Pure
+    map-side projection; every ratio is one IEEE division of two integer
+    counts, bit-exact across engines."""
+    from docproc_spark.functions.text import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf, "documents"), min_ttr=0.45)
+
+
+_LEXDIV_SQL = f"""
+WITH t AS (
+  SELECT doc_id, coalesce({_LTOKS}, []) AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(0, len(toks) - 1),
+                                  i -> array_to_string(toks[i+1:i+2], ' '))
+              ELSE [] END AS bg
+  FROM t
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_types,
+       CASE WHEN len(toks) > 0
+            THEN len(list_distinct(toks)) / len(toks) END AS type_token_ratio,
+       len(bg)::BIGINT AS n_bigrams,
+       len(list_distinct(bg))::BIGINT AS n_bigram_types,
+       CASE WHEN len(bg) > 0
+            THEN len(list_distinct(bg)) / len(bg) END AS bigram_ttr,
+       (len(toks) > 0
+        AND len(list_distinct(toks)) / len(toks) >= 0.45) AS keep
+FROM b
+"""
+
+
 # URL-level dedupe: the corpus has no URL column, so one is synthesized
 # from doc_id alone via a shared ANSI expression (valid VERBATIM in Spark
 # and DuckDB): spelling noise the canonicalizer must wash out — scheme and
@@ -3573,6 +3611,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_screen": _blocklist,
     "c4_line_clean": _c4_clean,
     "url_canonical_dedupe": _url_dedupe,
+    "lexical_diversity": _lexdiv,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3612,6 +3651,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "blocklist_screen": _BLOCKLIST_SQL,
     "c4_line_clean": _C4_CLEAN_SQL,
     "url_canonical_dedupe": _url_dedupe_sql(),
+    "lexical_diversity": _LEXDIV_SQL,
 }
 
 

@@ -1301,3 +1301,60 @@ def c4_clean_lines(
         ).alias("keep"),
     )
     return out
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    min_ttr: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical-diversity quality signals — the unique-words family of
+    RedPajama-v2 / Dolma quality annotations (``frac_unique_words`` and
+    its bigram analogue): hyper-repetitive pages (SEO keyword stuffing,
+    template spam, boilerplate loops) score a low type-token ratio long
+    before an LM ever sees them.
+
+    Per doc (tokens = lowercased whitespace tokens, same shape as the
+    dedupe/Gopher operators):
+      - ``n_tokens`` / ``n_types`` and ``type_token_ratio`` = types/tokens
+        (NULL on empty docs — no tokens means no evidence, matching SQL
+        x/0 semantics rather than faking 0.0);
+      - ``n_bigrams`` / ``n_bigram_types`` / ``bigram_ttr`` — the 2-gram
+        repeat rate catches loops that reuse a small vocabulary in varied
+        order (high unigram TTR, low bigram TTR);
+      - ``keep`` = has tokens AND type_token_ratio >= ``min_ttr``.
+
+    All counts are integers and each ratio is ONE IEEE division of two
+    integers — bit-exact across engines by construction (no transcendental
+    functions, no float accumulation order).
+
+    Scale shape: one map-side projection, zero shuffle, zero Python; the
+    bigram array is built from a staged token column (linear, not the
+    O(n²) inline-HOF trap — see _bigrams_from_tokens)."""
+    if not 0.0 <= min_ttr <= 1.0:
+        raise ValueError("min_ttr must be in [0, 1]")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.lower(t)).alias("_toks")
+    ).withColumn("_bg", _bigrams_from_tokens(F.col("_toks")))
+    n_tokens = F.size(F.col("_toks")).cast("long")
+    n_types = F.size(F.array_distinct(F.col("_toks"))).cast("long")
+    n_bigrams = F.size(F.col("_bg")).cast("long")
+    n_bigram_types = F.size(F.array_distinct(F.col("_bg"))).cast("long")
+    ttr = F.when(
+        n_tokens > 0, n_types.cast("double") / n_tokens
+    ).otherwise(F.lit(None).cast("double"))
+    bttr = F.when(
+        n_bigrams > 0, n_bigram_types.cast("double") / n_bigrams
+    ).otherwise(F.lit(None).cast("double"))
+    return staged.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        ttr.alias("type_token_ratio"),
+        n_bigrams.alias("n_bigrams"),
+        n_bigram_types.alias("n_bigram_types"),
+        bttr.alias("bigram_ttr"),
+        ((n_tokens > 0) & (ttr >= F.lit(min_ttr))).alias("keep"),
+    )

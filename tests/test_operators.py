@@ -2652,3 +2652,42 @@ def test_url_dedupe_first_wins(spark):
     assert out[4]["canonical_url"] == out[1]["canonical_url"]
     assert out[5]["canonical_url"] != out[1]["canonical_url"]
     assert out[1]["domain"] == "example.com"
+
+
+def test_lexical_diversity_signals(spark):
+    """lexical_diversity: unigram/bigram TTR values, empty/NULL text,
+    the high-unigram-low-bigram loop case, threshold + validation."""
+    from docproc_spark.functions.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # all unique: ttr 1.0, bigram ttr 1.0
+            (2, "spam spam spam spam"),  # 1 type / 4 tokens = 0.25
+            (3, "A a"),                # case-folded: 1 type / 2 tokens
+            (4, ""),                   # no tokens → NULL ratios, keep false
+            (5, None),
+            (6, "x"),                  # 1 token → no bigrams → bigram_ttr NULL
+            (7, "a b a b a b a b"),    # varied order loop: ttr 0.25, bttr 2/7
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in lexical_diversity(df, min_ttr=0.5).collect()}
+
+    assert out[1] == {
+        "doc_id": 1, "n_tokens": 4, "n_types": 4, "type_token_ratio": 1.0,
+        "n_bigrams": 3, "n_bigram_types": 3, "bigram_ttr": 1.0, "keep": True,
+    }
+    assert out[2]["type_token_ratio"] == 0.25 and out[2]["keep"] is False
+    assert out[2]["n_bigram_types"] == 1  # "spam spam" x3
+    assert out[3]["n_types"] == 1 and out[3]["type_token_ratio"] == 0.5
+    for i in (4, 5):
+        assert out[i]["n_tokens"] == 0
+        assert out[i]["type_token_ratio"] is None
+        assert out[i]["bigram_ttr"] is None
+        assert out[i]["keep"] is False
+    assert out[6]["n_bigrams"] == 0 and out[6]["bigram_ttr"] is None
+    assert out[7]["type_token_ratio"] == 0.25
+    assert out[7]["bigram_ttr"] == 2 / 7  # 'a b' and 'b a' over 7 bigrams
+
+    with pytest.raises(ValueError):
+        lexical_diversity(df, min_ttr=1.5)
