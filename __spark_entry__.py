@@ -3222,6 +3222,60 @@ FROM c
 """
 
 
+# Mojibake synthesis: plant UTF-8-shown-as-cp1252 sequences in the clean
+# corpus via a shared replace chain (same order both engines). 'naÃ¯ve'
+# (Ã¯) is deliberately OUTSIDE functions/text.MOJIBAKE_MAP — it must
+# survive the expr-path repair unchanged (the general pandas path would
+# fix it; parity-tested in pytest, not here).
+_MOJI_REWRITES = (
+    (" agg ", " donâ€™t "),  # â€™ → ’
+    (" merge ", " cafÃ© "),  # Ã© → é
+    (" window ", " â€” "),  # â€” → —
+    (" stream ", " â‚¬5Â\u00a0off "),  # â‚¬ → €, Â+NBSP → NBSP
+    (" batch ", " naÃ¯ve "),  # Ã¯: out-of-table, stays
+)
+
+
+def _mojibake(spark, sf):
+    """ftfy-style mojibake repair (functions/text.fix_mojibake, expr
+    strategy): plan-literal replace chain over the high-frequency
+    UTF-8-as-cp1252 sequences + per-key occurrence counts on the original
+    text. Zero shuffle, pure JVM string expressions."""
+    from docproc_spark.functions.text import fix_mojibake
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    for pat, rep in _MOJI_REWRITES:
+        t = F.replace(t, F.lit(pat), F.lit(rep))
+    docs = _t(spark, sf, "documents").select("doc_id", t.alias("text"))
+    return fix_mojibake(docs)
+
+
+def _mojibake_sql() -> str:
+    from docproc_spark.functions.text import MOJIBAKE_MAP
+
+    synth = "coalesce(text, '')"
+    for pat, rep in _MOJI_REWRITES:
+        synth = f"replace({synth}, '{pat}', '{rep}')"
+    fix = "t"
+    for bad, good in MOJIBAKE_MAP:
+        fix = f"replace({fix}, '{bad}', '{good}')"
+    counts = " + ".join(
+        f"CAST((length(t) - length(replace(t, '{bad}', ''))) / {len(bad)} AS BIGINT)"
+        for bad, _ in MOJIBAKE_MAP
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {synth} AS t FROM documents
+), f AS (
+  SELECT doc_id, t, {fix} AS fixed_text FROM d
+)
+SELECT doc_id, fixed_text,
+       ({counts})::BIGINT AS n_mojibake,
+       (fixed_text <> t) AS fixed
+FROM f
+"""
+
+
 def _lexdiv(spark, sf):
     """Lexical-diversity quality signals (functions/text.lexical_diversity
     — the RedPajama-v2/Dolma frac-unique-words family): unigram and bigram
@@ -3612,6 +3666,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_clean": _c4_clean,
     "url_canonical_dedupe": _url_dedupe,
     "lexical_diversity": _lexdiv,
+    "mojibake_fixed": _mojibake,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3652,6 +3707,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "c4_line_clean": _C4_CLEAN_SQL,
     "url_canonical_dedupe": _url_dedupe_sql(),
     "lexical_diversity": _LEXDIV_SQL,
+    "mojibake_fixed": _mojibake_sql(),
 }
 
 

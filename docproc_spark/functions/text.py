@@ -1358,3 +1358,95 @@ def lexical_diversity(
         bttr.alias("bigram_ttr"),
         ((n_tokens > 0) & (ttr >= F.lit(min_ttr))).alias("keep"),
     )
+
+
+# The classic web mojibake: UTF-8 bytes rendered as cp1252 ("donâ€™t",
+# "cafÃ©"). The table holds the high-frequency sequences (ftfy's core
+# cases); keys never overlap (distinct lead chars Ã/â/Â, and the 3-char
+# â€x keys differ at position 3), so per-key counting on the ORIGINAL
+# text is exact and replace order is immaterial — fixed anyway for
+# deterministic oracles.
+MOJIBAKE_MAP = (
+    ("â€™", "’"),  # â€™ → right single quote
+    ("â€˜", "‘"),  # â€˜ → left single quote
+    ("â€œ", "“"),  # â€œ → left double quote
+    ("â€“", "–"),  # â€“ → en dash
+    ("â€”", "—"),  # â€” → em dash
+    ("â€¦", "…"),  # â€¦ → ellipsis
+    ("â€¢", "•"),  # â€¢ → bullet
+    ("â‚¬", "€"),  # â‚¬ → euro sign
+    ("Ã©", "é"),  # Ã© → é
+    ("Ã¨", "è"),  # Ã¨ → è
+    ("Ã¡", "á"),  # Ã¡ → á
+    ("Ã³", "ó"),  # Ã³ → ó
+    ("Ã±", "ñ"),  # Ã± → ñ
+    ("Ã¼", "ü"),  # Ã¼ → ü
+    ("Ã¶", "ö"),  # Ã¶ → ö
+    ("Ã¤", "ä"),  # Ã¤ → ä
+    ("Ã§", "ç"),  # Ã§ → ç
+    ("Â\u00a0", "\u00a0"),  # Â+NBSP → NBSP (escaped: U+00A0 is invisible)
+)
+
+
+def _mojibake_fix_py(x: str) -> str:
+    """General repair: re-encode as cp1252 and re-decode as UTF-8 — undoes
+    ANY single UTF-8-shown-as-cp1252 pass, not just the table. Falls back
+    to the table when the text isn't cp1252-encodable / valid UTF-8 after
+    (i.e. it was never mojibake)."""
+    try:
+        fixed = x.encode("cp1252").decode("utf-8")
+        return fixed
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        for bad, good in MOJIBAKE_MAP:
+            x = x.replace(bad, good)
+        return x
+
+
+@F.pandas_udf(T.StringType())
+def _mojibake_fix_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: None if x is None else _mojibake_fix_py(x))
+
+
+def fix_mojibake(
+    docs: DataFrame,
+    strategy: str = "expr",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repair UTF-8-decoded-as-cp1252 mojibake (the dominant encoding
+    corruption in web crawls; ftfy is the public reference tool).
+
+    strategy="expr" (default, the 100-TB path): a plan-literal replace
+    chain over MOJIBAKE_MAP — pure JVM string expressions inside
+    whole-stage codegen, zero shuffle, zero Python; catches the
+    high-frequency sequences, SQL-oracle-able bit-for-bit.
+    strategy="pandas": Arrow-batched general repair (cp1252 re-encode →
+    UTF-8 re-decode), which also fixes sequences outside the table;
+    use when corruption diversity matters more than throughput.
+
+    Returns (doc_id, fixed_text, n_mojibake, fixed): n_mojibake counts
+    table-sequence occurrences in the ORIGINAL text (exact — keys never
+    overlap) under BOTH strategies; ``fixed`` is "the repair changed the
+    text", so on out-of-table corruption the pandas path can report
+    fixed=true with n_mojibake=0."""
+    if strategy not in ("expr", "pandas"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.lit(0).cast("long")
+    for bad, _ in MOJIBAKE_MAP:
+        hits = (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit("")))) / F.lit(
+            len(bad)
+        )
+        n = n + hits.cast("long")
+    if strategy == "expr":
+        fixed_text = t
+        for bad, good in MOJIBAKE_MAP:
+            fixed_text = F.replace(fixed_text, F.lit(bad), F.lit(good))
+    else:
+        fixed_text = _mojibake_fix_udf(t)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        fixed_text.alias("fixed_text"),
+        n.alias("n_mojibake"),
+        (fixed_text != t).alias("fixed"),
+    )

@@ -2691,3 +2691,40 @@ def test_lexical_diversity_signals(spark):
 
     with pytest.raises(ValueError):
         lexical_diversity(df, min_ttr=1.5)
+
+
+def test_fix_mojibake_strategies(spark):
+    """fix_mojibake: expr path fixes table sequences and counts them on
+    the original text; pandas path also repairs out-of-table corruption;
+    clean text (incl. real curly quotes and accents) passes untouched."""
+    from docproc_spark.functions.text import fix_mojibake
+
+    rows = [
+        (1, "donâ€™t say â€œhiâ€¦ pay â‚¬5"),   # 4 table hits
+        (2, "cafÃ© naÃ¯ve"),                   # Ã© in table, Ã¯ NOT
+        (3, "clean text with ’ and é kept"),   # real unicode, no repair
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ex = {r["doc_id"]: r.asDict() for r in fix_mojibake(df).collect()}
+    assert ex[1]["fixed_text"] == "don’t say “hi… pay €5"
+    assert ex[1]["n_mojibake"] == 4 and ex[1]["fixed"] is True
+    assert ex[2]["fixed_text"] == "café naÃ¯ve"  # table misses Ã¯
+    assert ex[2]["n_mojibake"] == 1
+    assert ex[3]["fixed_text"] == rows[2][1] and ex[3]["fixed"] is False
+    for i in (4, 5):
+        assert ex[i] == {
+            "doc_id": i, "fixed_text": "", "n_mojibake": 0, "fixed": False,
+        }
+
+    pa = {r["doc_id"]: r.asDict() for r in fix_mojibake(df, strategy="pandas").collect()}
+    assert pa[1]["fixed_text"] == ex[1]["fixed_text"]
+    assert pa[2]["fixed_text"] == "café naïve"  # general path fixes Ã¯ too
+    assert pa[2]["n_mojibake"] == 1  # count stays table-based
+    assert pa[2]["fixed"] is True
+    assert pa[3]["fixed_text"] == rows[2][1] and pa[3]["fixed"] is False
+
+    with pytest.raises(ValueError):
+        fix_mojibake(df, strategy="regex")
