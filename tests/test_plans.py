@@ -323,3 +323,28 @@ def test_url_dedupe_plan_shape(spark, tmp_path):
     assert re.search(r"hashpartitioning\(canonical_url", plan), (
         "the one shuffle must key on the canonical URL"
     )
+
+
+def test_mapside_text_ops_zero_shuffle(spark, tmp_path):
+    """c4_clean_lines / lexical_diversity / fix_mojibake(expr) are pure
+    map-side projections: one source scan, ZERO exchanges, no Python in
+    the plan (BatchEvalPython/ArrowEvalPython absent)."""
+    from docproc_spark.functions.text import (
+        c4_clean_lines,
+        fix_mojibake,
+        lexical_diversity,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"Line {i} is a sentence.\ntoo short.") for i in range(100)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    for op in (c4_clean_lines, lexical_diversity, fix_mojibake):
+        out = op(docs)
+        s = plan_summary(out)
+        assert s["scans"] == 1, op.__name__
+        assert s["exchanges"] == 0, f"{op.__name__} must not shuffle"
+        plan = _plan(out)
+        assert "EvalPython" not in plan, f"{op.__name__} must stay JVM-side"
