@@ -3353,13 +3353,13 @@ def _url_dedupe(spark, sf):
     return url_dedupe(docs)
 
 
-def _url_dedupe_sql() -> str:
+def _url_canon_ctes() -> str:
+    """DuckDB twin of functions/web.canonicalize_url as a CTE chain —
+    expects a prior CTE ``u(doc_id, url, ...)``; ends with
+    ``k(doc_id, url, canonical_url, host, domain)``."""
     from docproc_spark.functions.web import TRACKING_PARAMS
 
-    return f"""
-WITH u AS (
-  SELECT doc_id, {_URL_SYNTH} AS url FROM documents
-), s AS (
+    return f"""s AS (
   SELECT doc_id, url,
          split_part(split_part(trim(url), '#', 1), '?', 1) AS base,
          CASE WHEN instr(split_part(trim(url), '#', 1), '?') > 0
@@ -3406,10 +3406,93 @@ WITH u AS (
               THEN regexp_extract(split_part(host, ':', 1), '[^.]+\\.[^.]+$')
               ELSE split_part(host, ':', 1) END AS domain
   FROM c
-)
+)"""
+
+
+def _url_dedupe_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents
+), {_url_canon_ctes()}
 SELECT doc_id, url, canonical_url, host, domain,
        (doc_id = min(doc_id) OVER (PARTITION BY canonical_url)) AS keep
 FROM k
+"""
+
+
+def _web_curation(spark, sf):
+    """The full web-curation recipe in ONE job (functions/web.curate_web):
+    mojibake repair → C4 line/page cleaning → lexical-diversity screen →
+    blocklist screen → canonical-URL first-wins dedupe, per-stage verdicts
+    kept (Dolma attributes-then-mix). Input synthesis = the c4 replace
+    chain (line structure) THEN the mojibake chain (corruption) on text,
+    plus the shared URL synth — all applied identically on both engines.
+    min_sentences=2 / min_ttr=0.75 sit at the cleaned corpus' medians so
+    every verdict fires both ways. One staged projection + ONE shuffle."""
+    from docproc_spark.functions.web import curate_web
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    for pat, rep in _C4_REWRITES + _MOJI_REWRITES:
+        t = F.replace(t, F.lit(pat), F.lit(rep))
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", t.alias("text"), F.expr(_URL_SYNTH).alias("url")
+    )
+    return curate_web(
+        docs, _BLOCKLIST_TERMS, min_sentences=2, min_ttr=0.75
+    )
+
+
+def _web_curation_sql() -> str:
+    from docproc_spark.functions.text import MOJIBAKE_MAP
+
+    synth = _c4_rewrite_sql("coalesce(text, '')")
+    for pat, rep in _MOJI_REWRITES:
+        synth = f"replace({synth}, '{pat}', '{rep}')"
+    fix = "t"
+    for bad, good in MOJIBAKE_MAP:
+        fix = f"replace({fix}, '{bad}', '{good}')"
+    counts = " + ".join(
+        f"CAST((length(t) - length(replace(t, '{bad}', ''))) / {len(bad)} AS BIGINT)"
+        for bad, _ in MOJIBAKE_MAP
+    )
+    ltoks_clean = (
+        "list_filter(regexp_split_to_array(trim(lower(clean_text)),"
+        " '[ \t\n\x0b\f\r]+'), x -> x <> '')"
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, {synth} AS t, {_URL_SYNTH} AS url FROM documents
+), {_url_canon_ctes()}, fx AS (
+  SELECT doc_id, t, {fix} AS fixed, ({counts})::BIGINT AS n_mojibake FROM u
+), kk AS (
+  SELECT doc_id, fixed, n_mojibake,
+         list_filter(string_split(fixed, chr(10)), ln -> {_C4_LINE_OK}) AS kept
+  FROM fx
+), cc AS (
+  SELECT doc_id, fixed, n_mojibake,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM kk
+), tt AS (
+  SELECT doc_id, fixed, n_mojibake, clean_text, {ltoks_clean} AS toks
+  FROM cc
+), v AS (
+  SELECT doc_id, clean_text, n_mojibake,
+         (NOT contains(lower(fixed), 'lorem ipsum') AND NOT contains(fixed, '{{')
+          AND {_C4_NSENT} >= 2) AS c4_keep,
+         (len(toks) > 0
+          AND len(list_distinct(toks)) / len(toks) >= 0.75) AS lex_keep,
+         (len(list_filter(toks, x -> list_contains({list(_BLOCKLIST_TERMS)!r}, x)))
+          <= 0) AS block_keep
+  FROM tt
+), uv AS (
+  SELECT k.doc_id, k.url, k.canonical_url,
+         (k.doc_id = min(k.doc_id) OVER (PARTITION BY k.canonical_url)) AS url_keep
+  FROM k
+)
+SELECT v.doc_id, uv.url, uv.canonical_url, v.clean_text, v.n_mojibake,
+       v.c4_keep, v.lex_keep, v.block_keep, uv.url_keep,
+       (v.c4_keep AND v.lex_keep AND v.block_keep AND uv.url_keep) AS keep
+FROM v JOIN uv ON v.doc_id = uv.doc_id
 """
 
 
@@ -3667,6 +3750,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_dedupe": _url_dedupe,
     "lexical_diversity": _lexdiv,
     "mojibake_fixed": _mojibake,
+    "web_curation": _web_curation,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3708,6 +3792,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "url_canonical_dedupe": _url_dedupe_sql(),
     "lexical_diversity": _LEXDIV_SQL,
     "mojibake_fixed": _mojibake_sql(),
+    "web_curation": _web_curation_sql(),
 }
 
 

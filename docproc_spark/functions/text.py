@@ -1178,6 +1178,13 @@ def dsir_weights(
     )
 
 
+def blocklist_hits_col(ltoks: Column, term_list) -> Column:
+    """Blocklisted tokens of a lowercased-token array, as a composable
+    Column. ``term_list`` must already be lowercased (plan literal)."""
+    blk = F.array(*[F.lit(t) for t in term_list])
+    return F.filter(ltoks, lambda t: F.array_contains(blk, t))
+
+
 def blocklist_filter(
     docs: DataFrame,
     terms,
@@ -1208,8 +1215,7 @@ def blocklist_filter(
     if max_hits < 0:
         raise ValueError("max_hits must be >= 0")
     ltoks = tokens_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    blk = F.array(*[F.lit(t) for t in term_list])
-    hits = F.filter(ltoks, lambda t: F.array_contains(blk, t))
+    hits = blocklist_hits_col(ltoks, term_list)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(hits).cast("long").alias("n_hits"),
@@ -1228,6 +1234,19 @@ C4_POLICY_PHRASES = (
     "use of cookies",
     "uses cookies",
 )
+
+
+def c4_line_keep_col(ln: Column, min_words: int = 3) -> Column:
+    """The C4 §2.2 per-line keep rule as a composable Column: ≥min_words
+    whitespace tokens, ends in terminal punctuation after right-trimming
+    spaces, no "javascript", no policy/cookie phrase."""
+    low = F.lower(ln)
+    ok = F.size(tokens_col(ln)) >= min_words
+    ok = ok & F.rtrim(ln).rlike('[.!?"]$')
+    ok = ok & ~low.contains("javascript")
+    for p in C4_POLICY_PHRASES:
+        ok = ok & ~low.contains(p)
+    return ok
 
 
 def c4_clean_lines(
@@ -1268,17 +1287,10 @@ def c4_clean_lines(
         raise ValueError("min_words must be >= 0")
     if min_sentences < 0:
         raise ValueError("min_sentences must be >= 0")
+    t = F.coalesce(F.col(text_col), F.lit(""))
 
     def _line_ok(ln: Column) -> Column:
-        low = F.lower(ln)
-        ok = F.size(tokens_col(ln)) >= min_words
-        ok = ok & F.rtrim(ln).rlike('[.!?"]$')
-        ok = ok & ~low.contains("javascript")
-        for p in C4_POLICY_PHRASES:
-            ok = ok & ~low.contains(p)
-        return ok
-
-    t = F.coalesce(F.col(text_col), F.lit(""))
+        return c4_line_keep_col(ln, min_words)
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         t.alias("_t"),
@@ -1407,6 +1419,24 @@ def _mojibake_fix_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: None if x is None else _mojibake_fix_py(x))
 
 
+def mojibake_fix_col(t: Column) -> Column:
+    """MOJIBAKE_MAP replace chain as a composable Column (the expr path)."""
+    for bad, good in MOJIBAKE_MAP:
+        t = F.replace(t, F.lit(bad), F.lit(good))
+    return t
+
+
+def mojibake_count_col(t: Column) -> Column:
+    """Table-sequence occurrences in ``t`` (exact — keys never overlap)."""
+    n = F.lit(0).cast("long")
+    for bad, _ in MOJIBAKE_MAP:
+        hits = (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit("")))) / F.lit(
+            len(bad)
+        )
+        n = n + hits.cast("long")
+    return n
+
+
 def fix_mojibake(
     docs: DataFrame,
     strategy: str = "expr",
@@ -1432,16 +1462,9 @@ def fix_mojibake(
     if strategy not in ("expr", "pandas"):
         raise ValueError(f"unknown strategy {strategy!r}")
     t = F.coalesce(F.col(text_col), F.lit(""))
-    n = F.lit(0).cast("long")
-    for bad, _ in MOJIBAKE_MAP:
-        hits = (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit("")))) / F.lit(
-            len(bad)
-        )
-        n = n + hits.cast("long")
+    n = mojibake_count_col(t)
     if strategy == "expr":
-        fixed_text = t
-        for bad, good in MOJIBAKE_MAP:
-            fixed_text = F.replace(fixed_text, F.lit(bad), F.lit(good))
+        fixed_text = mojibake_fix_col(t)
     else:
         fixed_text = _mojibake_fix_udf(t)
     return docs.select(

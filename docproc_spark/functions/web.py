@@ -156,3 +156,97 @@ def url_dedupe(
     return staged.withColumn(
         "keep", F.col("doc_id") == F.min("doc_id").over(w)
     )
+
+
+def curate_web(
+    docs: DataFrame,
+    blocklist,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_sentences: int = 5,
+    min_ttr: float = 0.1,
+    max_hits: int = 0,
+) -> DataFrame:
+    """The full C4/Dolma-style web-curation recipe as ONE job: mojibake
+    repair → C4 line cleaning → page rules → lexical-diversity screen →
+    blocklist screen → canonical-URL first-wins dedupe. Every row keeps
+    its per-stage verdicts (``c4_keep`` / ``lex_keep`` / ``block_keep`` /
+    ``url_keep``) plus the final ``keep`` conjunction, so the drop
+    reasons are auditable — the Dolma attributes-then-mix pattern.
+
+    Composes the Column-level combinators (mojibake_fix_col,
+    c4_line_keep_col, blocklist_hits_col, canonicalize_url), NOT the
+    DataFrame wrappers — so the whole recipe is a single staged
+    projection followed by ONE shuffle (the canonical-URL window). At
+    10^12 documents that is one map pass over the corpus and one
+    near-unique-key exchange; running the five wrappers separately would
+    cost five scans plus four joins to reassemble the verdicts."""
+    from docproc_spark.functions.text import (
+        blocklist_hits_col,
+        c4_line_keep_col,
+        mojibake_count_col,
+        mojibake_fix_col,
+    )
+    from docproc_spark.operators.dedupe import tokens_col
+
+    if not 0.0 <= min_ttr <= 1.0:
+        raise ValueError("min_ttr must be in [0, 1]")
+    term_list = sorted({str(t).lower() for t in blocklist})
+    if not term_list:
+        raise ValueError("blocklist must be non-empty")
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(url_col).alias("url"),
+            t.alias("_t"),
+            mojibake_fix_col(t).alias("_fixed"),
+            mojibake_count_col(t).alias("n_mojibake"),
+            canonicalize_url(F.col(url_col)).alias("canonical_url"),
+        )
+        .withColumn("_lines", F.split(F.col("_fixed"), "\n"))
+        .withColumn(
+            "_kept",
+            F.filter(F.col("_lines"), lambda ln: c4_line_keep_col(ln, min_words)),
+        )
+        .withColumn("clean_text", F.array_join(F.col("_kept"), "\n"))
+        .withColumn("_toks", tokens_col(F.lower(F.col("clean_text"))))
+    )
+    n_sentences = (
+        F.length(F.col("clean_text"))
+        - F.length(F.regexp_replace(F.col("clean_text"), r"[.!?]", ""))
+    ).cast("long")
+    n_tokens = F.size(F.col("_toks")).cast("long")
+    ttr = F.when(
+        n_tokens > 0,
+        F.size(F.array_distinct(F.col("_toks"))).cast("double") / n_tokens,
+    ).otherwise(F.lit(None).cast("double"))
+    hits = blocklist_hits_col(F.col("_toks"), term_list)
+    c4_keep = (
+        ~F.lower(F.col("_fixed")).contains("lorem ipsum")
+        & ~F.col("_fixed").contains("{")
+        & (n_sentences >= min_sentences)
+    )
+    verdicts = staged.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "clean_text",
+        "n_mojibake",
+        c4_keep.alias("c4_keep"),
+        ((n_tokens > 0) & (ttr >= F.lit(min_ttr))).alias("lex_keep"),
+        (F.size(hits) <= max_hits).alias("block_keep"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return verdicts.withColumn(
+        "url_keep", F.col("doc_id") == F.min("doc_id").over(w)
+    ).withColumn(
+        "keep",
+        F.col("c4_keep")
+        & F.col("lex_keep")
+        & F.col("block_keep")
+        & F.col("url_keep"),
+    )

@@ -2728,3 +2728,39 @@ def test_fix_mojibake_strategies(spark):
 
     with pytest.raises(ValueError):
         fix_mojibake(df, strategy="regex")
+
+
+def test_curate_web_verdicts(spark):
+    """curate_web: each stage's verdict fires independently and the final
+    keep is their conjunction; drop reasons stay auditable per row."""
+    from docproc_spark.functions.web import curate_web
+
+    # lexically diverse on purpose: the test's min_ttr=0.5 must pass it
+    good = "\n".join(
+        [f"Alpha{i} beta{i} gamma{i} delta{i} research is presented here." for i in range(5)]
+    )
+    rows = [
+        (1, good, "https://a.com/x"),                      # keeps everything
+        (2, good, "https://WWW.A.com/x/"),                 # url dup of 1
+        (3, "donâ€™t worry this line is fine today.\n" + good,
+            "https://a.com/y"),                            # mojibake, still keeps
+        (4, good + "\nBuy spam spam spam now please.", "https://a.com/z"),  # blocklist
+        (5, "word " * 30 + "word.", "https://a.com/w"),    # 1 sentence + low ttr
+        (6, good + "\nlorem ipsum dolor.", "https://a.com/v"),  # page rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = {r["doc_id"]: r.asDict() for r in
+           curate_web(df, ["spam"], min_ttr=0.5).collect()}
+
+    assert out[1]["keep"] is True and out[1]["n_mojibake"] == 0
+    assert out[2]["url_keep"] is False and out[2]["c4_keep"] is True
+    assert out[2]["keep"] is False
+    assert out[3]["n_mojibake"] == 1 and "don’t" in out[3]["clean_text"]
+    assert out[3]["keep"] is True
+    assert out[4]["block_keep"] is False and out[4]["c4_keep"] is True
+    assert out[5]["c4_keep"] is False and out[5]["lex_keep"] is False
+    assert out[6]["c4_keep"] is False and out[6]["block_keep"] is True
+    with pytest.raises(ValueError):
+        curate_web(df, [])
+    with pytest.raises(ValueError):
+        curate_web(df, ["x"], min_ttr=2.0)

@@ -348,3 +348,27 @@ def test_mapside_text_ops_zero_shuffle(spark, tmp_path):
         assert s["exchanges"] == 0, f"{op.__name__} must not shuffle"
         plan = _plan(out)
         assert "EvalPython" not in plan, f"{op.__name__} must stay JVM-side"
+
+
+def test_curate_web_single_shuffle(spark, tmp_path):
+    """curate_web composes five curation stages into ONE map projection +
+    ONE shuffle (the canonical-URL window): 1 scan, 1 exchange keyed on
+    canonical_url, no joins, no Python, no single-partition funnel."""
+    from docproc_spark.functions.web import curate_web
+
+    src = str(tmp_path / "web")
+    spark.createDataFrame(
+        [(i, f"Line {i} is a proper sentence.\nshort.",
+          f"https://www.Site{i % 3}.com/p{i % 5}?utm_x=1&a={i % 2}")
+         for i in range(120)],
+        "doc_id long, text string, url string",
+    ).write.parquet(src)
+    out = curate_web(spark.read.parquet(src), ["spam"])
+    s = plan_summary(out)
+    assert s["scans"] == 1
+    assert s["exchanges"] == 1, "curate_web must shuffle exactly once"
+    assert s["sort_merge_joins"] == 0 and s["broadcast_joins"] == 0
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(canonical_url", plan)
