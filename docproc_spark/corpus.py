@@ -55,7 +55,9 @@ _TOTAL_W = _CUM[-1]
 # stale staged parquet can never silently poison oracle comparisons.
 # v4: ingest-time n_spans column (extract routes mega docs on it via a
 # pushed-down int filter instead of F.size over the span array).
-CORPUS_VERSION = 4
+# v5: html_boiler embeds interleaved <img> media (content figure kept,
+# beacon pixel dropped) so the flagship exercises HTML media spans.
+CORPUS_VERSION = 5
 
 # Shared logo ref: the corpus-wide hot key for the media-dedupe skew path.
 LOGO_REF = hashlib.sha256(b"docproc_spark:logo").hexdigest()
@@ -182,7 +184,14 @@ def gen_doc(idx: int, seed: int = 42, mega_spans: int = 2000) -> dict:
             f"<nav><ul>{nav}</ul></nav>"
             f"<header><p>Site chrome banner text that is long enough to pass.</p></header>"
             f"<div id='main'><h1>{_words(rng, 3).title()}</h1>"
-            + "".join(f"<p>{t}</p>" for t in main_paras)
+            + f"<p>{main_paras[0]}</p>"
+            # interleaved media: a content figure between paragraphs (kept,
+            # URL identity), a beacon pixel (dropped), and the nav's logo
+            # img would be dropped with its subtree — the html class
+            # exercises the full text+media interleaving path
+            + f"<img src='/figs/{_words(rng, 1)}-{idx % 7}.png'>"
+            + "".join(f"<p>{t}</p>" for t in main_paras[1:])
+            + "<img src='/px.gif' width='1' height='1'>"
             + f"<p>Read more at <a href='/x'>{_words(rng, 12)}</a> linkfarm</p>"
             + "</div>"
             f"<footer><p>Copyright {_words(rng, 6)}</p></footer>"

@@ -20,11 +20,25 @@ Rules (fixed constants — part of this engine's invariant):
     and zero link characters
   - any other block is kept as kind='text' if it has ≥ MIN_BLOCK_CHARS
     (25) characters and link_density ≤ MAX_LINK_DENSITY (0.35)
+  - an <img> in a content region interleaves as kind='image' at the
+    position its enclosing block flushes (after any text accumulated so
+    far, between blocks otherwise). media_ref: data: URIs → sha256 of
+    the decoded payload bytes (the engine's cross-document media
+    identity, same contract as raw-bytes PPTX/PDF ingestion —
+    sources/ooxml.py / sources/pdf.py); other src values → the src
+    string verbatim (no bytes in hand; the URL is the stable identity).
+    Tracking pixels (any width/height attribute ≤ TRACKER_MAX_DIM) and
+    srcless imgs are dropped; chrome logos fall out with their
+    nav/header/footer subtrees.
 """
 
 from __future__ import annotations
 
+import base64
+import binascii
+import hashlib
 from html.parser import HTMLParser
+from urllib.parse import unquote_to_bytes
 
 IGNORE_TAGS = frozenset(
     {"script", "style", "noscript", "nav", "aside", "form", "iframe", "svg",
@@ -41,17 +55,43 @@ VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.35
 MIN_HEADING_CHARS = 3
+TRACKER_MAX_DIM = 2  # width/height attr at or below this = beacon pixel
+
+
+def _media_ref_for_src(src: str) -> str:
+    """Stable media identity for an <img> src.
+
+    data: URIs carry the bytes, so identity is sha256-of-payload exactly
+    like raw-bytes office/PDF ingestion; malformed payloads hash the raw
+    URI text instead (still deterministic, never raises). Anything else
+    is identified by the src string itself.
+    """
+    if not src.startswith("data:"):
+        return src
+    try:
+        head, _, payload = src.partition(",")
+        if _ == "":  # no comma: not a well-formed data URI
+            raise ValueError("no payload")
+        if head.rsplit(";", 1)[-1].lower() == "base64":
+            blob = base64.b64decode(payload, validate=True)
+        else:
+            blob = unquote_to_bytes(payload)
+    except (ValueError, binascii.Error):
+        blob = src.encode("utf-8", "surrogatepass")
+    return hashlib.sha256(blob).hexdigest()
 
 
 class _BlockParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.blocks: list[tuple[str, str, int]] = []  # (kind, text, link_chars)
+        # (kind, text, media_ref, link_chars)
+        self.blocks: list[tuple[str, str | None, str | None, int]] = []
         self._ignore_depth = 0
         self._link_depth = 0
         self._buf: list[str] = []
         self._link_chars = 0
         self._heading: str | None = None
+        self._pending_imgs: list[str] = []  # media_refs awaiting block flush
         # open-element stack (non-void tags) for HTML5-style implicit
         # close: an endtag closes any still-open descendants first. The
         # real-world failure this prevents: an unclosed <nav> (no </nav>
@@ -64,9 +104,30 @@ class _BlockParser(HTMLParser):
         text = "".join(self._buf).strip()
         if text:
             kind = "header" if self._heading else "text"
-            self.blocks.append((kind, text, self._link_chars))
+            self.blocks.append((kind, text, None, self._link_chars))
+        # images interleave after the text they shared a block with
+        for ref in self._pending_imgs:
+            self.blocks.append(("image", None, ref, 0))
         self._buf = []
         self._link_chars = 0
+        self._pending_imgs = []
+
+    def _handle_img(self, attrs) -> None:
+        a = {k.lower(): (v or "") for k, v in attrs}
+        src = a.get("src", "").strip()
+        if not src:
+            return
+        for dim in ("width", "height"):
+            try:
+                if int(a[dim].strip().rstrip("px")) <= TRACKER_MAX_DIM:
+                    return  # beacon / spacer pixel
+            except (KeyError, ValueError):
+                pass
+        ref = _media_ref_for_src(src)
+        if "".join(self._buf).strip():
+            self._pending_imgs.append(ref)  # mid-block: emit after its text
+        else:
+            self.blocks.append(("image", None, ref, 0))
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
@@ -77,6 +138,9 @@ class _BlockParser(HTMLParser):
                 self._ignore_depth += 1
             return
         if self._ignore_depth:
+            return
+        if tag == "img":
+            self._handle_img(attrs)
             return
         if tag == "a":
             self._link_depth += 1
@@ -151,11 +215,14 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def html_main_blocks(raw_html: str) -> list[tuple[str, str]]:
-    """Extract main-content blocks from raw HTML → [(kind, text), ...].
+def html_main_blocks(raw_html: str) -> list[tuple[str, str | None, str | None]]:
+    """Extract main-content blocks from raw HTML →
+    [(kind, text, media_ref), ...].
 
-    kind ∈ {header, text}; order preserved; boilerplate (nav/footer/link
-    farms/short chrome) dropped by the density rules above.
+    kind ∈ {header, text, image}; order preserved; boilerplate
+    (nav/footer/link farms/short chrome, beacon pixels) dropped by the
+    density rules above. text is None for image blocks; media_ref is
+    None for text/header blocks.
     """
     if not raw_html:
         return []
@@ -165,13 +232,16 @@ def html_main_blocks(raw_html: str) -> list[tuple[str, str]]:
         parser.close()
     except Exception:
         return []
-    kept: list[tuple[str, str]] = []
-    for kind, text, link_chars in parser.blocks:
+    kept: list[tuple[str, str | None, str | None]] = []
+    for kind, text, media_ref, link_chars in parser.blocks:
+        if kind == "image":
+            kept.append((kind, None, media_ref))
+            continue
         n = len(text)
         if kind == "header":
             if n >= MIN_HEADING_CHARS and link_chars == 0:
-                kept.append((kind, text))
+                kept.append((kind, text, None))
             continue
         if n >= MIN_BLOCK_CHARS and (link_chars / n) <= MAX_LINK_DENSITY:
-            kept.append((kind, text))
+            kept.append((kind, text, None))
     return kept

@@ -19,8 +19,8 @@ from docproc_spark.kernels.html import html_main_blocks
 def html_to_spans(raw_html: str) -> list[dict]:
     """HTML doc → input text spans on page 0 (shared kernel, same as Spark)."""
     return [
-        {"kind": kind, "text": text, "media_ref": None, "page": 0, "offset": i}
-        for i, (kind, text) in enumerate(html_main_blocks(raw_html))
+        {"kind": kind, "text": text, "media_ref": ref, "page": 0, "offset": i}
+        for i, (kind, text, ref) in enumerate(html_main_blocks(raw_html))
     ]
 
 

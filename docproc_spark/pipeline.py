@@ -70,8 +70,8 @@ def html_spans_udf(raw_html: pd.Series) -> pd.Series:
         if not h:
             return []
         return [
-            {"kind": k, "text": t, "media_ref": None, "page": 0, "offset": i}
-            for i, (k, t) in enumerate(html_main_blocks(h))
+            {"kind": k, "text": t, "media_ref": ref, "page": 0, "offset": i}
+            for i, (k, t, ref) in enumerate(html_main_blocks(h))
         ]
 
     return raw_html.map(blocks)

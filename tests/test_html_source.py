@@ -185,3 +185,56 @@ class TestLoadHtmlFiles:
         assert set(res) == {"a.pdf", "b.docx", "c.html"}
         assert "Charset handling" in res["c.html"]["markdown"]
         assert "Hello world" in res["b.docx"]["markdown"]
+
+    def test_html_image_spans_flow_through_extract(self, spark, tmp_path):
+        """Interleaved HTML media end-to-end: a data-URI figure embedded
+        in TWO different pages gets ONE content-hash identity
+        (sha256-of-decoded-bytes, the same contract as raw-bytes
+        PPTX/PDF ingestion), flows through extract() as an image span,
+        and the Spark result equals the single-process oracle
+        span-for-span."""
+        import base64
+        import hashlib
+
+        from docproc_spark.facade import DocprocSpark
+        from docproc_spark.oracle import extract_doc
+
+        blob = b"\x89PNG shared logo bytes"
+        want = hashlib.sha256(blob).hexdigest()
+        b64 = base64.b64encode(blob).decode()
+        page = (
+            "<body><article><h1>Figure heavy article</h1>"
+            "<p>The paragraph before the figure is long enough to be "
+            "kept by the density rules of the stripper.</p>"
+            f"<img src='data:image/png;base64,{b64}'>"
+            "<p>The paragraph after the figure is also long enough to "
+            "be kept by the density rules.</p></article></body>"
+        )
+        d = tmp_path / "in"
+        d.mkdir()
+        (d / "p1.html").write_bytes(page.encode("utf-8"))
+        (d / "p2.html").write_bytes(
+            page.replace("Figure heavy", "Second figure").encode("utf-8")
+        )
+
+        eng = DocprocSpark(spark=spark)
+        table = eng.load_files(str(d)).drop("sheet_names", "parse_error")
+        res = {r["doc_id"]: r for r in eng.extract_table(table).collect()}
+        assert set(res) == {"p1.html", "p2.html"}
+        for doc_id, r in res.items():
+            # output spans carry captioned media as kind='figure'
+            img = [s for s in r["spans"] if s["kind"] == "figure"]
+            assert [s["media_ref"] for s in img] == [want], doc_id
+            kinds = [s["kind"] for s in r["spans"]]
+            assert kinds.index("figure") > kinds.index("header")
+            assert "Page 1, image 1" in r["markdown"]
+            oracle = extract_doc(
+                {"doc_id": doc_id, "raw_html": page if doc_id == "p1.html"
+                 else page.replace("Figure heavy", "Second figure"),
+                 "spans": None}
+            )
+            assert r["markdown"] == oracle["markdown"]
+            assert [tuple(s) for s in r["spans"]] == [
+                tuple((s["kind"], s["text"], s["media_ref"], s["page"],
+                       s["offset"])) for s in oracle["spans"]
+            ]

@@ -176,9 +176,9 @@ class TestHtml:
             "</body></html>"
         )
         blocks = html_main_blocks(html)
-        kinds = [k for k, _ in blocks]
-        texts = [t for _, t in blocks]
-        assert ("header", "Article Title") in blocks
+        kinds = [k for k, _, _ in blocks]
+        texts = [t for _, t, _ in blocks if t]
+        assert ("header", "Article Title", None) in blocks
         assert any("main article content" in t for t in texts)
         assert not any("Copyright" in t for t in texts)  # footer ignored
         assert not any("home" in t for t in texts)  # nav ignored
@@ -209,9 +209,9 @@ def test_html_unclosed_ignore_tag_recovers_on_ancestor_close():
         "</html>"
     )
     blocks = html_main_blocks(raw)
-    assert any(body in t for _, t in blocks), blocks
+    assert any(t and body in t for _, t, _ in blocks), blocks
     # the nav menu itself stays dropped
-    assert not any("menu one" in t for _, t in blocks)
+    assert not any(t and "menu one" in t for _, t, _ in blocks)
 
 
 class TestJvmSanitizeParity:
@@ -269,7 +269,7 @@ def test_html_unclosed_anchor_releases_link_state():
         "<p>Long article paragraph well over twenty five characters long.</p>"
         "</body>"
     )
-    texts = [t for _, t in html_main_blocks(html)]
+    texts = [t for _, t, _ in html_main_blocks(html) if t]
     assert any("Long article paragraph" in t for t in texts)
 
 
@@ -284,9 +284,9 @@ def test_html_implicitly_closed_heading_clears_heading_state():
         "<p>Trailing article text of more than twenty five characters.</p></body>"
     )
     blocks = html_main_blocks(html)
-    trailing = [k for k, t in blocks if "Trailing article" in t]
+    trailing = [k for k, t, _ in blocks if t and "Trailing article" in t]
     assert trailing == ["text"]
-    assert ("header", "Other title") in blocks  # the implicit flush kept it
+    assert ("header", "Other title", None) in blocks  # the implicit flush kept it
 
 
 def test_html_stray_inline_endtag_does_not_unwind_ignore():
@@ -305,9 +305,60 @@ def test_html_stray_inline_endtag_does_not_unwind_ignore():
         "<p>Real article content, definitely longer than twenty five chars.</p>"
         "</body>"
     )
-    texts = [t for _, t in html_main_blocks(html)]
+    texts = [t for _, t, _ in html_main_blocks(html) if t]
     assert not any("chrome" in t for t in texts), texts
     assert any("Real article content" in t for t in texts)
+
+
+def test_html_images_interleave_in_order():
+    """Content-region <img> tags become kind='image' blocks at their
+    document position: after the text of the block they sit inside,
+    between blocks otherwise. Chrome images (inside nav/footer), beacon
+    pixels (width/height ≤ 2), and srcless imgs are dropped."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><nav><img src='/logo.png'></nav>"
+        "<p>First paragraph has an inline <img src='/fig1.png'> figure "
+        "and keeps talking long enough to stay.</p>"
+        "<img src='/between.png'>"
+        "<img src='/tracker.gif' width='1' height='1'>"
+        "<img src='' alt='srcless'>"
+        "<p>Second paragraph is also long enough to clear the bar.</p>"
+        "</body>"
+    )
+    blocks = html_main_blocks(html)
+    assert ("image", None, "/logo.png") not in blocks  # nav chrome dropped
+    refs = [r for k, _, r in blocks if k == "image"]
+    assert refs == ["/fig1.png", "/between.png"]
+    order = [(k, r) for k, t, r in blocks]
+    # fig1 follows its paragraph's text; between sits between the blocks
+    assert order.index(("image", "/fig1.png")) == order.index(("text", None)) + 1
+    assert order[-1] == ("text", None)
+
+
+def test_html_data_uri_image_gets_content_hash_identity():
+    """data: URI images hash their DECODED bytes — two spellings of the
+    same payload (base64 vs percent-encoded) share one media_ref, the
+    same sha256 a raw-bytes PPTX/PDF ingestion of those bytes would get;
+    a malformed payload still yields a deterministic ref."""
+    import base64
+    import hashlib
+
+    from docproc_spark.kernels.html import html_main_blocks
+
+    blob = b"\x89PNG fake bytes"
+    b64 = base64.b64encode(blob).decode()
+    pct = "".join(f"%{b:02x}" for b in blob)
+    html = (
+        f"<body><img src='data:image/png;base64,{b64}'>"
+        f"<img src='data:image/png,{pct}'>"
+        "<img src='data:image/png;base64,@@not-base64@@'></body>"
+    )
+    refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
+    want = hashlib.sha256(blob).hexdigest()
+    assert refs[0] == want and refs[1] == want
+    assert len(refs[2]) == 64 and refs[2] != want
 
 
 def test_sanitize_series_nonstring_matches_scalar():
