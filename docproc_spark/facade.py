@@ -195,6 +195,24 @@ class DocprocSpark:
         )
         return pdfs.unionByName(office).unionByName(html)
 
+    def load_warc(self, path: str) -> DataFrame:
+        """Directory of .warc/.warc.gz web archives → one row per capture
+        (sources/warc.py): HTML payloads land charset-decoded in
+        ``raw_html``, every payload keeps sha256 identity, malformed
+        records quarantine individually via ``parse_error``. One
+        binaryFile scan + one mapInPandas crossing, no shuffle."""
+        from docproc_spark.sources.warc import load_warc
+
+        return load_warc(self._binary_files(path, ("warc", "warc.gz")).drop("fmt"))
+
+    def warc_documents(self, path: str) -> DataFrame:
+        """``load_warc`` narrowed to the shared document table — HTML
+        captures ready for ``extract_table`` (same downstream as
+        load_files' .html branch)."""
+        from docproc_spark.sources.warc import warc_to_documents
+
+        return warc_to_documents(self.load_warc(path))
+
     def ingest_files(
         self, path: str, table_path: str
     ) -> tuple[DataFrame, DataFrame]:
