@@ -252,9 +252,11 @@ def decode_http_html(body: bytes, content_type: str) -> str:
     return body.decode(codec, errors).lstrip("﻿")
 
 
-def warc_record_rows(data: bytes, source_file: str) -> list[dict]:
-    """All captures of one WARC archive as WARC_OUT_SCHEMA dicts."""
-    rows: list[dict] = []
+def iter_capture_rows(data: bytes, source_file: str) -> Iterator[dict]:
+    """Captures of one WARC archive as WARC_OUT_SCHEMA dicts, streamed —
+    the consumer decides how much to hold (load_warc yields bounded
+    chunks; peak memory stays decompressed-archive + one chunk)."""
+    n_out = 0
 
     def base(i: int) -> dict:
         return {
@@ -277,7 +279,8 @@ def warc_record_rows(data: bytes, source_file: str) -> list[dict]:
             row = base(i)
             if "parse_error" in rec:
                 row["parse_error"] = rec["parse_error"]
-                rows.append(row)
+                n_out += 1
+                yield row
                 continue
             h = rec["headers"]
             wtype = h.get("warc-type", "").lower() or None
@@ -304,12 +307,17 @@ def warc_record_rows(data: bytes, source_file: str) -> list[dict]:
                     row["raw_html"] = decode_http_html(body, ctype)
             except Exception as e:  # noqa: BLE001 — per-record quarantine
                 row["parse_error"] = f"{type(e).__name__}: {e}"
-            rows.append(row)
+            n_out += 1
+            yield row
     except Exception as e:  # noqa: BLE001 — whole-archive failure (bad gzip)
-        row = base(len(rows))
+        row = base(n_out)
         row["parse_error"] = f"{type(e).__name__}: {e}"
-        rows.append(row)
-    return rows
+        yield row
+
+
+def warc_record_rows(data: bytes, source_file: str) -> list[dict]:
+    """All captures of one WARC archive, materialized (test/driver aid)."""
+    return list(iter_capture_rows(data, source_file))
 
 
 def load_warc(
@@ -332,9 +340,17 @@ def load_warc(
         cols = [f.name for f in WARC_OUT_SCHEMA]
         for pdf in batches:
             for fid, blob in zip(pdf[id_c], pdf[b_c]):
-                rows = warc_record_rows(bytes(blob), str(fid))
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                # chunked yields over the streaming parser: a
+                # million-capture archive must never materialize as one
+                # pandas frame / Arrow batch
+                chunk: list[dict] = []
+                for row in iter_capture_rows(bytes(blob), str(fid)):
+                    chunk.append(row)
+                    if len(chunk) >= 2048:
+                        yield pd.DataFrame(chunk, columns=cols)
+                        chunk = []
+                if chunk:
+                    yield pd.DataFrame(chunk, columns=cols)
 
     return files.mapInPandas(gen, schema=WARC_OUT_SCHEMA)
 
