@@ -137,8 +137,15 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             pos = nxt + 1
             continue
         hdr_end = raw.find(b"\r\n\r\n", pos)
-        # some writers emit bare-LF header blocks
-        hdr_end_lf = raw.find(b"\n\n", pos)
+        # some writers emit bare-LF header blocks. BOUND the LF search by
+        # the CRLF hit: unbounded, a CRLF archive whose record bodies
+        # lack "\n\n" (binary payloads) would rescan to the next distant
+        # occurrence on EVERY record — O(n²) on a 100k-record archive.
+        # (A CRLF header region itself can never contain "\n\n".)
+        if hdr_end == -1:
+            hdr_end_lf = raw.find(b"\n\n", pos)
+        else:
+            hdr_end_lf = raw.find(b"\n\n", pos, hdr_end)
         if hdr_end == -1 or (hdr_end_lf != -1 and hdr_end_lf < hdr_end):
             hdr_end, skip = hdr_end_lf, 2
         else:
@@ -194,7 +201,8 @@ def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
     """
     sep = block.find(b"\r\n\r\n")
     skip = 4
-    sep_lf = block.find(b"\n\n")
+    # bounded like iter_warc_records' header search (same quadratic trap)
+    sep_lf = block.find(b"\n\n") if sep == -1 else block.find(b"\n\n", 0, sep)
     if sep == -1 or (sep_lf != -1 and sep_lf < sep):
         sep, skip = sep_lf, 2
     if sep == -1:

@@ -285,3 +285,25 @@ def test_warc_parser_never_hangs_or_crashes_on_mutations():
         rows = warc_record_rows(bytes(data), f"fuzz_{i}.warc")
         assert isinstance(rows, list)
     assert time.time() - t0 < 30, "mutation fuzz too slow on garbage input"
+
+
+def test_many_binary_records_parse_in_linear_time():
+    """Quadratic guard: a CRLF archive of many binary captures whose
+    bodies contain no "\\n\\n" must parse linearly — the bare-LF header
+    fallback search is bounded by the CRLF hit, never scanning ahead
+    into megabytes of payload per record."""
+    import time
+
+    body = bytes(range(1, 128)) * 400  # ~50 KB, no 0x0A pairs
+    rec = warc_record(
+        "response",
+        http_response(body, ctype="application/octet-stream"),
+        url="https://ex.com/bin",
+    )
+    data = rec * 2000  # ~100 MB total
+    t0 = time.time()
+    rows = warc_record_rows(data, "bin.warc")
+    took = time.time() - t0
+    assert len(rows) == 2000
+    assert all(r["parse_error"] is None for r in rows)
+    assert took < 20, f"parse took {took:.1f}s — header search may be quadratic"
