@@ -213,6 +213,27 @@ class DocprocSpark:
 
         return warc_to_documents(self.load_warc(path))
 
+    def ingest_warc(
+        self, path: str, table_path: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """Parse a directory of web archives ONCE, checkpoint the capture
+        table to parquet, and return (documents, rest) as fresh scans —
+        the same ingest-once-extract-many contract as ``ingest_files``
+        (see that docstring for why the checkpoint: no CSE on fan-out,
+        scan-derived plans get probe elision + pushdown). ``documents``
+        is the extract-ready HTML capture table (shared document schema);
+        ``rest`` is everything else — quarantined records AND non-HTML
+        captures, which keep their sha256 payload identity for
+        media-level work."""
+        from docproc_spark.sources.warc import (
+            extractable_capture_col,
+            warc_to_documents,
+        )
+
+        self.load_warc(path).write.mode("overwrite").parquet(table_path)
+        scan = self.spark.read.parquet(table_path)
+        return warc_to_documents(scan), scan.filter(~extractable_capture_col())
+
     def ingest_files(
         self, path: str, table_path: str
     ) -> tuple[DataFrame, DataFrame]:

@@ -363,6 +363,21 @@ def load_warc(
     return files.mapInPandas(gen, schema=WARC_OUT_SCHEMA)
 
 
+def extractable_capture_col():
+    """The keep predicate splitting a capture table into extract-ready
+    HTML documents vs everything else (quarantine, non-HTML payloads,
+    error statuses). One definition so documents/rest partitions are
+    exact complements."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.col("parse_error").isNull()
+        & F.col("raw_html").isNotNull()
+        & (F.length("raw_html") > 0)
+        & (F.coalesce(F.col("http_status"), F.lit(200)) < 400)
+    )
+
+
 def warc_to_documents(captures: DataFrame) -> DataFrame:
     """WARC capture rows → the shared document table (OOXML_OUT_SCHEMA),
     ready for ``extract_table``: HTML captures (status<400, non-empty
@@ -372,12 +387,7 @@ def warc_to_documents(captures: DataFrame) -> DataFrame:
 
     from docproc_spark.sources.ooxml import OOXML_OUT_SCHEMA
 
-    keep = (
-        F.col("parse_error").isNull()
-        & F.col("raw_html").isNotNull()
-        & (F.length("raw_html") > 0)
-        & (F.coalesce(F.col("http_status"), F.lit(200)) < 400)
-    )
+    keep = extractable_capture_col()
     out = captures.filter(keep).select(
         F.col("doc_id"),
         F.lit("html").alias("doc_type"),

@@ -307,3 +307,95 @@ def test_many_binary_records_parse_in_linear_time():
     assert len(rows) == 2000
     assert all(r["parse_error"] is None for r in rows)
     assert took < 20, f"parse took {took:.1f}s — header search may be quadratic"
+
+
+class TestIngestWarc:
+    def test_ingest_warc_checkpoint_split_and_resume(self, spark, tmp_path):
+        """ingest_warc: one parse pass checkpointed to parquet; documents
+        and rest are exact complements of the capture table; the
+        documents scan composes with the lineage-resumable extraction
+        path (crash after one bucket → resume finishes the rest, output
+        equal to a straight run)."""
+        from docproc_spark.facade import DocprocSpark
+        from docproc_spark.sources.lineage import run_with_lineage
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        (d / "a.warc").write_bytes(simple_archive())
+        (d / "b.warc.gz").write_bytes(
+            gzip.compress(
+                warc_record(
+                    "response",
+                    http_response(HTML.replace(b"Archive title", b"Second doc")),
+                    url="https://ex.com/b", rid="urn:uuid:cccc",
+                )
+            )
+            + gzip.compress(
+                warc_record(
+                    "response",
+                    http_response(b"gone", status=404),
+                    url="https://ex.com/dead", rid="urn:uuid:dddd",
+                )
+            )
+        )
+
+        eng = DocprocSpark(spark=spark)
+        docs, rest = eng.ingest_warc(str(d), str(tmp_path / "captures"))
+        doc_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        rest_ids = {r["doc_id"] for r in rest.select("doc_id").collect()}
+        assert doc_ids == {"urn:uuid:aaaa", "urn:uuid:cccc"}
+        # complement: jpeg capture + 404 html; nothing lost, no overlap
+        assert rest_ids == {"urn:uuid:bbbb", "urn:uuid:dddd"}
+
+        # resumable extraction over the checkpointed captures
+        out, lineage = str(tmp_path / "out"), str(tmp_path / "lineage")
+        with pytest.raises(RuntimeError):
+            run_with_lineage(
+                docs, out, lineage, eng.extract_table, n_parts=2, fail_after=1
+            )
+        done_second = run_with_lineage(
+            docs, out, lineage, eng.extract_table, n_parts=2
+        )
+        assert len(done_second) == 1  # only the un-checkpointed bucket reran
+        got = {
+            r["doc_id"]: r["markdown"]
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: r["markdown"]
+            for r in eng.extract_table(docs).collect()
+        }
+        assert got == want and set(got) == doc_ids
+
+
+def test_warc_roundtrip_hypothesis():
+    """Property: any list of records built with valid framing parses back
+    to exactly its headers and blocks — binary blocks, LF-pair payloads,
+    WARC magic inside payloads, empty blocks, gzip spelling."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    header_val = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=0, max_size=30,
+    ).map(str.strip)
+    record = st.tuples(
+        st.sampled_from(["response", "metadata", "request", "conversion"]),
+        st.binary(min_size=0, max_size=400),
+        header_val,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(record, min_size=1, max_size=8), st.booleans())
+    def check(recs, gz):
+        raw = b"".join(
+            warc_record(rt, block, url=u or None) for rt, block, u in recs
+        )
+        data = gzip.compress(raw) if gz else raw
+        got = list(iter_warc_records(data))
+        assert [r.get("parse_error") for r in got] == [None] * len(recs)
+        assert [(r["headers"]["warc-type"], r["block"]) for r in got] == [
+            (rt, block) for rt, block, _ in recs
+        ]
+
+    check()
