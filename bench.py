@@ -45,6 +45,9 @@ BENCH_QUERIES = (
     "simhash64",
     "cosine_topk",
     "ngram_jaccard_pairs",
+    # additive keys (r5+): new names never replace old ones — per-query
+    # rows stay comparable round-over-round by name
+    "web_curation",
 )
 
 
@@ -368,7 +371,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _arm_logging(spark)
     qtimes: dict[str, float] = {}
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.spare_queries()}
     q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     for name in BENCH_QUERIES:
         best = float("inf")
