@@ -57,7 +57,9 @@ _TOTAL_W = _CUM[-1]
 # pushed-down int filter instead of F.size over the span array).
 # v5: html_boiler embeds interleaved <img> media (content figure kept,
 # beacon pixel dropped) so the flagship exercises HTML media spans.
-CORPUS_VERSION = 5
+# v6: html_boiler adds a kept data table + a dropped link-farm table so
+# the flagship exercises HTML table extraction.
+CORPUS_VERSION = 6
 
 # Shared logo ref: the corpus-wide hot key for the media-dedupe skew path.
 LOGO_REF = hashlib.sha256(b"docproc_spark:logo").hexdigest()
@@ -191,6 +193,20 @@ def gen_doc(idx: int, seed: int = 42, mega_spans: int = 2000) -> dict:
             # exercises the full text+media interleaving path
             + f"<img src='/figs/{_words(rng, 1)}-{idx % 7}.png'>"
             + "".join(f"<p>{t}</p>" for t in main_paras[1:])
+            # v6: a kept data table (one table span via the pipe/newline
+            # convention) and a dropped link-farm table (link density)
+            + "<table><tr><th>metric</th><th>value</th></tr>"
+            + "".join(
+                f"<tr><td>{_words(rng, 2)}</td><td>{rng.randint(1, 999)}</td></tr>"
+                for _ in range(2)
+            )
+            + "</table>"
+            + "<table><tr>"
+            + "".join(
+                f'<td><a href="/{w}">more {w} links here</a></td>'
+                for w in rng.sample(WORDS, 3)
+            )
+            + "</tr></table>"
             + "<img src='/px.gif' width='1' height='1'>"
             + f"<p>Read more at <a href='/x'>{_words(rng, 12)}</a> linkfarm</p>"
             + "</div>"

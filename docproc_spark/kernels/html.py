@@ -20,6 +20,12 @@ Rules (fixed constants — part of this engine's invariant):
     and zero link characters
   - any other block is kept as kind='text' if it has ≥ MIN_BLOCK_CHARS
     (25) characters and link_density ≤ MAX_LINK_DENSITY (0.35)
+  - a <table> in a content region collects into ONE kind='table' block:
+    cells pipe-joined, rows newline-joined (the ooxml table-span
+    convention); nested tables flatten into the enclosing one; the block
+    then passes the same min-chars + link-density rules as text, so
+    navigation/link-farm tables (the classic Boilerpipe layout-table
+    signal) drop while data tables survive
   - an <img> in a content region interleaves as kind='image' at the
     position its enclosing block flushes (after any text accumulated so
     far, between blocks otherwise). media_ref: data: URIs → sha256 of
@@ -92,6 +98,13 @@ class _BlockParser(HTMLParser):
         self._link_chars = 0
         self._heading: str | None = None
         self._pending_imgs: list[str] = []  # media_refs awaiting block flush
+        # table mode: cells/rows collected into ONE kind='table' block
+        # (pipe-joined cells, newline-joined rows — the ooxml table span
+        # convention); nested tables flatten into the enclosing one
+        self._table_depth = 0
+        self._tbl_rows: list[list[str]] = []
+        self._tbl_cell: list[str] | None = None
+        self._tbl_link_chars = 0
         # open-element stack (non-void tags) for HTML5-style implicit
         # close: an endtag closes any still-open descendants first. The
         # real-world failure this prevents: an unclosed <nav> (no </nav>
@@ -112,6 +125,29 @@ class _BlockParser(HTMLParser):
         self._link_chars = 0
         self._pending_imgs = []
 
+    def _close_cell(self) -> None:
+        if self._tbl_cell is None:
+            return
+        cell = " ".join("".join(self._tbl_cell).split())
+        self._tbl_cell = None
+        if cell:
+            if not self._tbl_rows:
+                self._tbl_rows.append([])
+            self._tbl_rows[-1].append(cell)
+
+    def _finalize_table(self) -> None:
+        """Close the collected table into one kind='table' block (caller
+        manages _table_depth)."""
+        self._close_cell()
+        text = "\n".join(" | ".join(r) for r in self._tbl_rows if r)
+        if text:
+            self.blocks.append(("table", text, None, self._tbl_link_chars))
+        for ref in self._pending_imgs:
+            self.blocks.append(("image", None, ref, 0))
+        self._pending_imgs = []
+        self._tbl_rows = []
+        self._tbl_link_chars = 0
+
     def _handle_img(self, attrs) -> None:
         a = {k.lower(): (v or "") for k, v in attrs}
         src = a.get("src", "").strip()
@@ -124,8 +160,9 @@ class _BlockParser(HTMLParser):
             except (KeyError, ValueError):
                 pass
         ref = _media_ref_for_src(src)
-        if "".join(self._buf).strip():
-            self._pending_imgs.append(ref)  # mid-block: emit after its text
+        if self._table_depth or "".join(self._buf).strip():
+            # mid-block (or mid-table): emit after the enclosing block
+            self._pending_imgs.append(ref)
         else:
             self.blocks.append(("image", None, ref, 0))
 
@@ -144,6 +181,23 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._link_depth += 1
+        if tag == "table":
+            if self._table_depth == 0:
+                self._flush()
+            self._table_depth += 1
+            return
+        if self._table_depth:
+            # inside a table only row/cell boundaries matter; other block
+            # tags neither flush nor set heading state
+            if tag == "tr":
+                self._close_cell()
+                self._tbl_rows.append([])
+            elif tag in ("td", "th"):
+                self._close_cell()
+                if not self._tbl_rows:
+                    self._tbl_rows.append([])
+                self._tbl_cell = []
+            return
         if tag in BLOCK_TAGS:
             self._flush()
             self._heading = tag if tag in HEADING_TAGS else None
@@ -185,7 +239,18 @@ class _BlockParser(HTMLParser):
                     break  # the matching tag's own state is handled below
                 elif t == "a":
                     self._link_depth = max(0, self._link_depth - 1)
-                elif t in BLOCK_TAGS and not self._ignore_depth:
+                elif t == "table":
+                    if self._table_depth:
+                        self._table_depth -= 1
+                        if self._table_depth == 0 and not self._ignore_depth:
+                            self._finalize_table()
+                elif t in ("td", "th", "tr") and self._table_depth:
+                    self._close_cell()
+                elif (
+                    t in BLOCK_TAGS
+                    and not self._ignore_depth
+                    and not self._table_depth
+                ):
                     self._flush()
                     if self._heading == t:
                         self._heading = None
@@ -198,6 +263,16 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
+        if tag == "table":
+            if self._table_depth:
+                self._table_depth -= 1
+                if self._table_depth == 0:
+                    self._finalize_table()
+            return
+        if self._table_depth:
+            if tag in ("td", "th", "tr"):
+                self._close_cell()
+            return
         if tag in BLOCK_TAGS:
             self._flush()
             if tag in HEADING_TAGS:
@@ -206,12 +281,23 @@ class _BlockParser(HTMLParser):
     def handle_data(self, data):
         if self._ignore_depth or not data:
             return
+        if self._table_depth:
+            # text lands in the open cell; stray text between cells (an
+            # HTML parse-error zone browsers foster out) is dropped
+            if self._tbl_cell is not None:
+                self._tbl_cell.append(data)
+                if self._link_depth:
+                    self._tbl_link_chars += len(data)
+            return
         self._buf.append(data)
         if self._link_depth:
             self._link_chars += len(data)
 
     def close(self):
         super().close()
+        if self._table_depth:  # unclosed table at EOF: emit what we have
+            self._table_depth = 0
+            self._finalize_table()
         self._flush()
 
 

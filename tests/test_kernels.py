@@ -337,6 +337,52 @@ def test_html_images_interleave_in_order():
     assert order[-1] == ("text", None)
 
 
+def test_html_tables_collect_into_table_blocks():
+    """A data <table> becomes ONE kind='table' block (pipe cells, newline
+    rows — the ooxml span convention); link-farm tables drop by the same
+    link-density rule as text; an unclosed table at EOF still emits."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><p>Intro paragraph long enough to be kept by the rules.</p>"
+        "<table><tr><th>City</th><th>Population</th></tr>"
+        "<tr><td>Springfield</td><td>167 882</td></tr></table>"
+        "<table><tr><td><a href='/a'>Home page link</a></td>"
+        "<td><a href='/b'>Archive of many previous editions</a></td></tr></table>"
+        "</body>"
+    )
+    blocks = html_main_blocks(html)
+    tables = [t for k, t, _ in blocks if k == "table"]
+    assert tables == ["City | Population\nSpringfield | 167 882"]
+    assert not any(t and "Home page" in t for _, t, _ in blocks)
+
+    # unclosed at EOF + nested table flattens into the enclosing one
+    ragged = (
+        "<body><table><tr><td>alpha cell</td><td>"
+        "<table><tr><td>inner beta cell text</td></tr></table>"
+        "</td><td>gamma cell closes the outer row</td>"
+    )
+    blocks = html_main_blocks(ragged)
+    assert [k for k, _, _ in blocks] == ["table"]
+    text = blocks[0][1]
+    assert "alpha cell" in text and "inner beta cell text" in text
+    assert "gamma cell closes the outer row" in text
+
+
+def test_html_table_images_emit_after_the_table():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><table><tr><td>Product picture with caption text here</td>"
+        "<td><img src='/prod.png'></td></tr>"
+        "<tr><td>Another row to clear the block minimum chars</td>"
+        "<td>ok</td></tr></table></body>"
+    )
+    blocks = html_main_blocks(html)
+    assert [k for k, _, _ in blocks] == ["table", "image"]
+    assert blocks[1][2] == "/prod.png"
+
+
 def test_html_data_uri_image_gets_content_hash_identity():
     """data: URI images hash their DECODED bytes — two spellings of the
     same payload (base64 vs percent-encoded) share one media_ref, the
