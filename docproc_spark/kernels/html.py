@@ -192,7 +192,9 @@ class _BlockParser(HTMLParser):
             if tag == "tr":
                 self._close_cell()
                 self._tbl_rows.append([])
-            elif tag in ("td", "th"):
+            elif tag in ("td", "th", "caption"):
+                # caption opens a cell too: its text becomes a row of its
+                # own instead of silently dropping
                 self._close_cell()
                 if not self._tbl_rows:
                     self._tbl_rows.append([])
@@ -244,7 +246,7 @@ class _BlockParser(HTMLParser):
                         self._table_depth -= 1
                         if self._table_depth == 0 and not self._ignore_depth:
                             self._finalize_table()
-                elif t in ("td", "th", "tr") and self._table_depth:
+                elif t in ("td", "th", "tr", "caption") and self._table_depth:
                     self._close_cell()
                 elif (
                     t in BLOCK_TAGS
@@ -270,7 +272,7 @@ class _BlockParser(HTMLParser):
                     self._finalize_table()
             return
         if self._table_depth:
-            if tag in ("td", "th", "tr"):
+            if tag in ("td", "th", "tr", "caption"):
                 self._close_cell()
             return
         if tag in BLOCK_TAGS:

@@ -419,3 +419,19 @@ def test_sanitize_series_nonstring_matches_scalar():
     got = sanitize_series(pd.Series(vals, dtype=object)).tolist()
     want = [sanitize_text(v) for v in vals]
     assert got == want
+
+
+def test_html_table_caption_becomes_a_row():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><table><caption>Quarterly population figures</caption>"
+        "<tr><th>City</th><th>Pop</th></tr>"
+        "<tr><td>Springfield</td><td>167882</td></tr></table></body>"
+    )
+    (block,) = html_main_blocks(html)
+    assert block == (
+        "table",
+        "Quarterly population figures\nCity | Pop\nSpringfield | 167882",
+        None,
+    )
