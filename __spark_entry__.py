@@ -3353,35 +3353,42 @@ def _url_dedupe(spark, sf):
     return url_dedupe(docs)
 
 
-def _url_canon_ctes() -> str:
+def _url_canon_ctes(
+    prefix: str = "", src: str = "u", carry: tuple[str, ...] = ()
+) -> str:
     """DuckDB twin of functions/web.canonicalize_url as a CTE chain —
-    expects a prior CTE ``u(doc_id, url, ...)``; ends with
-    ``k(doc_id, url, canonical_url, host, domain)``."""
+    expects a prior CTE ``src(doc_id, url, ...)``; ends with
+    ``{prefix}k(doc_id, url, canonical_url, host, domain)``. ``prefix``
+    renames the intermediate CTEs so the chain can be instantiated more
+    than once in one query (the link-graph oracle canonicalizes page URLs
+    first, then resolved hrefs); ``carry`` threads extra columns of the
+    source CTE through to ``{prefix}k`` unchanged."""
     from docproc_spark.functions.web import TRACKING_PARAMS
 
-    return f"""s AS (
-  SELECT doc_id, url,
+    cx = "".join(f", {c}" for c in carry)
+    return f"""{prefix}s AS (
+  SELECT doc_id, url{cx},
          split_part(split_part(trim(url), '#', 1), '?', 1) AS base,
          CASE WHEN instr(split_part(trim(url), '#', 1), '?') > 0
               THEN substr(split_part(trim(url), '#', 1),
                           instr(split_part(trim(url), '#', 1), '?') + 1)
               ELSE '' END AS query
-  FROM u
-), p AS (
-  SELECT doc_id, url, query,
+  FROM {src}
+), {prefix}p AS (
+  SELECT doc_id, url{cx}, query,
          CASE WHEN instr(base, '://') > 0
               THEN lower(split_part(base, '://', 1)) ELSE 'http' END AS scheme,
          CASE WHEN instr(base, '://') > 0
               THEN substr(base, instr(base, '://') + 3) ELSE base END AS rest
-  FROM s
-), h AS (
-  SELECT doc_id, url, query, scheme,
+  FROM {prefix}s
+), {prefix}h AS (
+  SELECT doc_id, url{cx}, query, scheme,
          lower(regexp_replace(split_part(rest, '/', 1), '^[^@]*@', '')) AS hostport,
          CASE WHEN instr(rest, '/') > 0
               THEN substr(rest, instr(rest, '/')) ELSE '' END AS rawpath
-  FROM p
-), c AS (
-  SELECT doc_id, url, scheme,
+  FROM {prefix}p
+), {prefix}c AS (
+  SELECT doc_id, url{cx}, scheme,
          regexp_replace(
            CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
@@ -3394,9 +3401,9 @@ def _url_canon_ctes() -> str:
                 AND NOT starts_with(lower(split_part(q, '=', 1)), 'utm_')
                 AND NOT list_contains({list(TRACKING_PARAMS)!r},
                                       lower(split_part(q, '=', 1))))) AS params
-  FROM h
-), k AS (
-  SELECT doc_id, url,
+  FROM {prefix}h
+), {prefix}k AS (
+  SELECT doc_id, url{cx},
          scheme || '://' || host || path ||
            CASE WHEN len(params) > 0
                 THEN '?' || array_to_string(params, '&') ELSE '' END
@@ -3405,7 +3412,7 @@ def _url_canon_ctes() -> str:
          CASE WHEN instr(split_part(host, ':', 1), '.') > 0
               THEN regexp_extract(split_part(host, ':', 1), '[^.]+\\.[^.]+$')
               ELSE split_part(host, ':', 1) END AS domain
-  FROM c
+  FROM {prefix}c
 )"""
 
 
@@ -3711,6 +3718,242 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+# --- link graph: extraction, domain authority, PageRank --------------------
+
+# Shared raw-HTML synthesis (valid in Spark SQL and DuckDB alike): every
+# resolution rule fires somewhere in the corpus — absolute (mixed-case
+# scheme/host, tracking params), root-relative with trailing slash,
+# protocol-relative with a default port, and the dropped classes
+# (mailto:, fragment-only, path-relative, javascript:). One anchor
+# carries nested markup (<b>), exercising the first-text-run-only rule.
+_HTML_SYNTH = """
+'<html><body><p>Intro paragraph.</p>'
+|| '<a href="https://Other' || CAST(doc_id % 7 AS STRING)
+|| '.Example.NET/page/' || CAST(doc_id % 11 AS STRING) || '"> read more </a>'
+|| CASE WHEN doc_id % 2 = 0 THEN '<a class="nav" href="/p'
+        || CAST(doc_id % 9 AS STRING) || '/">sec '
+        || CAST(doc_id % 9 AS STRING) || '</a>' ELSE '' END
+|| CASE WHEN doc_id % 3 = 0
+        THEN '<a href="//cdn.Assets.NET:443/lib">cdn</a>' ELSE '' END
+|| CASE WHEN doc_id % 4 = 0
+        THEN '<a href="mailto:x@y.z">mail</a><a href="#top">top</a>'
+             || '<a href="relative/path">rel</a>'
+             || '<a href="javascript:void(0)">js</a>' ELSE '' END
+|| CASE WHEN doc_id % 5 = 0
+        THEN '<a href="HTTPS://Www.Partner.ORG/A?utm_source=x&id='
+             || CAST(doc_id % 6 AS STRING)
+             || '">partner <b>deal</b></a>' ELSE '' END
+|| '</body></html>'
+""".strip().replace("\n", " ")
+
+
+def _synth_web_pages(spark, sf):
+    return _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH} AS url", f"{_HTML_SYNTH} AS raw_html"
+    )
+
+
+def _link_graph(spark, sf):
+    """<a href> edge extraction from raw HTML (functions/graph.
+    extract_links): JVM regexp_extract_all for href+anchor, relative
+    references resolved against the page's canonical scheme/host,
+    both endpoints canonicalized (functions/web rules). Pure map-side —
+    one scan, one explode, zero shuffle, no Python (plan-guarded in
+    tests/test_plans.py)."""
+    from docproc_spark.functions.graph import extract_links
+
+    return extract_links(_synth_web_pages(spark, sf))
+
+
+def _link_graph_ctes() -> str:
+    """Shared CTE chain synth→page-canon→extract→resolve→dst-canon,
+    ending in ``d_k`` carrying (doc_id, pos, src_url, src_domain, anchor,
+    canonical_url=dst, domain=dst_domain)."""
+    from docproc_spark.functions.graph import HREF_PATTERN
+
+    return f"""d AS (
+  SELECT doc_id, {_URL_SYNTH} AS url, {_HTML_SYNTH} AS raw_html FROM documents
+), u AS (SELECT doc_id, url FROM d),
+{_url_canon_ctes()},
+pg AS (
+  SELECT k.doc_id, k.canonical_url AS src_url,
+         split_part(k.canonical_url, '://', 1) AS scheme,
+         split_part(split_part(k.canonical_url, '://', 2), '/', 1) AS hst,
+         k.domain AS src_domain
+  FROM k
+), ex AS (
+  SELECT doc_id,
+         regexp_extract_all(raw_html, '{HREF_PATTERN}', 1) AS hrefs,
+         regexp_extract_all(raw_html, '{HREF_PATTERN}', 2) AS anchors
+  FROM d
+), lk AS (
+  SELECT e.doc_id, g.pos, p.src_url, p.src_domain, p.scheme, p.hst,
+         trim(e.hrefs[g.pos]) AS href,
+         trim(e.anchors[g.pos]) AS anchor
+  FROM ex e JOIN pg p ON e.doc_id = p.doc_id,
+       LATERAL unnest(generate_series(1, len(e.hrefs))) AS g(pos)
+), du AS (
+  SELECT doc_id,
+         CASE WHEN lower(href) LIKE 'http://%' OR lower(href) LIKE 'https://%'
+                THEN href
+              WHEN href LIKE '//%' THEN scheme || ':' || href
+              WHEN href LIKE '/%' THEN scheme || '://' || hst || href
+              ELSE NULL END AS url,
+         pos, src_url, src_domain, anchor
+  FROM lk
+  WHERE CASE WHEN lower(href) LIKE 'http://%' OR lower(href) LIKE 'https://%'
+               THEN href
+             WHEN href LIKE '//%' THEN scheme || ':' || href
+             WHEN href LIKE '/%' THEN scheme || '://' || hst || href
+             ELSE NULL END IS NOT NULL
+), {_url_canon_ctes(prefix="d_", src="du",
+                    carry=("pos", "src_url", "src_domain", "anchor"))}"""
+
+
+def _link_graph_sql() -> str:
+    return f"""
+WITH {_link_graph_ctes()}
+SELECT doc_id, pos::INT AS pos, src_url, canonical_url AS dst_url, anchor,
+       src_domain, domain AS dst_domain,
+       (src_domain = domain) AS is_internal
+FROM d_k
+"""
+
+
+def _domain_authority(spark, sf):
+    """Per-destination-domain link authority (functions/graph.
+    domain_authority): total in-links, external in-links, and distinct
+    EXTERNAL source domains — the CommonCrawl-web-graph-style domain
+    quality signal. ONE aggregation shuffle on dst_domain."""
+    from docproc_spark.functions.graph import domain_authority, extract_links
+
+    return domain_authority(extract_links(_synth_web_pages(spark, sf)))
+
+
+def _domain_authority_sql() -> str:
+    return f"""
+WITH {_link_graph_ctes()}
+SELECT domain AS dst_domain,
+       count(*)::BIGINT AS n_inlinks,
+       count(*) FILTER (WHERE src_domain <> domain)::BIGINT
+         AS n_external_inlinks,
+       count(DISTINCT CASE WHEN src_domain <> domain
+                           THEN src_domain END)::BIGINT AS n_source_domains
+FROM d_k GROUP BY domain
+"""
+
+
+def _anchor_texts(spark, sf):
+    """Per-destination anchor-text aggregation (functions/graph.
+    anchor_texts): total refs, distinct referring pages, top-3 distinct
+    non-empty anchors in bytewise order (' | '-joined). One dst_url-keyed
+    aggregation shuffle over the extracted link table."""
+    from docproc_spark.functions.graph import anchor_texts, extract_links
+
+    return anchor_texts(extract_links(_synth_web_pages(spark, sf)), k=3)
+
+
+def _anchor_texts_sql() -> str:
+    return f"""
+WITH {_link_graph_ctes()}
+SELECT canonical_url AS dst_url,
+       count(*)::BIGINT AS n_refs,
+       count(DISTINCT src_url)::BIGINT AS n_source_pages,
+       array_to_string(
+         (list_filter(list_sort(list_distinct(list(anchor))),
+                      a -> a <> ''))[1:3], ' | ') AS anchors_topk
+FROM d_k GROUP BY canonical_url
+"""
+
+
+# Shared edge synthesis for the PageRank spare: a 101-node graph with a
+# deliberate hub (every fifth document votes for node 0 — skew the
+# integer arithmetic must survive). All-BIGINT expressions, identical in
+# both engines.
+_EDGE_SRC = "doc_id % 101"
+_EDGE_DSTS = (
+    "((doc_id % 101) * 7 + 11) % 101",
+    "((doc_id % 101) * 3 + 29) % 101",
+    "CASE WHEN doc_id % 5 = 0 THEN 0 ELSE ((doc_id % 101) * 13 + 1) % 101 END",
+)
+
+
+def _pagerank_101(spark, sf):
+    """Fixed-iteration integer PageRank (functions/graph.pagerank) over
+    the shared synthetic 101-node graph: 3 iterations, damping 85/100,
+    rank mass 2^40 "bits". All-BIGINT arithmetic makes the result
+    independent of summation order / partitioning — bit-exact vs the
+    oracle's unrolled CTE chain, and stable across cluster sizes."""
+    from docproc_spark.functions.graph import pagerank
+
+    edges = (
+        _t(spark, sf, "documents")
+        .selectExpr(
+            f"{_EDGE_SRC} AS src",
+            f"explode(array({', '.join(_EDGE_DSTS)})) AS dst",
+        )
+        .where("src <> dst")
+        .distinct()
+    )
+    return pagerank(edges, iters=3)
+
+
+def _pagerank_ctes(
+    iters: int = 3, damping: int = 85, scale_bits: int = 40
+) -> str:
+    """DuckDB twin of functions/graph.pagerank as an unrolled CTE chain —
+    expects a prior CTE ``edges(src BIGINT, dst BIGINT)``; ends with
+    ``r{iters}(node, rank_bits)``. Same integer recurrence, term for
+    term; DuckDB's sum(BIGINT) widens to HUGEINT, cast back each round."""
+    mass = 1 << scale_bits
+    parts = [
+        f"""nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), meta AS (
+  SELECT ({mass}::BIGINT // count(*))::BIGINT AS share,
+         (({100 - damping} * ({mass}::BIGINT // count(*))) // 100)::BIGINT
+           AS base
+  FROM nodes
+), outdeg AS (
+  SELECT src, count(*)::BIGINT AS out_deg FROM edges GROUP BY src
+), ew AS (
+  SELECT e.src, e.dst, o.out_deg FROM edges e JOIN outdeg o USING (src)
+), r0 AS (
+  SELECT node, (SELECT share FROM meta) AS rank_bits FROM nodes
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT ew.dst, sum(r{i - 1}.rank_bits // ew.out_deg)::BIGINT AS in_sum
+  FROM ew JOIN r{i - 1} ON ew.src = r{i - 1}.node GROUP BY ew.dst
+), r{i} AS (
+  SELECT n.node,
+         ((SELECT base FROM meta)
+          + ({damping} * coalesce(s{i}.in_sum, 0)) // 100)::BIGINT
+           AS rank_bits
+  FROM nodes n LEFT JOIN s{i} ON n.node = s{i}.dst
+)"""
+        )
+    return ", ".join(parts)
+
+
+def _pagerank_sql() -> str:
+    dsts = " UNION ALL ".join(
+        f"SELECT {_EDGE_SRC} AS src, {d} AS dst FROM documents"
+        for d in _EDGE_DSTS
+    )
+    return f"""
+WITH raw AS (
+  {dsts}
+), edges AS (
+  SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM raw
+  WHERE src <> dst
+), {_pagerank_ctes(3, 85, 40)}
+SELECT node, rank_bits, rank_bits / {float(1 << 40)} AS rank FROM r3
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -3751,6 +3994,10 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lexical_diversity": _lexdiv,
     "mojibake_fixed": _mojibake,
     "web_curation": _web_curation,
+    "link_graph_edges": _link_graph,
+    "domain_authority": _domain_authority,
+    "anchor_texts_top3": _anchor_texts,
+    "pagerank_101": _pagerank_101,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -3793,6 +4040,10 @@ _SPARE_ORACLES: dict[str, str] = {
     "lexical_diversity": _LEXDIV_SQL,
     "mojibake_fixed": _mojibake_sql(),
     "web_curation": _web_curation_sql(),
+    "link_graph_edges": _link_graph_sql(),
+    "domain_authority": _domain_authority_sql(),
+    "anchor_texts_top3": _anchor_texts_sql(),
+    "pagerank_101": _pagerank_sql(),
 }
 
 

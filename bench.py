@@ -48,6 +48,7 @@ BENCH_QUERIES = (
     # additive keys (r5+): new names never replace old ones — per-query
     # rows stay comparable round-over-round by name
     "web_curation",
+    "pagerank_101",
 )
 
 

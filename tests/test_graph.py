@@ -1,0 +1,190 @@
+"""Link-graph operators (functions/graph.py): extraction semantics,
+domain authority, integer PageRank — plus the plan-shape guards that make
+them viable at crawl scale (map-side extraction, bounded shuffles,
+partitioning-independent ranks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docproc_spark.functions.graph import (
+    anchor_texts,
+    domain_authority,
+    extract_links,
+    pagerank,
+)
+from docproc_spark.plans import plan_summary
+from docproc_spark.plans.explain import executed_plan as _plan
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string, raw_html string")
+
+
+HTML = (
+    '<p>intro</p>'
+    '<a href="https://Other.NET/p?utm_x=1&b=2">ext link</a>'
+    '<a class="c" href="/local/">loc</a>'
+    '<a href="//cdn.example.org:443/x">cdn</a>'
+    '<a href="mailto:a@b.c">m</a><a href="#top">t</a>'
+    '<a href="rel/p">r</a><a href="javascript:void(0)">j</a>'
+    '<a href="HTTP://SITE.com:80/up">Nested <b>bold</b></a>'
+)
+
+
+class TestExtractLinks:
+    def test_resolution_rules(self, spark):
+        out = extract_links(
+            _pages(spark, [(1, "https://www.Site.com:443/a", HTML)])
+        ).orderBy("pos").collect()
+        # mailto/#frag/path-relative/javascript drop; four links survive
+        assert [r.dst_url for r in out] == [
+            "https://other.net/p?b=2",  # absolute, tracking param stripped
+            "https://site.com/local",  # root-relative, trailing / trimmed
+            "https://cdn.example.org/x",  # protocol-relative: page scheme
+            # https attaches, then canonicalization drops the :443 default
+            "http://site.com/up",  # absolute, case + default port folded
+        ]
+        # pos is the 1-based position among ALL matched anchors — dropped
+        # links (mailto/#frag/relative/javascript at 4,5,6,7) leave gaps
+        assert [r.pos for r in out] == [1, 2, 3, 8]
+        assert out[0].src_url == "https://site.com/a"
+        # anchor is the first text run only; nested markup truncates
+        assert out[3].anchor == "Nested"
+        assert [r.is_internal for r in out] == [False, True, False, True]
+
+    def test_no_links_and_null_html(self, spark):
+        out = extract_links(
+            _pages(
+                spark,
+                [(1, "https://a.com/", "<p>none</p>"), (2, "https://b.com/", None)],
+            )
+        )
+        assert out.count() == 0
+
+    def test_repeated_hrefs_stay_repeated(self, spark):
+        html = '<a href="/x">a</a><a href="/x">b</a>'
+        out = extract_links(_pages(spark, [(1, "https://a.com/", html)]))
+        assert out.count() == 2
+
+    def test_plan_is_mapside_only(self, spark, tmp_path):
+        src = str(tmp_path / "pages")
+        _pages(
+            spark, [(i, f"https://s{i % 5}.com/p", HTML) for i in range(50)]
+        ).write.parquet(src)
+        out = extract_links(spark.read.parquet(src))
+        s = plan_summary(out)
+        assert s["scans"] == 1
+        assert s["exchanges"] == 0, "link extraction must not shuffle"
+        plan = _plan(out)
+        assert "EvalPython" not in plan, "no Python in the extraction path"
+
+
+class TestDomainAuthority:
+    def test_counts(self, spark):
+        rows = [
+            (1, "https://a.com/1", '<a href="https://hub.com/x">h</a>'),
+            (2, "https://b.com/1", '<a href="https://hub.com/y">h</a>'
+             '<a href="https://hub.com/z">h2</a>'),
+            (3, "https://hub.com/self", '<a href="/internal">i</a>'),
+        ]
+        out = {
+            r.dst_domain: r
+            for r in domain_authority(extract_links(_pages(spark, rows))).collect()
+        }
+        hub = out["hub.com"]
+        assert hub.n_inlinks == 4
+        assert hub.n_external_inlinks == 3
+        assert hub.n_source_domains == 2, "internal self-vote must not count"
+
+    def test_plan_single_groupkey_shuffle(self, spark, tmp_path):
+        src = str(tmp_path / "pages")
+        _pages(
+            spark, [(i, f"https://s{i % 7}.com/p", HTML) for i in range(60)]
+        ).write.parquet(src)
+        out = domain_authority(extract_links(spark.read.parquet(src)))
+        plan = _plan(out)
+        assert "Exchange SinglePartition" not in plan
+        assert "hashpartitioning(dst_domain" in plan
+
+
+class TestAnchorTexts:
+    def test_topk_sorted_distinct(self, spark):
+        rows = [
+            (1, "https://a.com/1", '<a href="https://t.com/x">zeta</a>'),
+            (2, "https://b.com/1", '<a href="https://t.com/x">alpha</a>'
+             '<a href="https://t.com/x">alpha</a>'
+             '<a href="https://t.com/x">mid</a>'
+             '<a href="https://t.com/x"> </a>'),
+        ]
+        out = anchor_texts(extract_links(_pages(spark, rows)), k=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.dst_url == "https://t.com/x"
+        assert r.n_refs == 5
+        assert r.n_source_pages == 2
+        # distinct, empty dropped, bytewise sort, top-2 of {alpha,mid,zeta}
+        assert r.anchors_topk == "alpha | mid"
+
+
+class TestPagerank:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def test_hub_outranks_and_mass_bounded(self, spark):
+        # bidirectional star: everyone ↔ 0 — stable dynamics, hub on top
+        pairs = [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(1, 6)]
+        pr = {
+            r.node: r.rank_bits
+            for r in pagerank(self._edges(spark, pairs), iters=4).collect()
+        }
+        assert len(pr) == 6
+        assert pr[0] == max(pr.values()), "hub must rank first"
+        # integer mass never exceeds the total (truncation only shrinks)
+        assert sum(pr.values()) <= (1 << 40)
+        # leaves are symmetric → identical ranks
+        assert len({pr[i] for i in range(1, 6)}) == 1
+
+    def test_partitioning_independent(self, spark):
+        pairs = [(i, (i * 7 + 3) % 23) for i in range(200)]
+        e = self._edges(spark, pairs).where("src <> dst")
+        a = {r.node: r.rank_bits for r in pagerank(e, iters=3).collect()}
+        b = {
+            r.node: r.rank_bits
+            for r in pagerank(e.repartition(13), iters=3).collect()
+        }
+        assert a == b, "integer ranks must not depend on partitioning"
+
+    def test_matches_float_reference(self, spark):
+        # classic float PageRank on the same graph: integer ranks must
+        # agree to ~1e-9 relative (truncation loses < iters * N / 2^40)
+        pairs = [(1, 2), (2, 3), (3, 1), (4, 1), (1, 3), (2, 4)]
+        got = {
+            r.node: r.rank
+            for r in pagerank(self._edges(spark, pairs), iters=3).collect()
+        }
+        nodes = sorted({n for p in pairs for n in p})
+        out = {n: [d for s, d in pairs if s == n] for n in nodes}
+        rank = {n: 1.0 / len(nodes) for n in nodes}
+        for _ in range(3):
+            nxt = {n: 0.15 / len(nodes) for n in nodes}
+            for u in nodes:
+                for v in out[u]:
+                    nxt[v] += 0.85 * rank[u] / len(out[u])
+            rank = nxt
+        for n in nodes:
+            assert got[n] == pytest.approx(rank[n], abs=1e-6)
+
+    def test_empty_edges(self, spark):
+        out = pagerank(self._edges(spark, []), iters=2)
+        assert out.count() == 0
+        assert out.columns == ["node", "rank_bits", "rank"]
+
+    def test_no_single_partition_exchange(self, spark, tmp_path):
+        src = str(tmp_path / "edges")
+        self._edges(
+            spark, [(i, (i * 5 + 1) % 40) for i in range(300)]
+        ).write.parquet(src)
+        out = pagerank(spark.read.parquet(src), iters=2)
+        assert "Exchange SinglePartition" not in _plan(out)
