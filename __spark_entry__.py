@@ -3718,6 +3718,46 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+# Shared decomposed-Unicode planting for the NFC spare (the corpus is
+# ASCII, so the phenomena are planted via a replace chain applied
+# identically on both engines): a composing pair (o + U+0301 → ó), a
+# must-stay-decomposed pair (a + U+0327 has no precomposed form), and a
+# canonical-REORDER case (acute U+0301 before dot-below U+0323 — NFC
+# must swap them, then compose o+dot-below to U+1ECD while the acute
+# stays combining). Combining characters are written as \\u escapes so
+# the source stays visible-ASCII; the generated SQL literal carries the
+# real UTF-8 bytes into both engines.
+_NFC_SYNTH = (
+    "replace(replace(replace(coalesce(text, '')"
+    ", 'partition', 'partitio\u0301n')"  # o + acute composes to U+00F3
+    ", 'scan', 'sca\u0327n')"  # a + cedilla has no precomposed form
+    ", 'sort', 'so\u0301\u0323rt')"  # NFC reorders 301/323, composes U+1ECD
+)
+
+
+def _nfc_normalized(spark, sf):
+    """Unicode NFC normalization (functions/text.normalize_unicode): the
+    canonicalization pass tokenizer pipelines run before counting/
+    deduping/training. Arrow-batched unicodedata.normalize (no JVM NFC
+    exists), oracled bit-for-bit by DuckDB's nfc_normalize; zero
+    shuffle."""
+    from docproc_spark.functions.text import normalize_unicode
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_NFC_SYNTH} AS text"
+    )
+    return normalize_unicode(docs, form="NFC")
+
+
+_NFC_SQL = f"""
+WITH s AS (SELECT doc_id, {_NFC_SYNTH} AS t FROM documents)
+SELECT doc_id, nfc_normalize(t) AS norm_text,
+       (nfc_normalize(t) <> t) AS changed,
+       (length(t) - length(nfc_normalize(t)))::BIGINT AS n_cp_delta
+FROM s
+"""
+
+
 # --- link graph: extraction, domain authority, PageRank --------------------
 
 # Shared raw-HTML synthesis (valid in Spark SQL and DuckDB alike): every
@@ -3994,6 +4034,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lexical_diversity": _lexdiv,
     "mojibake_fixed": _mojibake,
     "web_curation": _web_curation,
+    "nfc_normalized": _nfc_normalized,
     "link_graph_edges": _link_graph,
     "domain_authority": _domain_authority,
     "anchor_texts_top3": _anchor_texts,
@@ -4040,6 +4081,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "lexical_diversity": _LEXDIV_SQL,
     "mojibake_fixed": _mojibake_sql(),
     "web_curation": _web_curation_sql(),
+    "nfc_normalized": _NFC_SQL,
     "link_graph_edges": _link_graph_sql(),
     "domain_authority": _domain_authority_sql(),
     "anchor_texts_top3": _anchor_texts_sql(),

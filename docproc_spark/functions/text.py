@@ -1473,3 +1473,46 @@ def fix_mojibake(
         n.alias("n_mojibake"),
         (fixed_text != t).alias("fixed"),
     )
+
+
+def _make_normalize_udf(form: str):
+    import unicodedata
+
+    @F.pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    return _norm
+
+
+def normalize_unicode(
+    docs: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    pass tokenizer pipelines run before training (HF normalizers, SentencePiece
+    NMT_NFKC): visually-identical byte sequences ("é" composed vs
+    e+U+0301) must count/dedupe/tokenize as one form. No JVM-side
+    normalizer exists in Spark SQL, so this is an Arrow-batched pandas
+    UDF over Python's unicodedata (UCD-conformant; agrees with DuckDB's
+    nfc_normalize, which oracles the NFC form bit-for-bit). Zero shuffle
+    — one map-side projection; at 100 TB this is embarrassingly parallel
+    and the UDF cost is one C-implemented normalize per document.
+
+    Returns (doc_id, norm_text, changed, n_cp_delta): ``changed`` is
+    "normalization altered the text"; ``n_cp_delta`` = codepoints before
+    − after (positive when combining sequences composed)."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    norm = _make_normalize_udf(form)(t)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm_text"),
+        (norm != t).alias("changed"),
+        (F.length(t) - F.length(norm)).cast("long").alias("n_cp_delta"),
+    )

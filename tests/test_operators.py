@@ -2764,3 +2764,30 @@ def test_curate_web_verdicts(spark):
         curate_web(df, [])
     with pytest.raises(ValueError):
         curate_web(df, ["x"], min_ttr=2.0)
+
+
+def test_normalize_unicode(spark):
+    from docproc_spark.functions.text import normalize_unicode
+
+    rows = [
+        (1, "partitio\u0301n"),  # composes to ó
+        (2, "sca\u0327n"),  # a+cedilla: no precomposed form, NFC keeps it
+        (3, "so\u0301\u0323rt"),  # NFC reorders marks, composes U+1ECD
+        (4, "plain ascii"),
+        (5, None),
+        (6, "\ufb01le"),  # fi-ligature: NFC keeps, NFKC expands
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_unicode(df).collect()}
+    assert out[1].norm_text == "partiti\u00f3n"
+    assert out[1].changed is True and out[1].n_cp_delta == 1
+    assert out[2].norm_text == "sca\u0327n" and out[2].changed is False
+    assert out[3].norm_text == "s\u1ecd\u0301rt"
+    assert out[3].changed is True and out[3].n_cp_delta == 1
+    assert out[4].changed is False and out[4].n_cp_delta == 0
+    assert out[5].norm_text == "" and out[5].changed is False
+    assert out[6].changed is False, "NFC keeps compatibility ligatures"
+    nfkc = {r.doc_id: r for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[6].norm_text == "file" and nfkc[6].n_cp_delta == -1
+    with pytest.raises(ValueError):
+        normalize_unicode(df, form="NFC2")
