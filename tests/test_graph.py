@@ -188,3 +188,88 @@ class TestPagerank:
         ).write.parquet(src)
         out = pagerank(spark.read.parquet(src), iters=2)
         assert "Exchange SinglePartition" not in _plan(out)
+
+
+class TestGraphHypothesis:
+    """Property guards: canonicalization is idempotent (a canonical URL
+    re-canonicalizes to itself — extract_links relies on this when it
+    derives the resolution base from the canonical src), and extracted
+    edges are always canonical with strictly increasing page positions."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _url = st.builds(
+        lambda scheme, www, host, port, path, slash, params, frag: (
+            scheme
+            + www
+            + host
+            + port
+            + "/"
+            + path
+            + slash
+            + ("?" + "&".join(params) if params else "")
+            + frag
+        ),
+        st.sampled_from(["http://", "HTTPS://", "https://", ""]),
+        st.sampled_from(["", "www.", "WWW."]),
+        st.sampled_from(["Example.COM", "a.b.example.net", "localhost", "x.org"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.sampled_from(["", "p", "A/B", "p/q/r"]),
+        st.sampled_from(["", "/", "//"]),
+        st.lists(
+            st.sampled_from(
+                ["a=1", "b=2", "utm_source=x", "fbclid=abc", "Z=9"]
+            ),
+            max_size=3,
+        ),
+        st.sampled_from(["", "#top", "#a-b"]),
+    )
+
+    @given(st.lists(_url, min_size=1, max_size=30, unique=True))
+    @settings(max_examples=8, deadline=None)
+    def test_canonicalize_idempotent(self, spark, urls):
+        from docproc_spark.functions.web import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        c1 = canonicalize_url(F.col("url"))
+        rows = df.select(
+            c1.alias("once"), canonicalize_url(c1).alias("twice")
+        ).collect()
+        for r in rows:
+            assert r.once == r.twice, r
+
+    _snippet = st.sampled_from(
+        [
+            '<a href="https://X.org/p">t</a>',
+            '<a href="/r/">x</a>',
+            '<a href="//cdn.y.net/z?utm_a=1">y</a>',
+            '<a href="#f">f</a>',
+            '<a href="mailto:a@b.c">m</a>',
+            "<p>plain</p>",
+            "<a name=anchor>no href</a>",
+            '<a href="">empty</a>',
+            "broken <a href=\"unclosed",
+        ]
+    )
+
+    @given(st.lists(_snippet, min_size=0, max_size=12))
+    @settings(max_examples=8, deadline=None)
+    def test_edges_canonical_and_ordered(self, spark, parts):
+        from docproc_spark.functions.graph import extract_links
+        from docproc_spark.functions.web import canonicalize_url
+
+        df = spark.createDataFrame(
+            [(1, "https://WWW.Base.com:443/d/", "".join(parts))],
+            "doc_id long, url string, raw_html string",
+        )
+        out = extract_links(df)
+        rows = out.withColumn(
+            "recanon", canonicalize_url(F.col("dst_url"))
+        ).orderBy("pos").collect()
+        last = 0
+        for r in rows:
+            assert r.dst_url is not None and r.dst_url == r.recanon
+            assert r.src_url == "https://base.com/d"
+            assert r.pos > last, "positions strictly increase in page order"
+            last = r.pos
