@@ -3906,6 +3906,120 @@ FROM d_k GROUP BY canonical_url
 """
 
 
+# Shared head-section synthesis for the robots/canonical spares: meta
+# robots in BOTH attribute orders and mixed case, rel=canonical as an
+# absolute URL (5 consolidation classes → many keep=false rows) and as a
+# root-relative href (resolves against the page host), plus absent cases.
+_ROBOTS_SYNTH = """
+'<html><head>'
+|| CASE doc_id % 4
+   WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+   WHEN 1 THEN '<meta content="NOFOLLOW" name="ROBOTS">'
+   WHEN 2 THEN '<meta name="robots" content="index, follow">' ELSE '' END
+|| CASE doc_id % 3
+   WHEN 0 THEN '<link rel="canonical" href="https://Canon.Example.COM/c'
+        || CAST(doc_id % 5 AS STRING) || '">'
+   WHEN 1 THEN '<link href="/self' || CAST(doc_id % 5 AS STRING)
+        || '" rel="canonical">' ELSE '' END
+|| '</head><body><p>body text</p></body></html>'
+""".strip().replace("\n", " ")
+
+
+def _first_extract_sql(col: str, patterns: tuple[str, ...]) -> str:
+    """DuckDB twin of functions/web.first_extract (pattern-order coalesce
+    of regexp_extract group 1; '' when none match on both engines)."""
+    out = f"regexp_extract({col}, '{patterns[0]}', 1)"
+    for p in patterns[1:]:
+        out = (
+            f"CASE WHEN {out} <> '' THEN {out} "
+            f"ELSE regexp_extract({col}, '{p}', 1) END"
+        )
+    return out
+
+
+def _robots_flags(spark, sf):
+    """Meta-robots + rel=canonical extraction (functions/web.
+    html_robots_flags): noindex/nofollow directives and the declared
+    canonical href, both attribute orders, case-insensitive. Zero
+    shuffle, pure JVM regex."""
+    from docproc_spark.functions.web import html_robots_flags
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_ROBOTS_SYNTH} AS raw_html"
+    )
+    return html_robots_flags(docs)
+
+
+def _robots_flags_sql() -> str:
+    from docproc_spark.functions.web import (
+        CANONICAL_LINK_PATTERNS,
+        ROBOTS_META_PATTERNS,
+    )
+
+    content = _first_extract_sql("raw_html", ROBOTS_META_PATTERNS)
+    canon = _first_extract_sql("raw_html", CANONICAL_LINK_PATTERNS)
+    return f"""
+WITH d AS (SELECT doc_id, {_ROBOTS_SYNTH} AS raw_html FROM documents)
+SELECT doc_id,
+       (instr(lower({content}), 'noindex') > 0) AS noindex,
+       (instr(lower({content}), 'nofollow') > 0) AS nofollow,
+       nullif(trim({canon}), '') AS canonical_href
+FROM d
+"""
+
+
+def _canonical_consolidated(spark, sf):
+    """rel=canonical consolidation + first-wins dedupe on the effective
+    URL (functions/web.canonical_consolidate): declared canonicals
+    resolve against the page's canonical scheme/host and override the
+    page URL for dedupe purposes. Map-side extraction/resolution + ONE
+    effective_url window shuffle."""
+    from docproc_spark.functions.web import canonical_consolidate
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH} AS url", f"{_ROBOTS_SYNTH} AS raw_html"
+    )
+    return canonical_consolidate(docs)
+
+
+def _canonical_consolidated_sql() -> str:
+    from docproc_spark.functions.web import CANONICAL_LINK_PATTERNS
+
+    canon = _first_extract_sql("d.raw_html", CANONICAL_LINK_PATTERNS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_URL_SYNTH} AS url, {_ROBOTS_SYNTH} AS raw_html FROM documents
+), u AS (SELECT doc_id, url FROM d),
+{_url_canon_ctes()},
+pg AS (
+  SELECT k.doc_id,
+         split_part(k.canonical_url, '://', 1) AS scheme,
+         split_part(split_part(k.canonical_url, '://', 2), '/', 1) AS hst
+  FROM k
+), cx AS (
+  SELECT d.doc_id, d.url, nullif(trim({canon}), '') AS ch FROM d
+), rv AS (
+  SELECT c.doc_id, c.url, c.ch,
+         CASE WHEN c.ch IS NULL THEN NULL
+              WHEN lower(c.ch) LIKE 'http://%' OR lower(c.ch) LIKE 'https://%'
+                THEN c.ch
+              WHEN c.ch LIKE '//%' THEN p.scheme || ':' || c.ch
+              WHEN c.ch LIKE '/%' THEN p.scheme || '://' || p.hst || c.ch
+              ELSE NULL END AS resolved
+  FROM cx c JOIN pg p USING (doc_id)
+), eu AS (
+  SELECT doc_id, coalesce(resolved, url) AS url,
+         url AS orig_url, ch AS canonical_href
+  FROM rv
+), {_url_canon_ctes(prefix="e_", src="eu",
+                    carry=("orig_url", "canonical_href"))}
+SELECT doc_id, orig_url AS url, canonical_href,
+       canonical_url AS effective_url,
+       (doc_id = min(doc_id) OVER (PARTITION BY canonical_url)) AS keep
+FROM e_k
+"""
+
+
 # Shared edge synthesis for the PageRank spare: a 101-node graph with a
 # deliberate hub (every fifth document votes for node 0 — skew the
 # integer arithmetic must survive). All-BIGINT expressions, identical in
@@ -4039,6 +4153,8 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_authority": _domain_authority,
     "anchor_texts_top3": _anchor_texts,
     "pagerank_101": _pagerank_101,
+    "robots_flags": _robots_flags,
+    "canonical_consolidated": _canonical_consolidated,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -4086,6 +4202,8 @@ _SPARE_ORACLES: dict[str, str] = {
     "domain_authority": _domain_authority_sql(),
     "anchor_texts_top3": _anchor_texts_sql(),
     "pagerank_101": _pagerank_sql(),
+    "robots_flags": _robots_flags_sql(),
+    "canonical_consolidated": _canonical_consolidated_sql(),
 }
 
 

@@ -250,3 +250,88 @@ def curate_web(
         & F.col("block_keep")
         & F.col("url_keep"),
     )
+
+
+# Meta-robots / rel=canonical signals. Both attribute orders are matched
+# (HTML attribute order is free); (?i) covers the mixed-case spellings
+# real pages use. Character-class-only regex + ASCII-only case folding —
+# Java regex and DuckDB's RE2 agree byte-for-byte (the HREF_PATTERN
+# discipline in functions/graph.py).
+ROBOTS_META_PATTERNS = (
+    '(?i)<meta\\s[^>]*name="robots"[^>]*content="([^"]*)"',
+    '(?i)<meta\\s[^>]*content="([^"]*)"[^>]*name="robots"',
+)
+CANONICAL_LINK_PATTERNS = (
+    '(?i)<link\\s[^>]*rel="canonical"[^>]*href="([^"]*)"',
+    '(?i)<link\\s[^>]*href="([^"]*)"[^>]*rel="canonical"',
+)
+
+
+def first_extract(col: Column, patterns: tuple[str, ...]) -> Column:
+    """First non-empty ``regexp_extract`` over ``patterns`` in order
+    ('' when none match — Spark and DuckDB agree on that no-match value)."""
+    out = F.regexp_extract(col, patterns[0], 1)
+    for p in patterns[1:]:
+        out = F.when(out != "", out).otherwise(F.regexp_extract(col, p, 1))
+    return out
+
+
+def html_robots_flags(
+    docs: DataFrame, html_col: str = "raw_html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Meta-robots + rel=canonical extraction: ``noindex``/``nofollow``
+    directives (pages a compliant pipeline must drop / whose outlinks it
+    must not follow) and the page's declared canonical href (NULL when
+    absent). Pure map-side JVM regex — zero shuffle, no Python; at crawl
+    scale this runs inside the same scan as the other page filters."""
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    content = F.lower(first_extract(html, ROBOTS_META_PATTERNS))
+    canon = F.nullif(F.trim(first_extract(html, CANONICAL_LINK_PATTERNS)), F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.instr(content, "noindex") > 0).alias("noindex"),
+        (F.instr(content, "nofollow") > 0).alias("nofollow"),
+        canon.alias("canonical_href"),
+    )
+
+
+def canonical_consolidate(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "raw_html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """rel=canonical consolidation + first-wins dedupe on the effective
+    URL: pages that DECLARE a canonical dedupe against it (the CMS's own
+    statement that two URLs are one page — catches duplicates URL
+    canonicalization alone cannot, e.g. print/mobile variants), pages
+    that don't dedupe on their own canonicalized URL. The declared href
+    resolves against the page's canonical scheme/host under the same
+    rules as link extraction (absolute / protocol-relative /
+    root-relative; anything else falls back to the page URL).
+
+    Returns every row with (url, canonical_href, effective_url, keep) —
+    audit-friendly, filter on ``keep`` to drop. Scale shape: extraction +
+    resolution are map-side; the verdict is ONE near-unique-key window
+    shuffle on effective_url (the url_dedupe contract)."""
+    from docproc_spark.functions.graph import resolve_href  # function-local:
+    # graph.py imports this module at import time; the deferred import
+    # breaks the cycle without duplicating the resolution rules.
+
+    u = F.col(url_col)
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    src = canonicalize_url(u)
+    scheme = F.substring_index(src, "://", 1)
+    host = F.substring_index(F.substring_index(src, "://", -1), "/", 1)
+    canon = F.nullif(F.trim(first_extract(html, CANONICAL_LINK_PATTERNS)), F.lit(""))
+    resolved = resolve_href(scheme, host, canon)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        u.alias("url"),
+        canon.alias("canonical_href"),
+        canonicalize_url(F.coalesce(resolved, u)).alias("effective_url"),
+    )
+    w = Window.partitionBy("effective_url")
+    return staged.withColumn(
+        "keep", F.col("doc_id") == F.min("doc_id").over(w)
+    )

@@ -273,3 +273,69 @@ class TestGraphHypothesis:
             assert r.src_url == "https://base.com/d"
             assert r.pos > last, "positions strictly increase in page order"
             last = r.pos
+
+
+class TestRobotsCanonical:
+    def test_robots_flags(self, spark):
+        from docproc_spark.functions.web import html_robots_flags
+
+        rows = [
+            (1, '<meta name="robots" content="noindex, nofollow">'),
+            (2, '<meta content="NOINDEX" name="ROBOTS">'),  # reversed+case
+            (3, '<meta name="robots" content="index, follow">'),
+            (4, "<p>no meta at all</p>"),
+            (5, None),
+            (6, '<link href="https://c.com/x" rel="canonical"><p>t</p>'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, raw_html string")
+        out = {r.doc_id: r for r in html_robots_flags(df).collect()}
+        assert out[1].noindex is True and out[1].nofollow is True
+        assert out[2].noindex is True and out[2].nofollow is False
+        assert out[3].noindex is False and out[3].nofollow is False
+        assert out[4].noindex is False and out[4].canonical_href is None
+        assert out[5].noindex is False
+        assert out[6].canonical_href == "https://c.com/x"
+
+    def test_canonical_consolidate(self, spark):
+        from docproc_spark.functions.web import canonical_consolidate
+
+        canon = '<link rel="canonical" href="https://one.com/page">'
+        rows = [
+            # two print/mobile variants both declaring the same canonical
+            (1, "https://one.com/page?print=1", canon),
+            (2, "https://m.one.com/page", canon),
+            # the canonical page itself, declaring nothing
+            (3, "https://one.com/page", ""),
+            # root-relative canonical resolves against the page host
+            (4, "https://two.com/a?x=1",
+             '<link href="/a" rel="canonical">'),
+            (5, "https://two.com/a", ""),
+            # unresolvable canonical falls back to the page URL
+            (6, "https://three.com/p",
+             '<link rel="canonical" href="see-other">'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string, raw_html string")
+        out = {r.doc_id: r for r in canonical_consolidate(df).collect()}
+        assert out[1].effective_url == "https://one.com/page"
+        assert out[2].effective_url == "https://one.com/page"
+        assert out[3].effective_url == "https://one.com/page"
+        # first-wins across the consolidated group
+        assert out[1].keep is True and out[2].keep is False
+        assert out[3].keep is False
+        assert out[4].effective_url == "https://two.com/a"
+        assert out[4].keep is True and out[5].keep is False
+        assert out[6].effective_url == "https://three.com/p"
+        assert out[6].keep is True and out[6].canonical_href == "see-other"
+
+    def test_robots_plan_zero_shuffle(self, spark, tmp_path):
+        from docproc_spark.functions.web import html_robots_flags
+
+        src = str(tmp_path / "pages")
+        spark.createDataFrame(
+            [(i, '<meta name="robots" content="noindex">') for i in range(40)],
+            "doc_id long, raw_html string",
+        ).write.parquet(src)
+        out = html_robots_flags(spark.read.parquet(src))
+        s = plan_summary(out)
+        assert s["scans"] == 1 and s["exchanges"] == 0
+        assert "EvalPython" not in _plan(out)
