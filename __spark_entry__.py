@@ -4108,6 +4108,312 @@ SELECT node, rank_bits, rank_bits / {float(1 << 40)} AS rank FROM r3
 """
 
 
+# Shared head-section synthesis for the page-metadata spare: og:title /
+# <title> with whitespace runs + a newline that must collapse, both
+# attribute orders, an EMPTY og:title that must fall through to <title>,
+# upper-case tag/attribute spellings, and absent cases.
+_META_SYNTH = """
+'<html><head>'
+|| CASE doc_id % 5
+   WHEN 0 THEN '<meta property="og:title" content="OG Title '
+        || CAST(doc_id % 7 AS STRING) || '"><title>Tag title</title>'
+   WHEN 1 THEN '<title> Tag ' || chr(10) || '  title '
+        || CAST(doc_id % 7 AS STRING) || ' </title>'
+   WHEN 2 THEN '<meta content="Reversed og title" property="og:title">'
+   WHEN 3 THEN '<meta property="og:title" content=""><title>Fallback title</title>'
+   ELSE '' END
+|| CASE doc_id % 4
+   WHEN 0 THEN '<meta name="description" content="Meta  description here">'
+   WHEN 1 THEN '<meta content="OG description" property="og:description">'
+   WHEN 2 THEN '<META NAME="description" CONTENT="Upper case meta">'
+   ELSE '' END
+|| CASE doc_id % 3
+   WHEN 0 THEN '<meta property="article:published_time" content="2024-05-0'
+        || CAST(1 + doc_id % 9 AS STRING) || 'T07:08:09Z">'
+   ELSE '' END
+|| '</head><body><p>body</p></body></html>'
+""".strip().replace("\n", " ")
+
+
+def _page_metadata(spark, sf):
+    """Title / description / published-time extraction from raw HTML
+    (functions/web.html_page_metadata): OpenGraph-first coalesce chains,
+    whitespace-run collapse, NULL when absent. Zero shuffle, pure JVM
+    regex."""
+    from docproc_spark.functions.web import html_page_metadata
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_META_SYNTH} AS raw_html"
+    )
+    return html_page_metadata(docs)
+
+
+def _page_metadata_sql() -> str:
+    from docproc_spark.functions.web import (
+        DESCRIPTION_PATTERNS,
+        PUBLISHED_PATTERNS,
+        TITLE_PATTERNS,
+    )
+
+    def clean(expr: str) -> str:
+        return (
+            f"nullif(trim(regexp_replace({expr},"
+            " '[ \\t\\n\\r]+', ' ', 'g')), '')"
+        )
+
+    title = clean(_first_extract_sql("raw_html", TITLE_PATTERNS))
+    desc = clean(_first_extract_sql("raw_html", DESCRIPTION_PATTERNS))
+    pub = clean(_first_extract_sql("raw_html", PUBLISHED_PATTERNS))
+    return f"""
+WITH d AS (SELECT doc_id, {_META_SYNTH} AS raw_html FROM documents)
+SELECT doc_id, {title} AS title, {desc} AS description, {pub} AS published_at
+FROM d
+"""
+
+
+# Shared mixed-script planting for the script-mix spare: the corpus text
+# is ASCII, so each class appends a short snippet of one script; the CJK
+# class repeats its snippet enough to DOMINATE the latin base text.
+_SCRIPT_SYNTH = (
+    "coalesce(text, '') || CASE doc_id % 7"
+    " WHEN 0 THEN ' Привет мир"
+    " по-русски'"
+    " WHEN 1 THEN ' Ελληνικό"
+    " κείμενο εδώ'"
+    " WHEN 2 THEN ' نص عربي"
+    " قصير'"
+    " WHEN 3 THEN repeat(' 中文测试文本"
+    "漢字', 40)"
+    " WHEN 4 THEN ' עברית קצרה'"
+    " WHEN 5 THEN ' हिन्दी पाठ"
+    " यहाँ'"
+    " ELSE '' END"
+)
+
+
+def _script_mix(spark, sf):
+    """Unicode-script histogram + dominant-script call (functions/text.
+    script_mix): BMP-range character-class counts, table-order dominant
+    pick, IEEE confidence ratio. Zero shuffle, pure Column expressions."""
+    from docproc_spark.functions.text import script_mix
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_SCRIPT_SYNTH} AS text"
+    )
+    return script_mix(docs)
+
+
+def _script_mix_sql() -> str:
+    from docproc_spark.functions.text import SCRIPT_RANGES
+
+    counts = ",\n       ".join(
+        f"length(regexp_replace(t, '[^{rng}]', '', 'g'))::BIGINT AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    names = [name for name, _ in SCRIPT_RANGES]
+    mx = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    tot = " + ".join(f"n_{n}" for n in names)
+    dom = (
+        "CASE "
+        + " ".join(
+            f"WHEN mx > 0 AND n_{n} = mx THEN '{n}'" for n in names
+        )
+        + " END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_SCRIPT_SYNTH} AS t FROM documents),
+c AS (SELECT doc_id,
+       {counts}
+FROM d),
+m AS (SELECT *, {mx} AS mx, ({tot})::BIGINT AS tot FROM c)
+SELECT doc_id, {', '.join(f'n_{n}' for n in names)},
+       {dom} AS dominant_script,
+       CASE WHEN tot > 0 THEN CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE)
+            END AS script_confidence
+FROM m
+"""
+
+
+# URL synthesis for the domain-report spare: multiple TLD classes so the
+# registered-domain rollup has real groups (the canonical _URL_SYNTH puts
+# every host under example.com), www./scheme/tracking variants so
+# n_pages < n_docs.
+_DOMAIN_URL_SYNTH = """
+CASE doc_id % 3 WHEN 0 THEN 'http' ELSE 'https' END || '://'
+|| CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+|| 'h' || CAST(doc_id % 5 AS STRING)
+|| CASE doc_id % 4 WHEN 1 THEN '.sites.net' WHEN 2 THEN '.blog.org'
+   ELSE '.example.com' END
+|| '/a' || CAST(doc_id % 13 AS STRING)
+|| CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x&q=1' ELSE '' END
+""".strip().replace("\n", " ")
+
+
+def _domain_report(spark, sf):
+    """Per-registered-domain composition rollup (operators/report.
+    domain_report): docs/hosts/pages/token totals + permille share. One
+    groupBy shuffle with map-side combine; corpus total broadcast."""
+    from docproc_spark.operators.report import domain_report
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", "text", f"{_DOMAIN_URL_SYNTH} AS url"
+    )
+    return domain_report(docs)
+
+
+def _domain_report_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, text, {_DOMAIN_URL_SYNTH} AS url FROM documents
+), {_url_canon_ctes(carry=("text",))},
+st AS (
+  SELECT domain, host, canonical_url,
+         coalesce(len({_TOKS}), 0)::BIGINT AS toks,
+         coalesce(length(text), 0)::BIGINT AS chars
+  FROM k
+), ag AS (
+  SELECT domain, count(*)::BIGINT AS n_docs,
+         count(DISTINCT host)::BIGINT AS n_hosts,
+         count(DISTINCT canonical_url)::BIGINT AS n_pages,
+         sum(toks)::BIGINT AS total_tokens,
+         sum(chars)::BIGINT AS total_chars
+  FROM st GROUP BY domain
+)
+SELECT domain, n_docs, n_hosts, n_pages, total_tokens, total_chars,
+       (total_tokens // n_docs)::BIGINT AS tokens_per_doc,
+       ((1000 * n_docs) // (SELECT count(*) FROM st))::BIGINT AS docs_permille
+FROM ag
+"""
+
+
+# robots.txt synthesis: one policy per host class. Phenomena: longest
+# match (allow overrides a shorter disallow), exact-agent group
+# preemption over '*' (RFC 9309 §2.2.1), multi-UA groups, comments /
+# mixed-case keys / unknown directives / orphan rules, wildcard paths
+# (out of the literal-prefix subset — never match), empty Disallow
+# (matches nothing), same-length tie → allow, and a host with NO robots.
+_ROBOTS_HOST = "'h' || CAST(doc_id % 7 AS STRING) || '.example.com'"
+_ROBOTS_BODY = """
+CASE doc_id % 7
+ WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /p1'
+      || chr(10) || 'Allow: /p1x'
+ WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+      || chr(10) || 'User-agent: testbot' || chr(10) || 'Disallow: /p2'
+      || chr(10) || 'Allow: /p2/sub'
+ WHEN 2 THEN 'Disallow: /orphan' || chr(10) || '# only a comment'
+      || chr(10) || 'USER-AGENT: megabot' || chr(10) || 'User-agent: testbot'
+      || chr(10) || 'DISALLOW : /p3 # note' || chr(10) || 'Crawl-delay: 10'
+      || chr(10) || 'Allow:'
+ WHEN 3 THEN 'User-agent: *' || chr(10) || 'Disallow: /p4/*'
+      || chr(10) || 'Disallow: /p5'
+ WHEN 4 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+ WHEN 6 THEN 'User-agent: *' || chr(10) || 'Disallow: /p6'
+      || chr(10) || 'Allow: /p6'
+ ELSE NULL END
+""".strip().replace("\n ", " ")
+_ROBOTS_URL_SYNTH = (
+    "'http://h' || CAST(doc_id % 7 AS STRING) || '.example.com/p'"
+    " || CAST(doc_id % 10 AS STRING)"
+    " || CASE doc_id % 3 WHEN 0 THEN 'x/deep' WHEN 1 THEN '/sub'"
+    " ELSE '' END"
+)
+
+
+def _robots_verdicts(spark, sf):
+    """robots.txt parse + RFC 9309 URL permission for agent 'TestBot'
+    (functions/robots.parse_robots / robots_allowed): group model,
+    exact-agent preemption, literal-prefix longest match, allow-wins
+    ties. Parse = per-host line windows; verdict = one host join + one
+    near-unique-key groupBy."""
+    from docproc_spark.functions.robots import parse_robots, robots_allowed
+
+    docs = _t(spark, sf, "documents")
+    robots = (
+        docs.selectExpr(
+            f"{_ROBOTS_HOST} AS host", f"{_ROBOTS_BODY} AS robots_txt"
+        )
+        .where("robots_txt IS NOT NULL")
+        .distinct()
+    )
+    urls = docs.selectExpr("doc_id", f"{_ROBOTS_URL_SYNTH} AS url")
+    return robots_allowed(urls, parse_robots(robots), "TestBot")
+
+
+def _robots_verdicts_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_ROBOTS_URL_SYNTH} AS url FROM documents
+), {_url_canon_ctes()},
+uu AS (
+  SELECT doc_id, url, host,
+         substr(split_part(canonical_url, '://', 2),
+                instr(split_part(canonical_url, '://', 2), '/')) AS path_q
+  FROM k
+), rb AS (
+  SELECT DISTINCT {_ROBOTS_HOST} AS host, {_ROBOTS_BODY} AS body
+  FROM documents
+), rbn AS (SELECT host, body FROM rb WHERE body IS NOT NULL),
+ls0 AS (
+  SELECT host,
+         unnest(list_transform(range(0, len(string_split(body, chr(10)))),
+                i -> {{'pos': i,
+                       'line': string_split(body, chr(10))[i + 1]}})) AS x
+  FROM rbn
+), ls AS (
+  SELECT host, x.pos AS pos, trim(split_part(x.line, '#', 1)) AS l FROM ls0
+), kd AS (
+  SELECT host, pos,
+         lower(trim(split_part(l, ':', 1))) AS key,
+         trim(substr(l, instr(l, ':') + 1)) AS value
+  FROM ls WHERE instr(l, ':') > 0
+), kr AS (
+  SELECT * FROM kd WHERE key IN ('user-agent', 'allow', 'disallow')
+), fl AS (
+  SELECT host, pos, key, value, (key = 'user-agent') AS is_ua,
+         CASE WHEN key = 'user-agent'
+                   AND NOT coalesce(lag(key = 'user-agent')
+                       OVER (PARTITION BY host ORDER BY pos), false)
+              THEN 1 ELSE 0 END AS boundary
+  FROM kr
+), gi AS (
+  SELECT *, sum(boundary) OVER (PARTITION BY host ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS group_id
+  FROM fl
+), ag AS (
+  SELECT host, group_id,
+         list_sort(list_distinct(list(lower(value)))) AS agents
+  FROM gi WHERE is_ua GROUP BY host, group_id
+), rl AS (
+  SELECT g.host, g.pos, g.key AS directive, g.value AS path, a.agents
+  FROM gi g JOIN ag a USING (host, group_id)
+  WHERE NOT g.is_ua AND g.group_id > 0 AND g.value <> ''
+), ap AS (
+  SELECT host, directive, path FROM (
+    SELECT rl.*, bool_or(list_contains(agents, 'testbot'))
+           OVER (PARTITION BY host) AS hx
+    FROM rl)
+  WHERE (CASE WHEN hx THEN list_contains(agents, 'testbot')
+              ELSE list_contains(agents, '*') END)
+    AND NOT contains(path, '*')
+), j AS (
+  SELECT uu.doc_id, uu.url, uu.host,
+         r.directive AS r_directive, r.path AS r_path
+  FROM uu LEFT JOIN ap r
+    ON uu.host = r.host AND starts_with(uu.path_q, r.path)
+), best AS (
+  SELECT doc_id, url, host,
+         max(CASE WHEN r_path IS NOT NULL THEN
+             {{'l': len(r_path)::BIGINT, 'a': (r_directive = 'allow'),
+               'd': r_directive, 'p': r_path}} END) AS b
+  FROM j GROUP BY doc_id, url, host
+)
+SELECT doc_id, url, host,
+       (b IS NULL OR b.a) AS allowed,
+       b.d AS matched_directive, b.p AS matched_path, b.l AS matched_len
+FROM best
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -4155,6 +4461,10 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_101": _pagerank_101,
     "robots_flags": _robots_flags,
     "canonical_consolidated": _canonical_consolidated,
+    "page_metadata": _page_metadata,
+    "script_mix": _script_mix,
+    "domain_report": _domain_report,
+    "robots_verdicts": _robots_verdicts,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -4204,6 +4514,10 @@ _SPARE_ORACLES: dict[str, str] = {
     "pagerank_101": _pagerank_sql(),
     "robots_flags": _robots_flags_sql(),
     "canonical_consolidated": _canonical_consolidated_sql(),
+    "page_metadata": _page_metadata_sql(),
+    "script_mix": _script_mix_sql(),
+    "domain_report": _domain_report_sql(),
+    "robots_verdicts": _robots_verdicts_sql(),
 }
 
 

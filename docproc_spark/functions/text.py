@@ -1516,3 +1516,64 @@ def normalize_unicode(
         (norm != t).alias("changed"),
         (F.length(t) - F.length(norm)).cast("long").alias("n_cp_delta"),
     )
+
+
+# Unicode-script detection: BMP-only codepoint ranges, written as literal
+# character-class regexes so Java (Spark) and RE2 (DuckDB) agree exactly —
+# the named \p{Script=...} spellings differ between the engines, explicit
+# ranges do not. BMP-only is also what keeps the COUNTS identical: Spark's
+# length() is UTF-16 code units, DuckDB's is codepoints; they agree on the
+# BMP and diverge on astral planes, so no range here may leave it.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("hebrew", "֐-׿"),
+    ("devanagari", "ऀ-ॿ"),
+    # Han + kana + hangul syllables: the CJK bucket web LID uses
+    ("cjk", "一-鿿぀-ヿ가-힯"),
+)
+
+
+def script_count_col(text: Column, ranges: str) -> Column:
+    """Number of characters of ``text`` inside the character-class
+    ``ranges`` (count by deletion: strip everything else, measure)."""
+    return F.length(F.regexp_replace(text, f"[^{ranges}]", "")).cast("long")
+
+
+def script_mix(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script histogram + dominant-script call per document — the
+    script-level half of web language ID (CLD/fastText both gate on it:
+    a page that is 90% Cyrillic codepoints is not English no matter what
+    the n-grams say). Emits one ``n_<script>`` count per SCRIPT_RANGES
+    entry, ``dominant_script`` (first script in table order reaching the
+    max count; NULL when no scripted character occurs) and
+    ``script_confidence`` = dominant count / all scripted characters (one
+    IEEE division of two BIGINTs — bit-exact across engines).
+
+    Pure Column expressions over fixed-size state: zero shuffle, no
+    Python — at 100 TB this rides the ingest scan like the other quality
+    signals."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {name: script_count_col(t, rng) for name, rng in SCRIPT_RANGES}
+    mx = F.greatest(*counts.values())
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    dominant = F.lit(None).cast("string")
+    for name in reversed([n for n, _ in SCRIPT_RANGES]):
+        dominant = F.when(
+            (mx > 0) & (counts[name] == mx), F.lit(name)
+        ).otherwise(dominant)
+    conf = F.when(
+        total > 0, mx.cast("double") / total.cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_RANGES],
+        dominant.alias("dominant_script"),
+        conf.alias("script_confidence"),
+    )

@@ -267,6 +267,56 @@ CANONICAL_LINK_PATTERNS = (
 )
 
 
+# Page-metadata signals (dataset provenance columns every web corpus
+# carries — C4/Dolma keep title/description/date alongside the text).
+# Same regex discipline as above: character classes only, both attribute
+# orders, (?i) for case. OpenGraph wins over the plain tag/meta form when
+# both are present (it is the page's own curated statement).
+TITLE_PATTERNS = (
+    '(?i)<meta\\s[^>]*property="og:title"[^>]*content="([^"]*)"',
+    '(?i)<meta\\s[^>]*content="([^"]*)"[^>]*property="og:title"',
+    "(?i)<title[^>]*>([^<]*)</title>",
+)
+DESCRIPTION_PATTERNS = (
+    '(?i)<meta\\s[^>]*name="description"[^>]*content="([^"]*)"',
+    '(?i)<meta\\s[^>]*content="([^"]*)"[^>]*name="description"',
+    '(?i)<meta\\s[^>]*property="og:description"[^>]*content="([^"]*)"',
+    '(?i)<meta\\s[^>]*content="([^"]*)"[^>]*property="og:description"',
+)
+PUBLISHED_PATTERNS = (
+    '(?i)<meta\\s[^>]*property="article:published_time"[^>]*content="([^"]*)"',
+    '(?i)<meta\\s[^>]*content="([^"]*)"[^>]*property="article:published_time"',
+)
+
+
+def _clean_meta(col: Column) -> Column:
+    # collapse internal whitespace runs; explicit class (not \s) so Java
+    # and RE2 agree on the character set ([\x0B] is \s in Java only)
+    return F.nullif(F.trim(F.regexp_replace(col, "[ \t\n\r]+", " ")), F.lit(""))
+
+
+def html_page_metadata(
+    docs: DataFrame, html_col: str = "raw_html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Title / description / published-time extraction from raw HTML:
+    OpenGraph ``og:title`` (falling back to ``<title>``), meta
+    ``description`` (falling back to ``og:description``), and
+    ``article:published_time``. NULL when absent; internal whitespace
+    runs collapsed. Pure map-side JVM regex — zero shuffle, no Python;
+    at crawl scale this rides the same scan as the other page filters."""
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _clean_meta(first_extract(html, TITLE_PATTERNS)).alias("title"),
+        _clean_meta(first_extract(html, DESCRIPTION_PATTERNS)).alias(
+            "description"
+        ),
+        _clean_meta(first_extract(html, PUBLISHED_PATTERNS)).alias(
+            "published_at"
+        ),
+    )
+
+
 def first_extract(col: Column, patterns: tuple[str, ...]) -> Column:
     """First non-empty ``regexp_extract`` over ``patterns`` in order
     ('' when none match — Spark and DuckDB agree on that no-match value)."""

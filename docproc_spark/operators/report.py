@@ -182,3 +182,68 @@ def source_overlap(
         "n_common",
         F.expr("(10000 * n_common) div k_used").cast("long").alias("jaccard_e4"),
     )
+
+
+def domain_report(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registered-domain composition rollup for a web corpus — the
+    domain table of a crawl dataset card (C4/Dolma publish exactly this:
+    docs and tokens per domain, distinct-host fan-out, share of corpus).
+    Uses the PSL-free ``registered_domain`` approximation from
+    functions/web (documented there).
+
+    Columns: domain, n_docs, n_hosts (distinct canonical hosts),
+    n_pages (distinct canonical URLs — spelling variants collapse),
+    total_tokens, total_chars, tokens_per_doc (integer division),
+    docs_permille (1000*n_docs div corpus size — integer, so the oracle
+    needs no float contract).
+
+    Scale shape: canonicalization is map-side; ONE groupBy shuffle on
+    domain with map-side partial aggregation. Domain keys are Zipfian —
+    AQE skew handling applies, and no per-domain state grows beyond the
+    two distinct-count aggregates (use approx_count_distinct at real
+    crawl scale; exact here for the oracle contract). The corpus total
+    rides the same pass as a window-free broadcast join of a 1-row
+    aggregate.
+    """
+    from docproc_spark.functions.text import token_count_col
+    from docproc_spark.functions.web import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    u = F.col(url_col)
+    staged = docs.select(
+        registered_domain(u).alias("domain"),
+        url_host(u).alias("_host"),
+        canonicalize_url(u).alias("_page"),
+        F.coalesce(
+            token_count_col(F.col(text_col)).cast("long"), F.lit(0)
+        ).alias("_toks"),
+        F.coalesce(F.length(F.col(text_col)).cast("long"), F.lit(0)).alias(
+            "_chars"
+        ),
+    )
+    agg = staged.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_host").alias("n_hosts"),
+        F.countDistinct("_page").alias("n_pages"),
+        F.sum("_toks").alias("total_tokens"),
+        F.sum("_chars").alias("total_chars"),
+    )
+    total = staged.agg(F.count("*").alias("_corpus_docs"))
+    return agg.join(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "n_hosts",
+        "n_pages",
+        "total_tokens",
+        "total_chars",
+        F.expr("total_tokens div n_docs").alias("tokens_per_doc"),
+        F.expr("(1000 * n_docs) div _corpus_docs").alias("docs_permille"),
+    )

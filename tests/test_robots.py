@@ -1,0 +1,253 @@
+"""robots.txt parsing + RFC 9309 permission evaluation
+(docproc_spark/functions/robots.py) and the page-metadata / script-mix /
+domain-report web operators added alongside it."""
+
+from __future__ import annotations
+
+import pytest
+
+from docproc_spark.plans import plan_summary
+from docproc_spark.plans.explain import executed_plan as _plan
+
+
+def _verdicts(spark, bodies, urls, agent="TestBot"):
+    from docproc_spark.functions.robots import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(bodies, ["host", "robots_txt"])
+    u = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(urls)], ["doc_id", "url"]
+    )
+    out = robots_allowed(u, parse_robots(robots), agent)
+    return {r["url"]: r.asDict() for r in out.collect()}
+
+
+class TestParseRobots:
+    def test_groups_and_rules(self, spark):
+        from docproc_spark.functions.robots import parse_robots
+
+        body = (
+            "Disallow: /orphan\n"  # before any group: ignored
+            "# comment only\n"
+            "USER-AGENT: MegaBot\n"
+            "User-agent: testbot\n"  # consecutive UAs share one group
+            "DISALLOW : /p3 # trailing comment\n"
+            "Crawl-delay: 10\n"  # unknown key: ignored
+            "Allow:\n"  # empty path: matches nothing, dropped
+            "User-agent: *\n"  # new group
+            "Disallow: /x\n"
+        )
+        rows = (
+            parse_robots(spark.createDataFrame([("H.example.com", body)],
+                                               ["host", "robots_txt"]))
+            .orderBy("pos")
+            .collect()
+        )
+        assert [(r["directive"], r["path"], list(r["agents"])) for r in rows] == [
+            ("disallow", "/p3", ["megabot", "testbot"]),
+            ("disallow", "/x", ["*"]),
+        ]
+        # host is canonicalized (lowercased) so it joins against URL hosts
+        assert all(r["host"] == "h.example.com" for r in rows)
+
+
+class TestRobotsAllowed:
+    def test_longest_match_and_tie(self, spark):
+        v = _verdicts(
+            spark,
+            [("a.com", "User-agent: *\nDisallow: /p\nAllow: /pub\n"
+                       "Disallow: /t\nAllow: /t")],
+            ["http://a.com/p1", "http://a.com/pub/x", "http://a.com/q",
+             "http://a.com/t"],
+        )
+        assert v["http://a.com/p1"]["allowed"] is False
+        assert v["http://a.com/pub/x"]["allowed"] is True  # longer allow wins
+        assert v["http://a.com/q"]["allowed"] is True  # no rule matches
+        assert v["http://a.com/q"]["matched_directive"] is None
+        assert v["http://a.com/t"]["allowed"] is True  # equal length: allow
+
+    def test_exact_agent_group_preempts_star(self, spark):
+        body = ("User-agent: *\nDisallow: /\n"
+                "User-agent: testbot\nDisallow: /priv")
+        v = _verdicts(spark, [("a.com", body)],
+                      ["http://a.com/ok", "http://a.com/priv/x"])
+        # the '*' group's Disallow-everything does NOT apply to testbot
+        assert v["http://a.com/ok"]["allowed"] is True
+        assert v["http://a.com/priv/x"]["allowed"] is False
+        # ...but it does apply to an agent with no exact group
+        w = _verdicts(spark, [("a.com", body)], ["http://a.com/ok"],
+                      agent="OtherBot")
+        assert w["http://a.com/ok"]["allowed"] is False
+
+    def test_wildcard_paths_never_match(self, spark):
+        v = _verdicts(
+            spark,
+            [("a.com", "User-agent: *\nDisallow: /p/*\nDisallow: /q")],
+            ["http://a.com/p/x", "http://a.com/q/x"],
+        )
+        assert v["http://a.com/p/x"]["allowed"] is True  # literal subset
+        assert v["http://a.com/q/x"]["allowed"] is False
+
+    def test_missing_host_and_empty_body_allow(self, spark):
+        v = _verdicts(
+            spark,
+            [("a.com", "User-agent: *\nDisallow:")],
+            ["http://a.com/x", "http://nobody.com/y"],
+        )
+        assert all(r["allowed"] for r in v.values())
+
+    def test_url_canonicalization_feeds_matching(self, spark):
+        # www./port spellings land on the same canonical host as the rule
+        v = _verdicts(
+            spark,
+            [("a.com", "User-agent: *\nDisallow: /p")],
+            ["http://www.a.com:80/p1?utm_source=x"],
+        )
+        assert v["http://www.a.com:80/p1?utm_source=x"]["allowed"] is False
+
+    def test_query_participates_in_match(self, spark):
+        # RFC 9309 matches path + query; canonical form keeps real params
+        v = _verdicts(
+            spark,
+            [("a.com", "User-agent: *\nDisallow: /p?a=1")],
+            ["http://a.com/p?a=1", "http://a.com/p"],
+        )
+        assert v["http://a.com/p?a=1"]["allowed"] is False
+        assert v["http://a.com/p"]["allowed"] is True
+
+    def test_one_row_per_url(self, spark):
+        from docproc_spark.functions.robots import (
+            parse_robots,
+            robots_allowed,
+        )
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /a\nDisallow: /ab\n"
+                       "Allow: /abc")],
+            ["host", "robots_txt"],
+        )
+        urls = spark.createDataFrame(
+            [(i, f"http://a.com/abc{i}") for i in range(20)],
+            ["doc_id", "url"],
+        )
+        out = robots_allowed(urls, parse_robots(robots), "x")
+        assert out.count() == 20
+        assert out.select("doc_id").distinct().count() == 20
+        assert all(r["allowed"] for r in out.collect())
+
+
+class TestPageMetadata:
+    def test_extraction_and_fallbacks(self, spark):
+        from docproc_spark.functions.web import html_page_metadata
+
+        docs = spark.createDataFrame(
+            [
+                (0, '<head><meta property="og:title" content="OG">'
+                    "<title>T</title></head>"),
+                (1, "<head><title> A \n  B </title></head>"),
+                (2, '<head><meta property="og:title" content="">'
+                    "<title>FB</title></head>"),
+                (3, "<p>none</p>"),
+                (4, None),
+            ],
+            ["doc_id", "raw_html"],
+        )
+        got = {r["doc_id"]: r for r in html_page_metadata(docs).collect()}
+        assert got[0]["title"] == "OG"
+        assert got[1]["title"] == "A B"  # whitespace runs collapse
+        assert got[2]["title"] == "FB"  # empty og falls through
+        assert got[3]["title"] is None and got[4]["title"] is None
+
+
+class TestScriptMix:
+    def test_counts_and_dominant(self, spark):
+        from docproc_spark.functions.text import script_mix
+
+        docs = spark.createDataFrame(
+            [(0, "abc Привет"),  # Привет
+             (1, "123 !!!"), (2, None)],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in script_mix(docs).collect()}
+        assert got[0]["n_latin"] == 3 and got[0]["n_cyrillic"] == 6
+        assert got[0]["dominant_script"] == "cyrillic"
+        assert got[0]["script_confidence"] == pytest.approx(6 / 9)
+        assert got[1]["dominant_script"] is None
+        assert got[1]["script_confidence"] is None
+        assert got[2]["n_latin"] == 0
+
+    def test_tie_breaks_in_table_order(self, spark):
+        from docproc_spark.functions.text import script_mix
+
+        docs = spark.createDataFrame(
+            [(0, "ab Пр")], ["doc_id", "text"]
+        )
+        row = script_mix(docs).collect()[0]
+        assert row["n_latin"] == row["n_cyrillic"] == 2
+        assert row["dominant_script"] == "latin"
+
+
+class TestDomainReport:
+    def test_rollup(self, spark):
+        from docproc_spark.operators.report import domain_report
+
+        docs = spark.createDataFrame(
+            [
+                (0, "one two three", "http://www.a.site.com/x"),
+                (1, "four five", "https://b.site.com/x?utm_source=1"),
+                (2, "six", "https://b.site.com/x"),  # same canonical page
+                (3, None, "http://c.other.net/y"),
+            ],
+            ["doc_id", "text", "url"],
+        )
+        got = {r["domain"]: r for r in domain_report(docs).collect()}
+        s = got["site.com"]
+        assert s["n_docs"] == 3 and s["n_hosts"] == 2 and s["n_pages"] == 2
+        assert s["total_tokens"] == 6 and s["tokens_per_doc"] == 2
+        assert s["docs_permille"] == 750
+        o = got["other.net"]
+        assert o["n_docs"] == 1 and o["total_tokens"] == 0
+
+
+class TestPlanShapes:
+    def test_metadata_and_script_mix_zero_shuffle(self, spark, tmp_path):
+        from docproc_spark.functions.text import script_mix
+        from docproc_spark.functions.web import html_page_metadata
+
+        src = str(tmp_path / "pages")
+        spark.createDataFrame(
+            [(i, f"<head><title>T{i}</title></head>") for i in range(50)],
+            "doc_id long, raw_html string",
+        ).write.parquet(src)
+        docs = spark.read.parquet(src)
+        for op, col in ((html_page_metadata, None),
+                        (script_mix, "raw_html")):
+            out = op(docs) if col is None else op(docs, text_col=col)
+            s = plan_summary(out)
+            assert s["scans"] == 1
+            assert s["exchanges"] == 0, f"{op.__name__} must not shuffle"
+            assert "EvalPython" not in _plan(out)
+
+    def test_robots_verdict_no_cartesian_one_agg_exchange(
+        self, spark, tmp_path
+    ):
+        from docproc_spark.functions.robots import (
+            parse_robots,
+            robots_allowed,
+        )
+
+        src = str(tmp_path / "urls")
+        spark.createDataFrame(
+            [(i, f"http://h{i % 3}.com/p{i % 7}") for i in range(200)],
+            "doc_id long, url string",
+        ).write.parquet(src)
+        robots = spark.createDataFrame(
+            [(f"h{i}.com", "User-agent: *\nDisallow: /p1") for i in range(3)],
+            ["host", "robots_txt"],
+        )
+        out = robots_allowed(
+            spark.read.parquet(src), parse_robots(robots), "x"
+        )
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
+        assert out.count() == 200
