@@ -4414,6 +4414,81 @@ FROM best
 """
 
 
+# sitemap synthesis: urlset docs (full entries, loc-only entries,
+# whitespace-padded locs, out-of-domain priority → NULL), a sitemapindex
+# doc, and a malformed doc whose loc-less entry must drop.
+_SITEMAP_URL = "'https://h' || CAST(doc_id AS STRING) || '.example.com/sitemap.xml'"
+_SITEMAP_XML = """
+CASE doc_id % 4
+ WHEN 0 THEN '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+      || '<url><loc>https://a.com/p' || CAST(doc_id % 9 AS STRING)
+      || '</loc><lastmod>2024-0' || CAST(1 + doc_id % 9 AS STRING)
+      || '-02</lastmod><priority>0.8</priority></url>'
+      || '<url><loc>https://a.com/only</loc></url></urlset>'
+ WHEN 1 THEN '<urlset><url data-x="1"><loc>  https://b.com/x  </loc>'
+      || '<changefreq>daily</changefreq><priority>1.5</priority></url>'
+      || '<url><loc>https://b.com/y</loc><priority>1.0</priority></url>'
+      || '</urlset>'
+ WHEN 2 THEN '<sitemapindex><sitemap><loc>https://c.com/sm'
+      || CAST(doc_id % 5 AS STRING) || '.xml</loc>'
+      || '<lastmod>2024-01-01T00:00:00Z</lastmod></sitemap>'
+      || '<sitemap><loc>https://c.com/sm-b.xml</loc></sitemap>'
+      || '</sitemapindex>'
+ ELSE '<urlset><url><lastmod>2024-01-01</lastmod></url>'
+      || '<url><loc>https://d.com/kept</loc></url></urlset>' END
+""".strip().replace("\n ", " ")
+
+
+def _sitemap_entries(spark, sf):
+    """sitemaps.org XML parsing (functions/robots.parse_sitemaps): urlset
+    + sitemapindex entries, field extraction, priority domain check,
+    loc-less entries dropped. Map-side regex + one bounded explode; zero
+    shuffle."""
+    from docproc_spark.functions.robots import parse_sitemaps
+
+    sm = _t(spark, sf, "documents").selectExpr(
+        f"{_SITEMAP_URL} AS sitemap_url", f"{_SITEMAP_XML} AS xml"
+    )
+    return parse_sitemaps(sm)
+
+
+def _sitemap_entries_sql() -> str:
+    from docproc_spark.functions.robots import (
+        _SM_INDEX_BLOCK,
+        _SM_PRIORITY_OK,
+        _SM_URL_BLOCK,
+    )
+
+    def fld(tag: str) -> str:
+        return (
+            f"nullif(trim(regexp_extract(entry,"
+            f" '<{tag}>([^<]*)</{tag}>', 1)), '')"
+        )
+
+    return f"""
+WITH sm AS (
+  SELECT {_SITEMAP_URL} AS sitemap_url, {_SITEMAP_XML} AS xml FROM documents
+), eu AS (
+  SELECT sitemap_url, false AS is_index,
+         unnest(regexp_extract_all(xml, '{_SM_URL_BLOCK}', 1)) AS entry
+  FROM sm
+  UNION ALL
+  SELECT sitemap_url, true AS is_index,
+         unnest(regexp_extract_all(xml, '{_SM_INDEX_BLOCK}', 1)) AS entry
+  FROM sm
+), f AS (
+  SELECT sitemap_url, is_index, {fld('loc')} AS loc,
+         {fld('lastmod')} AS lastmod, {fld('changefreq')} AS changefreq,
+         {fld('priority')} AS prio_s
+  FROM eu
+)
+SELECT sitemap_url, is_index, loc, lastmod, changefreq,
+       CASE WHEN regexp_matches(prio_s, '{_SM_PRIORITY_OK}')
+            THEN CAST(prio_s AS DOUBLE) END AS priority
+FROM f WHERE loc IS NOT NULL
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -4465,6 +4540,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_mix": _script_mix,
     "domain_report": _domain_report,
     "robots_verdicts": _robots_verdicts,
+    "sitemap_entries": _sitemap_entries,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -4518,6 +4594,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "script_mix": _script_mix_sql(),
     "domain_report": _domain_report_sql(),
     "robots_verdicts": _robots_verdicts_sql(),
+    "sitemap_entries": _sitemap_entries_sql(),
 }
 
 

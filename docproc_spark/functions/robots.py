@@ -205,3 +205,65 @@ def robots_allowed(
         F.col("_b.p").alias("matched_path"),
         F.col("_b.l").alias("matched_len"),
     )
+
+
+# --- sitemap parsing: the discovery half of the crawl layer -----------------
+
+_SM_URL_BLOCK = r"(?s)<url(?:\s[^>]*)?>(.*?)</url>"
+_SM_INDEX_BLOCK = r"(?s)<sitemap(?:\s[^>]*)?>(.*?)</sitemap>"
+# 0.0–1.0 with an optional fraction: anything else (e.g. "1.5", "high")
+# is out of the sitemaps.org domain and parses to NULL
+_SM_PRIORITY_OK = r"^(0(\.[0-9]+)?|1(\.0+)?)$"
+
+
+def _sm_field(entry: Column, tag: str) -> Column:
+    return F.nullif(
+        F.trim(F.regexp_extract(entry, f"<{tag}>([^<]*)</{tag}>", 1)),
+        F.lit(""),
+    )
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, url_col: str = "sitemap_url", xml_col: str = "xml"
+) -> DataFrame:
+    """Parse sitemaps.org XML (urlset AND sitemapindex documents) into an
+    entry table: (sitemap_url, is_index, loc, lastmod, changefreq,
+    priority). ``is_index`` rows are child-sitemap references a crawler
+    fetches next; the rest are page URLs (the crawl frontier robots.txt
+    then gates). ``priority`` parses only the sitemaps.org 0.0–1.0
+    domain (NULL otherwise); ``lastmod`` stays the raw W3C-datetime
+    string. Entries without a ``<loc>`` are dropped.
+
+    Regex subset (documented): entry blocks are matched with non-greedy
+    ``(?s)`` patterns — spellings Java and RE2 agree on — so CDATA
+    wrappers and XML comments inside an entry are out of scope; fields
+    are simple ``<tag>text</tag>`` pairs. Pure map-side JVM regex + one
+    explode; zero shuffle, no Python — a sitemap file is bounded (50k
+    entries by spec), so per-row fan-out is bounded too."""
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+
+    def tagged(pattern: str, is_index: bool) -> Column:
+        return F.transform(
+            F.regexp_extract_all(xml, F.lit(pattern), F.lit(1)),
+            lambda e: F.struct(
+                F.lit(is_index).alias("is_index"), e.alias("entry")
+            ),
+        )
+
+    entries = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"),
+        F.explode(
+            F.concat(tagged(_SM_URL_BLOCK, False), tagged(_SM_INDEX_BLOCK, True))
+        ).alias("x"),
+    )
+    prio_s = _sm_field(F.col("x.entry"), "priority")
+    return entries.select(
+        "sitemap_url",
+        F.col("x.is_index").alias("is_index"),
+        _sm_field(F.col("x.entry"), "loc").alias("loc"),
+        _sm_field(F.col("x.entry"), "lastmod").alias("lastmod"),
+        _sm_field(F.col("x.entry"), "changefreq").alias("changefreq"),
+        F.when(prio_s.rlike(_SM_PRIORITY_OK), prio_s.cast("double")).alias(
+            "priority"
+        ),
+    ).where(F.col("loc").isNotNull())

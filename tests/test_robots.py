@@ -251,3 +251,96 @@ class TestPlanShapes:
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
         assert out.count() == 200
+
+
+class TestParseSitemaps:
+    def test_urlset_fields_and_priority_domain(self, spark):
+        from docproc_spark.functions.robots import parse_sitemaps
+
+        xml = (
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc> https://a.com/p </loc><lastmod>2024-01-02</lastmod>"
+            "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+            "<url><loc>https://a.com/q</loc><priority>1.5</priority></url>"
+            "<url><lastmod>2024-01-01</lastmod></url>"  # no loc: dropped
+            "</urlset>"
+        )
+        sm = spark.createDataFrame([("s.xml", xml)], ["sitemap_url", "xml"])
+        rows = {r["loc"]: r for r in parse_sitemaps(sm).collect()}
+        assert set(rows) == {"https://a.com/p", "https://a.com/q"}
+        p = rows["https://a.com/p"]
+        assert (p["lastmod"], p["changefreq"], p["priority"]) == (
+            "2024-01-02", "daily", 0.8,
+        )
+        assert p["is_index"] is False
+        assert rows["https://a.com/q"]["priority"] is None  # out of domain
+
+    def test_sitemapindex_entries(self, spark):
+        from docproc_spark.functions.robots import parse_sitemaps
+
+        xml = (
+            "<sitemapindex><sitemap><loc>https://c.com/a.xml</loc>"
+            "<lastmod>2024-01-01T00:00:00Z</lastmod></sitemap>"
+            "<sitemap><loc>https://c.com/b.xml</loc></sitemap>"
+            "</sitemapindex>"
+        )
+        sm = spark.createDataFrame([("i.xml", xml)], ["sitemap_url", "xml"])
+        rows = parse_sitemaps(sm).collect()
+        assert len(rows) == 2 and all(r["is_index"] for r in rows)
+        assert {r["loc"] for r in rows} == {
+            "https://c.com/a.xml", "https://c.com/b.xml",
+        }
+
+    def test_null_and_garbage_xml_yield_no_rows(self, spark):
+        from docproc_spark.functions.robots import parse_sitemaps
+
+        sm = spark.createDataFrame(
+            [("a.xml", None), ("b.xml", "not xml at all"),
+             ("c.xml", "<urlset></urlset>")],
+            ["sitemap_url", "xml"],
+        )
+        assert parse_sitemaps(sm).count() == 0
+
+    def test_frontier_composition_with_robots(self, spark):
+        # the crawl-seeding composition: sitemap locs gated by robots
+        from docproc_spark.functions.robots import (
+            parse_robots,
+            parse_sitemaps,
+            robots_allowed,
+        )
+        from pyspark.sql import functions as F
+
+        sm = spark.createDataFrame(
+            [("s.xml", "<urlset><url><loc>http://a.com/pub/1</loc></url>"
+                       "<url><loc>http://a.com/priv/1</loc></url></urlset>")],
+            ["sitemap_url", "xml"],
+        )
+        locs = (
+            parse_sitemaps(sm)
+            .where(~F.col("is_index"))
+            .select(F.monotonically_increasing_id().alias("doc_id"),
+                    F.col("loc").alias("url"))
+        )
+        rules = parse_robots(spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /priv")],
+            ["host", "robots_txt"],
+        ))
+        got = {r["url"]: r["allowed"]
+               for r in robots_allowed(locs, rules, "bot").collect()}
+        assert got == {"http://a.com/pub/1": True,
+                       "http://a.com/priv/1": False}
+
+    def test_sitemap_parse_zero_shuffle(self, spark, tmp_path):
+        from docproc_spark.functions.robots import parse_sitemaps
+
+        src = str(tmp_path / "sm")
+        spark.createDataFrame(
+            [(f"s{i}.xml",
+              f"<urlset><url><loc>https://a.com/{i}</loc></url></urlset>")
+             for i in range(40)],
+            "sitemap_url string, xml string",
+        ).write.parquet(src)
+        out = parse_sitemaps(spark.read.parquet(src))
+        s = plan_summary(out)
+        assert s["scans"] == 1 and s["exchanges"] == 0
+        assert "EvalPython" not in _plan(out)
