@@ -59,7 +59,10 @@ _TOTAL_W = _CUM[-1]
 # beacon pixel dropped) so the flagship exercises HTML media spans.
 # v6: html_boiler adds a kept data table + a dropped link-farm table so
 # the flagship exercises HTML table extraction.
-CORPUS_VERSION = 6
+# v7: html_boiler adds a kept multi-line <pre> code block (+ inline
+# <code> staying prose) and a footer <pre> that must drop with its
+# subtree, so the flagship exercises kind='code' extraction.
+CORPUS_VERSION = 7
 
 # Shared logo ref: the corpus-wide hot key for the media-dedupe skew path.
 LOGO_REF = hashlib.sha256(b"docproc_spark:logo").hexdigest()
@@ -208,9 +211,18 @@ def gen_doc(idx: int, seed: int = 42, mega_spans: int = 2000) -> dict:
             )
             + "</tr></table>"
             + "<img src='/px.gif' width='1' height='1'>"
+            # v7: a multi-line code block (kept as ONE kind='code' span —
+            # the <p> inside is inert in pre mode) and an inline <code>
+            # that stays prose inside its paragraph
+            + f"<pre>def {_words(rng, 1)}(doc):\n"
+            + f"    return doc.{_words(rng, 1)}  # {_words(rng, 2)}\n"
+            + "</pre>"
+            + f"<p>Call <code>{_words(rng, 1)}.{_words(rng, 1)}()</code> "
+            + f"as shown above. {_sentence(rng)}</p>"
             + f"<p>Read more at <a href='/x'>{_words(rng, 12)}</a> linkfarm</p>"
             + "</div>"
-            f"<footer><p>Copyright {_words(rng, 6)}</p></footer>"
+            f"<footer><p>Copyright {_words(rng, 6)}</p>"
+            "<pre>console.log('footer tracker')</pre></footer>"
             "</body></html>"
         )
         spans = []

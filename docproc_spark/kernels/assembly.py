@@ -36,7 +36,8 @@ from docproc_spark.kernels.sanitize import (
 )
 
 TEXTUAL_KINDS = frozenset(
-    {"text", "table", "equation", "header", "footer", "handwriting", "unclassified"}
+    {"text", "table", "equation", "header", "footer", "handwriting",
+     "unclassified", "code"}  # code: HTML <pre> blocks (kernels/html.py)
 )
 MEDIA_KINDS = frozenset({"image", "figure"})
 RASTER_KIND = "raster"

@@ -26,6 +26,14 @@ Rules (fixed constants — part of this engine's invariant):
     then passes the same min-chars + link-density rules as text, so
     navigation/link-farm tables (the classic Boilerpipe layout-table
     signal) drop while data tables survive
+  - a <pre> in a content region collects into ONE kind='code' block:
+    text verbatim (line structure preserved; the sanitize stage later
+    collapses space/tab runs per the reference semantics, so code keeps
+    its lines but not its indentation), other block tags inside it are
+    inert. Code blocks pass the link-density rule but NOT the min-chars
+    rule (MIN_CODE_CHARS = 1): a two-line snippet is content even though
+    a two-word text block is chrome. A <pre> inside nav/footer drops
+    with its subtree; a <pre> inside a table stays table-cell text.
   - an <img> in a content region interleaves as kind='image' at the
     position its enclosing block flushes (after any text accumulated so
     far, between blocks otherwise). media_ref: data: URIs → sha256 of
@@ -61,6 +69,7 @@ VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.35
 MIN_HEADING_CHARS = 3
+MIN_CODE_CHARS = 1
 TRACKER_MAX_DIM = 2  # width/height attr at or below this = beacon pixel
 
 
@@ -105,6 +114,11 @@ class _BlockParser(HTMLParser):
         self._tbl_rows: list[list[str]] = []
         self._tbl_cell: list[str] | None = None
         self._tbl_link_chars = 0
+        # pre mode: data collects verbatim into _buf until the pre
+        # closes, then emits ONE kind='code' block; block tags inside
+        # are inert (mutually exclusive with table mode: a <pre> inside
+        # a table never enters pre mode)
+        self._pre_depth = 0
         # open-element stack (non-void tags) for HTML5-style implicit
         # close: an endtag closes any still-open descendants first. The
         # real-world failure this prevents: an unclosed <nav> (no </nav>
@@ -148,6 +162,18 @@ class _BlockParser(HTMLParser):
         self._tbl_rows = []
         self._tbl_link_chars = 0
 
+    def _finalize_code(self) -> None:
+        """Close the collected pre into one kind='code' block (caller
+        manages _pre_depth)."""
+        text = "".join(self._buf).strip()
+        if text:
+            self.blocks.append(("code", text, None, self._link_chars))
+        for ref in self._pending_imgs:
+            self.blocks.append(("image", None, ref, 0))
+        self._buf = []
+        self._link_chars = 0
+        self._pending_imgs = []
+
     def _handle_img(self, attrs) -> None:
         a = {k.lower(): (v or "") for k, v in attrs}
         src = a.get("src", "").strip()
@@ -181,6 +207,15 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._link_depth += 1
+        if self._pre_depth:
+            if tag == "pre":
+                self._pre_depth += 1
+            return  # block boundaries are inert inside pre
+        if tag == "pre" and not self._table_depth:
+            self._flush()
+            self._heading = None
+            self._pre_depth = 1
+            return
         if tag == "table":
             if self._table_depth == 0:
                 self._flush()
@@ -248,10 +283,16 @@ class _BlockParser(HTMLParser):
                             self._finalize_table()
                 elif t in ("td", "th", "tr", "caption") and self._table_depth:
                     self._close_cell()
+                elif t == "pre":
+                    if self._pre_depth:
+                        self._pre_depth -= 1
+                        if self._pre_depth == 0 and not self._ignore_depth:
+                            self._finalize_code()
                 elif (
                     t in BLOCK_TAGS
                     and not self._ignore_depth
                     and not self._table_depth
+                    and not self._pre_depth
                 ):
                     self._flush()
                     if self._heading == t:
@@ -265,6 +306,14 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
+        if tag == "pre":
+            if self._pre_depth:
+                self._pre_depth -= 1
+                if self._pre_depth == 0:
+                    self._finalize_code()
+            return
+        if self._pre_depth:
+            return  # other endtags are inert inside pre
         if tag == "table":
             if self._table_depth:
                 self._table_depth -= 1
@@ -300,6 +349,9 @@ class _BlockParser(HTMLParser):
         if self._table_depth:  # unclosed table at EOF: emit what we have
             self._table_depth = 0
             self._finalize_table()
+        if self._pre_depth:  # unclosed pre at EOF: emit what we have
+            self._pre_depth = 0
+            self._finalize_code()
         self._flush()
 
 
@@ -307,7 +359,7 @@ def html_main_blocks(raw_html: str) -> list[tuple[str, str | None, str | None]]:
     """Extract main-content blocks from raw HTML →
     [(kind, text, media_ref), ...].
 
-    kind ∈ {header, text, image}; order preserved; boilerplate
+    kind ∈ {header, text, table, code, image}; order preserved; boilerplate
     (nav/footer/link farms/short chrome, beacon pixels) dropped by the
     density rules above. text is None for image blocks; media_ref is
     None for text/header blocks.
@@ -328,6 +380,10 @@ def html_main_blocks(raw_html: str) -> list[tuple[str, str | None, str | None]]:
         n = len(text)
         if kind == "header":
             if n >= MIN_HEADING_CHARS and link_chars == 0:
+                kept.append((kind, text, None))
+            continue
+        if kind == "code":
+            if n >= MIN_CODE_CHARS and (link_chars / n) <= MAX_LINK_DENSITY:
                 kept.append((kind, text, None))
             continue
         if n >= MIN_BLOCK_CHARS and (link_chars / n) <= MAX_LINK_DENSITY:

@@ -435,3 +435,60 @@ def test_html_table_caption_becomes_a_row():
         "Quarterly population figures\nCity | Pop\nSpringfield | 167882",
         None,
     )
+
+
+def test_html_pre_blocks_become_code_spans():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    h = (
+        "<body><p>Intro paragraph long enough to pass the density rule.</p>"
+        "<pre>def f(x):\n    return x  # c\n<p>inert</p>tail</pre>"
+        "<p>Inline <code>a.b()</code> stays prose in a long sentence.</p>"
+        "<pre>x=1</pre></body>"
+    )
+    blocks = html_main_blocks(h)
+    kinds = [k for k, _, _ in blocks]
+    assert kinds == ["text", "code", "text", "code"]
+    code = blocks[1][1]
+    # ONE block; line structure verbatim; inner <p> was no boundary
+    assert code == "def f(x):\n    return x  # c\ninerttail"
+    assert blocks[3][1] == "x=1"  # below MIN_BLOCK_CHARS but code keeps
+    assert "a.b()" in blocks[2][1]  # inline <code> flowed into the <p>
+
+
+def test_html_pre_in_chrome_or_table_is_not_code():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    h = (
+        "<body><nav><pre>menu()</pre></nav>"
+        "<footer><pre>console.log('t')</pre></footer>"
+        "<table><tr><td>cell one holds <pre>snippet()</pre> code</td>"
+        "<td>second cell text</td></tr></table></body>"
+    )
+    blocks = html_main_blocks(h)
+    assert [k for k, _, _ in blocks] == ["table"]  # chrome pre dropped
+    assert "snippet()" in blocks[0][1]  # table pre stayed cell text
+
+
+def test_html_unclosed_pre_recovers():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    # implicit close by ancestor </div>; a second pre unclosed at EOF
+    h = (
+        "<body><div><pre>first block code()</pre2typo>\nmore</div>"
+        "<p>After the div a normal paragraph long enough to keep.</p>"
+        "<pre>eof code"
+    )
+    blocks = html_main_blocks(h)
+    assert [k for k, _, _ in blocks] == ["code", "text", "code"]
+    assert blocks[0][1].startswith("first block code()")
+    assert blocks[2][1] == "eof code"
+
+
+def test_html_linkfarm_pre_drops_by_density():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    h = ('<body><pre><a href="/x">only links in here</a></pre>'
+         "<pre>kept() # no links</pre></body>")
+    blocks = html_main_blocks(h)
+    assert [(k, t) for k, t, _ in blocks] == [("code", "kept() # no links")]
