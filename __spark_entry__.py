@@ -4339,11 +4339,18 @@ def _robots_verdicts(spark, sf):
     return robots_allowed(urls, parse_robots(robots), "TestBot")
 
 
-def _robots_verdicts_sql() -> str:
-    return f"""
-WITH u AS (
-  SELECT doc_id, {_ROBOTS_URL_SYNTH} AS url FROM documents
-), {_url_canon_ctes()},
+def _robots_ctes(agent: str = "testbot") -> str:
+    """DuckDB twin of functions/robots parse+evaluate as a CTE chain —
+    expects a prior CTE ``u(doc_id, url)``; provides ``uu`` (canonical
+    host + path_q per URL), ``sel`` (RFC 9309 group-selected rules, ALL
+    directives), ``ap`` (allow/disallow, wildcard-free) and ``best``
+    (per-URL longest-match struct). Mirrors parse_robots' kept-line
+    sequence exactly — crawl-delay lines ARE kept (they end a
+    user-agent run, so dropping them would merge groups Spark splits)."""
+    from docproc_spark.functions.robots import RECOGNIZED_KEYS
+
+    keys = ", ".join(f"'{k}'" for k in RECOGNIZED_KEYS)
+    return f"""{_url_canon_ctes()},
 uu AS (
   SELECT doc_id, url, host,
          substr(split_part(canonical_url, '://', 2),
@@ -4367,7 +4374,7 @@ ls0 AS (
          trim(substr(l, instr(l, ':') + 1)) AS value
   FROM ls WHERE instr(l, ':') > 0
 ), kr AS (
-  SELECT * FROM kd WHERE key IN ('user-agent', 'allow', 'disallow')
+  SELECT * FROM kd WHERE key IN ({keys})
 ), fl AS (
   SELECT host, pos, key, value, (key = 'user-agent') AS is_ua,
          CASE WHEN key = 'user-agent'
@@ -4387,14 +4394,16 @@ ls0 AS (
   SELECT g.host, g.pos, g.key AS directive, g.value AS path, a.agents
   FROM gi g JOIN ag a USING (host, group_id)
   WHERE NOT g.is_ua AND g.group_id > 0 AND g.value <> ''
-), ap AS (
+), sel AS (
   SELECT host, directive, path FROM (
-    SELECT rl.*, bool_or(list_contains(agents, 'testbot'))
+    SELECT rl.*, bool_or(list_contains(agents, '{agent}'))
            OVER (PARTITION BY host) AS hx
     FROM rl)
-  WHERE (CASE WHEN hx THEN list_contains(agents, 'testbot')
+  WHERE (CASE WHEN hx THEN list_contains(agents, '{agent}')
               ELSE list_contains(agents, '*') END)
-    AND NOT contains(path, '*')
+), ap AS (
+  SELECT host, directive, path FROM sel
+  WHERE directive IN ('allow', 'disallow') AND NOT contains(path, '*')
 ), j AS (
   SELECT uu.doc_id, uu.url, uu.host,
          r.directive AS r_directive, r.path AS r_path
@@ -4406,11 +4415,109 @@ ls0 AS (
              {{'l': len(r_path)::BIGINT, 'a': (r_directive = 'allow'),
                'd': r_directive, 'p': r_path}} END) AS b
   FROM j GROUP BY doc_id, url, host
-)
+)"""
+
+
+def _robots_verdicts_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_ROBOTS_URL_SYNTH} AS url FROM documents
+), {_robots_ctes()}
 SELECT doc_id, url, host,
        (b IS NULL OR b.a) AS allowed,
        b.d AS matched_directive, b.p AS matched_path, b.l AS matched_len
 FROM best
+"""
+
+
+def _url_frontier(spark, sf):
+    """Incremental crawl-frontier dedupe (functions/web.build_url_index +
+    urls_vs_index): index the base corpus's canonical URLs ONCE
+    (partitioned by url_bucket, modulus recorded in the index), then
+    probe a later batch with explicit partition-pruning predicates.
+    _URL_SYNTH's spelling classes repeat every 840 ids, so the new batch
+    genuinely collides with the base (seen_before=true rows) AND within
+    itself (first_in_batch=false rows)."""
+    from docproc_spark.functions.web import build_url_index, urls_vs_index
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH} AS url"
+    )
+    base = docs.filter("doc_id < 300")
+    path = _cached_index(
+        "url_index_v1",
+        sf,
+        "documents.parquet",
+        lambda tmp: build_url_index(base, tmp, n_buckets=256),
+    )
+    return urls_vs_index(docs.filter("doc_id >= 300"), path)
+
+
+_URL_FRONTIER_SQL = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents
+), {_url_canon_ctes()},
+base AS (
+  SELECT DISTINCT canonical_url FROM k WHERE doc_id < 300
+), newb AS (
+  SELECT doc_id, url, canonical_url FROM k WHERE doc_id >= 300
+), fb AS (
+  SELECT newb.*,
+         (doc_id = min(doc_id) OVER (PARTITION BY canonical_url))
+           AS first_in_batch
+  FROM newb
+)
+SELECT f.doc_id, f.url, f.canonical_url,
+       {_md5_bucket_sql('f.canonical_url', 256)}::BIGINT AS url_bucket,
+       f.first_in_batch,
+       (b.canonical_url IS NOT NULL) AS seen_before,
+       (f.first_in_batch AND b.canonical_url IS NULL) AS keep
+FROM fb f LEFT JOIN base b ON f.canonical_url = b.canonical_url
+"""
+
+
+def _crawl_schedule(spark, sf):
+    """Politeness scheduling (functions/robots.crawl_schedule):
+    robots-allowed URLs only, one serial queue per host paced by the
+    host's Crawl-delay (h2 declares 10 s in TestBot's group; everyone
+    else gets the 1 s default). Verdict join + one per-host row_number
+    window."""
+    from docproc_spark.functions.robots import crawl_schedule, parse_robots
+
+    docs = _t(spark, sf, "documents")
+    robots = (
+        docs.selectExpr(
+            f"{_ROBOTS_HOST} AS host", f"{_ROBOTS_BODY} AS robots_txt"
+        )
+        .where("robots_txt IS NOT NULL")
+        .distinct()
+    )
+    urls = docs.selectExpr("doc_id", f"{_ROBOTS_URL_SYNTH} AS url")
+    return crawl_schedule(urls, parse_robots(robots), "TestBot")
+
+
+def _crawl_schedule_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_ROBOTS_URL_SYNTH} AS url FROM documents
+), {_robots_ctes()},
+alw AS (
+  SELECT doc_id, url, host FROM best WHERE (b IS NULL OR b.a)
+), dl AS (
+  SELECT host, max(CAST(path AS BIGINT)) AS delay_s
+  FROM sel
+  WHERE directive = 'crawl-delay' AND regexp_matches(path, '^[0-9]+$')
+  GROUP BY host
+), sched AS (
+  SELECT a.doc_id, a.url, a.host,
+         coalesce(dl.delay_s, 1)::BIGINT AS delay_s,
+         (row_number() OVER (PARTITION BY a.host ORDER BY a.doc_id)
+          - 1)::BIGINT AS slot
+  FROM alw a LEFT JOIN dl ON a.host = dl.host
+)
+SELECT doc_id, url, host, delay_s, slot,
+       (slot * delay_s)::BIGINT AS fetch_offset_s
+FROM sched
 """
 
 
@@ -4541,6 +4648,8 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_report": _domain_report,
     "robots_verdicts": _robots_verdicts,
     "sitemap_entries": _sitemap_entries,
+    "crawl_schedule": _crawl_schedule,
+    "url_frontier_new": _url_frontier,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -4595,6 +4704,8 @@ _SPARE_ORACLES: dict[str, str] = {
     "domain_report": _domain_report_sql(),
     "robots_verdicts": _robots_verdicts_sql(),
     "sitemap_entries": _sitemap_entries_sql(),
+    "crawl_schedule": _crawl_schedule_sql(),
+    "url_frontier_new": _URL_FRONTIER_SQL,
 }
 
 

@@ -10,8 +10,10 @@ the RFC 9309 (Robots Exclusion Protocol) core as pure DataFrame ops:
 
 Subset semantics (documented; mirrored bit-for-bit by the SQL oracles):
   - line model: split on LF; ``#`` starts a comment; keys are
-    case-insensitive; recognized keys: user-agent / allow / disallow;
-    everything else (crawl-delay, sitemap, ...) is ignored;
+    case-insensitive; recognized keys: user-agent / allow / disallow /
+    crawl-delay (the de-facto politeness extension — parsed into
+    ``crawl_delays``/``crawl_schedule``, ignored by permission
+    matching); everything else (sitemap, host, ...) is ignored;
   - group model (RFC 9309 §2.1): consecutive ``user-agent`` lines open a
     group; allow/disallow lines attach to the most recent group; rules
     before any user-agent line are ignored;
@@ -41,7 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-RECOGNIZED_KEYS = ("user-agent", "allow", "disallow")
+RECOGNIZED_KEYS = ("user-agent", "allow", "disallow", "crawl-delay")
 
 
 def parse_robots(
@@ -51,8 +53,10 @@ def parse_robots(
 
     Input: one row per host with the raw robots.txt text. Output: one
     row per (host, group_id, rule) — columns (host, group_id, agents
-    array<string> sorted+lowercased, pos, directive ∈ {allow, disallow},
-    path). Hosts pass through ``url_host`` so they compare equal to the
+    array<string> sorted+lowercased, pos, directive ∈ {allow, disallow,
+    crawl-delay}, path). For crawl-delay rows ``path`` carries the raw
+    value (``crawl_delays`` parses it); permission matching ignores
+    them. Hosts pass through ``url_host`` so they compare equal to the
     canonical hosts ``robots_allowed`` derives from URLs.
     """
     from docproc_spark.functions.web import url_host
@@ -116,6 +120,45 @@ def parse_robots(
     return rules.join(agents, ["host", "group_id"])
 
 
+def _applicable_rules(rules: DataFrame, agent: str) -> DataFrame:
+    """RFC 9309 §2.2.1 group selection over a ``parse_robots`` table:
+    hosts with a group naming ``agent`` exactly use ONLY those groups,
+    the rest fall back to their ``*`` groups. A per-host window over the
+    small rules table."""
+    agent_l = agent.lower()
+    wh = Window.partitionBy("host")
+    has_exact = (
+        F.max(
+            F.array_contains(F.col("agents"), F.lit(agent_l)).cast("int")
+        ).over(wh)
+        == 1
+    )
+    return rules.withColumn("_exact_host", has_exact).where(
+        F.when(
+            F.col("_exact_host"),
+            F.array_contains(F.col("agents"), F.lit(agent_l)),
+        ).otherwise(F.array_contains(F.col("agents"), F.lit("*")))
+    )
+
+
+def crawl_delays(rules: DataFrame, agent: str) -> DataFrame:
+    """Per-host crawl-delay (seconds) for ``agent``: the MAX integer
+    ``Crawl-delay`` value among the agent's applicable groups (the
+    conservative read when groups disagree; non-integer values are
+    ignored — the de-facto grammar is whole seconds). Hosts without a
+    parseable delay emit no row; callers supply their default. Output:
+    (host, delay_s)."""
+    return (
+        _applicable_rules(rules, agent)
+        .where(
+            (F.col("directive") == "crawl-delay")
+            & F.col("path").rlike("^[0-9]+$")
+        )
+        .groupBy("host")
+        .agg(F.max(F.col("path").cast("long")).alias("delay_s"))
+    )
+
+
 def _canonical_path_q(canonical_url: Column) -> Column:
     """path+query of a canonical URL (always starts with ``/`` — the
     canonicalizer normalizes an empty path to ``/``)."""
@@ -143,22 +186,9 @@ def robots_allowed(
     """
     from docproc_spark.functions.web import canonicalize_url
 
-    agent_l = agent.lower()
-    wh = Window.partitionBy("host")
-    has_exact = (
-        F.max(
-            F.array_contains(F.col("agents"), F.lit(agent_l)).cast("int")
-        ).over(wh)
-        == 1
-    )
     applicable = (
-        rules.withColumn("_exact_host", has_exact)
-        .where(
-            F.when(
-                F.col("_exact_host"),
-                F.array_contains(F.col("agents"), F.lit(agent_l)),
-            ).otherwise(F.array_contains(F.col("agents"), F.lit("*")))
-        )
+        _applicable_rules(rules, agent)
+        .where(F.col("directive").isin("allow", "disallow"))
         # literal-prefix subset: wildcard paths never match (see module doc)
         .where(~F.col("path").contains("*"))
         .select(
@@ -267,3 +297,46 @@ def parse_sitemaps(
             "priority"
         ),
     ).where(F.col("loc").isNotNull())
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    default_delay_s: int = 1,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Politeness schedule for a crawl frontier: robots-allowed URLs
+    only, one serial per-host queue, each host paced by its Crawl-delay
+    (``crawl_delays``; ``default_delay_s`` where none parses). Output:
+    (doc_id, url, host, delay_s, slot, fetch_offset_s) — ``slot`` is the
+    URL's 0-based position in its host queue (deterministic: doc_id
+    order), ``fetch_offset_s`` = slot × delay_s, the earliest polite
+    fetch time relative to the host queue's start.
+
+    Scale shape: the verdict join is ``robots_allowed``; the queue
+    position is ONE row_number window per host. Politeness itself
+    serializes fetches per host, so a per-host sequential number is the
+    honest cost model — and a mega-host partition can swap in the
+    range-bucketed two-pass rank (operators/rank.py) without changing
+    the contract, since slot only depends on (host, doc_id) order.
+    """
+    if default_delay_s < 0:
+        raise ValueError("default_delay_s must be >= 0")
+    verdicts = robots_allowed(
+        urls, rules, agent, url_col=url_col, id_col=id_col
+    ).where(F.col("allowed"))
+    delays = crawl_delays(rules, agent)
+    staged = verdicts.join(delays, "host", "left").select(
+        "doc_id",
+        "url",
+        "host",
+        F.coalesce(F.col("delay_s"), F.lit(default_delay_s))
+        .cast("long")
+        .alias("delay_s"),
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return staged.withColumn(
+        "slot", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).withColumn("fetch_offset_s", F.col("slot") * F.col("delay_s"))

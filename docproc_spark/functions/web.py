@@ -385,3 +385,146 @@ def canonical_consolidate(
     return staged.withColumn(
         "keep", F.col("doc_id") == F.min("doc_id").over(w)
     )
+
+
+def build_url_index(
+    docs: DataFrame,
+    path: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> None:
+    """Persist the crawl's seen-URL set for INCREMENTAL frontier dedupe —
+    the production shape where yesterday's 10^12-URL corpus is indexed
+    ONCE and every new crawl batch probes it without re-scanning old
+    URLs (``url_dedupe`` re-canonicalizes the whole corpus per run).
+
+    Layout under ``path`` (the build_minhash_index conventions):
+      - ``seen/`` (canonical_url, doc_id, bucket_mod) partitioned by
+        ``url_bucket`` = md5(canonical_url) mod ``n_buckets`` — a new
+        batch prunes its probe to the partitions its keys hash into;
+        first-wins within the build (lowest doc_id per canonical URL).
+      - ``meta/`` one row carrying ``bucket_mod``: queries derive the
+        modulus FROM the index (a caller-default mismatch cannot occur),
+        and the meta row survives an EMPTY corpus where seen/ has no
+        files to infer anything from.
+      - ``_SUCCESS`` root marker written LAST (complete-commit probe).
+    """
+    import os
+
+    from docproc_spark.operators.dedupe import _hash_bucket_col
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    spark = docs.sparkSession
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        canonicalize_url(F.col(url_col)).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url")
+    (
+        staged.withColumn("_m", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_m"))
+        .select(
+            "canonical_url",
+            "doc_id",
+            F.lit(n_buckets).alias("bucket_mod"),
+            _hash_bucket_col(F.col("canonical_url"), n_buckets).alias(
+                "url_bucket"
+            ),
+        )
+        .write.mode("overwrite")
+        .partitionBy("url_bucket")
+        .parquet(f"{path}/seen")
+    )
+    spark.createDataFrame(
+        [(n_buckets,)], "bucket_mod int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+
+
+def urls_vs_index(
+    new_urls: DataFrame,
+    path: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a new crawl batch against a ``build_url_index`` seen-set.
+    Returns every batch row with its verdicts: ``first_in_batch``
+    (first-wins within the batch), ``seen_before`` (canonical URL
+    already in the index), ``keep`` = first_in_batch AND NOT
+    seen_before — the URLs actually worth fetching; filter on it, then
+    ``update_url_index`` the keepers.
+
+    Scale shape: the batch canonicalizes map-side; the probe reads ONLY
+    the index partitions the batch's keys hash into (an explicit
+    ``url_bucket IN (...)`` partition predicate whose size is bounded by
+    the recorded ``bucket_mod``, never by batch size; an empty batch
+    probes nothing — F.lit(False), not a full scan); the verdict is one
+    near-unique-key window + one bucket-colocated left join.
+    """
+    from docproc_spark.operators.dedupe import _hash_bucket_col
+
+    spark = new_urls.sparkSession
+    mod = spark.read.parquet(f"{path}/meta").first()["bucket_mod"]
+    staged = new_urls.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        canonicalize_url(F.col(url_col)).alias("canonical_url"),
+    ).withColumn(
+        "url_bucket", _hash_bucket_col(F.col("canonical_url"), mod)
+    )
+    # bounded collect: distinct bucket ids, <= bucket_mod rows
+    buckets = [
+        r["url_bucket"] for r in staged.select("url_bucket").distinct().collect()
+    ]
+    seen = spark.read.parquet(f"{path}/seen")
+    pruned = seen.where(
+        F.col("url_bucket").isin(buckets) if buckets else F.lit(False)
+    ).select(
+        F.col("canonical_url").alias("s_url"),
+        F.col("url_bucket").alias("s_bucket"),
+    )
+    wb = Window.partitionBy("canonical_url")
+    flagged = staged.withColumn(
+        "first_in_batch", F.col("doc_id") == F.min("doc_id").over(wb)
+    )
+    j = flagged.join(
+        pruned,
+        (F.col("canonical_url") == F.col("s_url"))
+        & (F.col("url_bucket") == F.col("s_bucket")),
+        "left",
+    )
+    return j.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "url_bucket",
+        "first_in_batch",
+        F.col("s_url").isNotNull().alias("seen_before"),
+        (F.col("first_in_batch") & F.col("s_url").isNull()).alias("keep"),
+    )
+
+
+def update_url_index(verdicts: DataFrame, path: str) -> None:
+    """Append a probed batch's keepers to the seen-set (the
+    ``urls_vs_index`` → fetch → update cycle). Idempotence is the
+    caller's contract (lineage/batch-id gating, as streaming/ingest.py
+    does for extraction batches); re-appending the same keepers would
+    create duplicate seen rows, which ``urls_vs_index`` tolerates
+    (seen_before is an EXISTS probe) but wastes index bytes."""
+    spark = verdicts.sparkSession
+    mod = spark.read.parquet(f"{path}/meta").first()["bucket_mod"]
+    (
+        verdicts.where(F.col("keep"))
+        .select(
+            "canonical_url",
+            "doc_id",
+            F.lit(mod).alias("bucket_mod"),
+            "url_bucket",
+        )
+        .write.mode("append")
+        .partitionBy("url_bucket")
+        .parquet(f"{path}/seen")
+    )

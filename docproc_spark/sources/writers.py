@@ -220,3 +220,83 @@ def export_markdown_files(df: DataFrame, out_dir: str) -> int:
             f.write(row["markdown"] or "")
         n += 1
     return n
+
+
+def wet_record_col(
+    id_col: Column,
+    text_col: Column,
+    warc_date: str,
+    url_col: Column | None = None,
+) -> Column:
+    """One WARC/1.0 ``conversion`` record (the WET convention: extracted
+    plain text re-framed as a web archive) as a Column expression.
+    Content-Length counts UTF-8 OCTETS (octet_length, not character
+    length); the record id is a deterministic urn:uuid built from
+    md5(doc_id) so re-exports are byte-identical. ``warc_date`` is a
+    caller-supplied literal — export is a pure function of its input."""
+    t = F.coalesce(text_col, F.lit(""))
+    h = F.md5(id_col.cast("string"))
+    rid = F.concat(
+        F.lit("urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+    )
+    uri = (
+        # NULL url -> omit the header (concat with NULL would null the
+        # whole record out of the shard)
+        F.coalesce(
+            F.concat(F.lit("WARC-Target-URI: "), url_col, F.lit("\r\n")),
+            F.lit(""),
+        )
+        if url_col is not None
+        else F.lit("")
+    )
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <"),
+        rid,
+        F.lit(f">\r\nWARC-Date: {warc_date}\r\n"),
+        uri,
+        F.lit("Content-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(t).cast("string"),
+        F.lit("\r\n\r\n"),
+        t,
+        # record terminator is CRLF CRLF; the last byte comes from the
+        # text sink's lineSep (it rejects an empty separator), so the
+        # column itself ends one byte short
+        F.lit("\r\n\r"),
+    )
+
+
+def export_wet(
+    df: DataFrame,
+    path: str,
+    warc_date: str = "2024-01-01T00:00:00Z",
+    id_col: str = "doc_id",
+    text_col: str = "markdown",
+    url_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Export extraction output as WET-style web-archive shards — the
+    format CommonCrawl distributes extracted text in, and the natural
+    hand-off from this engine to downstream corpus consumers. One
+    ``conversion`` record per document, spec-framed (``lineSep`` pinned
+    to ``\\n`` — it completes each record's final CRLF, see
+    ``wet_record_col`` — so shard bytes are framing-exact);
+    one shard per partition, written from executors. Round-trips through
+    this engine's own WARC parser (sources/warc.py handles conversion
+    records) — asserted in tests."""
+    rec = wet_record_col(
+        F.col(id_col),
+        F.col(text_col),
+        warc_date,
+        F.col(url_col) if url_col else None,
+    )
+    (
+        df.select(rec.alias("value"))
+        .write.mode(mode)
+        .option("lineSep", "\n")
+        .text(path)
+    )

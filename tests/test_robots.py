@@ -31,7 +31,8 @@ class TestParseRobots:
             "USER-AGENT: MegaBot\n"
             "User-agent: testbot\n"  # consecutive UAs share one group
             "DISALLOW : /p3 # trailing comment\n"
-            "Crawl-delay: 10\n"  # unknown key: ignored
+            "Crawl-delay: 10\n"  # kept (politeness extension)
+            "Sitemap: http://h.example.com/s.xml\n"  # unknown: ignored
             "Allow:\n"  # empty path: matches nothing, dropped
             "User-agent: *\n"  # new group
             "Disallow: /x\n"
@@ -44,6 +45,7 @@ class TestParseRobots:
         )
         assert [(r["directive"], r["path"], list(r["agents"])) for r in rows] == [
             ("disallow", "/p3", ["megabot", "testbot"]),
+            ("crawl-delay", "10", ["megabot", "testbot"]),
             ("disallow", "/x", ["*"]),
         ]
         # host is canonicalized (lowercased) so it joins against URL hosts
@@ -344,3 +346,126 @@ class TestParseSitemaps:
         s = plan_summary(out)
         assert s["scans"] == 1 and s["exchanges"] == 0
         assert "EvalPython" not in _plan(out)
+
+
+class TestCrawlDelay:
+    def test_delay_parses_and_group_scopes(self, spark):
+        from docproc_spark.functions.robots import crawl_delays, parse_robots
+
+        rules = parse_robots(spark.createDataFrame(
+            [("a.com", "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n"
+                       "User-agent: fast\nCrawl-delay: 1"),
+             ("b.com", "User-agent: *\nCrawl-delay: soon"),  # non-integer
+             ("c.com", "User-agent: *\nDisallow: /")],      # no delay
+            ["host", "robots_txt"],
+        ))
+        star = {r["host"]: r["delay_s"]
+                for r in crawl_delays(rules, "SomeBot").collect()}
+        assert star == {"a.com": 5}
+        fast = {r["host"]: r["delay_s"]
+                for r in crawl_delays(rules, "fast").collect()}
+        assert fast == {"a.com": 1}  # exact group preempts '*'
+
+    def test_crawl_delay_line_ends_a_user_agent_run(self, spark):
+        from docproc_spark.functions.robots import parse_robots
+
+        # RFC 9309: a non-UA line closes the UA accumulation, so the
+        # second UA opens a NEW group (it must not inherit 'a')
+        body = ("User-agent: a\nCrawl-delay: 9\n"
+                "User-agent: b\nDisallow: /z")
+        rows = parse_robots(spark.createDataFrame(
+            [("h.com", body)], ["host", "robots_txt"]
+        )).collect()
+        by_dir = {r["directive"]: r for r in rows}
+        assert list(by_dir["crawl-delay"]["agents"]) == ["a"]
+        assert list(by_dir["disallow"]["agents"]) == ["b"]
+
+    def test_schedule_slots_and_offsets(self, spark):
+        from docproc_spark.functions.robots import (
+            crawl_schedule,
+            parse_robots,
+        )
+
+        rules = parse_robots(spark.createDataFrame(
+            [("slow.com", "User-agent: *\nCrawl-delay: 10\nDisallow: /no")],
+            ["host", "robots_txt"],
+        ))
+        urls = spark.createDataFrame(
+            [(0, "http://slow.com/a"), (1, "http://slow.com/b"),
+             (2, "http://slow.com/no/x"),  # disallowed: excluded
+             (3, "http://fast.com/a"), (4, "http://fast.com/b")],
+            ["doc_id", "url"],
+        )
+        got = {r["doc_id"]: r
+               for r in crawl_schedule(urls, rules, "bot").collect()}
+        assert 2 not in got  # disallowed URL never scheduled
+        assert (got[0]["slot"], got[0]["fetch_offset_s"]) == (0, 0)
+        assert (got[1]["slot"], got[1]["fetch_offset_s"]) == (1, 10)
+        assert got[1]["delay_s"] == 10
+        # default-delay host: slots advance at 1 s
+        assert (got[3]["fetch_offset_s"], got[4]["fetch_offset_s"]) == (0, 1)
+        assert got[3]["delay_s"] == 1
+
+
+class TestUrlFrontier:
+    def test_probe_update_cycle(self, spark, tmp_path):
+        from docproc_spark.functions.web import (
+            build_url_index,
+            update_url_index,
+            urls_vs_index,
+        )
+
+        path = str(tmp_path / "urlidx")
+        base = spark.createDataFrame(
+            [(0, "http://a.com/p1"), (1, "https://www.B.com/x?utm_s=1")],
+            ["doc_id", "url"],
+        )
+        build_url_index(base, path, n_buckets=16)
+        batch = spark.createDataFrame(
+            [(10, "http://a.com/p1#frag"),   # spelling of a seen URL
+             (11, "https://b.com/x"),        # canonical match of base 1
+             (12, "http://c.com/new"),       # genuinely new
+             (13, "http://C.com/new/")],     # batch-internal duplicate
+            ["doc_id", "url"],
+        )
+        v = {r["doc_id"]: r for r in urls_vs_index(batch, path).collect()}
+        assert v[10]["seen_before"] and not v[10]["keep"]
+        assert v[11]["seen_before"] and not v[11]["keep"]
+        assert v[12]["keep"] and v[12]["first_in_batch"]
+        assert not v[13]["first_in_batch"] and not v[13]["keep"]
+        # update, then the same batch probes as fully seen
+        update_url_index(urls_vs_index(batch, path), path)
+        v2 = urls_vs_index(batch, path).collect()
+        assert all(r["seen_before"] for r in v2)
+        assert not any(r["keep"] for r in v2)
+
+    def test_empty_batch_probes_nothing(self, spark, tmp_path):
+        from docproc_spark.functions.web import build_url_index, urls_vs_index
+
+        path = str(tmp_path / "urlidx2")
+        build_url_index(
+            spark.createDataFrame([(0, "http://a.com/")], ["doc_id", "url"]),
+            path, n_buckets=8,
+        )
+        empty = spark.createDataFrame([], "doc_id long, url string")
+        out = urls_vs_index(empty, path)
+        assert out.count() == 0
+
+    def test_probe_prunes_index_partitions(self, spark, tmp_path):
+        from docproc_spark.functions.web import build_url_index, urls_vs_index
+
+        path = str(tmp_path / "urlidx3")
+        base = spark.createDataFrame(
+            [(i, f"http://h{i}.com/p{i}") for i in range(200)],
+            ["doc_id", "url"],
+        )
+        build_url_index(base, path, n_buckets=64)
+        batch = spark.createDataFrame(
+            [(1000, "http://h3.com/p3")], ["doc_id", "url"]
+        )
+        out = urls_vs_index(batch, path)
+        plan = _plan(out)
+        # the seen/ scan must carry the url_bucket partition predicate
+        assert "url_bucket" in plan
+        row = out.collect()[0]
+        assert row["seen_before"] and not row["keep"]

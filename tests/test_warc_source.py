@@ -399,3 +399,88 @@ def test_warc_roundtrip_hypothesis():
         ]
 
     check()
+
+
+class TestWetExport:
+    """export_wet (sources/writers.py) round-trips through this engine's
+    own WARC parser: conversion records, octet-correct Content-Length,
+    deterministic record ids, multi-shard output."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [("d1", "plain text", "http://a.com/p1"),
+             ("d2", "unicode: café — 30°", "http://b.com/x"),
+             ("d3", None, None),  # NULL text -> empty payload
+             ("d4", "ends with newline\n", "http://c.com/y")],
+            ["doc_id", "markdown", "url"],
+        )
+
+    def test_roundtrip_through_own_parser(self, spark, tmp_path):
+        import glob
+
+        from docproc_spark.sources.warc import warc_record_rows
+        from docproc_spark.sources.writers import export_wet
+
+        out = str(tmp_path / "wet")
+        export_wet(self._docs(spark), out, url_col="url")
+        data = b"".join(
+            open(p, "rb").read()
+            for p in sorted(glob.glob(f"{out}/part-*"))
+        )
+        rows = warc_record_rows(data, "wet")
+        assert [r["parse_error"] for r in rows] == [None] * 4
+        assert all(r["warc_type"] == "conversion" for r in rows)
+        assert all(r["content_type"] == "text/plain" for r in rows)
+        by_url = {r["url"]: r for r in rows}
+        # octet length, not character length (café/— are multi-byte)
+        exp = "unicode: café — 30°".encode()
+        assert by_url["http://b.com/x"]["payload_len"] == len(exp)
+        assert (by_url["http://b.com/x"]["payload_sha256"]
+                == hashlib.sha256(exp).hexdigest())
+        assert by_url[None]["payload_len"] == 0  # NULL text kept, empty
+        # trailing-newline payload survives record framing exactly
+        assert (by_url["http://c.com/y"]["payload_sha256"]
+                == hashlib.sha256(b"ends with newline\n").hexdigest())
+        assert all(r["fetch_time"] == "2024-01-01T00:00:00Z" for r in rows)
+
+    def test_record_ids_deterministic_across_exports(self, spark, tmp_path):
+        import glob
+
+        from docproc_spark.sources.warc import warc_record_rows
+        from docproc_spark.sources.writers import export_wet
+
+        docs = self._docs(spark)
+        ids = []
+        for name in ("w1", "w2"):
+            out = str(tmp_path / name)
+            export_wet(docs, out, url_col="url")
+            data = b"".join(
+                open(p, "rb").read()
+                for p in sorted(glob.glob(f"{out}/part-*"))
+            )
+            rows = warc_record_rows(data, name)
+            ids.append(sorted(r["doc_id"] for r in rows))
+        assert ids[0] == ids[1]
+        assert all(i.startswith("urn:uuid:") for i in ids[0])
+        assert len(set(ids[0])) == 4  # distinct per document
+
+    def test_multi_partition_shards_each_parse(self, spark, tmp_path):
+        import glob
+
+        from docproc_spark.sources.warc import warc_record_rows
+        from docproc_spark.sources.writers import export_wet
+
+        docs = spark.range(50).selectExpr(
+            "cast(id as string) AS doc_id",
+            "repeat('x', cast(id as int)) AS markdown",
+        ).repartition(4)
+        out = str(tmp_path / "sharded")
+        export_wet(docs, out)
+        parts = sorted(glob.glob(f"{out}/part-*"))
+        assert len(parts) == 4  # one shard per partition, executor-written
+        total = 0
+        for p in parts:
+            rows = warc_record_rows(open(p, "rb").read(), p)
+            assert all(r["parse_error"] is None for r in rows)
+            total += len(rows)
+        assert total == 50
