@@ -4596,6 +4596,251 @@ FROM f WHERE loc IS NOT NULL
 """
 
 
+# host synthesis for per-site template removal: 5 hosts, ~2/3 of each
+# host's pages carry that host's nav line (>= the 500-permille default),
+# so the oracle exercises REAL removal (contrast line_dedupe_clean's
+# identity-only corpus).
+_HB_HOST = "'h' || CAST(doc_id % 5 AS STRING) || '.site.com'"
+_HB_TEXT = (
+    f"CASE WHEN doc_id % 3 < 2 THEN 'NAV ' || {_HB_HOST} || chr(10) "
+    f"|| coalesce(text, '') ELSE coalesce(text, '') END"
+)
+
+
+def _host_template_clean(spark, sf):
+    """Per-site template removal (operators/dedupe.strip_host_boilerplate):
+    a trimmed line on >= 500 permille of a host's pages (and >= 2 pages)
+    is that site's chrome and is stripped host-wide. Line counts shuffle
+    on (host, line), host totals on host — no corpus-global frequent
+    set, the 10^12-page shape."""
+    from docproc_spark.operators.dedupe import strip_host_boilerplate
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_HB_HOST} AS host", f"{_HB_TEXT} AS text"
+    )
+    return strip_host_boilerplate(docs)
+
+
+_HOST_TEMPLATE_SQL = f"""
+WITH src AS (
+  SELECT doc_id, {_HB_HOST} AS host, {_HB_TEXT} AS text FROM documents
+), srcs AS (
+  SELECT doc_id, host,
+         string_split(replace(text, chr(13), ''), chr(10)) AS ls
+  FROM src
+), lines AS (
+  SELECT s.doc_id, s.host, u.pos, s.ls[u.pos] AS line
+  FROM srcs s, LATERAL unnest(generate_series(1, len(s.ls))) AS u(pos)
+), hd AS (
+  SELECT host, count(DISTINCT doc_id) AS n_docs FROM src GROUP BY host
+), sight AS (
+  SELECT DISTINCT host, doc_id, trim(line) AS norm
+  FROM lines WHERE trim(line) <> ''
+), boiler AS (
+  SELECT si.host, si.norm
+  FROM sight si JOIN hd USING (host)
+  GROUP BY si.host, si.norm, hd.n_docs
+  HAVING count(*) >= 2 AND count(*) * 1000 >= 500 * hd.n_docs
+)
+SELECT l.doc_id, l.host,
+       coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                FILTER (WHERE b.norm IS NULL), '') AS clean_text,
+       count(*) FILTER (WHERE b.norm IS NOT NULL)::BIGINT AS n_removed
+FROM lines l
+LEFT JOIN boiler b ON l.host = b.host AND trim(l.line) = b.norm
+GROUP BY l.doc_id, l.host
+"""
+
+
+def _url_features(spark, sf):
+    """Crawl-prioritization URL features (functions/web.url_features):
+    depth / path length / query-param count / digit density / extension
+    class on the CANONICAL form. Pure map-side projection — one scan,
+    zero shuffle, no Python (plan-guarded in tests)."""
+    from docproc_spark.functions.web import url_features
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH} AS url"
+    )
+    return url_features(docs)
+
+
+def _url_features_sql() -> str:
+    from docproc_spark.functions.web import MEDIA_EXTENSIONS
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents
+), {_url_canon_ctes()},
+pf AS (
+  SELECT doc_id, url, canonical_url, host, domain,
+         regexp_replace(split_part(split_part(canonical_url, '://', 2),
+                                   '?', 1), '^[^/]*', '') AS path,
+         CASE WHEN instr(canonical_url, '?') > 0
+              THEN substr(canonical_url, instr(canonical_url, '?') + 1)
+              ELSE '' END AS q
+  FROM k
+), sf2 AS (
+  SELECT *, list_filter(string_split(path, '/'), s -> s <> '') AS segs,
+         len(regexp_replace(path, '[^0-9]', '', 'g')) AS n_digits
+  FROM pf
+), ef AS (
+  SELECT *, lower(regexp_extract(coalesce(segs[-1], ''),
+                 '\\.([0-9A-Za-z]{{1,5}})$', 1)) AS ext
+  FROM sf2
+)
+SELECT doc_id, url, canonical_url, host, domain AS reg_domain,
+       len(segs)::INT AS depth,
+       length(path)::INT AS path_len,
+       (CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END)::INT
+         AS n_params,
+       ((n_digits * 1000) // greatest(length(path), 1))::INT
+         AS digit_permille,
+       ext,
+       list_contains({list(MEDIA_EXTENSIONS)!r}, ext) AS is_media
+FROM ef
+"""
+
+
+# soft-404 synthesis: titles that scream 404 (doc_id%11 classes), bodies
+# with the marker up front (%13=3), past the 400-char probe window
+# (%13=7 -> must stay clean), or natural corpus text (marker-free,
+# verified at both scales).
+_S404_TITLE = (
+    "CASE doc_id % 11 WHEN 0 THEN '404 Not Found' "
+    "WHEN 5 THEN 'Oops | Page Not Found | h' || CAST(doc_id % 7 AS STRING) "
+    "ELSE 'Doc ' || CAST(doc_id AS STRING) END"
+)
+_S404_BODY = (
+    "CASE doc_id % 13 "
+    "WHEN 3 THEN 'Sorry, the page you requested could not be located.' "
+    "WHEN 7 THEN repeat('z ', 220) || 'page not found' "
+    "ELSE coalesce(text, '') END"
+)
+
+
+def _soft404(spark, sf):
+    """Soft-404 detection (functions/web.soft404_flags): HTTP-200 error
+    pages flagged by marker substrings in the lowered title or the
+    lowered first 400 body chars; title attribution wins. Map-side only,
+    zero shuffle."""
+    from docproc_spark.functions.web import soft404_flags
+
+    pages = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_S404_TITLE} AS title", f"{_S404_BODY} AS text"
+    )
+    return soft404_flags(pages)
+
+
+def _soft404_sql() -> str:
+    from docproc_spark.functions.web import SOFT404_MARKERS
+
+    t_hit = " OR ".join(
+        f"contains(lower(coalesce(title, '')), '{m}')" for m in SOFT404_MARKERS
+    )
+    b_hit = " OR ".join(
+        f"contains(lower(substr(coalesce(text, ''), 1, 400)), '{m}')"
+        for m in SOFT404_MARKERS
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {_S404_TITLE} AS title, {_S404_BODY} AS text FROM documents
+)
+SELECT doc_id, title, text,
+       (({t_hit}) OR ({b_hit})) AS soft404,
+       CASE WHEN {t_hit} THEN 'title'
+            WHEN {b_hit} THEN 'body' END AS soft404_src
+FROM pages
+"""
+
+
+# frontier synthesis: 15 hosts over 3 registered domains, depth 1-3
+# (%5 classes), sitemap declarations on the even half (disagreeing
+# priorities -> max; NULL priorities and index rows excluded), a 3-row
+# authority table (blog.org at 0 exercises the coalesce-vs-0 identity).
+_FRONTIER_URL = """
+CASE doc_id % 3 WHEN 0 THEN 'http' ELSE 'https' END || '://'
+|| 'h' || CAST(doc_id % 5 AS STRING)
+|| CASE doc_id % 4 WHEN 1 THEN '.sites.net' WHEN 2 THEN '.blog.org'
+   ELSE '.example.com' END
+|| '/a' || CAST(doc_id % 13 AS STRING)
+|| CASE doc_id % 5 WHEN 0 THEN '/deep/deeper' WHEN 1 THEN '/deep' ELSE '' END
+""".strip().replace("\n", " ")
+_FRONTIER_PRIO = "CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.35 END"
+_FRONTIER_AUTH = [
+    ("example.com", 0, 0, 12),
+    ("sites.net", 0, 0, 3),
+    ("blog.org", 0, 0, 0),
+]
+
+
+def _frontier_ranked(spark, sf):
+    """Frontier prioritization (functions/robots.rank_frontier): sitemap
+    declared priority (max per canonical loc, permille), domain authority
+    (distinct referring domains), and URL depth collapsed into one
+    bigint score — lexicographic (priority, authority, shallowness).
+    Two AQE-broadcastable joins, no window."""
+    from docproc_spark.functions.robots import rank_frontier
+
+    docs = _t(spark, sf, "documents")
+    urls = docs.selectExpr("doc_id", f"{_FRONTIER_URL} AS url")
+    entries = docs.where("doc_id % 2 = 0").selectExpr(
+        "doc_id % 20 = 0 AS is_index",
+        f"{_FRONTIER_URL} AS loc",
+        f"{_FRONTIER_PRIO} AS priority",
+    )
+    authority = spark.createDataFrame(
+        _FRONTIER_AUTH,
+        "dst_domain string, n_inlinks long, n_external_inlinks long, "
+        "n_source_domains long",
+    )
+    return rank_frontier(urls, entries, authority)
+
+
+def _frontier_ranked_sql() -> str:
+    auth_rows = ", ".join(
+        f"('{d}', {refs})" for d, _, _, refs in _FRONTIER_AUTH
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_FRONTIER_URL} AS url FROM documents
+), {_url_canon_ctes()},
+feats AS (
+  SELECT doc_id, url, canonical_url, host, domain,
+         len(list_filter(string_split(
+           regexp_replace(split_part(split_part(canonical_url, '://', 2),
+                                     '?', 1), '^[^/]*', ''), '/'),
+           s -> s <> ''))::BIGINT AS depth
+  FROM k
+), smu AS (
+  SELECT doc_id, {_FRONTIER_URL} AS url,
+         (doc_id % 20 = 0) AS is_index, {_FRONTIER_PRIO} AS priority
+  FROM documents WHERE doc_id % 2 = 0
+), {_url_canon_ctes(prefix='m', src='smu', carry=('is_index', 'priority'))},
+prio AS (
+  SELECT canonical_url AS p_url,
+         max(CAST(floor(priority * 1000 + 0.5) AS BIGINT)) AS p_permille
+  FROM mk WHERE NOT is_index AND priority IS NOT NULL
+  GROUP BY 1
+), auth(a_domain, a_refs) AS (
+  VALUES {auth_rows}
+), staged AS (
+  SELECT f.doc_id, f.url, f.canonical_url, f.host,
+         coalesce(p.p_permille, 500)::BIGINT AS prio_permille,
+         coalesce(a.a_refs, 0)::BIGINT AS ref_domains,
+         f.depth
+  FROM feats f
+  LEFT JOIN prio p ON f.canonical_url = p.p_url
+  LEFT JOIN auth a ON f.domain = a.a_domain
+)
+SELECT *,
+       (prio_permille * 1000000000
+        + least(ref_domains, 999999) * 1000
+        + (999 - least(depth, 999)))::BIGINT AS score
+FROM staged
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -4650,6 +4895,10 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_entries": _sitemap_entries,
     "crawl_schedule": _crawl_schedule,
     "url_frontier_new": _url_frontier,
+    "host_template_clean": _host_template_clean,
+    "url_features": _url_features,
+    "soft404_flags": _soft404,
+    "frontier_ranked": _frontier_ranked,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -4706,6 +4955,10 @@ _SPARE_ORACLES: dict[str, str] = {
     "sitemap_entries": _sitemap_entries_sql(),
     "crawl_schedule": _crawl_schedule_sql(),
     "url_frontier_new": _URL_FRONTIER_SQL,
+    "host_template_clean": _HOST_TEMPLATE_SQL,
+    "url_features": _url_features_sql(),
+    "soft404_flags": _soft404_sql(),
+    "frontier_ranked": _frontier_ranked_sql(),
 }
 
 

@@ -340,3 +340,78 @@ def crawl_schedule(
     return staged.withColumn(
         "slot", (F.row_number().over(w) - F.lit(1)).cast("long")
     ).withColumn("fetch_offset_s", F.col("slot") * F.col("delay_s"))
+
+
+def rank_frontier(
+    urls: DataFrame,
+    sitemap_entries: DataFrame,
+    authority: DataFrame,
+    default_priority_permille: int = 500,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frontier prioritization: order candidate URLs by the three signals
+    a crawler has BEFORE fetching — the site's own declared importance
+    (sitemap ``priority``), the web's vote (distinct referring domains,
+    ``domain_authority``), and URL shape (shallow beats deep). The three
+    collapse into ONE bigint so ordering is total, engine-exact and
+    cheap to sort/top-k on:
+
+        score = prio_permille * 10^9
+              + least(ref_domains, 999999) * 10^3
+              + (999 - least(depth, 999))
+
+    i.e. lexicographic (declared priority, authority, shallowness).
+    Sitemap priority joins on the CANONICAL loc (max per loc when
+    sitemaps disagree; permille via floor(p*1000+0.5), exact for
+    sitemaps.org's 1-2 decimal grammar); URLs no sitemap mentions get
+    ``default_priority_permille``. Authority joins on the registered
+    domain of ``domain_authority``'s ``dst_domain`` key; unknown domains
+    count 0.
+
+    Output: (doc_id, url, canonical_url, host, prio_permille,
+    ref_domains, depth, score). Two joins, both against aggregated
+    (small) sides AQE can broadcast; no window — callers top-k or sort,
+    which Spark runs as TakeOrdered without a single-partition exchange.
+    """
+    from docproc_spark.functions.web import canonicalize_url, url_features
+
+    feats = url_features(urls, url_col=url_col, id_col=id_col).select(
+        "doc_id", "url", "canonical_url", "host", "reg_domain", "depth"
+    )
+    prio = (
+        sitemap_entries.where(~F.col("is_index") & F.col("priority").isNotNull())
+        .select(
+            canonicalize_url(F.col("loc")).alias("p_url"),
+            F.floor(F.col("priority") * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("p_permille"),
+        )
+        .groupBy("p_url")
+        .agg(F.max("p_permille").alias("p_permille"))
+    )
+    auth = authority.select(
+        F.col("dst_domain").alias("a_domain"),
+        F.col("n_source_domains").alias("a_refs"),
+    )
+    staged = (
+        feats.join(prio, feats["canonical_url"] == prio["p_url"], "left")
+        .join(auth, feats["reg_domain"] == auth["a_domain"], "left")
+        .select(
+            "doc_id",
+            "url",
+            "canonical_url",
+            "host",
+            F.coalesce(F.col("p_permille"), F.lit(default_priority_permille))
+            .cast("long")
+            .alias("prio_permille"),
+            F.coalesce(F.col("a_refs"), F.lit(0)).cast("long").alias("ref_domains"),
+            F.col("depth").cast("long").alias("depth"),
+        )
+    )
+    score = (
+        F.col("prio_permille") * F.lit(1000000000)
+        + F.least(F.col("ref_domains"), F.lit(999999)) * F.lit(1000)
+        + (F.lit(999) - F.least(F.col("depth"), F.lit(999)))
+    )
+    return staged.withColumn("score", score.cast("long"))

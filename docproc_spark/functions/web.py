@@ -528,3 +528,124 @@ def update_url_index(verdicts: DataFrame, path: str) -> None:
         .partitionBy("url_bucket")
         .parquet(f"{path}/seen")
     )
+
+
+# Extensions whose URLs are media/binary fetches, not HTML pages — the
+# crawl-frontier filter that keeps an extraction pipeline from wasting
+# fetch budget on bytes it will quarantine anyway.
+MEDIA_EXTENSIONS = (
+    "jpg", "jpeg", "png", "gif", "webp", "svg", "ico",
+    "mp3", "mp4", "avi", "mov", "webm", "wav",
+    "zip", "gz", "tar", "rar", "7z",
+    "exe", "dmg", "iso", "css", "js", "woff", "woff2", "ttf",
+)
+
+
+def url_features(
+    urls: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl-prioritization features of a URL — the classic inputs to a
+    frontier classifier (depth and query count anti-correlate with page
+    quality; digit-heavy paths mark calendars/session ids; media
+    extensions never yield text). Everything is computed on the CANONICAL
+    form so spellings of one page get one feature row, and every feature
+    is an integer/boolean/string so engines agree bit-for-bit.
+
+    Output: (doc_id, url, canonical_url, host, reg_domain, depth,
+    path_len, n_params, digit_permille, ext, is_media) —
+      depth          = non-empty path segments ("/" → 0)
+      path_len       = characters in the canonical path
+      n_params       = surviving query params after tracking-param strip
+      digit_permille = 1000 * digits-in-path / path_len (int division)
+      ext            = trailing ".xyz" of the last segment, lowercased,
+                       1-5 alphanumerics (else ''); is_media = ext in
+                       MEDIA_EXTENSIONS.
+
+    Pure map-side projection: one scan, zero shuffle, no Python.
+    """
+    canon = canonicalize_url(F.col(url_col))
+    path = F.regexp_replace(
+        F.substring_index(
+            F.split_part(canon, F.lit("://"), F.lit(2)), "?", 1
+        ),
+        "^[^/]*",
+        "",
+    )
+    seg_arr = F.filter(F.split(path, "/"), lambda s: s != "")
+    q = F.when(
+        F.instr(canon, "?") > 0,
+        F.substr(canon, F.instr(canon, "?") + 1),
+    ).otherwise(F.lit(""))
+    n_params = F.when(q == "", F.lit(0)).otherwise(
+        F.size(F.split(q, "&"))
+    )
+    digits = F.length(F.regexp_replace(path, "[^0-9]", ""))
+    last_seg = F.element_at(F.concat(F.array(F.lit("")), seg_arr), -1)
+    ext = F.lower(F.regexp_extract(last_seg, r"\.([0-9A-Za-z]{1,5})$", 1))
+    return urls.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        canon.alias("canonical_url"),
+        url_host(F.col(url_col)).alias("host"),
+        registered_domain(F.col(url_col)).alias("reg_domain"),
+        F.size(seg_arr).cast("int").alias("depth"),
+        F.length(path).cast("int").alias("path_len"),
+        n_params.cast("int").alias("n_params"),
+        (digits * 1000 / F.greatest(F.length(path), F.lit(1)))
+        .cast("int")
+        .alias("digit_permille"),
+        ext.alias("ext"),
+        ext.isin(*MEDIA_EXTENSIONS).alias("is_media"),
+    )
+
+
+# Lowercased substrings that mark an HTTP-200 page as a de-facto error
+# page ("soft 404"). Substring containment, not regex — the check must
+# read identically in every engine, and these phrases are distinctive
+# enough that word boundaries add nothing.
+SOFT404_MARKERS = (
+    "page not found",
+    "404 not found",
+    "error 404",
+    "no longer exists",
+    "page unavailable",
+    "page you requested",
+    "page does not exist",
+)
+
+
+def soft404_flags(
+    pages: DataFrame,
+    title_col: str = "title",
+    text_col: str = "text",
+    probe_chars: int = 400,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft-404 detection: servers that answer missing URLs with HTTP 200
+    and an apology page poison a crawl corpus (every dead link on a big
+    site becomes one more copy of the same non-page). Heuristic: any
+    SOFT404_MARKER as a substring of the lowercased title, or of the
+    lowercased first ``probe_chars`` characters of the body (error pages
+    say so up front; probing the full body would flag articles ABOUT 404
+    pages). Adds (soft404, soft404_src ∈ {'title','body',NULL}).
+
+    Map-side only — one scan, zero shuffle, no Python; NULL title/text
+    probe as empty.
+    """
+    title_l = F.lower(F.coalesce(F.col(title_col), F.lit("")))
+    head_l = F.lower(
+        F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, probe_chars)
+    )
+    t_hit = F.lit(False)
+    b_hit = F.lit(False)
+    for m in SOFT404_MARKERS:
+        t_hit = t_hit | title_l.contains(m)
+        b_hit = b_hit | head_l.contains(m)
+    return pages.withColumns(
+        {
+            "soft404": t_hit | b_hit,
+            "soft404_src": F.when(t_hit, F.lit("title")).when(
+                b_hit, F.lit("body")
+            ),
+        }
+    )

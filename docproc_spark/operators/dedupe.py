@@ -514,6 +514,97 @@ def drop_repeated_lines(
     )
 
 
+def strip_host_boilerplate(
+    docs: DataFrame,
+    min_frac_permille: int = 500,
+    min_pages: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-SITE template removal, the host-scoped complement of
+    ``drop_repeated_lines``: a line (trimmed) that appears in ≥
+    ``min_frac_permille``/1000 of a host's documents (and in ≥
+    ``min_pages`` of them) is that site's chrome — nav, footer, cookie
+    banner — and is stripped from every page of the host. Corpus-rare
+    hosts with one page keep everything (min_pages); the threshold is
+    integer permille arithmetic so verdicts are engine-exact. A line is
+    counted once per DOCUMENT (a page repeating its own nav twice is one
+    sighting). Returns (doc_id, host, clean_text, n_removed) — surviving
+    original lines rejoined "\\n" in order.
+
+    Plan: per-host document totals are one tiny groupBy; line sightings
+    are distinct (host, doc, line) then a (host, line) count — both
+    shuffle ON HOST(+line), so a 10^12-page corpus shards by site and no
+    global frequent-set broadcast is needed (contrast
+    ``drop_repeated_lines``, whose frequent set is corpus-global). The
+    boiler set per host is small (chrome lines), AQE broadcasts the
+    flagging join when it fits. Same CR-strip as drop_repeated_lines.
+    """
+    if not 0 <= min_frac_permille <= 1000:
+        raise ValueError("min_frac_permille must be in [0, 1000]")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.col(text_col).alias("text"),
+    )
+    host_docs = base.groupBy("host").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    lines = base.select(
+        "doc_id",
+        "host",
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\r", ""),
+                "\n",
+            )
+        ).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    sightings = (
+        lines.filter(norm != "")
+        .select("host", "doc_id", norm.alias("norm"))
+        .distinct()
+    )
+    boiler = (
+        sightings.groupBy("host", "norm")
+        .agg(F.count("*").alias("n_with"))
+        .join(host_docs, "host")
+        .filter(
+            (F.col("n_with") >= min_pages)
+            & (F.col("n_with") * 1000 >= min_frac_permille * F.col("n_docs"))
+        )
+        .select(F.col("host").alias("b_host"), F.col("norm").alias("b_norm"))
+    )
+    flagged = lines.join(
+        boiler,
+        (F.col("host") == F.col("b_host")) & (norm == F.col("b_norm")),
+        "left",
+    ).select(
+        "doc_id",
+        "host",
+        "pos",
+        "line",
+        F.col("b_norm").isNotNull().alias("is_boiler"),
+    )
+    kept_lines = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("is_boiler"),
+                    F.struct(F.col("pos").alias("pos"), F.col("line").alias("line")),
+                )
+            )
+        ),
+        lambda s: s["line"],
+    )
+    return flagged.groupBy("doc_id", "host").agg(
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+    )
+
+
 def repeated_window_fraction(
     docs: DataFrame,
     window: int = 16,

@@ -7,6 +7,9 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from docproc_spark.plans import plan_summary
+from docproc_spark.plans.explain import executed_plan as _plan
+
 
 def test_salted_ordered_concat_equals_direct(spark):
     from docproc_spark.operators.salting import salted_ordered_concat
@@ -2791,3 +2794,182 @@ def test_normalize_unicode(spark):
     assert nfkc[6].norm_text == "file" and nfkc[6].n_cp_delta == -1
     with pytest.raises(ValueError):
         normalize_unicode(df, form="NFC2")
+
+
+class TestStripHostBoilerplate:
+    def test_host_scoped_template_removal(self, spark):
+        from docproc_spark.operators.dedupe import strip_host_boilerplate
+
+        nav = "Home | About | Contact"
+        df = spark.createDataFrame(
+            [(0, "a.com", f"{nav}\nArticle one body"),
+             (1, "a.com", f"{nav}\nArticle two body"),
+             (2, "a.com", "No nav on this page"),
+             # same nav line on ANOTHER host below threshold (1 of 2 docs
+             # at 60% permille=600): kept there
+             (3, "b.com", f"{nav}\nB article"),
+             (4, "b.com", "B other page")],
+            ["doc_id", "host", "text"],
+        )
+        got = {r["doc_id"]: r.asDict()
+               for r in strip_host_boilerplate(
+                   df, min_frac_permille=600).collect()}
+        assert got[0]["clean_text"] == "Article one body"
+        assert got[1]["clean_text"] == "Article two body"
+        assert got[0]["n_removed"] == 1
+        assert got[2]["clean_text"] == "No nav on this page"
+        # b.com: 1/2 docs = 500 permille < 600 -> nav survives
+        assert got[3]["clean_text"] == f"{nav}\nB article"
+        assert got[3]["n_removed"] == 0
+
+    def test_min_pages_guards_single_page_hosts(self, spark):
+        from docproc_spark.operators.dedupe import strip_host_boilerplate
+
+        df = spark.createDataFrame(
+            [(0, "solo.com", "only line\nbody")], ["doc_id", "host", "text"]
+        )
+        # 1/1 docs = 1000 permille passes the frac test; min_pages=2 must
+        # still keep everything
+        row = strip_host_boilerplate(df, min_frac_permille=500).collect()[0]
+        assert row["clean_text"] == "only line\nbody"
+        assert row["n_removed"] == 0
+
+    def test_within_doc_repeats_count_once(self, spark):
+        from docproc_spark.operators.dedupe import strip_host_boilerplate
+
+        # doc 0 repeats the line 3 times internally; only 1 of 3 docs
+        # carries it -> 333 permille < 500 -> kept everywhere
+        df = spark.createDataFrame(
+            [(0, "h.com", "x\nx\nx"), (1, "h.com", "a"), (2, "h.com", "b")],
+            ["doc_id", "host", "text"],
+        )
+        got = {r["doc_id"]: r["n_removed"]
+               for r in strip_host_boilerplate(df).collect()}
+        assert got == {0: 0, 1: 0, 2: 0}
+
+    def test_crlf_and_blank_lines_survive(self, spark):
+        from docproc_spark.operators.dedupe import strip_host_boilerplate
+
+        df = spark.createDataFrame(
+            [(0, "h.com", "nav\r\n\r\nbody A"), (1, "h.com", "nav\n\nbody B")],
+            ["doc_id", "host", "text"],
+        )
+        got = {r["doc_id"]: r.asDict()
+               for r in strip_host_boilerplate(df).collect()}
+        assert got[0]["clean_text"] == "\nbody A"
+        assert got[1]["clean_text"] == "\nbody B"
+
+
+class TestUrlFeatures:
+    def test_features_on_canonical_form(self, spark):
+        from docproc_spark.functions.web import url_features
+
+        df = spark.createDataFrame(
+            [(0, "http://a.com"),
+             (1, "https://WWW.B.com/x/y/IMG_1234.JPG?utm_source=1&b=2"),
+             (2, "http://c.com/a/b/c/?q=1&p=2"),
+             (3, "http://d.com/2024/01/05/post.html#frag")],
+            ["doc_id", "url"],
+        )
+        got = {r["doc_id"]: r.asDict() for r in url_features(df).collect()}
+        assert (got[0]["depth"], got[0]["path_len"], got[0]["ext"]) == (0, 1, "")
+        # tracking param stripped before counting; media ext detected
+        assert (got[1]["n_params"], got[1]["ext"], got[1]["is_media"]) == (
+            1, "jpg", True)
+        assert got[1]["digit_permille"] == 1000 * 4 // len("/x/y/IMG_1234.JPG")
+        # trailing slash trimmed: depth 3, params sorted+counted
+        assert (got[2]["depth"], got[2]["n_params"]) == (3, 2)
+        assert (got[3]["depth"], got[3]["ext"], got[3]["is_media"]) == (
+            4, "html", False)
+
+    def test_map_side_only(self, spark):
+        from docproc_spark.functions.web import url_features
+
+        df = spark.range(10).selectExpr(
+            "id AS doc_id", "concat('http://h', id, '.com/p') AS url"
+        )
+        out = url_features(df)
+        s = plan_summary(out)
+        assert s["exchanges"] == 0
+        assert "EvalPython" not in _plan(out)
+
+
+class TestSoft404:
+    def test_title_beats_body_and_probe_window(self, spark):
+        from docproc_spark.functions.web import soft404_flags
+
+        long_pad = "y" * 500
+        df = spark.createDataFrame(
+            [(0, "Home", "welcome"),
+             (1, "404 Not Found", "page not found"),   # both: title wins
+             (2, "Article", "The page you requested is gone"),
+             (3, "Deep", long_pad + "page not found"),  # past probe: clean
+             (4, None, None)],
+            ["doc_id", "title", "text"],
+        )
+        got = {r["doc_id"]: (r["soft404"], r["soft404_src"])
+               for r in soft404_flags(df).collect()}
+        assert got == {0: (False, None), 1: (True, "title"),
+                       2: (True, "body"), 3: (False, None), 4: (False, None)}
+
+    def test_zero_shuffle(self, spark):
+        from docproc_spark.functions.web import soft404_flags
+
+        df = spark.range(5).selectExpr(
+            "cast(id AS string) AS doc_id", "'t' AS title", "'b' AS text"
+        )
+        out = soft404_flags(df)
+        assert plan_summary(out)["exchanges"] == 0
+
+
+class TestRankFrontier:
+    def _inputs(self, spark):
+        urls = spark.createDataFrame(
+            [(0, "http://a.com/top"),          # sitemap prio 900
+             (1, "http://a.com/deep/x/y/z"),   # default prio, same domain
+             (2, "http://b.com/page"),         # authority 7
+             (3, "http://c.com/page")],        # nothing known
+            ["doc_id", "url"],
+        )
+        entries = spark.createDataFrame(
+            [("http://a.com/s.xml", False, "http://a.com/top", None, None, 0.9),
+             # a second sitemap disagrees: max wins
+             ("http://a.com/s2.xml", False, "http://a.com/top", None, None, 0.5),
+             # index rows never carry page priority
+             ("http://a.com/s.xml", True, "http://a.com/child.xml", None, None, 1.0)],
+            "sitemap_url string, is_index boolean, loc string, "
+            "lastmod string, changefreq string, priority double",
+        )
+        authority = spark.createDataFrame(
+            [("b.com", 9, 8, 7)],
+            "dst_domain string, n_inlinks long, n_external_inlinks long, "
+            "n_source_domains long",
+        )
+        return urls, entries, authority
+
+    def test_score_composition_and_ordering(self, spark):
+        from docproc_spark.functions.robots import rank_frontier
+
+        urls, entries, authority = self._inputs(spark)
+        got = {r["doc_id"]: r.asDict()
+               for r in rank_frontier(urls, entries, authority).collect()}
+        assert got[0]["prio_permille"] == 900  # max(0.9, 0.5) -> 900
+        assert got[0]["score"] == 900 * 10**9 + 0 + (999 - 1)
+        assert got[2]["ref_domains"] == 7
+        assert got[2]["score"] == 500 * 10**9 + 7000 + (999 - 1)
+        assert got[3]["score"] == 500 * 10**9 + 0 + (999 - 1)
+        # declared priority dominates authority dominates shallowness
+        order = [d for d, _ in sorted(
+            ((d, r["score"]) for d, r in got.items()),
+            key=lambda t: -t[1])]
+        assert order == [0, 2, 3, 1]
+
+    def test_topk_has_no_single_partition_exchange(self, spark):
+        from docproc_spark.functions.robots import rank_frontier
+
+        urls, entries, authority = self._inputs(spark)
+        out = rank_frontier(urls, entries, authority).orderBy(
+            F.desc("score"), "canonical_url").limit(2)
+        plan = _plan(out)
+        assert "TakeOrderedAndProject" in plan
+        assert "SinglePartition" not in plan
