@@ -4841,6 +4841,156 @@ FROM staged
 """
 
 
+# ---------------------------------------------------------------------------
+# spares — interleaved-span analytics (operators/interleave.py) + recrawl
+# ---------------------------------------------------------------------------
+_TEXTUAL_IN_SQL = ("'code','equation','footer','handwriting','header',"
+                   "'table','text','unclassified'")
+_MEDIA_IN_SQL = "'figure','image'"
+_SPAN_UNNEST = f"""
+d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')),
+s AS (SELECT doc_id, u.pos - 1 AS pos, spans[u.pos].kind AS kind,
+             spans[u.pos].text AS text, spans[u.pos].media_ref AS media_ref
+      FROM d, LATERAL unnest(generate_series(1, len(spans))) AS u(pos))"""
+
+
+def _media_context(spark, sf):
+    from docproc_spark.operators.interleave import media_context
+
+    return media_context(_staged(spark))
+
+
+_MEDIA_CONTEXT_SQL = f"""
+WITH {_SPAN_UNNEST},
+w AS (
+  SELECT doc_id, pos, kind, media_ref,
+    last_value(CASE WHEN kind IN ({_TEXTUAL_IN_SQL}) AND text IS NOT NULL
+                    THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_text,
+    first_value(CASE WHEN kind IN ({_TEXTUAL_IN_SQL}) AND text IS NOT NULL
+                     THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS after_text
+  FROM s)
+SELECT doc_id, pos, media_ref, before_text, after_text
+FROM w WHERE kind IN ({_MEDIA_IN_SQL})
+"""
+
+
+def _interleave_stats(spark, sf):
+    from docproc_spark.operators.interleave import interleave_stats
+
+    return interleave_stats(_staged(spark))
+
+
+_INTERLEAVE_STATS_SQL = f"""
+WITH {_SPAN_UNNEST},
+m AS (SELECT doc_id, pos,
+             CASE WHEN kind IN ({_TEXTUAL_IN_SQL}) THEN 'T'
+                  WHEN kind IN ({_MEDIA_IN_SQL}) THEN 'M' END AS md
+      FROM s),
+mm AS (SELECT doc_id, md,
+              row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+            - row_number() OVER (PARTITION BY doc_id, md ORDER BY pos) AS grp
+       FROM m WHERE md IS NOT NULL),
+runs AS (SELECT doc_id, md, grp, count(*) AS rl FROM mm GROUP BY 1, 2, 3),
+runstats AS (SELECT doc_id, count(*) AS n_runs,
+                    coalesce(max(rl) FILTER (WHERE md = 'T'), 0) AS max_text_run,
+                    coalesce(max(rl) FILTER (WHERE md = 'M'), 0) AS max_media_run
+             FROM runs GROUP BY 1),
+counts AS (SELECT doc_id,
+                  count(*) FILTER (WHERE md = 'T') AS n_text,
+                  count(*) FILTER (WHERE md = 'M') AS n_media,
+                  min(pos) FILTER (WHERE md = 'M') AS first_media_pos
+           FROM m GROUP BY 1),
+base AS (SELECT doc_id, coalesce(len(spans), 0) AS n_spans FROM d)
+SELECT b.doc_id, b.n_spans::BIGINT AS n_spans,
+       coalesce(c.n_text, 0)::BIGINT AS n_text,
+       coalesce(c.n_media, 0)::BIGINT AS n_media,
+       CASE WHEN b.n_spans > 0
+            THEN CAST(floor((1000 * coalesce(c.n_media, 0)) / b.n_spans) AS BIGINT)
+       END AS media_permille,
+       coalesce(r.n_runs, 0)::BIGINT AS n_runs,
+       coalesce(r.max_text_run, 0)::BIGINT AS max_text_run,
+       coalesce(r.max_media_run, 0)::BIGINT AS max_media_run,
+       c.first_media_pos::BIGINT AS first_media_pos
+FROM base b
+LEFT JOIN counts c USING (doc_id)
+LEFT JOIN runstats r USING (doc_id)
+"""
+
+
+def _section_rollup(spark, sf):
+    from docproc_spark.operators.interleave import section_rollup
+
+    return section_rollup(_staged(spark))
+
+
+_SECTION_ROLLUP_SQL = f"""
+WITH {_SPAN_UNNEST},
+w AS (
+  SELECT doc_id, pos, kind, text,
+    last_value(CASE WHEN kind = 'header' AND text IS NOT NULL
+                    THEN pos END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hdr_pos,
+    last_value(CASE WHEN kind = 'header' AND text IS NOT NULL
+                    THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hdr_text
+  FROM s)
+SELECT doc_id, coalesce(hdr_pos, -1)::BIGINT AS sec_pos, hdr_text AS section,
+       count(*)::BIGINT AS n_spans, sum(length(text))::BIGINT AS n_chars
+FROM w
+WHERE kind IN ({_TEXTUAL_IN_SQL}) AND kind <> 'header' AND text IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def _recrawl_latest(spark, sf):
+    """Recrawl snapshots synthesized from documents: 200 distinct URLs
+    (doc_id mod 5 × mod 40), fetch_ts = doc_id, every third capture the
+    same 'stable' payload so changed=false paths are exercised."""
+    from docproc_spark.functions.web import latest_captures
+
+    caps = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://s"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("url"),
+        F.col("doc_id").alias("fetch_ts"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("stable"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return latest_captures(caps)
+
+
+_RECRAWL_SQL = """
+WITH caps AS (
+  SELECT 'https://s' || (doc_id % 5) || '.example.com/p/' || (doc_id % 40) AS url,
+         doc_id AS ts,
+         md5(CASE WHEN doc_id % 3 = 0 THEN 'stable' ELSE text END) AS payload_sha
+  FROM documents),
+w AS (
+  SELECT url, ts, payload_sha,
+    lag(payload_sha) OVER (PARTITION BY url ORDER BY ts, payload_sha) AS prev_sha,
+    (lag(1) OVER (PARTITION BY url ORDER BY ts, payload_sha)) IS NOT NULL AS has_prev,
+    row_number() OVER (PARTITION BY url ORDER BY ts DESC, payload_sha DESC) AS rn,
+    count(*) OVER (PARTITION BY url) AS n_captures,
+    count(DISTINCT payload_sha) OVER (PARTITION BY url) AS n_distinct_payloads
+  FROM caps)
+SELECT url, ts AS last_ts, n_captures::BIGINT AS n_captures,
+       n_distinct_payloads::BIGINT AS n_distinct_payloads, payload_sha,
+       CASE WHEN has_prev
+            THEN NOT (payload_sha IS NOT DISTINCT FROM prev_sha) END AS changed
+FROM w WHERE rn = 1
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -4899,6 +5049,10 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_features": _url_features,
     "soft404_flags": _soft404,
     "frontier_ranked": _frontier_ranked,
+    "media_context": _media_context,
+    "interleave_stats": _interleave_stats,
+    "section_rollup": _section_rollup,
+    "recrawl_latest": _recrawl_latest,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -4959,6 +5113,10 @@ _SPARE_ORACLES: dict[str, str] = {
     "url_features": _url_features_sql(),
     "soft404_flags": _soft404_sql(),
     "frontier_ranked": _frontier_ranked_sql(),
+    "media_context": _MEDIA_CONTEXT_SQL,
+    "interleave_stats": _INTERLEAVE_STATS_SQL,
+    "section_rollup": _SECTION_ROLLUP_SQL,
+    "recrawl_latest": _RECRAWL_SQL,
 }
 
 

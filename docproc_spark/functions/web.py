@@ -649,3 +649,69 @@ def soft404_flags(
             ),
         }
     )
+
+
+def latest_captures(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recrawl snapshot dedupe + change detection.
+
+    A continuous crawl captures the same URL many times (CommonCrawl
+    publishes ~monthly snapshots; a frontier recrawls hot pages daily).
+    Training corpora keep ONE capture per URL — the latest — but the
+    change signal matters too: pages whose payload never changes are
+    template/chrome candidates, and the changed-fraction per host drives
+    recrawl scheduling.
+
+    Output, one row per distinct URL:
+      url, last_ts            the latest capture (ties on ts broken by
+                              the lexicographically greatest payload
+                              hash, so the keeper is deterministic even
+                              on duplicate timestamps)
+      n_captures              total captures of the URL
+      n_distinct_payloads     distinct non-NULL payload hashes seen
+      payload_sha             md5 of the kept capture's payload
+      changed                 latest payload differs from the previous
+                              capture's (NULL when there is no previous
+                              capture; NULL-safe comparison, so NULL→NULL
+                              payloads count as unchanged)
+
+    ONE exchange: every column is a window over partitionBy(url). At
+    crawl scale the URL key is near-unique-per-group (captures per URL ≪
+    rows), so the shuffle is as balanced as the corpus itself; no
+    collect, no Python.
+    """
+    h = F.md5(F.col(text_col)).alias("payload_sha")
+    asc = Window.partitionBy("url").orderBy(
+        F.col("ts").asc(), F.col("payload_sha").asc()
+    )
+    desc = Window.partitionBy("url").orderBy(
+        F.col("ts").desc(), F.col("payload_sha").desc()
+    )
+    full = Window.partitionBy("url")
+    d = (
+        captures.select(F.col(url_col).alias("url"), F.col(ts_col).alias("ts"), h)
+        .withColumn("prev_sha", F.lag("payload_sha").over(asc))
+        .withColumn("has_prev", F.lag(F.lit(1)).over(asc).isNotNull())
+        .withColumn("rn", F.row_number().over(desc))
+        .withColumn("n_captures", F.count(F.lit(1)).over(full))
+        .withColumn(
+            "n_distinct_payloads",
+            F.size(F.collect_set("payload_sha").over(full)).cast("bigint"),
+        )
+    )
+    return d.where(F.col("rn") == 1).select(
+        "url",
+        F.col("ts").alias("last_ts"),
+        F.col("n_captures").cast("bigint").alias("n_captures"),
+        "n_distinct_payloads",
+        "payload_sha",
+        F.when(
+            F.col("has_prev"), ~F.col("payload_sha").eqNullSafe(F.col("prev_sha"))
+        ).alias(
+            "changed"
+        ),
+    )

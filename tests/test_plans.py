@@ -372,3 +372,72 @@ def test_curate_web_single_shuffle(spark, tmp_path):
     assert "EvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
     assert re.search(r"hashpartitioning\(canonical_url", plan)
+
+
+def test_interleave_ops_zero_shuffle(spark, tmp_path):
+    """media_context / interleave_stats are in-row O(n) folds over the
+    span array: one scan, ZERO exchanges, no Python — the shape that
+    scales linearly with executors at any corpus size."""
+    from docproc_spark.operators.interleave import interleave_stats, media_context
+
+    src = str(tmp_path / "spans")
+    spark.createDataFrame(
+        [(i, [("text", f"t{i}", None, 0, 0), ("image", None, f"m{i}", 0, 1)])
+         for i in range(50)],
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,page:int,offset:int>>",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    for op in (media_context, interleave_stats):
+        out = op(docs)
+        s = plan_summary(out)
+        assert s["scans"] == 1, op.__name__
+        assert s["exchanges"] == 0, f"{op.__name__} must not shuffle"
+        plan = _plan(out)
+        assert "EvalPython" not in plan, f"{op.__name__} must stay JVM-side"
+
+
+def test_section_rollup_single_exchange(spark, tmp_path):
+    """section_rollup shuffles ONCE on doc_id for the running-header
+    window; the (doc_id, sec_pos, section) groupBy reuses that
+    hashpartitioning(doc_id) — partitioning on a subset of the group key
+    satisfies the aggregation's clustering — so no second exchange."""
+    from docproc_spark.operators.interleave import section_rollup
+
+    src = str(tmp_path / "spans2")
+    spark.createDataFrame(
+        [(i, [("header", f"h{i}", None, 0, 0), ("text", f"t{i}", None, 0, 1)])
+         for i in range(50)],
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,page:int,offset:int>>",
+    ).write.parquet(src)
+    out = section_rollup(spark.read.parquet(src))
+    s = plan_summary(out)
+    assert s["scans"] == 1
+    assert s["exchanges"] == 1, "section_rollup must shuffle exactly once"
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(doc_id", plan)
+
+
+def test_latest_captures_single_exchange(spark, tmp_path):
+    """latest_captures is all windows over partitionBy(url): one scan,
+    ONE exchange keyed on url, no joins, no Python."""
+    from docproc_spark.functions.web import latest_captures
+
+    src = str(tmp_path / "caps")
+    spark.createDataFrame(
+        [(f"https://h{i % 9}.com/p{i % 17}", i, f"payload {i % 4}")
+         for i in range(120)],
+        "url string, fetch_ts long, text string",
+    ).write.parquet(src)
+    out = latest_captures(spark.read.parquet(src))
+    s = plan_summary(out)
+    assert s["scans"] == 1
+    assert s["exchanges"] == 1, "latest_captures must shuffle exactly once"
+    assert s["sort_merge_joins"] == 0 and s["broadcast_joins"] == 0
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(url", plan)
