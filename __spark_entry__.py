@@ -4991,6 +4991,230 @@ FROM w WHERE rn = 1
 """
 
 
+# Full-width span unnest (all five struct fields) for the template-media
+# fingerprint oracle; _SPAN_UNNEST above only carries kind/text/media_ref.
+_SPAN_UNNEST_FULL = f"""
+d AS (SELECT doc_id, spans FROM read_parquet('{SPAN_CORPUS_PATH}')),
+s AS (SELECT doc_id, u.pos - 1 AS pos, spans[u.pos].kind AS kind,
+             spans[u.pos].text AS text, spans[u.pos].media_ref AS media_ref,
+             spans[u.pos].page AS page, spans[u.pos]."offset" AS "offset"
+      FROM d, LATERAL unnest(generate_series(1, len(spans))) AS u(pos))"""
+
+
+def _media_frequency(spark, sf):
+    from docproc_spark.operators.interleave import media_frequency
+
+    return media_frequency(_staged(spark))
+
+
+_MEDIA_FREQUENCY_SQL = f"""
+WITH {_SPAN_UNNEST},
+media AS (SELECT doc_id, pos, media_ref FROM s
+          WHERE kind IN ({_MEDIA_IN_SQL}) AND media_ref IS NOT NULL),
+counts AS (SELECT media_ref, count(*) AS n_spans,
+                  count(DISTINCT doc_id) AS n_docs
+           FROM media GROUP BY 1),
+firsts AS (SELECT media_ref, doc_id, pos,
+                  row_number() OVER (PARTITION BY media_ref
+                                     ORDER BY doc_id, pos) AS rn
+           FROM media)
+SELECT c.media_ref, c.n_spans::BIGINT AS n_spans, c.n_docs::BIGINT AS n_docs,
+       f.doc_id AS first_doc, f.pos::BIGINT AS first_pos
+FROM counts c JOIN firsts f USING (media_ref) WHERE f.rn = 1
+"""
+
+
+def _template_media_clean(spark, sf):
+    """strip_template_media on the staged span corpus, fingerprinted: the
+    surviving span SEQUENCE hashes to one md5 per doc (fields joined with
+    chr(31), spans with chr(30), NULLs as '␀') so the oracle compares
+    order + every field without shipping array<struct> across engines."""
+    from docproc_spark.operators.interleave import strip_template_media
+
+    out = strip_template_media(_staged(spark), min_docs=2)
+    rec = (
+        "transform(spans, s -> concat_ws(char(31),"
+        " coalesce(s.kind, '␀'), coalesce(s.text, '␀'),"
+        " coalesce(s.media_ref, '␀'),"
+        " coalesce(CAST(s.page AS STRING), '␀'),"
+        " coalesce(CAST(s.offset AS STRING), '␀')))"
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(F.size("spans").cast("bigint"))
+        .alias("n_spans"),
+        "n_removed",
+        F.when(F.col("spans").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.md5(F.array_join(F.expr(rec), "")))
+        .alias("spans_sha"),
+    )
+
+
+_TEMPLATE_MEDIA_SQL = f"""
+WITH {_SPAN_UNNEST_FULL},
+tmpl AS (SELECT media_ref FROM s
+         WHERE kind IN ({_MEDIA_IN_SQL}) AND media_ref IS NOT NULL
+         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT s.doc_id, s.pos, s.kind, s.text, s.media_ref, s.page,
+                s."offset"
+         FROM s LEFT JOIN tmpl t
+           ON s.media_ref = t.media_ref AND s.kind IN ({_MEDIA_IN_SQL})
+         WHERE t.media_ref IS NULL),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               md5(coalesce(string_agg(
+                 coalesce(kind, '␀') || chr(31) || coalesce(text, '␀')
+                 || chr(31) || coalesce(media_ref, '␀')
+                 || chr(31) || coalesce(page::VARCHAR, '␀')
+                 || chr(31) || coalesce("offset"::VARCHAR, '␀'),
+                 chr(30) ORDER BY pos), '')) AS spans_sha
+        FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, len(spans) AS n0, spans IS NULL AS no_spans FROM d)
+SELECT t.doc_id,
+       (CASE WHEN t.no_spans THEN NULL
+             ELSE coalesce(a.n_kept, 0) END)::BIGINT AS n_spans,
+       (CASE WHEN t.no_spans THEN 0
+             ELSE t.n0 - coalesce(a.n_kept, 0) END)::BIGINT AS n_removed,
+       CASE WHEN t.no_spans THEN NULL
+            ELSE coalesce(a.spans_sha, md5('')) END AS spans_sha
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _multimodal_shards(spark, sf):
+    """pack_multimodal: per-doc cost = whitespace tokens over textual
+    spans + 576 visual tokens per media span, serpentine-dealt across 8
+    shards in (cost DESC, doc_id) order via the range-bucketed exact
+    global rank — interleaved docs are never split across sequences."""
+    from docproc_spark.operators.interleave import pack_multimodal
+
+    return pack_multimodal(_staged(spark), 8, image_tokens=576)
+
+
+_MULTIMODAL_SHARDS_SQL = f"""
+WITH {_SPAN_UNNEST},
+costs AS (
+  SELECT doc_id, sum(CASE
+    WHEN kind IN ({_MEDIA_IN_SQL}) THEN 576
+    WHEN kind IN ({_TEXTUAL_IN_SQL}) AND text IS NOT NULL THEN
+      len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
+                      t -> t <> ''))
+    ELSE 0 END) AS cost
+  FROM s GROUP BY 1),
+t AS (SELECT d.doc_id, coalesce(c.cost, 0)::BIGINT AS cost
+      FROM d LEFT JOIN costs c USING (doc_id)),
+r AS (SELECT doc_id, cost,
+             row_number() OVER (ORDER BY cost DESC, doc_id) AS rank
+      FROM t)
+SELECT doc_id, cost, rank::BIGINT AS rank,
+       (CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+             ELSE 7 - ((rank - 1) % 8) END)::BIGINT AS shard
+FROM r
+"""
+
+
+def _caption_pairs(spark, sf):
+    """mine_caption_pairs on the staged span corpus, token-gated to
+    [8, 16] — chosen against the corpus's caption-length distribution
+    (6..18 tokens) so all three paths do real work here: before-side
+    wins, before-fails-after-qualifies, and both-fail-no-pair."""
+    from docproc_spark.operators.interleave import mine_caption_pairs
+
+    return mine_caption_pairs(_staged(spark), min_tokens=8, max_tokens=16)
+
+
+_NTOK_SQL = (
+    "len(list_filter(regexp_split_to_array(trim({col}), '[ \t\n\x0b\f\r]+'),"
+    " t -> t <> ''))"
+)
+
+_CAPTION_PAIRS_SQL = f"""
+WITH {_SPAN_UNNEST},
+w AS (
+  SELECT doc_id, pos, kind, media_ref,
+    last_value(CASE WHEN kind IN ({_TEXTUAL_IN_SQL}) AND text IS NOT NULL
+                    THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_text,
+    first_value(CASE WHEN kind IN ({_TEXTUAL_IN_SQL}) AND text IS NOT NULL
+                     THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS after_text
+  FROM s),
+g AS (
+  SELECT doc_id, pos, media_ref, before_text, after_text,
+         {_NTOK_SQL.format(col='before_text')} AS nb,
+         {_NTOK_SQL.format(col='after_text')} AS na
+  FROM w WHERE kind IN ({_MEDIA_IN_SQL}) AND media_ref IS NOT NULL),
+j AS (
+  SELECT *, (before_text IS NOT NULL AND nb BETWEEN 8 AND 16) AS ok_b,
+            (after_text IS NOT NULL AND na BETWEEN 8 AND 16) AS ok_a
+  FROM g)
+SELECT doc_id, pos, media_ref,
+       CASE WHEN ok_b THEN before_text ELSE after_text END AS caption,
+       (CASE WHEN ok_b THEN nb ELSE na END)::BIGINT AS n_tokens,
+       CASE WHEN ok_b THEN 'before' ELSE 'after' END AS side
+FROM j WHERE ok_b OR ok_a
+"""
+
+
+def _media_jaccard(spark, sf):
+    """media_jaccard_pairs at cap 100 / threshold 100 permille: the
+    corpus's 110-document template logo is EXCLUDED by the cap (the cap
+    path does real work here), so pairs come from genuinely shared
+    non-chrome media identities."""
+    from docproc_spark.operators.interleave import media_jaccard_pairs
+
+    return media_jaccard_pairs(
+        _staged(spark), max_docs_per_ref=100, min_jaccard_e3=100
+    )
+
+
+_MEDIA_JACCARD_SQL = f"""
+WITH {_SPAN_UNNEST},
+refs AS (SELECT DISTINCT doc_id, media_ref AS ref FROM s
+         WHERE kind IN ({_MEDIA_IN_SQL}) AND media_ref IS NOT NULL),
+kept AS (SELECT doc_id, ref FROM refs
+         QUALIFY count(*) OVER (PARTITION BY ref) <= 100),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+sh AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+       FROM kept x JOIN kept y ON x.ref = y.ref AND x.doc_id < y.doc_id
+       GROUP BY 1, 2)
+SELECT a, b, shared::BIGINT AS shared, sa.n::BIGINT AS na, sb.n::BIGINT AS nb,
+       ((1000 * shared) // (sa.n + sb.n - shared))::BIGINT AS jaccard_e3
+FROM sh JOIN sizes sa ON sh.a = sa.doc_id JOIN sizes sb ON sh.b = sb.doc_id
+WHERE (1000 * shared) // (sa.n + sb.n - shared) >= 100
+"""
+
+
+def _multimodal_chunks(spark, sf):
+    """multimodal_chunks at budget 256 / 64 visual tokens per image:
+    span-atomic chunking with exclusive-prefix placement."""
+    from docproc_spark.operators.interleave import multimodal_chunks
+
+    return multimodal_chunks(_staged(spark), budget=256, image_tokens=64)
+
+
+_MULTIMODAL_CHUNKS_SQL = f"""
+WITH {_SPAN_UNNEST},
+c AS (SELECT doc_id, pos,
+        CASE WHEN kind IN ({_MEDIA_IN_SQL}) THEN 64
+             WHEN kind IN ({_TEXTUAL_IN_SQL}) AND text IS NOT NULL
+               THEN {_NTOK_SQL.format(col='text')}
+             ELSE 0 END AS cost,
+        CASE WHEN kind IN ({_MEDIA_IN_SQL}) THEN 1 ELSE 0 END AS is_media
+      FROM s),
+p AS (SELECT *, coalesce(sum(cost) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM c)
+SELECT doc_id, (prefix // 256)::BIGINT AS chunk_id,
+       count(*)::BIGINT AS n_spans, sum(is_media)::BIGINT AS n_media,
+       sum(cost)::BIGINT AS n_tokens,
+       min(pos)::BIGINT AS first_pos, max(pos)::BIGINT AS last_pos
+FROM p GROUP BY 1, 2
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -5053,6 +5277,12 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interleave_stats": _interleave_stats,
     "section_rollup": _section_rollup,
     "recrawl_latest": _recrawl_latest,
+    "media_frequency": _media_frequency,
+    "template_media_clean": _template_media_clean,
+    "multimodal_shards_8": _multimodal_shards,
+    "caption_pairs": _caption_pairs,
+    "media_jaccard_pairs": _media_jaccard,
+    "multimodal_chunks_256": _multimodal_chunks,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -5117,6 +5347,12 @@ _SPARE_ORACLES: dict[str, str] = {
     "interleave_stats": _INTERLEAVE_STATS_SQL,
     "section_rollup": _SECTION_ROLLUP_SQL,
     "recrawl_latest": _RECRAWL_SQL,
+    "media_frequency": _MEDIA_FREQUENCY_SQL,
+    "template_media_clean": _TEMPLATE_MEDIA_SQL,
+    "multimodal_shards_8": _MULTIMODAL_SHARDS_SQL,
+    "caption_pairs": _CAPTION_PAIRS_SQL,
+    "media_jaccard_pairs": _MEDIA_JACCARD_SQL,
+    "multimodal_chunks_256": _MULTIMODAL_CHUNKS_SQL,
 }
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from docproc_spark.kernels.assembly import MEDIA_KINDS, TEXTUAL_KINDS
+from docproc_spark.operators.dedupe import TOKEN_SPLIT
 
 _TEXTUAL_IN = ", ".join(f"'{k}'" for k in sorted(TEXTUAL_KINDS))
 _MEDIA_IN = ", ".join(f"'{k}'" for k in sorted(MEDIA_KINDS))
@@ -224,5 +225,404 @@ def section_rollup(
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(F.length("s.text").cast("bigint")).alias("n_chars"),
+        )
+    )
+
+
+def media_frequency(
+    df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide media identity rollup: one row per distinct media_ref.
+
+    Because ``media_ref`` is the sha256 of the blob bytes (the reference's
+    identity contract, ``docproc/llm/vision_llm.py:292-294``), grouping on
+    it IS content-level media dedupe across the whole corpus: the one logo
+    stamped on 10^6 pages collapses to a single row here. Columns:
+
+      media_ref   the content hash
+      n_spans     total occurrences across all documents
+      n_docs      distinct documents containing it
+      first_doc / first_pos
+                  the deterministic first sighting — minimum
+                  (doc_id, pos) in lexicographic struct order, the doc
+                  whose surrounding text should caption the asset (M8's
+                  first-sighting-context rule at corpus scope)
+
+    Spans with NULL media_ref (media that never resolved to bytes) are
+    excluded — they have no identity to group on. One narrow projection
+    (doc_id, pos, media_ref — the text never leaves the scan) and one
+    shuffle keyed on media_ref with map-side partial aggregation; the
+    first-sighting is a comparison-ordered struct min, not a window. At
+    100 TB the media_ref key is content-hash-uniform — no skew by
+    construction (the WHOLE POINT of a repeated logo is that it lands on
+    one key, and that key's state is four integers, not the blob)."""
+    media = df.select(
+        F.col(id_col), F.posexplode(spans_col).alias("pos", "s")
+    ).where(
+        F.col("s.kind").isin(*sorted(MEDIA_KINDS)) & F.col("s.media_ref").isNotNull()
+    )
+    first = F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    return (
+        media.groupBy(F.col("s.media_ref").alias("media_ref"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct(id_col).alias("n_docs"),
+            first,
+        )
+        .select(
+            "media_ref",
+            "n_spans",
+            "n_docs",
+            F.col(f"first.{id_col}").alias("first_doc"),
+            F.col("first.pos").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+def strip_template_media(
+    df: DataFrame,
+    min_docs: int = 2,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove template media (chrome logos, nav icons, watermark stamps)
+    corpus-wide: a media span whose ``media_ref`` appears in >=
+    ``min_docs`` DISTINCT documents is boilerplate and is dropped from
+    every document's span sequence. The textual analogue is
+    ``dedupe.drop_repeated_lines``; this is its interleaved-payload form.
+
+    Returns (id_col, spans_col, n_removed): the surviving spans in
+    original order (non-media spans are never touched), and how many
+    media spans were stripped. NULL span arrays pass through as NULL
+    with n_removed = 0.
+
+    Plan shape: the template set is heavy hitters BY DEFINITION (each
+    member occupies >= min_docs documents, so |set| <= corpus_media /
+    min_docs, and real template sets are dozens), so it folds to a ONE
+    ROW sorted array and broadcast-joins back; the document table itself
+    is NEVER shuffled — the strip is an in-row array filter
+    (plan-guarded: no hashpartitioning(doc_id) anywhere). min_docs must
+    be >= 2: at 1 the "template set" is every media hash in the corpus
+    and the broadcast contract breaks."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    refs = df.select(
+        F.col(id_col).alias("_d"),
+        F.explode(
+            F.expr(
+                f"transform(filter({spans_col}, s -> {_IS_MEDIA}"
+                " AND s.media_ref IS NOT NULL), s -> s.media_ref)"
+            )
+        ).alias("ref"),
+    )
+    templates = (
+        refs.groupBy("ref")
+        .agg(F.countDistinct("_d").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .agg(F.sort_array(F.collect_set("ref")).alias("_tmpl"))
+    )
+    is_template = (
+        "(" + _IS_MEDIA + " AND s.media_ref IS NOT NULL"
+        " AND array_contains(_tmpl, s.media_ref))"
+    )
+    kept = F.expr(f"filter({spans_col}, s -> NOT {is_template})")
+    out_cols = [
+        F.col(c) for c in df.columns if c not in (spans_col,)
+    ]
+    return df.crossJoin(F.broadcast(templates)).select(
+        *out_cols,
+        kept.alias(spans_col),
+        F.when(F.col(spans_col).isNull(), F.lit(0).cast("bigint"))
+        .otherwise((F.size(spans_col) - F.size(kept)).cast("bigint"))
+        .alias("n_removed"),
+    )
+
+
+def _span_cost(s: Column, image_tokens: int) -> Column:
+    """Training cost of one span: ``image_tokens`` if media, whitespace
+    token count if textual with non-null text, else 0. Shared by
+    pack_multimodal (per-document totals) and multimodal_chunks
+    (per-chunk budgeting) so a document's cost and the sum of its
+    chunks' costs agree by construction."""
+    toks = F.filter(F.split(F.trim(s["text"]), TOKEN_SPLIT), lambda t: t != "")
+    is_media = F.coalesce(s["kind"].isin(*sorted(MEDIA_KINDS)), F.lit(False))
+    is_text = (
+        F.coalesce(s["kind"].isin(*sorted(TEXTUAL_KINDS)), F.lit(False))
+        & s["text"].isNotNull()
+    )
+    return (
+        F.when(is_media, F.lit(image_tokens))
+        .when(is_text, F.size(toks))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def pack_multimodal(
+    docs: DataFrame,
+    n_shards: int,
+    image_tokens: int = 576,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    rank_buckets: int = 32,
+) -> DataFrame:
+    """Balanced shard assignment for INTERLEAVED documents: a document's
+    training cost is its whitespace token count over textual spans plus
+    ``image_tokens`` per media span (the visual-token budget a
+    LLaVA-style encoder spends per image — 576 = the 24x24 patch grid of
+    ViT-L/14 at 336px), and documents deal serpentine across
+    ``n_shards`` in (cost DESC, doc_id ASC) order so every shard carries
+    a near-equal token+image load. Documents are never split (an image
+    cannot straddle two sequences), which is exactly why text-only
+    ``pack_sequences`` is the wrong tool for interleaved corpora.
+
+    Output: (id_col, cost, rank, shard). The cost is ONE in-row O(n)
+    fold per document (the span text never shuffles); the global order
+    comes from rank.global_row_number's range-bucketed exact rank —
+    no single-reducer window — and the serpentine shard is a closed form
+    of the rank, reproducible by any engine (rank.assign_shards)."""
+    if image_tokens <= 0:
+        raise ValueError(f"image_tokens must be positive, got {image_tokens}")
+
+    from docproc_spark.operators.rank import assign_shards
+
+    cost = F.coalesce(
+        F.aggregate(
+            F.col(spans_col),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + _span_cost(s, image_tokens),
+        ),
+        F.lit(0).cast("long"),
+    )
+    narrow = docs.select(F.col(id_col), cost.alias("cost"))
+    return assign_shards(
+        narrow,
+        n_shards,
+        id_col=id_col,
+        n_tokens_col="cost",
+        rank_buckets=rank_buckets,
+    ).withColumnRenamed("n_tokens", "cost")
+
+
+def mine_caption_pairs(
+    df: DataFrame,
+    min_tokens: int = 3,
+    max_tokens: int = 64,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-gated image/caption pair mining over interleaved documents
+    (the LAION/MMC4 recipe minus the CLIP re-ranker, which needs model
+    weights this engine treats as an external provider).
+
+    For every media span WITH an identity (non-null ``media_ref``), the
+    caption candidate is the nearest preceding textual span if its
+    whitespace token count lies in [min_tokens, max_tokens], else the
+    nearest following one under the same gate; media spans where neither
+    side qualifies produce no pair (a 2-token "Figure 3" alt stub or a
+    4k-token body paragraph is not a caption). ``side`` records which
+    neighbour won ('before' preferred on tie, matching reading order:
+    captions overwhelmingly precede inline figures in the reference's
+    extraction output).
+
+    Output: (id_col, pos, media_ref, caption, n_tokens, side).
+
+    Plan shape: builds on media_context, so it is a single scan with
+    ZERO exchanges — the token gate and side selection are in-row Column
+    expressions over the already-aligned (before_text, after_text)
+    columns. At 100 TB this is a pure map stage; the downstream pair
+    table is what shuffles (by media_ref, in media_frequency terms), not
+    this operator."""
+    if not (0 < min_tokens <= max_tokens):
+        raise ValueError(
+            f"need 0 < min_tokens <= max_tokens, got {min_tokens}..{max_tokens}"
+        )
+
+    def _ntok(c: Column) -> Column:
+        return F.size(F.filter(F.split(F.trim(c), TOKEN_SPLIT), lambda t: t != ""))
+
+    ctx = media_context(df, spans_col=spans_col, id_col=id_col).where(
+        F.col("media_ref").isNotNull()
+    )
+    nb, na = _ntok(F.col("before_text")), _ntok(F.col("after_text"))
+    ok_b = F.col("before_text").isNotNull() & nb.between(min_tokens, max_tokens)
+    ok_a = F.col("after_text").isNotNull() & na.between(min_tokens, max_tokens)
+    return (
+        ctx.withColumn("side", F.when(ok_b, "before").when(ok_a, "after"))
+        .where(F.col("side").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            "media_ref",
+            F.when(F.col("side") == "before", F.col("before_text"))
+            .otherwise(F.col("after_text"))
+            .alias("caption"),
+            F.when(F.col("side") == "before", nb)
+            .otherwise(na)
+            .cast("bigint")
+            .alias("n_tokens"),
+            "side",
+        )
+    )
+
+
+def media_jaccard_pairs(
+    df: DataFrame,
+    max_docs_per_ref: int = 64,
+    min_jaccard_e3: int = 500,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document near-dup candidates by SHARED MEDIA IDENTITY: two pages
+    embedding mostly the same images are mirrors/recrawls even when the
+    surrounding prose was rewritten (the text-shingle detectors upstream
+    miss exactly this case — media refs are sha256-of-blob, so identity
+    survives re-encoding of the HTML around it).
+
+    Universe: each document's DISTINCT non-null media refs, MINUS
+    template refs — a ref present in more than ``max_docs_per_ref``
+    distinct documents is site chrome (the strip_template_media
+    population) and is excluded from BOTH the candidate join and the
+    per-document set sizes, keeping the two sides of the Jaccard
+    consistent. That cap is also the scale contract: a corpus-wide logo
+    would otherwise emit C(n_docs, 2) pairs from one key. With it, one
+    ref contributes at most C(cap, 2) pairs, so candidates are bounded
+    by |refs| * cap^2 / 2 — linear in the corpus, never O(n^2).
+
+    Output: (a, b, shared, na, nb, jaccard_e3) for a < b with
+    jaccard_e3 = floor(1000 * shared / (na + nb - shared)) >=
+    ``min_jaccard_e3``; integer permille so every engine agrees
+    bit-for-bit. Shuffles: ref-keyed groupBy (template detection),
+    ref-keyed self-join (candidates), pair-keyed groupBy — all on
+    content-hash keys, uniform by construction after the cap."""
+    if max_docs_per_ref < 1:
+        raise ValueError(f"max_docs_per_ref must be >= 1, got {max_docs_per_ref}")
+    # GetArrayStructFields (spans.kind / spans.media_ref) instead of a
+    # lambda over the struct array: Catalyst's nested-schema pruning sees
+    # through direct subfield access but not through transform/filter
+    # lambdas, and this operator's branch fan-out re-reads the source —
+    # the pruning keeps every re-read to the two narrow subfields (the
+    # span TEXT never loads; plan-asserted on ReadSchema)
+    ref_arr = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                F.col(f"{spans_col}.kind"),
+                F.col(f"{spans_col}.media_ref"),
+                lambda k, r: F.when(
+                    k.isin(*sorted(MEDIA_KINDS)) & r.isNotNull(), r
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    refs = df.select(F.col(id_col).alias("_d"), F.explode(ref_arr).alias("ref"))
+    # refs are already distinct per document, so count(*) == n_docs
+    kept = (
+        refs.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("ref"))
+        )
+        .where(F.col("nd") <= max_docs_per_ref)
+        .drop("nd")
+    )
+    sizes = kept.groupBy("_d").agg(F.count(F.lit(1)).alias("n_refs"))
+    a = kept.select(F.col("_d").alias("a"), "ref")
+    b = kept.select(F.col("_d").alias("b"), "ref")
+    shared = (
+        a.join(b, "ref")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_d").alias("a"), F.col("n_refs").alias("na"))
+    sb = sizes.select(F.col("_d").alias("b"), F.col("n_refs").alias("nb"))
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard_e3",
+            F.floor(
+                (F.lit(1000) * F.col("shared"))
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ),
+        )
+        .where(F.col("jaccard_e3") >= min_jaccard_e3)
+        .select("a", "b", "shared", "na", "nb", "jaccard_e3")
+    )
+
+
+def multimodal_chunks(
+    docs: DataFrame,
+    budget: int = 2048,
+    image_tokens: int = 576,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budgeted chunking of interleaved documents with SPAN-ATOMIC
+    placement: each span costs ``_span_cost`` tokens (text = whitespace
+    tokens, media = ``image_tokens``) and lands in chunk
+    floor(prefix / budget) where prefix is the running cost of all spans
+    BEFORE it — so a media span is never split across chunks (an image
+    cannot straddle two training sequences) and reading order is
+    preserved within and across chunks. A span whose own cost exceeds
+    the budget still occupies exactly one chunk and pushes later spans
+    into the next (the mega-span routes whole, matching pack_multimodal's
+    never-split contract). Zero-cost leading spans land in chunk 0.
+
+    Output one row per (document, chunk): (id_col, chunk_id, n_spans,
+    n_media, n_tokens, first_pos, last_pos). NULL/empty span arrays
+    produce no rows. This feeds sequence construction for multimodal
+    training the way pack_sequences feeds text-only training — the
+    difference, and the reason pack_sequences is the wrong tool here, is
+    the atomic media placement and the per-chunk media census.
+
+    Plan shape: the cost prefix is ONE in-row O(n) fold per document
+    (span text never shuffles — the fold emits (pos, chunk_id, cost,
+    is_media) integers only), then one explode + one groupBy keyed on
+    (doc_id, chunk_id) — the same doc_id-prefix shuffle key the
+    extraction pipeline already partitions by, so mega-documents keep
+    the skew profile extraction already handles (their chunk_ids fan
+    the key out further, which HELPS)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if image_tokens <= 0:
+        raise ValueError(f"image_tokens must be positive, got {image_tokens}")
+    marked = F.aggregate(
+        F.col(spans_col),
+        F.struct(
+            F.lit(0).cast("long").alias("i"),
+            F.lit(0).cast("long").alias("prefix"),
+            F.expr(
+                "CAST(array() AS"
+                " array<struct<pos:bigint,chunk_id:bigint,cost:bigint,is_media:int>>)"
+            ).alias("out"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["i"] + 1).alias("i"),
+            (acc["prefix"] + _span_cost(s, image_tokens)).alias("prefix"),
+            F.array_append(
+                acc["out"],
+                F.struct(
+                    acc["i"].alias("pos"),
+                    F.floor(acc["prefix"] / budget).alias("chunk_id"),
+                    _span_cost(s, image_tokens).alias("cost"),
+                    F.coalesce(
+                        s["kind"].isin(*sorted(MEDIA_KINDS)), F.lit(False)
+                    )
+                    .cast("int")
+                    .alias("is_media"),
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(marked).alias("x"))
+        .groupBy(id_col, F.col("x.chunk_id").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("x.is_media").cast("bigint").alias("n_media"),
+            F.sum("x.cost").alias("n_tokens"),
+            F.min("x.pos").alias("first_pos"),
+            F.max("x.pos").alias("last_pos"),
         )
     )

@@ -159,3 +159,242 @@ class TestLatestCaptures:
         b = latest_captures(caps).collect()[0]
         assert a.payload_sha == b.payload_sha
         assert a.n_captures == 2 and a.n_distinct_payloads == 2
+
+
+class TestMediaFrequency:
+    def _docs(self, spark):
+        from docproc_spark.operators.interleave import media_frequency
+        rows = [
+            (1, [("text", "a", None, 0, 0), ("image", None, "logo", 0, 1),
+                 ("image", None, "logo", 0, 2), ("figure", None, "fig_a", 0, 3)]),
+            (2, [("image", None, "logo", 0, 0),
+                 ("image", None, None, 0, 1)]),   # NULL ref: no identity
+            (3, None),
+        ]
+        return media_frequency(spark.createDataFrame(rows, _SPAN_SCHEMA))
+
+    def test_corpus_rollup_and_first_sighting(self, spark):
+        got = {r.media_ref: r for r in self._docs(spark).collect()}
+        assert set(got) == {"logo", "fig_a"}  # NULL refs excluded
+        logo = got["logo"]
+        assert (logo.n_spans, logo.n_docs) == (3, 2)
+        assert (logo.first_doc, logo.first_pos) == (1, 1)
+        assert (got["fig_a"].n_spans, got["fig_a"].n_docs) == (1, 1)
+
+
+class TestStripTemplateMedia:
+    def _out(self, spark, rows, **kw):
+        from docproc_spark.operators.interleave import strip_template_media
+        df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+        return {r.doc_id: r for r in strip_template_media(df, **kw).collect()}
+
+    def test_template_removed_everywhere_unique_kept(self, spark):
+        got = self._out(spark, [
+            (1, [("text", "t", None, 0, 0), ("image", None, "logo", 0, 1),
+                 ("figure", None, "unique", 0, 2)]),
+            (2, [("image", None, "logo", 0, 0)]),
+        ])
+        assert [s.media_ref for s in got[1].spans if s.kind != "text"] == ["unique"]
+        assert got[1].n_removed == 1
+        assert got[2].spans == [] and got[2].n_removed == 1
+
+    def test_kind_gate_protects_textual_spans(self, spark):
+        # a textual span carrying a template-valued media_ref is NOT media
+        # and must survive
+        got = self._out(spark, [
+            (1, [("image", None, "logo", 0, 0), ("text", "x", "logo", 0, 1)]),
+            (2, [("image", None, "logo", 0, 0)]),
+        ])
+        assert [s.kind for s in got[1].spans] == ["text"]
+
+    def test_null_spans_pass_through(self, spark):
+        got = self._out(spark, [
+            (1, None),
+            (2, [("image", None, "a", 0, 0)]),
+            (3, [("image", None, "a", 0, 0)]),
+        ])
+        assert got[1].spans is None and got[1].n_removed == 0
+
+    def test_min_docs_guard(self, spark):
+        from docproc_spark.operators.interleave import strip_template_media
+        import pytest
+        df = spark.createDataFrame([], _SPAN_SCHEMA)
+        with pytest.raises(ValueError):
+            strip_template_media(df, min_docs=1)
+
+
+class TestPackMultimodal:
+    def test_cost_and_serpentine(self, spark):
+        from docproc_spark.operators.interleave import pack_multimodal
+        rows = [
+            (1, [("text", "one two three", None, 0, 0)]),        # 3 tokens
+            (2, [("image", None, "m", 0, 0)]),                   # 10
+            (3, [("text", "a b", None, 0, 0),
+                 ("figure", None, "f", 0, 1)]),                  # 2 + 10
+            (4, []),                                             # 0
+            (5, None),                                           # 0
+        ]
+        df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+        got = {r.doc_id: r for r in
+               pack_multimodal(df, 2, image_tokens=10).collect()}
+        assert {d: r.cost for d, r in got.items()} == {
+            1: 3, 2: 10, 3: 12, 4: 0, 5: 0}
+        # rank order: cost DESC, doc_id ASC -> 3,2,1,4,5; serpentine over
+        # 2 shards: block0 L->R (0,1), block1 R->L (1,0), block2 L->R (0,)
+        assert [got[d].rank for d in (3, 2, 1, 4, 5)] == [1, 2, 3, 4, 5]
+        assert [got[d].shard for d in (3, 2, 1, 4, 5)] == [0, 1, 1, 0, 0]
+
+    def test_image_tokens_guard(self, spark):
+        from docproc_spark.operators.interleave import pack_multimodal
+        import pytest
+        df = spark.createDataFrame([], _SPAN_SCHEMA)
+        with pytest.raises(ValueError):
+            pack_multimodal(df, 2, image_tokens=0)
+
+
+class TestMineCaptionPairs:
+    def _out(self, spark, rows, **kw):
+        from docproc_spark.operators.interleave import mine_caption_pairs
+        df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+        return mine_caption_pairs(df, **kw).collect()
+
+    def test_side_preference_and_token_gate(self, spark):
+        long = " ".join(["w"] * 70)
+        got = self._out(spark, [
+            # before qualifies (3 tokens) -> 'before' wins even though
+            # after also qualifies
+            (1, [("text", "a nice caption", None, 0, 0),
+                 ("image", None, "m1", 0, 1),
+                 ("text", "also three tokens", None, 0, 2)]),
+            # before too long (70 tokens) -> falls through to after
+            (2, [("text", long, None, 0, 0),
+                 ("image", None, "m2", 0, 1),
+                 ("text", "after side caption", None, 0, 2)]),
+            # neither qualifies: before too short (2), after missing
+            (3, [("text", "too short", None, 0, 0),
+                 ("image", None, "m3", 0, 1)]),
+            # NULL media_ref: no identity, no pair
+            (4, [("text", "a nice caption", None, 0, 0),
+                 ("image", None, None, 0, 1)]),
+        ], min_tokens=3, max_tokens=64)
+        by_ref = {r.media_ref: r for r in got}
+        assert set(by_ref) == {"m1", "m2"}
+        assert (by_ref["m1"].side, by_ref["m1"].caption, by_ref["m1"].n_tokens) \
+            == ("before", "a nice caption", 3)
+        assert (by_ref["m2"].side, by_ref["m2"].caption) \
+            == ("after", "after side caption")
+
+    def test_bounds_guard(self, spark):
+        from docproc_spark.operators.interleave import mine_caption_pairs
+        import pytest
+        df = spark.createDataFrame([], _SPAN_SCHEMA)
+        with pytest.raises(ValueError):
+            mine_caption_pairs(df, min_tokens=0)
+        with pytest.raises(ValueError):
+            mine_caption_pairs(df, min_tokens=5, max_tokens=4)
+
+
+class TestMediaJaccardPairs:
+    def _out(self, spark, rows, **kw):
+        from docproc_spark.operators.interleave import media_jaccard_pairs
+        df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+        return media_jaccard_pairs(df, **kw).collect()
+
+    def test_shared_sets_and_template_cap(self, spark):
+        rows = [
+            # docs 1,2 share {x,y}; doc 3 shares only x with them;
+            # 'logo' is in all four docs -> template at cap 3, excluded
+            (1, [("image", None, "x", 0, 0), ("figure", None, "y", 0, 1),
+                 ("image", None, "logo", 0, 2),
+                 ("image", None, "x", 0, 3)]),   # duplicate ref in-doc: once
+            (2, [("image", None, "x", 0, 0), ("image", None, "y", 0, 1),
+                 ("image", None, "logo", 0, 2)]),
+            (3, [("image", None, "x", 0, 0), ("image", None, "z", 0, 1),
+                 ("image", None, "logo", 0, 2)]),
+            (4, [("image", None, "logo", 0, 0)]),
+        ]
+        got = {(r.a, r.b): r for r in
+               self._out(spark, rows, max_docs_per_ref=3, min_jaccard_e3=1)}
+        assert set(got) == {(1, 2), (1, 3), (2, 3)}
+        r12 = got[(1, 2)]
+        assert (r12.shared, r12.na, r12.nb, r12.jaccard_e3) == (2, 2, 2, 1000)
+        assert got[(1, 3)].jaccard_e3 == 333  # 1 / (2+2-1)
+
+    def test_threshold_filters(self, spark):
+        rows = [
+            (1, [("image", None, "x", 0, 0), ("image", None, "u1", 0, 1),
+                 ("image", None, "u2", 0, 2)]),
+            (2, [("image", None, "x", 0, 0)]),
+        ]
+        # jaccard = 1/3 -> 333; threshold 500 kills it
+        assert self._out(spark, rows, min_jaccard_e3=500) == []
+        kept = self._out(spark, rows, min_jaccard_e3=333)
+        assert len(kept) == 1 and kept[0].jaccard_e3 == 333
+
+    def test_cap_guard(self, spark):
+        from docproc_spark.operators.interleave import media_jaccard_pairs
+        import pytest
+        df = spark.createDataFrame([], _SPAN_SCHEMA)
+        with pytest.raises(ValueError):
+            media_jaccard_pairs(df, max_docs_per_ref=0)
+
+
+class TestMultimodalChunks:
+    def _out(self, spark, rows, **kw):
+        from docproc_spark.operators.interleave import multimodal_chunks
+        df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+        return {(r.doc_id, r.chunk_id): r for r in
+                multimodal_chunks(df, **kw).collect()}
+
+    def test_budget_boundaries_and_atomic_media(self, spark):
+        got = self._out(spark, [
+            # costs: 3 text, 10 media, 2 text, 10 media -> prefixes
+            # 0,3,13,15; budget 10 -> chunks 0,0,1,1
+            (1, [("text", "a b c", None, 0, 0),
+                 ("image", None, "m", 0, 1),
+                 ("text", "d e", None, 0, 2),
+                 ("figure", None, "f", 0, 3)]),
+            # oversize span (media 10 > budget... no: single span cost 10
+            # with budget 10 in chunk 0, next span prefix 10 -> chunk 1
+            (2, [("image", None, "m", 0, 0),
+                 ("text", "x", None, 0, 1)]),
+            (3, []),
+            (4, None),
+        ], budget=10, image_tokens=10)
+        assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+        c10 = got[(1, 0)]
+        assert (c10.n_spans, c10.n_media, c10.n_tokens,
+                c10.first_pos, c10.last_pos) == (2, 1, 13, 0, 1)
+        c11 = got[(1, 1)]
+        assert (c11.n_spans, c11.n_media, c11.n_tokens,
+                c11.first_pos, c11.last_pos) == (2, 1, 12, 2, 3)
+        assert (got[(2, 0)].n_spans, got[(2, 1)].n_spans) == (1, 1)
+
+    def test_oversize_span_occupies_one_chunk(self, spark):
+        long = " ".join(["w"] * 25)   # cost 25 > budget 10
+        got = self._out(spark, [
+            (1, [("text", long, None, 0, 0),
+                 ("text", "a", None, 0, 1)]),
+        ], budget=10, image_tokens=10)
+        # prefix 0 -> chunk 0 for the mega span; next prefix 25 -> chunk 2
+        assert set(got) == {(1, 0), (1, 2)}
+        assert got[(1, 0)].n_tokens == 25
+
+    def test_zero_cost_spans_land_in_current_chunk(self, spark):
+        got = self._out(spark, [
+            (1, [("image", None, None, 0, 0),          # media, cost 10
+                 ("text", None, "x", 0, 1),            # null text: cost 0
+                 ("raster", "ignored", None, 0, 2)]),  # unknown kind: cost 0
+        ], budget=10, image_tokens=10)
+        # prefixes 0,10,10 -> chunks 0,1,1
+        assert got[(1, 0)].n_spans == 1
+        assert (got[(1, 1)].n_spans, got[(1, 1)].n_tokens) == (2, 0)
+
+    def test_guards(self, spark):
+        from docproc_spark.operators.interleave import multimodal_chunks
+        import pytest
+        df = spark.createDataFrame([], _SPAN_SCHEMA)
+        with pytest.raises(ValueError):
+            multimodal_chunks(df, budget=0)
+        with pytest.raises(ValueError):
+            multimodal_chunks(df, image_tokens=0)

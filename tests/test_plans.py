@@ -441,3 +441,74 @@ def test_latest_captures_single_exchange(spark, tmp_path):
     assert "EvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
     assert re.search(r"hashpartitioning\(url", plan)
+
+
+def test_mine_caption_pairs_zero_shuffle(spark, tmp_path):
+    """mine_caption_pairs adds only in-row Column exprs on top of
+    media_context: still one scan, ZERO exchanges, no Python."""
+    from docproc_spark.operators.interleave import mine_caption_pairs
+
+    src = str(tmp_path / "spans_cap")
+    spark.createDataFrame(
+        [(i, [("text", "a b c d", None, 0, 0), ("image", None, f"m{i}", 0, 1)])
+         for i in range(50)],
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,page:int,offset:int>>",
+    ).write.parquet(src)
+    out = mine_caption_pairs(spark.read.parquet(src))
+    s = plan_summary(out)
+    assert s["scans"] == 1
+    assert s["exchanges"] == 0, "mine_caption_pairs must not shuffle"
+    assert "EvalPython" not in _plan(out)
+
+
+def test_multimodal_chunks_single_exchange(spark, tmp_path):
+    """multimodal_chunks folds the cost prefix in-row and shuffles ONCE
+    for the (doc_id, chunk_id) groupBy; the span text never leaves the
+    map side (the exploded rows carry integers only)."""
+    from docproc_spark.operators.interleave import multimodal_chunks
+
+    src = str(tmp_path / "spans_chunk")
+    spark.createDataFrame(
+        [(i, [("text", "a b c d e", None, 0, 0), ("image", None, "m", 0, 1)])
+         for i in range(50)],
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,page:int,offset:int>>",
+    ).write.parquet(src)
+    out = multimodal_chunks(spark.read.parquet(src), budget=4, image_tokens=3)
+    s = plan_summary(out)
+    assert s["scans"] == 1
+    assert s["exchanges"] == 1, "multimodal_chunks must shuffle exactly once"
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(doc_id", plan)
+
+
+def test_media_jaccard_pairs_plan_shape(spark, tmp_path):
+    """media_jaccard_pairs: no cartesian product, no single-partition
+    exchange, no Python — candidates come from the ref equi-join only.
+    The branch fan-out re-reads the source, but nested-schema pruning
+    keeps every scan to (doc_id, spans.kind, spans.media_ref): the span
+    TEXT never loads, so the re-read is a narrow-column pass."""
+    from docproc_spark.operators.interleave import media_jaccard_pairs
+
+    src = str(tmp_path / "spans_jac")
+    spark.createDataFrame(
+        [(i, [("text", "body", None, 0, 0),
+              ("image", None, f"m{i % 7}", 0, 1),
+              ("figure", None, f"f{i % 11}", 0, 2)])
+         for i in range(60)],
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,page:int,offset:int>>",
+    ).write.parquet(src)
+    out = media_jaccard_pairs(
+        spark.read.parquet(src), max_docs_per_ref=30, min_jaccard_e3=100
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # nested-field pruning: the heavy text subfield must not be read
+    for m in re.finditer(r"ReadSchema: (\S+)", plan):
+        assert "text" not in m.group(1), f"span text loaded: {m.group(1)}"
