@@ -4863,7 +4863,7 @@ def _media_context(spark, sf):
 _MEDIA_CONTEXT_SQL = f"""
 WITH {_SPAN_UNNEST},
 w AS (
-  SELECT doc_id, pos, kind, media_ref,
+  SELECT doc_id, pos, kind, media_ref, text AS self_text,
     last_value(CASE WHEN kind IN ({_TEXTUAL_IN_SQL}) AND text IS NOT NULL
                     THEN text END IGNORE NULLS)
       OVER (PARTITION BY doc_id ORDER BY pos
@@ -4873,7 +4873,7 @@ w AS (
       OVER (PARTITION BY doc_id ORDER BY pos
             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS after_text
   FROM s)
-SELECT doc_id, pos, media_ref, before_text, after_text
+SELECT doc_id, pos, media_ref, self_text, before_text, after_text
 FROM w WHERE kind IN ({_MEDIA_IN_SQL})
 """
 
@@ -5131,7 +5131,7 @@ _NTOK_SQL = (
 _CAPTION_PAIRS_SQL = f"""
 WITH {_SPAN_UNNEST},
 w AS (
-  SELECT doc_id, pos, kind, media_ref,
+  SELECT doc_id, pos, kind, media_ref, text AS self_text,
     last_value(CASE WHEN kind IN ({_TEXTUAL_IN_SQL}) AND text IS NOT NULL
                     THEN text END IGNORE NULLS)
       OVER (PARTITION BY doc_id ORDER BY pos
@@ -5142,19 +5142,24 @@ w AS (
             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS after_text
   FROM s),
 g AS (
-  SELECT doc_id, pos, media_ref, before_text, after_text,
+  SELECT doc_id, pos, media_ref, self_text, before_text, after_text,
+         {_NTOK_SQL.format(col='self_text')} AS ns,
          {_NTOK_SQL.format(col='before_text')} AS nb,
          {_NTOK_SQL.format(col='after_text')} AS na
   FROM w WHERE kind IN ({_MEDIA_IN_SQL}) AND media_ref IS NOT NULL),
 j AS (
-  SELECT *, (before_text IS NOT NULL AND nb BETWEEN 8 AND 16) AS ok_b,
+  SELECT *, (self_text IS NOT NULL AND ns BETWEEN 8 AND 16) AS ok_s,
+            (before_text IS NOT NULL AND nb BETWEEN 8 AND 16) AS ok_b,
             (after_text IS NOT NULL AND na BETWEEN 8 AND 16) AS ok_a
   FROM g)
 SELECT doc_id, pos, media_ref,
-       CASE WHEN ok_b THEN before_text ELSE after_text END AS caption,
-       (CASE WHEN ok_b THEN nb ELSE na END)::BIGINT AS n_tokens,
-       CASE WHEN ok_b THEN 'before' ELSE 'after' END AS side
-FROM j WHERE ok_b OR ok_a
+       CASE WHEN ok_s THEN self_text
+            WHEN ok_b THEN before_text ELSE after_text END AS caption,
+       (CASE WHEN ok_s THEN ns
+             WHEN ok_b THEN nb ELSE na END)::BIGINT AS n_tokens,
+       CASE WHEN ok_s THEN 'alt'
+            WHEN ok_b THEN 'before' ELSE 'after' END AS side
+FROM j WHERE ok_s OR ok_b OR ok_a
 """
 
 

@@ -62,7 +62,12 @@ _TOTAL_W = _CUM[-1]
 # v7: html_boiler adds a kept multi-line <pre> code block (+ inline
 # <code> staying prose) and a footer <pre> that must drop with its
 # subtree, so the flagship exercises kind='code' extraction.
-CORPUS_VERSION = 7
+# v8: the caption signal — html_boiler's kept figure carries an alt
+# attribute (image-span text) and gains a <figure><img><figcaption>
+# block (caption kept at the MIN_CAPTION_CHARS floor); one
+# interleaved_media span per doc carries publisher alt text so the
+# staged span corpus exercises mine_caption_pairs' alt-first path.
+CORPUS_VERSION = 8
 
 # Shared logo ref: the corpus-wide hot key for the media-dedupe skew path.
 LOGO_REF = hashlib.sha256(b"docproc_spark:logo").hexdigest()
@@ -162,7 +167,12 @@ def gen_doc(idx: int, seed: int = 42, mega_spans: int = 2000) -> dict:
     elif cls == "interleaved_media":
         for p in range(3):
             add("text", _sentence(rng), page=p)
-            add("image", None, _media_ref(f"img:{idx}:{p}:a"), page=p)
+            # page 0's first image carries publisher alt text (the image
+            # span's OWN text — assembly ignores it; caption mining
+            # prefers it): v8's alt-first caption-pair coverage. 9 tokens
+            # so it passes the caption_pairs spare's [8,16] gate.
+            alt = f"{_words(rng, 8).title()} chart" if p == 0 else None
+            add("image", alt, _media_ref(f"img:{idx}:{p}:a"), page=p)
             add("text", _sentence(rng), page=p)
             if rng.random() < 0.5:
                 add("image", None, _media_ref(f"img:{idx}:{p}:b"), page=p)
@@ -194,8 +204,14 @@ def gen_doc(idx: int, seed: int = 42, mega_spans: int = 2000) -> dict:
             # URL identity), a beacon pixel (dropped), and the nav's logo
             # img would be dropped with its subtree — the html class
             # exercises the full text+media interleaving path
-            + f"<img src='/figs/{_words(rng, 1)}-{idx % 7}.png'>"
+            # v8: the kept figure carries alt text (image-span text)
+            + f"<img src='/figs/{_words(rng, 1)}-{idx % 7}.png'"
+            + f" alt='{_words(rng, 3)} illustration'>"
             + "".join(f"<p>{t}</p>" for t in main_paras[1:])
+            # v8: a semantic figure — img + short figcaption kept at the
+            # caption floor (14 chars; MIN_BLOCK_CHARS would drop it)
+            + f"<figure><img src='/figs/diag-{idx % 5}.png'>"
+            + f"<figcaption>Fig {idx % 5}: {_words(rng, 1)}</figcaption></figure>"
             # v6: a kept data table (one table span via the pipe/newline
             # convention) and a dropped link-farm table (link density)
             + "<table><tr><th>metric</th><th>value</th></tr>"

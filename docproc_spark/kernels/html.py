@@ -41,9 +41,21 @@ Rules (fixed constants — part of this engine's invariant):
     identity, same contract as raw-bytes PPTX/PDF ingestion —
     sources/ooxml.py / sources/pdf.py); other src values → the src
     string verbatim (no bytes in hand; the URL is the stable identity).
-    Tracking pixels (any width/height attribute ≤ TRACKER_MAX_DIM) and
-    srcless imgs are dropped; chrome logos fall out with their
+    The img's alt attribute (whitespace-collapsed, non-empty) becomes
+    the image span's TEXT — the publisher's own caption, the primary
+    signal LAION-style caption mining pairs with the image. Assembly
+    ignores media-span text (captions come from the provider keyed by
+    media_ref), so alt never perturbs the markdown path. Tracking
+    pixels (any width/height attribute ≤ TRACKER_MAX_DIM) and srcless
+    imgs are dropped; chrome logos fall out with their
     nav/header/footer subtrees.
+  - a block inside <figcaption> is kept as kind='text' at a lower bar
+    (MIN_CAPTION_CHARS = 3, same floor as headings; link-density rule
+    unchanged): figure captions are short by nature — "Fig. 3: results"
+    is content even though a 14-char prose block is chrome. It stays
+    kind='text' (no new span kind): adjacency to the figure's image
+    span is what caption mining keys off, and the span-kind vocabulary
+    is a cross-module invariant not worth widening for a length rule.
 """
 
 from __future__ import annotations
@@ -61,7 +73,7 @@ IGNORE_TAGS = frozenset(
 BLOCK_TAGS = frozenset(
     {"p", "div", "section", "article", "li", "td", "th", "tr", "blockquote",
      "pre", "br", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "table",
-     "body", "html", "main"}
+     "body", "html", "main", "figure", "figcaption"}
 )
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
@@ -70,6 +82,7 @@ MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.35
 MIN_HEADING_CHARS = 3
 MIN_CODE_CHARS = 1
+MIN_CAPTION_CHARS = 3  # a <figcaption> block keeps at the heading floor
 TRACKER_MAX_DIM = 2  # width/height attr at or below this = beacon pixel
 
 
@@ -106,7 +119,12 @@ class _BlockParser(HTMLParser):
         self._buf: list[str] = []
         self._link_chars = 0
         self._heading: str | None = None
-        self._pending_imgs: list[str] = []  # media_refs awaiting block flush
+        # open <figcaption> depth: blocks flushed inside one carry the
+        # internal kind 'figcaption' so html_main_blocks can apply the
+        # caption min-chars floor (they emit as kind='text')
+        self._figcap_depth = 0
+        # (media_ref, alt-or-None) pairs awaiting block flush
+        self._pending_imgs: list[tuple[str, str | None]] = []
         # table mode: cells/rows collected into ONE kind='table' block
         # (pipe-joined cells, newline-joined rows — the ooxml table span
         # convention); nested tables flatten into the enclosing one
@@ -130,11 +148,16 @@ class _BlockParser(HTMLParser):
     def _flush(self) -> None:
         text = "".join(self._buf).strip()
         if text:
-            kind = "header" if self._heading else "text"
+            if self._heading:
+                kind = "header"
+            elif self._figcap_depth:
+                kind = "figcaption"  # internal: emits as text, lower bar
+            else:
+                kind = "text"
             self.blocks.append((kind, text, None, self._link_chars))
         # images interleave after the text they shared a block with
-        for ref in self._pending_imgs:
-            self.blocks.append(("image", None, ref, 0))
+        for ref, alt in self._pending_imgs:
+            self.blocks.append(("image", alt, ref, 0))
         self._buf = []
         self._link_chars = 0
         self._pending_imgs = []
@@ -156,8 +179,8 @@ class _BlockParser(HTMLParser):
         text = "\n".join(" | ".join(r) for r in self._tbl_rows if r)
         if text:
             self.blocks.append(("table", text, None, self._tbl_link_chars))
-        for ref in self._pending_imgs:
-            self.blocks.append(("image", None, ref, 0))
+        for ref, alt in self._pending_imgs:
+            self.blocks.append(("image", alt, ref, 0))
         self._pending_imgs = []
         self._tbl_rows = []
         self._tbl_link_chars = 0
@@ -168,8 +191,8 @@ class _BlockParser(HTMLParser):
         text = "".join(self._buf).strip()
         if text:
             self.blocks.append(("code", text, None, self._link_chars))
-        for ref in self._pending_imgs:
-            self.blocks.append(("image", None, ref, 0))
+        for ref, alt in self._pending_imgs:
+            self.blocks.append(("image", alt, ref, 0))
         self._buf = []
         self._link_chars = 0
         self._pending_imgs = []
@@ -186,11 +209,12 @@ class _BlockParser(HTMLParser):
             except (KeyError, ValueError):
                 pass
         ref = _media_ref_for_src(src)
+        alt = " ".join(a.get("alt", "").split()) or None
         if self._table_depth or "".join(self._buf).strip():
             # mid-block (or mid-table): emit after the enclosing block
-            self._pending_imgs.append(ref)
+            self._pending_imgs.append((ref, alt))
         else:
-            self.blocks.append(("image", None, ref, 0))
+            self.blocks.append(("image", alt, ref, 0))
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
@@ -238,6 +262,8 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush()
             self._heading = tag if tag in HEADING_TAGS else None
+            if tag == "figcaption":
+                self._figcap_depth += 1
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -297,6 +323,8 @@ class _BlockParser(HTMLParser):
                     self._flush()
                     if self._heading == t:
                         self._heading = None
+                    if t == "figcaption":
+                        self._figcap_depth = max(0, self._figcap_depth - 1)
                 if t == tag:
                     break
         if tag in IGNORE_TAGS and tag not in VOID_TAGS:
@@ -328,6 +356,8 @@ class _BlockParser(HTMLParser):
             self._flush()
             if tag in HEADING_TAGS:
                 self._heading = None
+            if tag == "figcaption":
+                self._figcap_depth = max(0, self._figcap_depth - 1)
 
     def handle_data(self, data):
         if self._ignore_depth or not data:
@@ -361,8 +391,9 @@ def html_main_blocks(raw_html: str) -> list[tuple[str, str | None, str | None]]:
 
     kind ∈ {header, text, table, code, image}; order preserved; boilerplate
     (nav/footer/link farms/short chrome, beacon pixels) dropped by the
-    density rules above. text is None for image blocks; media_ref is
-    None for text/header blocks.
+    density rules above. text carries the img's alt attribute for image
+    blocks (None when absent); media_ref is None for text/header blocks.
+    Blocks from <figcaption> emit as kind='text' at the caption floor.
     """
     if not raw_html:
         return []
@@ -375,7 +406,7 @@ def html_main_blocks(raw_html: str) -> list[tuple[str, str | None, str | None]]:
     kept: list[tuple[str, str | None, str | None]] = []
     for kind, text, media_ref, link_chars in parser.blocks:
         if kind == "image":
-            kept.append((kind, None, media_ref))
+            kept.append((kind, text, media_ref))
             continue
         n = len(text)
         if kind == "header":
@@ -385,6 +416,10 @@ def html_main_blocks(raw_html: str) -> list[tuple[str, str | None, str | None]]:
         if kind == "code":
             if n >= MIN_CODE_CHARS and (link_chars / n) <= MAX_LINK_DENSITY:
                 kept.append((kind, text, None))
+            continue
+        if kind == "figcaption":
+            if n >= MIN_CAPTION_CHARS and (link_chars / n) <= MAX_LINK_DENSITY:
+                kept.append(("text", text, None))
             continue
         if n >= MIN_BLOCK_CHARS and (link_chars / n) <= MAX_LINK_DENSITY:
             kept.append((kind, text, None))

@@ -50,12 +50,15 @@ def media_context(
 ) -> DataFrame:
     """One row per media span with its nearest textual neighbours.
 
-    Columns: (id_col, pos, media_ref, before_text, after_text) where
-    ``pos`` is the 0-based index of the media span in the span sequence,
-    ``before_text`` is the text of the nearest PRECEDING textual span
-    with non-null text (NULL if the media span leads the document) and
-    ``after_text`` the nearest FOLLOWING one. This is the LAION/MMC4
-    caption-candidate mining primitive over interleaved documents.
+    Columns: (id_col, pos, media_ref, self_text, before_text,
+    after_text) where ``pos`` is the 0-based index of the media span in
+    the span sequence, ``self_text`` is the media span's OWN text (the
+    publisher's alt attribute from HTML ingestion, or a provider
+    caption; NULL when absent), ``before_text`` is the text of the
+    nearest PRECEDING textual span with non-null text (NULL if the
+    media span leads the document) and ``after_text`` the nearest
+    FOLLOWING one. This is the LAION/MMC4 caption-candidate mining
+    primitive over interleaved documents.
 
     Two O(n) folds per document (forward carrying "last textual text",
     backward over ``reverse(spans)`` carrying "next textual text"); the
@@ -66,14 +69,14 @@ def media_context(
     fwd = f"""aggregate(
   {spans_col},
   struct(0 AS i, CAST(NULL AS STRING) AS last,
-         CAST(array() AS array<struct<pos:int,media_ref:string,before_text:string>>) AS out),
+         CAST(array() AS array<struct<pos:int,media_ref:string,self_text:string,before_text:string>>) AS out),
   (acc, s) -> struct(
     acc.i + 1 AS i,
     IF({_IS_TEXT}, s.text, acc.last) AS last,
     IF({_IS_MEDIA},
        array_append(acc.out,
                     struct(acc.i AS pos, s.media_ref AS media_ref,
-                           acc.last AS before_text)),
+                           s.text AS self_text, acc.last AS before_text)),
        acc.out) AS out),
   acc -> acc.out)"""
     bwd = f"""aggregate(
@@ -88,6 +91,7 @@ def media_context(
   acc -> acc.out)"""
     combined = f"""zip_with({fwd}, reverse({bwd}),
   (a, b) -> struct(a.pos AS pos, a.media_ref AS media_ref,
+                   a.self_text AS self_text,
                    a.before_text AS before_text, b.after_text AS after_text))"""
     return df.select(id_col, F.explode(F.expr(combined)).alias("x")).select(
         id_col, "x.*"
@@ -416,14 +420,18 @@ def mine_caption_pairs(
     weights this engine treats as an external provider).
 
     For every media span WITH an identity (non-null ``media_ref``), the
-    caption candidate is the nearest preceding textual span if its
-    whitespace token count lies in [min_tokens, max_tokens], else the
-    nearest following one under the same gate; media spans where neither
-    side qualifies produce no pair (a 2-token "Figure 3" alt stub or a
-    4k-token body paragraph is not a caption). ``side`` records which
-    neighbour won ('before' preferred on tie, matching reading order:
-    captions overwhelmingly precede inline figures in the reference's
-    extraction output).
+    caption candidate is, in priority order under the same whitespace
+    token-count gate [min_tokens, max_tokens]:
+
+      1. the media span's OWN text — the publisher's alt attribute from
+         HTML ingestion (side='alt'); the author's caption beats any
+         proximity heuristic when it qualifies
+      2. the nearest preceding textual span (side='before'; captions
+         overwhelmingly precede inline figures in reading order)
+      3. the nearest following one (side='after')
+
+    Media spans where nothing qualifies produce no pair (a 2-token
+    "Figure 3" stub or a 4k-token body paragraph is not a caption).
 
     Output: (id_col, pos, media_ref, caption, n_tokens, side).
 
@@ -444,20 +452,26 @@ def mine_caption_pairs(
     ctx = media_context(df, spans_col=spans_col, id_col=id_col).where(
         F.col("media_ref").isNotNull()
     )
+    ns = _ntok(F.col("self_text"))
     nb, na = _ntok(F.col("before_text")), _ntok(F.col("after_text"))
+    ok_s = F.col("self_text").isNotNull() & ns.between(min_tokens, max_tokens)
     ok_b = F.col("before_text").isNotNull() & nb.between(min_tokens, max_tokens)
     ok_a = F.col("after_text").isNotNull() & na.between(min_tokens, max_tokens)
     return (
-        ctx.withColumn("side", F.when(ok_b, "before").when(ok_a, "after"))
+        ctx.withColumn(
+            "side", F.when(ok_s, "alt").when(ok_b, "before").when(ok_a, "after")
+        )
         .where(F.col("side").isNotNull())
         .select(
             id_col,
             "pos",
             "media_ref",
-            F.when(F.col("side") == "before", F.col("before_text"))
+            F.when(F.col("side") == "alt", F.col("self_text"))
+            .when(F.col("side") == "before", F.col("before_text"))
             .otherwise(F.col("after_text"))
             .alias("caption"),
-            F.when(F.col("side") == "before", nb)
+            F.when(F.col("side") == "alt", ns)
+            .when(F.col("side") == "before", nb)
             .otherwise(na)
             .cast("bigint")
             .alias("n_tokens"),

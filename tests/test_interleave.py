@@ -63,6 +63,17 @@ class TestMediaContext:
         # raster span at pos 7 is skipped over, not used as context
         assert got[(1, 8)] == ("m3", "body2", "a | b")
 
+    def test_self_text_carries_the_media_spans_own_text(self, spark):
+        rows = [(9, [("text", "around it", None, 0, 0),
+                     ("image", "publisher alt", "m", 0, 1),
+                     ("figure", None, "n", 0, 2)])]
+        df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+        got = {r.pos: r for r in media_context(df).collect()}
+        assert got[1].self_text == "publisher alt"
+        assert got[2].self_text is None
+        # a media span's own text still never feeds NEIGHBOUR context
+        assert got[2].before_text == "around it"
+
     def test_document_boundaries_yield_nulls(self, spark):
         got = {r.doc_id: r for r in media_context(_docs(spark)).collect()
                if r.doc_id == 3}
@@ -276,13 +287,23 @@ class TestMineCaptionPairs:
             # NULL media_ref: no identity, no pair
             (4, [("text", "a nice caption", None, 0, 0),
                  ("image", None, None, 0, 1)]),
+            # qualifying alt text beats a qualifying neighbour
+            (5, [("text", "neighbour caption here", None, 0, 0),
+                 ("image", "publisher wrote this alt", "m5", 0, 1)]),
+            # alt too short (2 tokens): falls through to before
+            (6, [("text", "neighbour caption here", None, 0, 0),
+                 ("image", "short alt", "m6", 0, 1)]),
         ], min_tokens=3, max_tokens=64)
         by_ref = {r.media_ref: r for r in got}
-        assert set(by_ref) == {"m1", "m2"}
+        assert set(by_ref) == {"m1", "m2", "m5", "m6"}
         assert (by_ref["m1"].side, by_ref["m1"].caption, by_ref["m1"].n_tokens) \
             == ("before", "a nice caption", 3)
         assert (by_ref["m2"].side, by_ref["m2"].caption) \
             == ("after", "after side caption")
+        assert (by_ref["m5"].side, by_ref["m5"].caption, by_ref["m5"].n_tokens) \
+            == ("alt", "publisher wrote this alt", 4)
+        assert (by_ref["m6"].side, by_ref["m6"].caption) \
+            == ("before", "neighbour caption here")
 
     def test_bounds_guard(self, spark):
         from docproc_spark.operators.interleave import mine_caption_pairs

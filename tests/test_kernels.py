@@ -492,3 +492,63 @@ def test_html_linkfarm_pre_drops_by_density():
          "<pre>kept() # no links</pre></body>")
     blocks = html_main_blocks(h)
     assert [(k, t) for k, t, _ in blocks] == [("code", "kept() # no links")]
+
+
+def test_html_img_alt_becomes_image_span_text():
+    """An img's alt attribute (whitespace-collapsed) is the image span's
+    text — the publisher's caption for LAION-style pair mining; alt-less
+    imgs keep text=None."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><p>Opening paragraph long enough to pass the keep bar.</p>"
+        "<img src='/a.png' alt='  Quarterly   revenue\tchart '>"
+        "<img src='/b.png'>"
+        "<p>Paragraph with an inline <img src='/c.png' alt='inline alt'> "
+        "image and enough following text to stay.</p></body>"
+    )
+    blocks = html_main_blocks(html)
+    imgs = {r: t for k, t, r in blocks if k == "image"}
+    assert imgs["/a.png"] == "Quarterly revenue chart"
+    assert imgs["/b.png"] is None
+    assert imgs["/c.png"] == "inline alt"
+
+
+def test_html_figcaption_keeps_at_caption_floor():
+    """A <figcaption> block is kept as kind='text' at MIN_CAPTION_CHARS
+    (3) even though MIN_BLOCK_CHARS (25) would drop it; equally short
+    non-caption blocks still drop, and a figcaption inside chrome drops
+    with its subtree."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><nav><figure><img src='/logo.png'>"
+        "<figcaption>Nav chrome caption</figcaption></figure></nav>"
+        "<p>Opening paragraph long enough to pass the keep bar.</p>"
+        "<figure><img src='/fig.png'>"
+        "<figcaption>Fig 1: results</figcaption></figure>"
+        "<p>short one</p>"
+        "</body>"
+    )
+    blocks = html_main_blocks(html)
+    kinds_texts = [(k, t) for k, t, _ in blocks]
+    assert ("text", "Fig 1: results") in kinds_texts          # kept at floor
+    assert ("text", "short one") not in kinds_texts           # still drops
+    assert all("Nav chrome" not in (t or "") for _, t, _ in blocks)
+    refs = [r for k, _, r in blocks if k == "image"]
+    assert refs == ["/fig.png"]  # nav figure dropped with its subtree
+    # order: the caption follows its figure's image span
+    assert blocks.index(("text", "Fig 1: results", None)) \
+        == blocks.index(("image", None, "/fig.png")) + 1
+
+
+def test_html_figcaption_link_density_still_applies():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<p>Opening paragraph long enough to pass the keep bar.</p>"
+        "<figure><img src='/f.png'>"
+        "<figcaption><a href='/x'>pure link caption</a></figcaption></figure>"
+    )
+    texts = [t for k, t, _ in html_main_blocks(html) if k == "text"]
+    assert "pure link caption" not in texts
