@@ -5220,6 +5220,80 @@ FROM p GROUP BY 1, 2
 """
 
 
+def _curate_interleaved(spark, sf):
+    """curate_interleaved on the staged span corpus at gates tuned so
+    every stage does real work here (template strip removes the
+    110-doc logo; 66 docs fail contextualization, 26 fail media
+    density, 610 fail the text gate). The cleaned spans are dropped
+    from the spare (template_media_clean already fingerprints the
+    identical min_docs=2 cleaning); the verdict trail is the oracle."""
+    from docproc_spark.operators.interleave import curate_interleaved
+
+    out = curate_interleaved(
+        _staged(spark).select("doc_id", "spans"),
+        min_docs_template=2,
+        min_tokens=20,
+        max_media_permille=480,
+        max_gap=2,
+        min_ctx_permille=700,
+    )
+    return out.drop("spans")
+
+
+_CURATE_INTERLEAVED_SQL = f"""
+WITH {_SPAN_UNNEST},
+tmpl AS (SELECT media_ref FROM s
+         WHERE kind IN ({_MEDIA_IN_SQL}) AND media_ref IS NOT NULL
+         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT s.doc_id, s.kind, s.text,
+                row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) - 1
+                  AS cpos
+         FROM s LEFT JOIN tmpl t
+           ON s.media_ref = t.media_ref AND s.kind IN ({_MEDIA_IN_SQL})
+         WHERE t.media_ref IS NULL),
+txt AS (SELECT doc_id, cpos FROM kept
+        WHERE kind IN ({_TEXTUAL_IN_SQL}) AND text IS NOT NULL),
+med AS (SELECT doc_id, cpos FROM kept WHERE kind IN ({_MEDIA_IN_SQL})),
+ctxn AS (SELECT m.doc_id, count(*) AS n_ctx FROM med m
+         WHERE EXISTS (SELECT 1 FROM txt t
+                       WHERE t.doc_id = m.doc_id
+                         AND abs(t.cpos - m.cpos) <= 2)
+         GROUP BY 1),
+agg AS (SELECT doc_id, count(*) AS n_clean,
+          count(*) FILTER (WHERE kind IN ({_TEXTUAL_IN_SQL})
+                             AND text IS NOT NULL) AS n_text,
+          count(*) FILTER (WHERE kind IN ({_MEDIA_IN_SQL})) AS n_media,
+          coalesce(sum(CASE WHEN kind IN ({_TEXTUAL_IN_SQL})
+                              AND text IS NOT NULL
+                            THEN {_NTOK_SQL.format(col='text')}
+                            ELSE 0 END), 0) AS n_tokens
+        FROM kept GROUP BY 1),
+base AS (SELECT doc_id, coalesce(len(spans), 0) AS n0 FROM d),
+v AS (SELECT b.doc_id,
+        (b.n0 - coalesce(a.n_clean, 0))::BIGINT AS n_removed,
+        coalesce(a.n_text, 0)::BIGINT AS n_text,
+        coalesce(a.n_media, 0)::BIGINT AS n_media,
+        coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        CASE WHEN coalesce(a.n_clean, 0) > 0
+             THEN ((1000 * a.n_media) // a.n_clean)::BIGINT END
+          AS media_permille,
+        CASE WHEN coalesce(a.n_media, 0) > 0
+             THEN ((1000 * coalesce(c.n_ctx, 0)) // a.n_media)::BIGINT END
+          AS ctx_permille
+      FROM base b LEFT JOIN agg a USING (doc_id)
+      LEFT JOIN ctxn c USING (doc_id))
+SELECT doc_id, n_removed, n_text, n_media, n_tokens, media_permille,
+       ctx_permille,
+       (n_text >= 1 AND n_tokens >= 20) AS text_keep,
+       (n_media = 0 OR media_permille <= 480) AS media_keep,
+       (n_media = 0 OR ctx_permille >= 700) AS ctx_keep,
+       ((n_text >= 1 AND n_tokens >= 20)
+        AND (n_media = 0 OR media_permille <= 480)
+        AND (n_media = 0 OR ctx_permille >= 700)) AS keep
+FROM v
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -5288,6 +5362,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "caption_pairs": _caption_pairs,
     "media_jaccard_pairs": _media_jaccard,
     "multimodal_chunks_256": _multimodal_chunks,
+    "curate_interleaved": _curate_interleaved,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -5358,6 +5433,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "caption_pairs": _CAPTION_PAIRS_SQL,
     "media_jaccard_pairs": _MEDIA_JACCARD_SQL,
     "multimodal_chunks_256": _MULTIMODAL_CHUNKS_SQL,
+    "curate_interleaved": _CURATE_INTERLEAVED_SQL,
 }
 
 

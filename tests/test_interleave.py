@@ -419,3 +419,66 @@ class TestMultimodalChunks:
             multimodal_chunks(df, budget=0)
         with pytest.raises(ValueError):
             multimodal_chunks(df, image_tokens=0)
+
+
+class TestCurateInterleaved:
+    def _out(self, spark, rows, **kw):
+        from docproc_spark.operators.interleave import curate_interleaved
+        df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+        return {r.doc_id: r for r in curate_interleaved(df, **kw).collect()}
+
+    def _rows(self):
+        body = " ".join(f"w{i}" for i in range(25))
+        return [
+            # healthy: template logo stripped, figure contextualized
+            (1, [("text", body, None, 0, 0),
+                 ("image", None, "logo", 0, 1),
+                 ("image", None, "fig1", 0, 2),
+                 ("text", "closing words here", None, 0, 3)]),
+            (2, [("image", None, "logo", 0, 0),
+                 ("text", body, None, 0, 1)]),
+            # gallery: 5 uncontextualized images of 6 cleaned spans
+            (3, [("image", None, "logo", 0, 0),
+                 ("image", None, "g1", 0, 1), ("image", None, "g2", 0, 2),
+                 ("image", None, "g3", 0, 3), ("image", None, "g4", 0, 4),
+                 ("image", None, "g5", 0, 5),
+                 ("text", body, None, 0, 6)]),
+            (4, None),
+            (5, []),
+            # too few tokens
+            (6, [("text", "just five words right here", None, 0, 0)]),
+        ]
+
+    def test_verdict_trail(self, spark):
+        got = self._out(spark, self._rows(), min_docs_template=2,
+                        min_tokens=20, max_media_permille=600,
+                        max_gap=2, min_ctx_permille=700)
+        r1 = got[1]
+        assert (r1.n_removed, r1.n_text, r1.n_media) == (1, 2, 1)
+        assert (r1.media_permille, r1.ctx_permille) == (333, 1000)
+        assert r1.keep and r1.text_keep and r1.media_keep and r1.ctx_keep
+        assert got[2].keep and got[2].n_media == 0
+        assert got[2].ctx_permille is None  # no media: vacuous gate
+        r3 = got[3]
+        assert (r3.media_permille, r3.ctx_permille) == (833, 400)
+        assert (r3.text_keep, r3.media_keep, r3.ctx_keep, r3.keep) \
+            == (True, False, False, False)
+        # NULL / empty / short docs fail the text gate, pass media gates
+        for d in (4, 5, 6):
+            assert not got[d].keep and not got[d].text_keep
+            assert got[d].media_keep and got[d].ctx_keep
+
+    def test_cleaned_spans_returned(self, spark):
+        got = self._out(spark, self._rows(), min_docs_template=2)
+        assert [s.media_ref for s in got[1].spans if s.kind == "image"] \
+            == ["fig1"]
+        assert got[4].spans is None
+
+    def test_gate_guards(self, spark):
+        from docproc_spark.operators.interleave import curate_interleaved
+        import pytest
+        df = spark.createDataFrame([], _SPAN_SCHEMA)
+        with pytest.raises(ValueError):
+            curate_interleaved(df, max_gap=0)
+        with pytest.raises(ValueError):
+            curate_interleaved(df, max_media_permille=1001)

@@ -512,3 +512,27 @@ def test_media_jaccard_pairs_plan_shape(spark, tmp_path):
     # nested-field pruning: the heavy text subfield must not be read
     for m in re.finditer(r"ReadSchema: (\S+)", plan):
         assert "text" not in m.group(1), f"span text loaded: {m.group(1)}"
+
+
+def test_curate_interleaved_doc_table_never_shuffles(spark, tmp_path):
+    """curate_interleaved = strip_template_media + in-row integer folds:
+    the template set folds to one broadcast row (its bounded aggregation
+    is the only exchange work) and the DOCUMENT table is never hash-
+    partitioned — every gate is an in-row projection. No Python."""
+    from docproc_spark.operators.interleave import curate_interleaved
+
+    src = str(tmp_path / "spans_cur")
+    spark.createDataFrame(
+        [(i, [("text", "a b c d e f", None, 0, 0),
+              ("image", None, f"m{i % 5}", 0, 1)])
+         for i in range(50)],
+        "doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,page:int,offset:int>>",
+    ).write.parquet(src)
+    out = curate_interleaved(spark.read.parquet(src))
+    plan = _plan(out)
+    assert not re.search(r"hashpartitioning\(doc_id", plan), \
+        "document table must not shuffle"
+    assert "EvalPython" not in plan
+    # the 1-row template set joins back as a broadcast nested loop
+    assert "BroadcastNestedLoopJoin" in plan
