@@ -49,6 +49,7 @@ BENCH_QUERIES = (
     # rows stay comparable round-over-round by name
     "web_curation",
     "pagerank_101",
+    "curate_interleaved",
 )
 
 
@@ -373,6 +374,18 @@ def main() -> None:
     _arm_logging(spark)
     qtimes: dict[str, float] = {}
     qs = {**entrymod.queries(), **entrymod.spare_queries()}
+
+    # the driver spare for curate_interleaved pins the fixed 2000-doc
+    # staged corpus (its oracle needs one known table); the bench times
+    # the recipe at the sf-scaled corpus size like the extract headline
+    def _curate_interleaved_scaled(spark, sf):
+        from docproc_spark.corpus import corpus_df
+        from docproc_spark.operators.interleave import curate_interleaved
+
+        docs = corpus_df(spark, n_docs, seed=42, mega_spans=2000)
+        return curate_interleaved(docs.select("doc_id", "spans"))
+
+    qs["curate_interleaved"] = _curate_interleaved_scaled
     q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     for name in BENCH_QUERIES:
         best = float("inf")

@@ -30,6 +30,11 @@ with a parse_error instead of failing the job):
     image stream (content-addressed identity, vision_llm.py:292-294;
     streamless objects fall back to the resource name), ordered at the
     position of the current transform's translate
+  - inline images (BI…ID…EI) are lifted out of the content stream
+    before tokenization and emit the same image spans under the same
+    sha256-of-decoded-payload identity (Flate via /F /Fl honored;
+    payload end = /L when present, else the first whitespace-delimited
+    EI — the documented subset ambiguity /L exists to remove)
 
 Full-text parity: page texts joined "\\n\\n" with empty pages INCLUDED
 (pdf_loader.get_full_text, :56-61) is exactly operators/fulltext.
@@ -383,6 +388,72 @@ def _image_xobjects(
     return refs
 
 
+_IWS = rb"[\x00\x09\x0a\x0c\x0d\x20]"
+_BI_RE = re.compile(rb"(?:^|" + _IWS + rb")BI(?=" + _IWS + rb"|/)")
+_ID_RE = re.compile(rb"(?:^|" + _IWS + rb")ID" + _IWS)
+_EI_RE = re.compile(_IWS + rb"EI(?=" + _IWS + rb"|$)")
+
+
+def _extract_inline_images(
+    content: bytes, taken=frozenset()
+) -> tuple[bytes, dict[bytes, str]]:
+    """Lift BI…ID…EI inline images out of a content stream BEFORE
+    tokenization (their binary payload would otherwise shred the token
+    scan). Each image is replaced by a synthetic ``/__inlN Do`` so the
+    interpreter positions it exactly like an XObject invocation (the
+    preceding ``cm`` applies to both forms), and its media_ref follows
+    the XObject identity contract: sha256 of the DECODED payload when
+    the abbreviated-or-full Flate filter (/F /Fl, /Filter /FlateDecode)
+    names it and the payload inflates, sha256 of the raw bytes
+    otherwise.
+
+    Subset honesty (same discipline as the rest of this parser): the
+    payload end is the /L length key when present (PDF 2.0), else the
+    FIRST whitespace-delimited EI — a raw payload that embeds that byte
+    pattern truncates early, exactly the ambiguity /L exists to remove.
+    Synthetic names are kept out of ``taken`` (the page's real resource
+    names) so an actual /__inl0 resource can't be shadowed. A BI with no
+    terminating ID/EI stops extraction and leaves the tail verbatim
+    (the tokenizer then sees at worst garbage operands, never text
+    loss)."""
+    out: list[bytes] = []
+    inline: dict[bytes, str] = {}
+    pos, n = 0, 0
+    while True:
+        m = _BI_RE.search(content, pos)
+        if not m:
+            break
+        mid = _ID_RE.search(content, m.end())
+        if not mid:
+            break
+        params = content[m.end() : mid.start()]
+        lm = re.search(rb"/L\s+(\d+)", params)
+        if lm:
+            data_end = mid.end() + int(lm.group(1))
+            mei = _EI_RE.search(content, data_end)
+        else:
+            mei = _EI_RE.search(content, mid.end())
+            data_end = mei.start() if mei else -1
+        if not mei or data_end > mei.start():
+            break
+        data = content[mid.end() : data_end]
+        if re.search(rb"/(?:F|Filter)\s*(?:\[\s*)?/Fl(?:ateDecode)?\b", params):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                pass  # raw-bytes identity; still deterministic
+        name = b"__inl%d" % n
+        while name in taken:
+            name += b"_"
+        n += 1
+        inline[name] = hashlib.sha256(data).hexdigest()
+        out.append(content[pos : m.start()])
+        out.append(b" /" + name + b" Do ")
+        pos = mei.end()
+    out.append(content[pos:])
+    return b"".join(out), inline
+
+
 def _string_bytes(tok: bytes) -> bytes:
     """Raw bytes of a literal ( … ) string (escapes/octal applied) or a
     <hex> string — decoding to text happens per the CURRENT FONT."""
@@ -645,6 +716,8 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
         page_heights[page] = page_h
         content = _content_streams(objs, body)
         xobjs = _image_xobjects(objs, body, cache=img_cache)
+        content, inline = _extract_inline_images(content, taken=set(xobjs))
+        xobjs.update(inline)
         blocks, images = _page_blocks(
             content, page, page_h, xobjs,
             fonts=_font_cmaps(objs, body, cache=cmap_cache),

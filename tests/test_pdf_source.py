@@ -496,3 +496,79 @@ def test_hyphenated_font_name_resets_decoder():
         ]
     )
     assert parse_pdf_bytes(pdf) == [("text", "Hé plain", None, 0)]
+
+
+class TestInlineImages:
+    """BI…ID…EI inline images: same spans, same sha256-of-decoded-payload
+    identity as XObject images (docstring 'inline images' subset)."""
+
+    def _one_page(self, content: bytes) -> bytes:
+        return _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+                _stream_obj(content, compress=False),
+            ]
+        )
+
+    def test_raw_inline_image_span_and_position(self, *_):
+        content = (
+            b"BT 72 700 Td (Before the image, long enough text) Tj ET\n"
+            b"q 1 0 0 1 50 500 cm BI /W 2 /H 2 /BPC 8 ID \xde\xad\xbe\xef EI Q\n"
+            b"BT 72 300 Td (After the image comes more text) Tj ET\n"
+        )
+        spans = parse_pdf_bytes(self._one_page(content))
+        imgs = [s for s in spans if s[0] == "image"]
+        assert imgs == [
+            ("image", None, hashlib.sha256(b"\xde\xad\xbe\xef").hexdigest(), 0)
+        ]
+        texts = [s[1] for s in spans if s[0] == "text"]
+        assert any("Before the image" in t for t in texts)
+        assert any("After the image" in t for t in texts)
+
+    def test_flate_inline_decodes_to_xobject_identity(self, *_):
+        # the SAME payload as an inline Flate image and as make_pdf()'s
+        # /Im1 XObject must yield the SAME media_ref (cross-form identity)
+        payload = zlib.compress(b"abc")
+        content = (
+            b"q 1 0 0 1 10 600 cm BI /F /Fl ID " + payload + b" EI Q\n"
+        )
+        spans = parse_pdf_bytes(self._one_page(content))
+        assert spans == [("image", None, IM1_SHA, 0)]
+
+    def test_length_key_spans_embedded_ei_bytes(self, *_):
+        payload = b"xx EI yy"  # whitespace-EI-whitespace INSIDE the data
+        content = (
+            b"BI /W 1 /H 1 /L %d ID " % len(payload) + payload + b" EI\n"
+            b"BT 72 700 Td (trailing text survives intact here) Tj ET\n"
+        )
+        spans = parse_pdf_bytes(self._one_page(content))
+        assert ("image", None, hashlib.sha256(payload).hexdigest(), 0) in spans
+        assert any(
+            s[0] == "text" and "trailing text survives" in s[1] for s in spans
+        )
+
+    def test_unterminated_bi_loses_no_text(self, *_):
+        content = (
+            b"BT 72 700 Td (kept paragraph before the bad image) Tj ET\n"
+            b"BI /W 1 /H 1 ID \x01\x02"  # EOF: no EI ever
+        )
+        spans = parse_pdf_bytes(self._one_page(content))
+        assert [s for s in spans if s[0] == "image"] == []
+        assert any(
+            s[0] in ("text", "header") and "kept paragraph" in (s[1] or "")
+            for s in spans
+        )
+
+    def test_multiple_inline_images_keep_cm_order(self, *_):
+        content = (
+            b"q 1 0 0 1 0 600 cm BI ID AA EI Q\n"
+            b"q 1 0 0 1 0 200 cm BI ID BB EI Q\n"
+        )
+        spans = parse_pdf_bytes(self._one_page(content))
+        assert [s[2] for s in spans] == [
+            hashlib.sha256(b"AA").hexdigest(),
+            hashlib.sha256(b"BB").hexdigest(),
+        ]
