@@ -35,6 +35,10 @@ with a parse_error instead of failing the job):
     sha256-of-decoded-payload identity (Flate via /F /Fl honored;
     payload end = /L when present, else the first whitespace-delimited
     EI — the documented subset ambiguity /L exists to remove)
+  - /Subtype /Form XObjects (running headers, watermarks, letterhead)
+    splice their streams at the `name Do` site (visited-set + depth-8
+    bound; /Matrix ignored — translate-only geometry); form-local
+    images/fonts merge flat with page bindings winning on collision
 
 Full-text parity: page texts joined "\\n\\n" with empty pages INCLUDED
 (pdf_loader.get_full_text, :56-61) is exactly operators/fulltext.
@@ -388,6 +392,59 @@ def _image_xobjects(
     return refs
 
 
+def _form_xobjects(objs: dict[int, bytes], body: bytes) -> dict[bytes, int]:
+    """Resource name → object number for /Subtype /Form XObjects reachable
+    from this body's /Resources (page or form — forms carry their own)."""
+    xdict = _named_dict(objs, _resources_body(objs, body), b"XObject")
+    forms: dict[bytes, int] = {}
+    for name, ref in re.findall(
+        rb"/(" + _NAME_BODY + rb")\s+(\d+)\s+0\s+R", xdict
+    ):
+        if re.search(rb"/Subtype\s*/Form", objs.get(int(ref), b"")):
+            forms[name] = int(ref)
+    return forms
+
+
+_DO_RE = re.compile(rb"/(" + _NAME_BODY + rb")\s+Do(?![0-9A-Za-z])")
+
+
+def _expand_forms(
+    objs: dict[int, bytes],
+    content: bytes,
+    forms: dict[bytes, int],
+    depth: int = 0,
+    seen: frozenset = frozenset(),
+) -> bytes:
+    """Splice /Subtype /Form XObject streams at their ``name Do`` sites —
+    real PDFs put running headers, watermarks, and letterhead stamps in
+    form XObjects, and an interpreter that skips them silently loses that
+    text. Nested forms expand against THEIR OWN resources; a visited-set
+    plus depth bound (8) terminates reference cycles the same way the
+    /Kids walk does. Subset honesty: the form's /Matrix is ignored (this
+    interpreter's geometry is the translate-only model used everywhere
+    else), and after splicing, name lookup is flat — page bindings win
+    over form-local names on collision (the merge in parse_pdf_bytes is
+    setdefault)."""
+    if depth >= 8 or not forms:
+        return content
+
+    def repl(m: "re.Match[bytes]") -> bytes:
+        onum = forms.get(m.group(1))
+        if onum is None or onum in seen:
+            return m.group(0)
+        inner = _stream_bytes(objs, onum)
+        inner = _expand_forms(
+            objs,
+            inner,
+            _form_xobjects(objs, objs.get(onum, b"")),
+            depth + 1,
+            seen | {onum},
+        )
+        return b"\n" + inner + b"\n"
+
+    return _DO_RE.sub(repl, content)
+
+
 _IWS = rb"[\x00\x09\x0a\x0c\x0d\x20]"
 _BI_RE = re.compile(rb"(?:^|" + _IWS + rb")BI(?=" + _IWS + rb"|/)")
 _ID_RE = re.compile(rb"(?:^|" + _IWS + rb")ID" + _IWS)
@@ -716,11 +773,28 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
         page_heights[page] = page_h
         content = _content_streams(objs, body)
         xobjs = _image_xobjects(objs, body, cache=img_cache)
+        fonts = _font_cmaps(objs, body, cache=cmap_cache)
+        forms = _form_xobjects(objs, body)
+        if forms:
+            content = _expand_forms(objs, content, forms)
+            # form-local images/fonts resolve flat after the splice; page
+            # bindings win on name collision (setdefault — the documented
+            # _expand_forms subset), transitively through nested forms
+            fstack, fseen = list(forms.values()), set(forms.values())
+            while fstack:
+                fbody = objs.get(fstack.pop(), b"")
+                for k, v in _image_xobjects(objs, fbody, cache=img_cache).items():
+                    xobjs.setdefault(k, v)
+                for k, v in _font_cmaps(objs, fbody, cache=cmap_cache).items():
+                    fonts.setdefault(k, v)
+                for fnum in _form_xobjects(objs, fbody).values():
+                    if fnum not in fseen:
+                        fseen.add(fnum)
+                        fstack.append(fnum)
         content, inline = _extract_inline_images(content, taken=set(xobjs))
         xobjs.update(inline)
         blocks, images = _page_blocks(
-            content, page, page_h, xobjs,
-            fonts=_font_cmaps(objs, body, cache=cmap_cache),
+            content, page, page_h, xobjs, fonts=fonts,
         )
         all_blocks.extend(blocks)
         # ordering key stays the page-local resource name (deterministic

@@ -572,3 +572,70 @@ class TestInlineImages:
             hashlib.sha256(b"AA").hexdigest(),
             hashlib.sha256(b"BB").hexdigest(),
         ]
+
+
+class TestFormXObjects:
+    """/Subtype /Form XObjects splice their streams at the Do site — the
+    running-header/watermark text real PDFs put in forms must extract."""
+
+    def _pdf_with_form(self) -> bytes:
+        # obj5 = form with its own /Resources (image Fm_img = obj6);
+        # page invokes /Stamp Do, form invokes its local /Fm_img Do
+        form_content = (
+            b"BT 72 780 Td (CONFIDENTIAL watermark header) Tj ET\n"
+            b"q 1 0 0 1 10 400 cm /Fm_img Do Q\n"
+        )
+        form = (
+            b"<< /Subtype /Form /Length %d "
+            b"/Resources << /XObject << /Fm_img 6 0 R >> >> >>\nstream\n"
+            % len(form_content) + form_content + b"\nendstream\n"
+        )
+        page_content = (
+            b"/Stamp Do\n"
+            b"BT 72 700 Td (Body paragraph under the stamped header) Tj ET\n"
+        )
+        return _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /XObject << /Stamp 5 0 R >> >> >>\n",
+                _stream_obj(page_content, compress=False),
+                form,
+                b"<< /Subtype /Image /Width 2 /Height 2 /Length 4 >>\n"
+                b"stream\nFORM\nendstream\n",
+            ]
+        )
+
+    def test_form_text_and_local_image_extract(self, *_):
+        spans = parse_pdf_bytes(self._pdf_with_form())
+        texts = [s[1] for s in spans if s[0] in ("text", "header")]
+        assert any("CONFIDENTIAL watermark" in t for t in texts)
+        assert any("Body paragraph" in t for t in texts)
+        imgs = [s[2] for s in spans if s[0] == "image"]
+        assert imgs == [hashlib.sha256(b"FORM").hexdigest()]
+
+    def test_cyclic_forms_terminate(self, *_):
+        # form A invokes B, B invokes A — visited-set must terminate
+        fa = b"BT 72 700 Td (from A with enough text) Tj ET /FB Do\n"
+        fb = b"/FA Do\nBT 72 600 Td (from B with enough text) Tj ET\n"
+        pdf = _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /XObject << /FA 5 0 R /FB 6 0 R >> >> >>\n",
+                _stream_obj(b"/FA Do\n", compress=False),
+                b"<< /Subtype /Form /Length %d /Resources << /XObject "
+                b"<< /FB 6 0 R >> >> >>\nstream\n" % len(fa)
+                + fa + b"\nendstream\n",
+                b"<< /Subtype /Form /Length %d /Resources << /XObject "
+                b"<< /FA 5 0 R >> >> >>\nstream\n" % len(fb)
+                + fb + b"\nendstream\n",
+            ]
+        )
+        spans = parse_pdf_bytes(pdf)  # must not hang / recurse forever
+        texts = " ".join(s[1] or "" for s in spans)
+        assert "from A" in texts and "from B" in texts
