@@ -48,7 +48,12 @@ Rules (fixed constants — part of this engine's invariant):
     media_ref), so alt never perturbs the markdown path. Tracking
     pixels (any width/height attribute ≤ TRACKER_MAX_DIM) and srcless
     imgs are dropped; chrome logos fall out with their
-    nav/header/footer subtrees.
+    nav/header/footer subtrees. Lazy-loaded imgs resolve through
+    _resolve_img_src: data-src / data-lazy-src / data-original (and,
+    srcless, the largest srcset / data-srcset candidate) supply the
+    identity when src is empty or a data: placeholder pixel — by src
+    alone, every lazy image on a page would collapse onto one
+    placeholder hash.
   - a block inside <figcaption> is kept as kind='text' at a lower bar
     (MIN_CAPTION_CHARS = 3, same floor as headings; link-density rule
     unchanged): figure captions are short by nature — "Fig. 3: results"
@@ -107,6 +112,60 @@ def _media_ref_for_src(src: str) -> str:
     except (ValueError, binascii.Error):
         blob = src.encode("utf-8", "surrogatepass")
     return hashlib.sha256(blob).hexdigest()
+
+
+_LAZY_SRC_ATTRS = ("data-src", "data-lazy-src", "data-original")
+
+
+def _srcset_best(srcset: str) -> str:
+    """Largest-descriptor candidate of a srcset list (`url 480w, url 2x`,
+    descriptor optional). Width (`w`) and density (`x`) values compare by
+    magnitude — a valid srcset never mixes the units, so the comparison
+    only ever sees one kind. First candidate wins ties (strict >), so the
+    pick is deterministic."""
+    best_url, best_d = "", -1.0
+    for cand in srcset.split(","):
+        parts = cand.split()
+        if not parts:
+            continue
+        d = 0.0
+        if len(parts) > 1:
+            desc = parts[-1].lower()
+            if desc[-1:] in ("w", "x"):
+                try:
+                    d = float(desc[:-1])
+                except ValueError:
+                    d = 0.0
+        if d > best_d:
+            best_url, best_d = parts[0], d
+    return best_url
+
+
+def _resolve_img_src(a: dict[str, str]) -> str:
+    """The identity-bearing source of an <img>, lazy-loading aware.
+
+    Real-web lazy loaders (lazysizes, WordPress, jQuery.lazy) park the
+    payload URL in data-src / data-lazy-src / data-original (or a
+    data-srcset) and leave `src` empty or pointing at an inline data:
+    placeholder pixel — identifying the image by `src` alone would
+    collapse every lazy image on the page onto one placeholder hash.
+    Order: a real (non-data:) src wins; a data: src yields to a lazy
+    attribute when one exists (placeholder) but stands alone otherwise
+    (genuine inline image, hashed by payload); with no src at all,
+    lazy attrs then the largest srcset / data-srcset candidate serve."""
+    src = a.get("src", "").strip()
+    lazy = next(
+        (a[k].strip() for k in _LAZY_SRC_ATTRS if a.get(k, "").strip()), ""
+    )
+    if src and not src.startswith("data:"):
+        return src
+    if lazy:
+        return lazy
+    for k in ("srcset", "data-srcset"):
+        got = _srcset_best(a.get(k, ""))
+        if got:
+            return got
+    return src  # data: payload with no alternative, or empty
 
 
 class _BlockParser(HTMLParser):
@@ -199,7 +258,7 @@ class _BlockParser(HTMLParser):
 
     def _handle_img(self, attrs) -> None:
         a = {k.lower(): (v or "") for k, v in attrs}
-        src = a.get("src", "").strip()
+        src = _resolve_img_src(a)
         if not src:
             return
         for dim in ("width", "height"):

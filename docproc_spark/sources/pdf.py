@@ -17,7 +17,13 @@ with a parse_error instead of failing the job):
     needs decoding — see _expand_object_streams)
   - page order from the /Catalog → /Pages → /Kids tree (recursive,
     cycle/depth-bounded)
-  - content streams plain or /FlateDecode
+  - stream filters: /FlateDecode, /LZWDecode (9→12-bit, EarlyChange),
+    /ASCIIHexDecode, /ASCII85Decode, /RunLengthDecode — singly or as a
+    /Filter array chain, with /DecodeParms PNG predictors 10-15 and
+    8-bit TIFF differencing on Flate/LZW output; lossy image codecs
+    (DCT/JPX/CCITT/JBIG2) terminate the chain and the bytes in hand are
+    the image's content identity; unknown filters (e.g. /Crypt) stop
+    the chain tolerantly
   - text: BT…ET blocks; Tm/Td/TD/T* positioning (a new line per
     line-move, joined "\\n"); Tj / ' / TJ show ops; literal ( ) strings
     with escapes + octal, and <hex> strings; Latin-1 byte decoding by
@@ -32,7 +38,8 @@ with a parse_error instead of failing the job):
     position of the current transform's translate
   - inline images (BI…ID…EI) are lifted out of the content stream
     before tokenization and emit the same image spans under the same
-    sha256-of-decoded-payload identity (Flate via /F /Fl honored;
+    sha256-of-decoded-payload identity (/F//DP filter chains honored
+    via the shared decoder, abbreviated names included;
     payload end = /L when present, else the first whitespace-delimited
     EI — the documented subset ambiguity /L exists to remove)
   - /Subtype /Form XObjects (running headers, watermarks, letterhead)
@@ -50,6 +57,7 @@ per-document CPU work, no shuffle), same contract as sources/ooxml.
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import re
 import zlib
@@ -190,18 +198,271 @@ def _media_box(objs: dict[int, bytes], page_body: bytes) -> tuple[float, float]:
     return 612.0, 792.0  # US Letter default
 
 
+# ---------------------------------------------------------------- filters
+# The stream-filter chain (ISO 32000 §7.4). One decoder serves regular
+# stream objects AND inline images (which spell the keys /F and /DP).
+# Lossy image codecs are TERMINAL: the chain stops there and the bytes in
+# hand become the content identity (a /FlateDecode-wrapped /DCTDecode
+# image hashes its JPEG bytes — decoding the codec itself needs PIL,
+# which this environment lacks and identity doesn't need).
+
+_FILTER_ABBREV = {  # inline-image short names (§8.9.7 Table 92)
+    b"Fl": b"FlateDecode",
+    b"AHx": b"ASCIIHexDecode",
+    b"A85": b"ASCII85Decode",
+    b"RL": b"RunLengthDecode",
+    b"LZW": b"LZWDecode",
+    b"DCT": b"DCTDecode",
+    b"CCF": b"CCITTFaxDecode",
+}
+_TERMINAL_FILTERS = frozenset(
+    {b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode", b"JBIG2Decode"}
+)
+
+
+def _balanced(src: bytes, start: int, opener: bytes, closer: bytes) -> int:
+    """End index (exclusive) of the balanced group opening at `start`,
+    or -1 if unterminated."""
+    depth, i, n = 0, start, len(src)
+    while i < n:
+        if src.startswith(opener, i):
+            depth += 1
+            i += len(opener)
+        elif src.startswith(closer, i):
+            depth -= 1
+            i += len(closer)
+            if depth == 0:
+                return i
+        else:
+            i += 1
+    return -1
+
+
+def _parms_items(arr: bytes) -> list[bytes]:
+    """Top-level items of a /DecodeParms array body: `null` → b"",
+    `<<…>>` → the dict bytes (nesting-aware)."""
+    items: list[bytes] = []
+    i, n = 0, len(arr)
+    while i < n:
+        if arr.startswith(b"<<", i):
+            j = _balanced(arr, i, b"<<", b">>")
+            if j < 0:
+                break
+            items.append(arr[i:j])
+            i = j
+        elif arr.startswith(b"null", i):
+            items.append(b"")
+            i += 4
+        else:
+            i += 1
+    return items
+
+
+def _stream_filters(body: bytes, inline: bool = False) -> list[tuple[bytes, bytes]]:
+    """(filter name, decode-parms dict bytes) chain from a stream dict.
+
+    /Filter is a name or an array of names; /DecodeParms a dict, an array
+    of dict-or-null parallel to the filter array, or absent. Inline
+    images use the abbreviations /F and /DP (and short filter names) —
+    outside inline dicts /F is a file spec, so the short keys only apply
+    when `inline`."""
+    fkey = rb"/(?:Filter|F)(?![A-Za-z])" if inline else rb"/Filter(?![A-Za-z])"
+    fm = re.search(fkey + rb"\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", body)
+    if not fm:
+        return []
+    names = [
+        _FILTER_ABBREV.get(n, n)
+        for n in re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    ]
+    pkey = (
+        rb"/(?:DecodeParms|DP)(?![A-Za-z])"
+        if inline
+        else rb"/DecodeParms(?![A-Za-z])"
+    )
+    parms: list[bytes] = []
+    pm = re.search(pkey + rb"\s*", body)
+    if pm:
+        at = pm.end()
+        if body.startswith(b"[", at):
+            j = _balanced(body, at, b"[", b"]")
+            if j > 0:
+                parms = _parms_items(body[at + 1 : j - 1])
+        elif body.startswith(b"<<", at):
+            j = _balanced(body, at, b"<<", b">>")
+            if j > 0:
+                parms = [body[at:j]]
+    parms += [b""] * (len(names) - len(parms))
+    return list(zip(names, parms))
+
+
+def _int_key(parms: bytes, key: bytes, default: int) -> int:
+    m = re.search(rb"/" + key + rb"\s+(\d+)", parms)
+    return int(m.group(1)) if m else default
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    h = b"".join(data.split(b">")[0].split())
+    if len(h) % 2:
+        h += b"0"  # odd count: final digit 0-padded (§7.4.2)
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    data = data.split(b"~>")[0]
+    if data.startswith(b"<~"):
+        data = data[2:]
+    return base64.a85decode(b"".join(data.split()))
+
+
+def _rl_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            out += data[i : i + 1] * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (§7.4.4): 9→12-bit codes, 256=clear, 257=EOD,
+    EarlyChange (default 1) widens one code before the table fills.
+    Decoder widens at next_to_assign ≥ 2^width - 1 - early: it lags the
+    encoder by one table entry (the entry a code defines is built while
+    processing the FOLLOWING code)."""
+    out = bytearray()
+    table: list[bytes] = []  # entries 258+
+    width, prev = 9, None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table, width, prev = [], 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif 258 <= code < 258 + len(table):
+                entry = table[code - 258]
+            elif code == 258 + len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("LZW code out of range")
+            if prev is not None:
+                table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            if 258 + len(table) >= (1 << width) - 1 - early and width < 12:
+                width += 1
+    return bytes(out)  # EOD missing: tolerate, return what decoded
+
+
+def _unpredict(data: bytes, parms: bytes) -> bytes:
+    """Undo the /Predictor pre-filter on Flate/LZW output: PNG row
+    predictors 10-15 (tag byte per row) or TIFF horizontal differencing
+    (predictor 2, 8-bit subset)."""
+    pred = _int_key(parms, b"Predictor", 1)
+    if pred < 2:
+        return data
+    colors = _int_key(parms, b"Colors", 1)
+    bpc = _int_key(parms, b"BitsPerComponent", 8)
+    columns = _int_key(parms, b"Columns", 1)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:
+        if bpc != 8:
+            return data  # sub-byte TIFF differencing: out of subset
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i < len(data):
+        tag = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if len(row) < rowlen:
+            row.extend(bytes(rowlen - len(row)))
+        if tag == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif tag == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[j] = (
+                    row[j] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(dict_src: bytes, raw: bytes, inline: bool = False) -> bytes | None:
+    """Run `raw` through the /Filter chain declared in `dict_src`.
+
+    Terminal lossy codecs (DCT/JPX/CCITT/JBIG2) stop the chain — the
+    bytes in hand are the content identity. An unknown filter (e.g.
+    /Crypt) also stops the chain, preserving the previous tolerant
+    behavior. Returns None when a KNOWN decoder fails on its input
+    (corrupt stream) — callers decide between quarantine-empty
+    (_stream_bytes) and raw-bytes identity (inline images)."""
+    data = raw
+    for name, parms in _stream_filters(dict_src, inline):
+        if name in _TERMINAL_FILTERS:
+            break
+        try:
+            if name == b"FlateDecode":
+                data = zlib.decompress(data)
+            elif name == b"LZWDecode":
+                data = _lzw_decode(data, _int_key(parms, b"EarlyChange", 1))
+            elif name == b"ASCIIHexDecode":
+                data = _ascii_hex_decode(data)
+            elif name == b"ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif name == b"RunLengthDecode":
+                data = _rl_decode(data)
+            else:
+                break
+            if name in (b"FlateDecode", b"LZWDecode") and parms:
+                data = _unpredict(data, parms)
+        except Exception:
+            return None
+    return data
+
+
 def _stream_bytes(objs: dict[int, bytes], num: int) -> bytes:
     body = objs.get(num, b"")
     m = _STREAM_RE.search(body)
     if not m:
         return b""
-    raw = m.group(1)
-    if re.search(rb"/Filter\s*/FlateDecode", body):
-        try:
-            return zlib.decompress(raw)
-        except zlib.error:
-            return b""
-    return raw
+    decoded = _decode_stream(body, m.group(1))
+    return decoded if decoded is not None else b""
 
 
 def _content_streams(objs: dict[int, bytes], page_body: bytes) -> bytes:
@@ -460,9 +721,9 @@ def _extract_inline_images(
     interpreter positions it exactly like an XObject invocation (the
     preceding ``cm`` applies to both forms), and its media_ref follows
     the XObject identity contract: sha256 of the DECODED payload when
-    the abbreviated-or-full Flate filter (/F /Fl, /Filter /FlateDecode)
-    names it and the payload inflates, sha256 of the raw bytes
-    otherwise.
+    the /F-or-/Filter chain (full or abbreviated names, same decoder as
+    regular streams incl. terminal-codec stop) decodes it, sha256 of
+    the raw bytes on a corrupt stream.
 
     Subset honesty (same discipline as the rest of this parser): the
     payload end is the /L length key when present (PDF 2.0), else the
@@ -494,11 +755,10 @@ def _extract_inline_images(
         if not mei or data_end > mei.start():
             break
         data = content[mid.end() : data_end]
-        if re.search(rb"/(?:F|Filter)\s*(?:\[\s*)?/Fl(?:ateDecode)?\b", params):
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                pass  # raw-bytes identity; still deterministic
+        decoded = _decode_stream(params, data, inline=True)
+        if decoded is not None:
+            data = decoded
+        # else: corrupt stream → raw-bytes identity; still deterministic
         name = b"__inl%d" % n
         while name in taken:
             name += b"_"

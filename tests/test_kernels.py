@@ -552,3 +552,61 @@ def test_html_figcaption_link_density_still_applies():
     )
     texts = [t for k, t, _ in html_main_blocks(html) if k == "text"]
     assert "pure link caption" not in texts
+
+
+def test_lazy_loaded_img_resolves_data_src_over_placeholder():
+    """lazysizes/WordPress pattern: src is a 1px data: placeholder, the
+    real URL sits in data-src — identity must be the real URL, not the
+    shared placeholder hash."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    px = "data:image/gif;base64,R0lGODlhAQABAAAAACw="
+    html = (
+        f"<body><p>Enough prose to keep this content block alive here.</p>"
+        f"<img src='{px}' data-src='/photos/a.jpg'>"
+        f"<img src='{px}' data-src='/photos/b.jpg'>"
+        "<img data-lazy-src='/photos/c.jpg'>"
+        "<img data-original='/photos/d.jpg'></body>"
+    )
+    refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
+    assert refs == ["/photos/a.jpg", "/photos/b.jpg", "/photos/c.jpg", "/photos/d.jpg"]
+
+
+def test_srcless_img_resolves_largest_srcset_candidate():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><img srcset='/i/a-480.jpg 480w, /i/a-1600.jpg 1600w, "
+        "/i/a-800.jpg 800w'>"
+        "<img srcset='/i/b-lo.jpg 1x, /i/b-hi.jpg 2x'>"
+        "<img data-srcset='/i/c-9.jpg 900w, /i/c-3.jpg 300w'></body>"
+    )
+    refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
+    assert refs == ["/i/a-1600.jpg", "/i/b-hi.jpg", "/i/c-9.jpg"]
+
+
+def test_real_src_wins_over_lazy_and_srcset():
+    """A genuine (non-data:) src is the canonical identity even when
+    srcset variants exist — variant URLs differ per viewport, the src
+    fallback is the stable one."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><img src='/i/hero.jpg' srcset='/i/hero-2x.jpg 2x' "
+        "data-src='/i/sneaky.jpg'></body>"
+    )
+    refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
+    assert refs == ["/i/hero.jpg"]
+
+
+def test_inline_data_img_without_lazy_attrs_still_hashes_payload():
+    import base64
+    import hashlib
+
+    from docproc_spark.kernels.html import html_main_blocks
+
+    blob = b"\x89PNG standalone"
+    b64 = base64.b64encode(blob).decode()
+    html = f"<body><img src='data:image/png;base64,{b64}'></body>"
+    refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
+    assert refs == [hashlib.sha256(blob).hexdigest()]

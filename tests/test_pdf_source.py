@@ -639,3 +639,226 @@ class TestFormXObjects:
         spans = parse_pdf_bytes(pdf)  # must not hang / recurse forever
         texts = " ".join(s[1] or "" for s in spans)
         assert "from A" in texts and "from B" in texts
+
+
+# -------------------------------------------------------------- filters
+
+
+from docproc_spark.sources.pdf import _decode_stream  # noqa: E402
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Spec-faithful LZWDecode encoder (test-local): clear, 9→12-bit
+    growth with EarlyChange, EOD. The decoder must round-trip it."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - early and width < 12:
+            width += 1
+        if next_code > 4095:  # table full: clear, like real writers
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _png_rows(data: bytes, rowlen: int, tag: int) -> bytes:
+    """Apply one PNG row filter (tag per row) so _unpredict must undo it."""
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), rowlen):
+        row = bytearray(data[r : r + rowlen].ljust(rowlen, b"\0"))
+        enc = bytearray(row)
+        for j in range(rowlen):
+            a = row[j - 1] if j >= 1 else 0
+            b = prev[j]
+            c = prev[j - 1] if j >= 1 else 0
+            if tag == 1:
+                enc[j] = (row[j] - a) & 0xFF
+            elif tag == 2:
+                enc[j] = (row[j] - b) & 0xFF
+            elif tag == 3:
+                enc[j] = (row[j] - ((a + b) >> 1)) & 0xFF
+            elif tag == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                enc[j] = (row[j] - pr) & 0xFF
+        out.append(tag)
+        out += enc
+        prev = row
+    return bytes(out)
+
+
+class TestStreamFilters:
+    def test_ascii_hex_then_flate_chain(self):
+        plain = b"BT 72 700 Td (chained) Tj ET"
+        raw = zlib.compress(plain).hex().upper().encode() + b">"
+        body = b"<< /Filter [/ASCIIHexDecode /FlateDecode] >>"
+        assert _decode_stream(body, raw) == plain
+
+    def test_ascii85_with_terminator_and_z_shorthand(self):
+        import base64
+
+        plain = b"\0\0\0\0text after a zero group \0\0\0\0!"
+        enc = base64.a85encode(plain)
+        # PDF writers use the z shorthand for zero groups + ~> EOD
+        enc = enc.replace(b"!!!!!", b"z") + b"~>"
+        assert _decode_stream(b"<< /Filter /ASCII85Decode >>", enc) == plain
+
+    def test_run_length_decode(self):
+        # 3 literal bytes "abc", then "x" repeated 5 (257-252), then EOD
+        raw = b"\x02abc" + b"\xfcx" + b"\x80"
+        body = b"<< /Filter /RunLengthDecode >>"
+        assert _decode_stream(body, raw) == b"abcxxxxx"
+
+    def test_lzw_round_trip_crosses_width_boundaries(self):
+        import random
+
+        rnd = random.Random(7)
+        data = bytes(rnd.randrange(256) for _ in range(6000))
+        enc = _lzw_encode(data)
+        assert _decode_stream(b"<< /Filter /LZWDecode >>", enc) == data
+
+    def test_lzw_early_change_zero(self):
+        import random
+
+        rnd = random.Random(11)
+        data = bytes(rnd.randrange(64) for _ in range(4000))
+        enc = _lzw_encode(data, early=0)
+        body = b"<< /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> >>"
+        assert _decode_stream(body, enc) == data
+
+    def test_flate_png_predictors_round_trip(self):
+        cols = 16
+        payload = bytes((i * 37 + 11) % 256 for i in range(cols * 9))
+        for tag in (0, 1, 2, 3, 4):
+            filtered = _png_rows(payload, cols, tag)
+            body = (
+                b"<< /Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 12 /Columns 16 >> >>"
+            )
+            got = _decode_stream(body, zlib.compress(filtered))
+            assert got == payload, f"PNG tag {tag}"
+
+    def test_tiff_predictor_2(self):
+        payload = b"\x10\x20\x30\x40" * 4
+        rowlen = 4
+        diff = bytearray(payload)
+        for r in range(0, len(diff), rowlen):
+            for i in range(r + rowlen - 1, r, -1):
+                diff[i] = (diff[i] - diff[i - 1]) & 0xFF
+        body = (
+            b"<< /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 2 /Columns 4 >> >>"
+        )
+        assert _decode_stream(body, zlib.compress(bytes(diff))) == payload
+
+    def test_terminal_dct_stops_chain_after_flate(self):
+        jpeg = b"\xff\xd8\xff\xe0fakejpegbytes\xff\xd9"
+        body = b"<< /Filter [/FlateDecode /DCTDecode] >>"
+        assert _decode_stream(body, zlib.compress(jpeg)) == jpeg
+
+    def test_unknown_filter_stops_chain_tolerantly(self):
+        raw = b"opaque-crypt-bytes"
+        assert _decode_stream(b"<< /Filter /Crypt >>", raw) == raw
+
+    def test_corrupt_known_filter_returns_none(self):
+        assert _decode_stream(b"<< /Filter /FlateDecode >>", b"not zlib") is None
+
+    def test_decodeparms_array_aligns_with_filter_array(self):
+        cols = 8
+        payload = bytes(range(cols * 4))
+        filtered = _png_rows(payload, cols, 2)
+        raw = zlib.compress(filtered).hex().encode() + b">"
+        body = (
+            b"<< /Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms "
+            b"[null << /Predictor 12 /Columns 8 >>] >>"
+        )
+        assert _decode_stream(body, raw) == payload
+
+    def test_lzw_content_stream_e2e(self):
+        content = b"BT 72 700 Td (lzw page text) Tj ET\n"
+        enc = _lzw_encode(content)
+        pdf = _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+                b"<< /Filter /LZWDecode /Length %d >>\nstream\n" % len(enc)
+                + enc
+                + b"\nendstream\n",
+            ]
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["lzw page text"]
+
+    def test_ascii85_flate_chain_content_stream_e2e(self):
+        import base64
+
+        content = b"BT 72 700 Td (a85 chained text) Tj ET\n"
+        enc = base64.a85encode(zlib.compress(content)) + b"~>"
+        pdf = _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+                b"<< /Filter [/ASCII85Decode /FlateDecode] /Length %d >>"
+                b"\nstream\n" % len(enc)
+                + enc
+                + b"\nendstream\n",
+            ]
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["a85 chained text"]
+
+    def test_inline_image_ascii_hex_identity(self):
+        blob = b"inlinepixels123"
+        hexpay = blob.hex().encode() + b">"
+        content = (
+            b"BT 72 700 Td (before) Tj ET\n"
+            b"q 1 0 0 1 50 500 cm BI /W 2 /H 2 /F /AHx ID "
+            + hexpay
+            + b" EI Q\n"
+        )
+        pdf = _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+                _stream_obj(content, compress=False),
+            ]
+        )
+        spans = parse_pdf_bytes(pdf)
+        imgs = [s for s in spans if s[0] == "image"]
+        assert len(imgs) == 1
+        assert imgs[0][2] == hashlib.sha256(blob).hexdigest()
