@@ -25,7 +25,9 @@ with a parse_error instead of failing the job):
     the image's content identity; unknown filters (e.g. /Crypt) stop
     the chain tolerantly
   - text: BT…ET blocks; Tm/Td/TD/T* positioning (a new line per
-    line-move, joined "\\n"); Tj / ' / TJ show ops; literal ( ) strings
+    line-move, joined "\\n"); Tj / ' / TJ show ops — a TJ kerning
+    adjustment ≤ TJ_SPACE_KERN reads as a word space (justified text
+    often encodes spaces as pen movement, never a glyph); literal ( ) strings
     with escapes + octal, and <hex> strings; Latin-1 byte decoding by
     default, or the active font's /ToUnicode CMap (Tf-switched; 1- and
     2-byte codes, bfchar + both bfrange forms) for composite/CID text
@@ -70,6 +72,12 @@ from docproc_spark.sources.ooxml import OOXML_OUT_SCHEMA
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+
+# A TJ numeric adjustment at or below this (thousandths of an em;
+# negative moves the pen right) reads as an encoded word space — the
+# threshold pdfminer ships as its word-gap margin (~0.18 em; a typical
+# space glyph is 0.25 em).
+TJ_SPACE_KERN = -180.0
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
@@ -993,11 +1001,27 @@ def _page_blocks(
             stack.clear()
             continue
         if tok == b"TJ":
-            parts = [
-                _decode_pdf_string(t, cur_cmap)
-                for t in stack
-                if t.startswith((b"(", b"<"))
-            ]
+            # Strings joined in order; a numeric adjustment at or below
+            # TJ_SPACE_KERN (thousandths of an em, negative = rightward
+            # gap) is a word space the writer encoded as kerning instead
+            # of a space glyph — without this, justified text extracts
+            # with its words fused ("Helloworld").
+            parts: list[str] = []
+            pending_space = False
+            for t in stack:
+                if t.startswith((b"(", b"<")):
+                    s = _decode_pdf_string(t, cur_cmap)
+                    if (
+                        pending_space
+                        and parts
+                        and not parts[-1].endswith(" ")
+                        and not s.startswith(" ")
+                    ):
+                        parts.append(" ")
+                    pending_space = False
+                    parts.append(s)
+                elif num(t) <= TJ_SPACE_KERN:
+                    pending_space = True
             if parts:
                 if origin is None:
                     origin = (tx, ty)
@@ -1017,6 +1041,9 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
     """bytes → [(kind, text, media_ref, page)] — text blocks in pdf_layout
     reading order with layout classification, image spans at their
     transform position."""
+    if re.search(rb"/Encrypt\s+\d+\s+0\s+R", data):
+        # trailer names an encryption dict: strings/streams are ciphertext
+        raise ValueError("encrypted PDF (out of parser subset)")
     objs = _objects(data)
     if not objs:
         raise ValueError("no PDF objects found")

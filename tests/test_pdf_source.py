@@ -862,3 +862,48 @@ class TestStreamFilters:
         imgs = [s for s in spans if s[0] == "image"]
         assert len(imgs) == 1
         assert imgs[0][2] == hashlib.sha256(blob).hexdigest()
+
+
+class TestTjKerningAndEncryption:
+    def _one_page(self, content: bytes) -> bytes:
+        return _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+                _stream_obj(content, compress=False),
+            ]
+        )
+
+    def test_tj_kerning_gap_becomes_word_space(self):
+        # justified text: spaces encoded as pen movement, not glyphs
+        pdf = self._one_page(
+            b"BT 72 700 Td [(Hello) -250 (world) -320 (again)] TJ ET\n"
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["Hello world again"]
+
+    def test_tj_small_kern_is_not_a_space(self):
+        # glyph-pair kerning (AV, To, …) is tens of units, not hundreds
+        pdf = self._one_page(b"BT 72 700 Td [(A) -80 (V) 40 (a)] TJ ET\n")
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["AVa"]
+
+    def test_tj_kern_never_doubles_an_explicit_space(self):
+        pdf = self._one_page(b"BT 72 700 Td [(one ) -250 (two)] TJ ET\n")
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["one two"]
+
+    def test_leading_and_trailing_kerns_add_no_space(self):
+        pdf = self._one_page(b"BT 72 700 Td [-300 (solo) -300] TJ ET\n")
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["solo"]
+
+    def test_encrypted_pdf_quarantines_with_clear_error(self):
+        body = make_pdf().replace(
+            b"trailer\n<< /Root 1 0 R >>",
+            b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>",
+        )
+        with pytest.raises(ValueError, match="encrypted"):
+            parse_pdf_bytes(body)
