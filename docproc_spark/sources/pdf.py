@@ -29,7 +29,10 @@ with a parse_error instead of failing the job):
     adjustment ≤ TJ_SPACE_KERN reads as a word space (justified text
     often encodes spaces as pen movement, never a glyph); literal ( ) strings
     with escapes + octal, and <hex> strings; Latin-1 byte decoding by
-    default, or the active font's /ToUnicode CMap (Tf-switched; 1- and
+    default, a 1-byte /Encoding decoder (WinAnsi/MacRoman BaseEncoding
+    + /Differences glyph names through an AGL subset incl. uniXXXX)
+    for simple fonts that declare one, or the active font's /ToUnicode
+    CMap (Tf-switched; 1- and
     2-byte codes, bfchar + both bfrange forms) for composite/CID text
   - one block per BT…ET group, bbox from the text origin (PDF y-up
     flipped to top-down so (y0, x0) reading order matches pdf_layout)
@@ -505,6 +508,148 @@ def _resources_body(objs: dict[int, bytes], page_body: bytes) -> bytes:
     return page_body
 
 
+# ------------------------------------------------------- font encodings
+# Simple-font /Encoding support: a 1-byte decoder synthesized from the
+# /BaseEncoding (WinAnsi → cp1252, MacRoman → mac_roman, else Latin-1)
+# overridden by /Differences glyph names. Glyph names resolve through a
+# compact Adobe Glyph List subset (ASCII + Latin-1 + the cp1252
+# punctuation/ligature block) plus the algorithmic uniXXXX / uXXXX(XX)
+# forms — the set TeX and office writers actually emit. /ToUnicode wins
+# when both exist (it IS the text-extraction mapping, §9.10.2).
+
+_AGL_ASCII = {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26, "quotesingle": 0x27,
+    "parenleft": 0x28, "parenright": 0x29, "asterisk": 0x2A, "plus": 0x2B,
+    "comma": 0x2C, "hyphen": 0x2D, "period": 0x2E, "slash": 0x2F,
+    "zero": 0x30, "one": 0x31, "two": 0x32, "three": 0x33, "four": 0x34,
+    "five": 0x35, "six": 0x36, "seven": 0x37, "eight": 0x38, "nine": 0x39,
+    "colon": 0x3A, "semicolon": 0x3B, "less": 0x3C, "equal": 0x3D,
+    "greater": 0x3E, "question": 0x3F, "at": 0x40,
+    "bracketleft": 0x5B, "backslash": 0x5C, "bracketright": 0x5D,
+    "asciicircum": 0x5E, "underscore": 0x5F, "grave": 0x60,
+    "braceleft": 0x7B, "bar": 0x7C, "braceright": 0x7D, "asciitilde": 0x7E,
+}
+
+# Latin-1 0xA1..0xFF glyph names in codepoint order ("-" = no AGL name)
+_LATIN1_NAMES = (
+    "exclamdown cent sterling currency yen brokenbar section dieresis "
+    "copyright ordfeminine guillemotleft logicalnot - registered macron "
+    "degree plusminus twosuperior threesuperior acute mu paragraph "
+    "periodcentered cedilla onesuperior ordmasculine guillemotright "
+    "onequarter onehalf threequarters questiondown "
+    "Agrave Aacute Acircumflex Atilde Adieresis Aring AE Ccedilla "
+    "Egrave Eacute Ecircumflex Edieresis Igrave Iacute Icircumflex Idieresis "
+    "Eth Ntilde Ograve Oacute Ocircumflex Otilde Odieresis multiply Oslash "
+    "Ugrave Uacute Ucircumflex Udieresis Yacute Thorn germandbls "
+    "agrave aacute acircumflex atilde adieresis aring ae ccedilla "
+    "egrave eacute ecircumflex edieresis igrave iacute icircumflex idieresis "
+    "eth ntilde ograve oacute ocircumflex otilde odieresis divide oslash "
+    "ugrave uacute ucircumflex udieresis yacute thorn ydieresis"
+).split()
+
+_AGL_EXTRA = {
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "circumflex": "ˆ", "perthousand": "‰",
+    "Scaron": "Š", "guilsinglleft": "‹", "OE": "Œ",
+    "Zcaron": "Ž", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”", "bullet": "•",
+    "endash": "–", "emdash": "—", "tilde": "˜",
+    "trademark": "™", "scaron": "š", "guilsinglright": "›",
+    "oe": "œ", "zcaron": "ž", "Ydieresis": "Ÿ",
+    "fi": "ﬁ", "fl": "ﬂ", "fraction": "⁄", "minus": "−",
+    "dotlessi": "ı", "ring": "˚", "breve": "˘",
+    "caron": "ˇ", "dotaccent": "˙", "hungarumlaut": "˝",
+    "ogonek": "˛", "nbspace": " ",
+}
+
+_AGL: dict[str, str] = {n: chr(c) for n, c in _AGL_ASCII.items()}
+_AGL.update(
+    {n: chr(0xA1 + i) for i, n in enumerate(_LATIN1_NAMES) if n != "-"}
+)
+_AGL.update(_AGL_EXTRA)
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    if name in _AGL:
+        return _AGL[name]
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4}", name):
+        return chr(int(name[3:], 16))
+    if re.fullmatch(r"u[0-9A-Fa-f]{4,6}", name):
+        cp = int(name[1:], 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    if len(name) == 1:  # single-char names ARE their character (A-Z, a-z)
+        return name
+    return None
+
+
+_BASE_ENC_CACHE: dict[bytes, dict[int, str]] = {}
+
+
+def _base_encoding_map(name: bytes) -> dict[int, str]:
+    if name not in _BASE_ENC_CACHE:
+        codec = {
+            b"WinAnsiEncoding": "cp1252",
+            b"MacRomanEncoding": "mac_roman",
+        }.get(name)
+        if codec is None:  # Standard/absent: Latin-1, the parser default
+            mapping = {i: chr(i) for i in range(256)}
+        else:
+            mapping = {}
+            for i in range(256):
+                try:
+                    mapping[i] = bytes([i]).decode(codec)
+                except UnicodeDecodeError:
+                    pass  # undefined slot → unmapped → U+FFFD
+        _BASE_ENC_CACHE[name] = mapping
+    return _BASE_ENC_CACHE[name]
+
+
+def _font_encoding(
+    objs: dict[int, bytes], fbody: bytes
+) -> tuple[int, dict[int, str]] | None:
+    """1-byte decoder from a simple font's /Encoding entry, or None when
+    the font has no usable encoding (Latin-1 default applies)."""
+    enc_src = None
+    m = re.search(rb"/Encoding\s+(\d+)\s+0\s+R", fbody)
+    if m:
+        enc_src = objs.get(int(m.group(1)), b"")
+    else:
+        m2 = re.search(rb"/Encoding\s*(/[A-Za-z0-9-]+|<<)", fbody)
+        if not m2:
+            return None
+        if m2.group(1) != b"<<":
+            name = m2.group(1)[1:]
+            if name in (b"WinAnsiEncoding", b"MacRomanEncoding"):
+                return (1, dict(_base_encoding_map(name)))
+            return None  # Identity-H etc.: not a simple-font encoding
+        j = _balanced(fbody, m2.start(1), b"<<", b">>")
+        enc_src = fbody[m2.start(1) : j] if j > 0 else fbody[m2.start(1) :]
+    base_m = re.search(rb"/BaseEncoding\s*/([A-Za-z0-9]+)", enc_src)
+    dm = re.search(rb"/Differences\s*\[", enc_src)
+    if base_m is None and dm is None:
+        return None
+    mapping = dict(_base_encoding_map(base_m.group(1) if base_m else b""))
+    if dm:
+        end = _balanced(enc_src, dm.end() - 1, b"[", b"]")
+        arr = enc_src[dm.end() : (end - 1 if end > 0 else len(enc_src))]
+        code = 0
+        for nm, numt in re.findall(
+            rb"/(" + _NAME_BODY + rb")|([-+]?\d+)", arr
+        ):
+            if numt:
+                code = int(numt)
+                continue
+            u = _glyph_to_unicode(nm.decode("latin-1"))
+            if u is not None:
+                mapping[code] = u
+            else:
+                mapping.pop(code, None)  # unknown glyph → U+FFFD
+            code += 1
+    return (1, mapping)
+
+
 def _parse_tounicode(stream: bytes) -> tuple[int, dict[int, str]]:
     """/ToUnicode CMap → (code byte-width, code→str map).
 
@@ -599,9 +744,10 @@ def _font_cmaps(
     page_body: bytes,
     cache: dict[int, tuple[int, dict[int, str]]] | None = None,
 ) -> dict[bytes, tuple[int, dict[int, str]]]:
-    """Font resource name (as the `/F1` token) → parsed /ToUnicode CMap
-    for every font on this page that carries one. Fonts without a
-    ToUnicode stream keep the Latin-1 byte decoding. `cache` memoizes
+    """Font resource name (as the `/F1` token) → string decoder: the
+    parsed /ToUnicode CMap when the font carries one, else a 1-byte
+    /Encoding decoder (BaseEncoding + Differences, _font_encoding).
+    Fonts with neither keep the Latin-1 byte decoding. `cache` memoizes
     parsed CMaps per ToUnicode OBJECT NUMBER across the document's pages
     (a 1000-page CJK doc shares one 50k-entry CMap — decompress + parse
     it once, not per page)."""
@@ -613,8 +759,18 @@ def _font_cmaps(
     for name, ref in re.findall(
         rb"/(" + _NAME_BODY + rb")\s+(\d+)\s+0\s+R", fdict
     ):
-        tu = _dict_ref(objs.get(int(ref), b""), b"ToUnicode")
+        fbody = objs.get(int(ref), b"")
+        tu = _dict_ref(fbody, b"ToUnicode")
         if tu is None:
+            # no ToUnicode: an /Encoding (BaseEncoding + Differences)
+            # still yields a 1-byte decoder; -int(ref) keys the memo so
+            # font and ToUnicode object numbers can't collide
+            if -int(ref) not in cache:
+                enc = _font_encoding(objs, fbody)
+                if enc is None:
+                    continue
+                cache[-int(ref)] = enc
+            out[b"/" + name] = cache[-int(ref)]
             continue
         if tu not in cache:
             stream = _stream_bytes(objs, tu)

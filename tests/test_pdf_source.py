@@ -907,3 +907,121 @@ class TestTjKerningAndEncryption:
         )
         with pytest.raises(ValueError, match="encrypted"):
             parse_pdf_bytes(body)
+
+
+class TestFontEncodings:
+    """Simple-font /Encoding decoding: WinAnsi/MacRoman base encodings
+    and /Differences glyph-name remaps (TeX and office writers emit
+    these constantly; Latin-1 decodes their bytes to the wrong chars)."""
+
+    def _pdf_with_font(self, font_obj: bytes, content: bytes) -> bytes:
+        return _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>\n",
+                _stream_obj(content, compress=False),
+                font_obj,
+            ]
+        )
+
+    def test_winansi_smart_quotes_decode(self):
+        # cp1252 0x93/0x94 are curly quotes; Latin-1 calls them controls
+        pdf = self._pdf_with_font(
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+            b"/Encoding /WinAnsiEncoding >>\n",
+            b"BT /F1 12 Tf 72 700 Td (\x93quoted\x94 \x96 dash) Tj ET\n",
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["“quoted” – dash"]
+
+    def test_differences_remap_glyph_names(self):
+        pdf = self._pdf_with_font(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [ 65 /eacute /Euro 200 /uni0142 ] >> >>\n",
+            b"BT /F1 12 Tf 72 700 Td (AB plain \xc8) Tj ET\n",
+        )
+        spans = parse_pdf_bytes(pdf)
+        # A(65)→é, B(66)→€, 0xC8(200)→ł; the rest stays WinAnsi
+        assert [s[1] for s in spans] == ["é€ plain ł"]
+
+    def test_differences_without_base_defaults_latin1(self):
+        pdf = self._pdf_with_font(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            b"/Encoding << /Differences [ 88 /germandbls ] >> >>\n",
+            b"BT /F1 12 Tf 72 700 Td (X normal \xe9) Tj ET\n",
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["ß normal é"]
+
+    def test_macroman_base_encoding(self):
+        # mac_roman 0xA5 is a bullet (Latin-1: yen sign)
+        pdf = self._pdf_with_font(
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /Times "
+            b"/Encoding /MacRomanEncoding >>\n",
+            b"BT /F1 12 Tf 72 700 Td (\xa5 item) Tj ET\n",
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["• item"]
+
+    def test_indirect_encoding_dict(self):
+        pdf = _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>\n",
+                _stream_obj(
+                    b"BT /F1 12 Tf 72 700 Td (Q) Tj ET\n", compress=False
+                ),
+                b"<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>\n",
+                b"<< /Differences [ 81 /questiondown ] >>\n",
+            ]
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["¿"]
+
+    def test_unknown_glyph_name_becomes_replacement(self):
+        pdf = self._pdf_with_font(
+            b"<< /Type /Font /Subtype /Type1 "
+            b"/Encoding << /Differences [ 65 /g12345weird ] >> >>\n",
+            b"BT /F1 12 Tf 72 700 Td (A ok) Tj ET\n",
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["� ok"]
+
+    def test_tounicode_wins_over_encoding(self):
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"1 beginbfchar <41> <0077> endbfchar\nend\n"
+        )
+        pdf = _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>\n",
+                _stream_obj(
+                    b"BT /F1 12 Tf 72 700 Td (A) Tj ET\n", compress=False
+                ),
+                b"<< /Type /Font /Encoding /WinAnsiEncoding "
+                b"/ToUnicode 6 0 R >>\n",
+                _stream_obj(cmap, compress=False),
+            ]
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["w"]
+
+    def test_identity_h_name_keeps_latin1_fallback(self):
+        pdf = self._pdf_with_font(
+            b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>\n",
+            b"BT /F1 12 Tf 72 700 Td (plain bytes) Tj ET\n",
+        )
+        spans = parse_pdf_bytes(pdf)
+        assert [s[1] for s in spans] == ["plain bytes"]
