@@ -195,11 +195,15 @@ def test_parser_never_hangs_or_crashes_on_mutations():
     import random
     import time
 
-    bases = [bytearray(make_pdf()), bytearray(make_cmap_pdf())]
+    bases = [
+        bytearray(make_pdf()),
+        bytearray(make_cmap_pdf()),
+        bytearray(make_filters_pdf()),  # LZW/A85/predictor/Differences
+    ]
     rng = random.Random(1234)
     t0 = time.time()
     outcomes = {"ok": 0, "err": 0}
-    for i in range(120):
+    for i in range(150):
         base = bases[i % len(bases)]
         data = bytearray(base)
         for _ in range(rng.randint(1, 12)):
@@ -216,7 +220,7 @@ def test_parser_never_hangs_or_crashes_on_mutations():
             outcomes["ok"] += 1
         except Exception:
             outcomes["err"] += 1
-    assert outcomes["ok"] + outcomes["err"] == 120
+    assert outcomes["ok"] + outcomes["err"] == 150
     assert time.time() - t0 < 30, "mutation fuzz too slow — parser may scale badly on garbage"
 
 
@@ -1025,3 +1029,39 @@ class TestFontEncodings:
         )
         spans = parse_pdf_bytes(pdf)
         assert [s[1] for s in spans] == ["plain bytes"]
+
+
+def make_filters_pdf() -> bytes:
+    """Filter-heavy fixture for the mutation fuzz: LZW content stream,
+    ASCII85+Flate chained stream, Flate+PNG-predictor stream feeding an
+    ObjStm-free page, an AHx inline image, and a /Differences font —
+    every new decode path is byte-fragile and must never hang."""
+    import base64
+
+    lzw = _lzw_encode(b"BT /F1 12 Tf 72 700 Td [(fuzz) -250 (me)] TJ ET\n"
+                      b"q 1 0 0 1 50 500 cm BI /W 1 /H 1 /F /AHx ID "
+                      b"61626364> EI Q\n")
+    a85 = base64.a85encode(zlib.compress(b"BT 72 600 Td (page two) Tj ET\n")) + b"~>"
+    return _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 7 0 R >> >> >>\n",
+            b"<< /Filter /LZWDecode /Length %d >>\nstream\n" % len(lzw)
+            + lzw + b"\nendstream\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\n",
+            b"<< /Filter [/ASCII85Decode /FlateDecode] /Length %d >>"
+            b"\nstream\n" % len(a85) + a85 + b"\nendstream\n",
+            b"<< /Type /Font /Subtype /Type1 /Encoding << /BaseEncoding "
+            b"/WinAnsiEncoding /Differences [ 102 /eacute ] >> >>\n",
+        ]
+    )
+
+
+def test_filters_fixture_parses_before_fuzzing():
+    spans = parse_pdf_bytes(make_filters_pdf())
+    texts = [s[1] for s in spans if s[0] != "image"]
+    # the Differences font maps code 102 ('f') → é, and the TJ kern is a space
+    assert texts == ["éuzz me", "page two"]
