@@ -53,7 +53,11 @@ Rules (fixed constants — part of this engine's invariant):
     srcless, the largest srcset / data-srcset candidate) supply the
     identity when src is empty or a data: placeholder pixel — by src
     alone, every lazy image on a page would collapse onto one
-    placeholder hash.
+    placeholder hash. When the caller passes the page's URL (WARC tables
+    carry one), relative srcs resolve absolute against it — refined by
+    the document's first <base href> — because "/logo.png" names
+    DIFFERENT images on different sites and corpus-wide media identity
+    (template stripping, media dedupe, caption mining) keys on the ref.
   - a block inside <figcaption> is kept as kind='text' at a lower bar
     (MIN_CAPTION_CHARS = 3, same floor as headings; link-density rule
     unchanged): figure captions are short by nature — "Fig. 3: results"
@@ -69,7 +73,7 @@ import base64
 import binascii
 import hashlib
 from html.parser import HTMLParser
-from urllib.parse import unquote_to_bytes
+from urllib.parse import unquote_to_bytes, urljoin
 
 IGNORE_TAGS = frozenset(
     {"script", "style", "noscript", "nav", "aside", "form", "iframe", "svg",
@@ -81,7 +85,7 @@ BLOCK_TAGS = frozenset(
      "body", "html", "main", "figure", "figcaption"}
 )
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
-VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
+VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input", "base"})
 
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.35
@@ -169,7 +173,11 @@ def _resolve_img_src(a: dict[str, str]) -> str:
 
 
 class _BlockParser(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, base_url: str | None = None) -> None:
+        # document base for resolving relative image URLs (the page's own
+        # URL, e.g. the WARC-Target-URI); the first <base href> refines it
+        self._base = base_url
+        self._base_seen = False
         super().__init__(convert_charrefs=True)
         # (kind, text, media_ref, link_chars)
         self.blocks: list[tuple[str, str | None, str | None, int]] = []
@@ -267,6 +275,16 @@ class _BlockParser(HTMLParser):
                     return  # beacon / spacer pixel
             except (KeyError, ValueError):
                 pass
+        if self._base and not src.startswith("data:"):
+            # resolve URL identity against the document base: "/logo.png"
+            # names DIFFERENT images on different sites, and the same
+            # image as "/x.png" vs "https://site/x.png" must unify —
+            # unresolved relative refs poison corpus-wide media identity
+            # (template stripping, dedupe, caption mining all key on it)
+            try:
+                src = urljoin(self._base, src)
+            except ValueError:
+                pass  # pathological base/src: keep the raw string
         ref = _media_ref_for_src(src)
         alt = " ".join(a.get("alt", "").split()) or None
         if self._table_depth or "".join(self._buf).strip():
@@ -277,6 +295,20 @@ class _BlockParser(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
+        if tag == "base" and not self._base_seen:
+            # <base href> sets the document base (first one wins, HTML
+            # spec); it lives in <head>, so capture BEFORE ignore gating.
+            # A relative href resolves against the page URL.
+            href = next(
+                (v for k, v in attrs if k.lower() == "href" and v), None
+            )
+            if href:
+                self._base = (
+                    urljoin(self._base, href.strip())
+                    if self._base
+                    else href.strip()
+                )
+                self._base_seen = True
         if tag not in VOID_TAGS:
             self._stack.append(tag)
         if tag in IGNORE_TAGS:
@@ -444,7 +476,9 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def html_main_blocks(raw_html: str) -> list[tuple[str, str | None, str | None]]:
+def html_main_blocks(
+    raw_html: str, base_url: str | None = None
+) -> list[tuple[str, str | None, str | None]]:
     """Extract main-content blocks from raw HTML →
     [(kind, text, media_ref), ...].
 
@@ -453,10 +487,13 @@ def html_main_blocks(raw_html: str) -> list[tuple[str, str | None, str | None]]:
     density rules above. text carries the img's alt attribute for image
     blocks (None when absent); media_ref is None for text/header blocks.
     Blocks from <figcaption> emit as kind='text' at the caption floor.
+    `base_url` (the page's own URL when known, e.g. WARC-Target-URI,
+    refined by the document's first <base href>) resolves relative image
+    srcs to absolute URL identities; without it refs stay verbatim.
     """
     if not raw_html:
         return []
-    parser = _BlockParser()
+    parser = _BlockParser(base_url=base_url)
     try:
         parser.feed(raw_html)
         parser.close()

@@ -16,11 +16,13 @@ from docproc_spark.kernels.assembly import assemble_document
 from docproc_spark.kernels.html import html_main_blocks
 
 
-def html_to_spans(raw_html: str) -> list[dict]:
+def html_to_spans(raw_html: str, base_url: str | None = None) -> list[dict]:
     """HTML doc → input text spans on page 0 (shared kernel, same as Spark)."""
     return [
         {"kind": kind, "text": text, "media_ref": ref, "page": 0, "offset": i}
-        for i, (kind, text, ref) in enumerate(html_main_blocks(raw_html))
+        for i, (kind, text, ref) in enumerate(
+            html_main_blocks(raw_html, base_url=base_url)
+        )
     ]
 
 
@@ -28,7 +30,9 @@ def extract_doc(doc: dict, *, drop_exact_duplicates: bool = True) -> dict:
     """Oracle extraction for one document row (dict with doc_id/raw_html/spans)."""
     spans = doc.get("spans") or []
     if doc.get("raw_html"):
-        spans = list(spans) + html_to_spans(doc["raw_html"])
+        spans = list(spans) + html_to_spans(
+            doc["raw_html"], base_url=doc.get("url")
+        )
     markdown, out_spans = assemble_document(
         spans, drop_exact_duplicates=drop_exact_duplicates
     )

@@ -63,18 +63,21 @@ def sanitize_udf(s: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.ArrayType(SPAN_STRUCT))
-def html_spans_udf(raw_html: pd.Series) -> pd.Series:
+def html_spans_udf(raw_html: pd.Series, url: pd.Series) -> pd.Series:
     from docproc_spark.kernels.html import html_main_blocks
 
-    def blocks(h):
+    def blocks(h, u):
         if not h:
             return []
+        base = u if isinstance(u, str) and u else None
         return [
             {"kind": k, "text": t, "media_ref": ref, "page": 0, "offset": i}
-            for i, (k, t, ref) in enumerate(html_main_blocks(h))
+            for i, (k, t, ref) in enumerate(html_main_blocks(h, base_url=base))
         ]
 
-    return raw_html.map(blocks)
+    return pd.Series(
+        [blocks(h, u) for h, u in zip(raw_html, url)], dtype=object
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -216,8 +219,17 @@ def with_derived_spans(docs: DataFrame) -> DataFrame:
             F.lit(-1).cast("int").alias("offset"),
         )
     )
+    # the page URL (WARC tables carry one) anchors relative image srcs;
+    # tables without it keep verbatim-ref identity
+    url_col = (
+        F.col("url")
+        if has_html_col and "url" in docs.columns
+        else F.lit(None).cast("string")
+    )
     html_part = (
-        F.when(has_html, html_spans_udf(F.col("raw_html"))).otherwise(empty)
+        F.when(has_html, html_spans_udf(F.col("raw_html"), url_col)).otherwise(
+            empty
+        )
         if has_html_col
         else empty
     )

@@ -238,3 +238,47 @@ class TestLoadHtmlFiles:
                 tuple((s["kind"], s["text"], s["media_ref"], s["page"],
                        s["offset"])) for s in oracle["spans"]
             ]
+
+
+def test_extract_resolves_media_identity_against_page_url(spark):
+    """A table carrying a `url` column (WARC ingestion does) anchors
+    relative <img> srcs: the same site-relative path on two sites must
+    yield two media identities, and the absolute/relative spellings of
+    ONE image must unify."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from docproc_spark.pipeline import extract
+    from docproc_spark.schema import SPAN_STRUCT
+
+    SPANS_T = T.ArrayType(SPAN_STRUCT)
+    body = (
+        "<body><p>Long enough main article prose to survive stripping.</p>"
+        "<img src='/logo.png'></body>"
+    )
+    abs_body = body.replace("'/logo.png'", "'https://a.com/logo.png'")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b", "a_abs"],
+                "url": [
+                    "https://a.com/post.html",
+                    "https://b.com/post.html",
+                    "https://a.com/other.html",
+                ],
+                "raw_html": [body, body, abs_body],
+            }
+        )
+    ).withColumn("spans", F.lit(None).cast(SPANS_T))
+    rows = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in extract(df, probe_routing=False).collect()
+    }
+    refs = {
+        d: [s["media_ref"] for s in r["spans"] if s["kind"] == "figure"]
+        for d, r in rows.items()
+    }
+    assert refs["a"] == ["https://a.com/logo.png"]
+    assert refs["b"] == ["https://b.com/logo.png"]  # different site ≠ same image
+    assert refs["a_abs"] == refs["a"]  # spelling variants unify

@@ -610,3 +610,63 @@ def test_inline_data_img_without_lazy_attrs_still_hashes_payload():
     html = f"<body><img src='data:image/png;base64,{b64}'></body>"
     refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
     assert refs == [hashlib.sha256(blob).hexdigest()]
+
+
+def test_base_url_resolves_relative_img_identity():
+    """'/logo.png' on two sites is two images; the page URL (plus any
+    <base href>) anchors relative srcs so media identity is corpus-safe."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><img src='/logo.png'>"
+        "<img src='imgs/fig.jpg'>"
+        "<img src='https://cdn.ex.com/abs.png'>"
+        "<img src='data:image/gif;base64,R0lGODlhAQABAAAAACw='></body>"
+    )
+    refs = [
+        r
+        for k, _, r in html_main_blocks(
+            html, base_url="https://site-a.com/posts/article.html"
+        )
+        if k == "image"
+    ]
+    assert refs[0] == "https://site-a.com/logo.png"
+    assert refs[1] == "https://site-a.com/posts/imgs/fig.jpg"
+    assert refs[2] == "https://cdn.ex.com/abs.png"  # absolute: untouched
+    assert len(refs[3]) == 64  # data: URI still hashes its payload
+
+    # no base_url → verbatim refs (existing behavior unchanged)
+    refs_raw = [r for k, _, r in html_main_blocks(html) if k == "image"]
+    assert refs_raw[0] == "/logo.png"
+
+
+def test_base_href_tag_refines_document_base():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<html><head><base href='https://cdn.ex.com/assets/'></head>"
+        "<body><img src='pic.png'>"
+        "<base href='https://ignored.example/'><img src='two.png'></body></html>"
+    )
+    refs = [
+        r
+        for k, _, r in html_main_blocks(html, base_url="https://site-a.com/p/")
+        if k == "image"
+    ]
+    # first <base> wins (HTML spec); the second is ignored
+    assert refs == [
+        "https://cdn.ex.com/assets/pic.png",
+        "https://cdn.ex.com/assets/two.png",
+    ]
+
+
+def test_base_href_applies_without_page_url_and_to_lazy_imgs():
+    from docproc_spark.kernels.html import html_main_blocks
+
+    px = "data:image/gif;base64,R0lGODlhAQABAAAAACw="
+    html = (
+        "<head><base href='https://ex.org/a/'></head>"
+        f"<body><img src='{px}' data-src='lazy.jpg'></body>"
+    )
+    refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
+    assert refs == ["https://ex.org/a/lazy.jpg"]
