@@ -49,11 +49,11 @@ Rules (fixed constants — part of this engine's invariant):
     pixels (any width/height attribute ≤ TRACKER_MAX_DIM) and srcless
     imgs are dropped; chrome logos fall out with their
     nav/header/footer subtrees. Lazy-loaded imgs resolve through
-    _resolve_img_src: data-src / data-lazy-src / data-original (and,
-    srcless, the largest srcset / data-srcset candidate) supply the
-    identity when src is empty or a data: placeholder pixel — by src
-    alone, every lazy image on a page would collapse onto one
-    placeholder hash. When the caller passes the page's URL (WARC tables
+    _resolve_img_src: a data-src / data-lazy-src / data-original
+    attribute ALWAYS beats src (the loader swaps src — a data: pixel OR
+    a shared placeholder URL — at runtime), then a real src, then the
+    largest srcset / data-srcset candidate — by src alone, every lazy
+    image on a page would collapse onto one placeholder identity. When the caller passes the page's URL (WARC tables
     carry one), relative srcs resolve absolute against it — refined by
     the document's first <base href> — because "/logo.png" names
     DIFFERENT images on different sites and corpus-wide media identity
@@ -121,6 +121,35 @@ def _media_ref_for_src(src: str) -> str:
 _LAZY_SRC_ATTRS = ("data-src", "data-lazy-src", "data-original")
 
 
+def _srcset_candidates(srcset: str) -> list[tuple[str, str]]:
+    """(url, descriptor) candidates per the HTML srcset grammar's shape:
+    a URL is a maximal non-whitespace run (so commas INSIDE a URL —
+    Cloudinary/imgix transform segments like `/upload/w_300,c_fill/` —
+    stay part of it); a URL ending in commas has no descriptor; else the
+    descriptor runs to the next comma. Splitting on bare ',' shreds
+    comma-bearing URLs and a mid-URL fragment becomes the identity."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(srcset)
+    while i < n:
+        while i < n and (srcset[i].isspace() or srcset[i] == ","):
+            i += 1
+        start = i
+        while i < n and not srcset[i].isspace():
+            i += 1
+        url = srcset[start:i]
+        if not url:
+            break
+        if url.endswith(","):
+            out.append((url.rstrip(","), ""))
+            continue
+        dstart = i
+        while i < n and srcset[i] != ",":
+            i += 1
+        out.append((url, srcset[dstart:i].strip()))
+        i += 1  # past the separating comma
+    return out
+
+
 def _srcset_best(srcset: str) -> str:
     """Largest-descriptor candidate of a srcset list (`url 480w, url 2x`,
     descriptor optional). Width (`w`) and density (`x`) values compare by
@@ -128,20 +157,16 @@ def _srcset_best(srcset: str) -> str:
     only ever sees one kind. First candidate wins ties (strict >), so the
     pick is deterministic."""
     best_url, best_d = "", -1.0
-    for cand in srcset.split(","):
-        parts = cand.split()
-        if not parts:
-            continue
+    for url, desc in _srcset_candidates(srcset):
         d = 0.0
-        if len(parts) > 1:
-            desc = parts[-1].lower()
-            if desc[-1:] in ("w", "x"):
-                try:
-                    d = float(desc[:-1])
-                except ValueError:
-                    d = 0.0
+        desc = desc.split()[-1].lower() if desc.split() else ""
+        if desc[-1:] in ("w", "x"):
+            try:
+                d = float(desc[:-1])
+            except ValueError:
+                d = 0.0
         if d > best_d:
-            best_url, best_d = parts[0], d
+            best_url, best_d = url, d
     return best_url
 
 
@@ -150,21 +175,22 @@ def _resolve_img_src(a: dict[str, str]) -> str:
 
     Real-web lazy loaders (lazysizes, WordPress, jQuery.lazy) park the
     payload URL in data-src / data-lazy-src / data-original (or a
-    data-srcset) and leave `src` empty or pointing at an inline data:
-    placeholder pixel — identifying the image by `src` alone would
-    collapse every lazy image on the page onto one placeholder hash.
-    Order: a real (non-data:) src wins; a data: src yields to a lazy
-    attribute when one exists (placeholder) but stands alone otherwise
-    (genuine inline image, hashed by payload); with no src at all,
-    lazy attrs then the largest srcset / data-srcset candidate serve."""
+    data-srcset) and point `src` at a placeholder — an inline data:
+    pixel OR a shared placeholder URL (WordPress ships
+    `lazy-load/images/1x1.trans.gif`) — which the loader swaps out at
+    runtime. A lazy attribute therefore ALWAYS wins over src: by src
+    alone every lazy image on the page collapses onto one placeholder
+    identity. Then a real (non-data:) src; then the largest srcset /
+    data-srcset candidate; a data: src stands only when nothing else
+    does (genuine inline image, hashed by payload)."""
     src = a.get("src", "").strip()
     lazy = next(
         (a[k].strip() for k in _LAZY_SRC_ATTRS if a.get(k, "").strip()), ""
     )
-    if src and not src.startswith("data:"):
-        return src
     if lazy:
         return lazy
+    if src and not src.startswith("data:"):
+        return src
     for k in ("srcset", "data-srcset"):
         got = _srcset_best(a.get(k, ""))
         if got:

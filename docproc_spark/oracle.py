@@ -30,8 +30,13 @@ def extract_doc(doc: dict, *, drop_exact_duplicates: bool = True) -> dict:
     """Oracle extraction for one document row (dict with doc_id/raw_html/spans)."""
     spans = doc.get("spans") or []
     if doc.get("raw_html"):
+        # same guard as the Spark UDF (pipeline.html_spans_udf): a
+        # non-str url (bytes, NaN) must mean "no base", not a TypeError
+        # that the kernel's blanket except would turn into zero spans
+        base = doc.get("url")
         spans = list(spans) + html_to_spans(
-            doc["raw_html"], base_url=doc.get("url")
+            doc["raw_html"],
+            base_url=base if isinstance(base, str) and base else None,
         )
     markdown, out_spans = assemble_document(
         spans, drop_exact_duplicates=drop_exact_duplicates

@@ -344,10 +344,13 @@ def _rl_decode(data: bytes) -> bytes:
 
 def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     """PDF LZWDecode (§7.4.4): 9→12-bit codes, 256=clear, 257=EOD,
-    EarlyChange (default 1) widens one code before the table fills.
-    Decoder widens at next_to_assign ≥ 2^width - 1 - early: it lags the
-    encoder by one table entry (the entry a code defines is built while
-    processing the FOLLOWING code)."""
+    EarlyChange (default 1) widens one code before the mathematically
+    tight point. Decoder widens at next_to_assign ≥ 2^width - early —
+    511 for EarlyChange=1 at 9 bits, the boundary pdfminer (hardcoded)
+    and pdf.js (parameterized) both use; the decoder lags the encoder by
+    one table entry (the entry a code defines is built while processing
+    the FOLLOWING code), so the matching encoder switches as it ADDS
+    entry 2^width - 1."""
     out = bytearray()
     table: list[bytes] = []  # entries 258+
     width, prev = 9, None
@@ -375,7 +378,7 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 table.append(prev + entry[:1])
             out += entry
             prev = entry
-            if 258 + len(table) >= (1 << width) - 1 - early and width < 12:
+            if 258 + len(table) >= (1 << width) - early and width < 12:
                 width += 1
     return bytes(out)  # EOD missing: tolerate, return what decoded
 
@@ -383,7 +386,14 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
 def _unpredict(data: bytes, parms: bytes) -> bytes:
     """Undo the /Predictor pre-filter on Flate/LZW output: PNG row
     predictors 10-15 (tag byte per row) or TIFF horizontal differencing
-    (predictor 2, 8-bit subset)."""
+    (predictor 2, 8-bit subset).
+
+    Deliberate trade-off: this per-byte Python loop also runs on image
+    XObject streams whose only consumer is the sha256 identity hash.
+    Undoing the predictor canonicalizes the pixels, so the same image
+    stored under different predictor settings still unifies — identity
+    correctness over the (rare in this subset) multi-MB predictor'd
+    image cost."""
     pred = _int_key(parms, b"Predictor", 1)
     if pred < 2:
         return data
@@ -472,7 +482,10 @@ def _stream_bytes(objs: dict[int, bytes], num: int) -> bytes:
     m = _STREAM_RE.search(body)
     if not m:
         return b""
-    decoded = _decode_stream(body, m.group(1))
+    # filters parse from the DICT part only — a binary payload that
+    # happens to contain '/Filter /…' bytes must not trigger a spurious
+    # decode (which would fail and quarantine real content to b"")
+    decoded = _decode_stream(body[: m.start()], m.group(1))
     return decoded if decoded is not None else b""
 
 
@@ -718,20 +731,12 @@ def _named_dict(objs: dict[int, bytes], src: bytes, key: bytes) -> bytes:
         # the referenced object is the dict itself: strip one << >> shell
         s = re.search(rb"<<(.*)>>", inner, re.S)
         return s.group(1) if s else inner
-    m = re.search(rb"/" + key + rb"\s*<<", src)
+    m = re.search(rb"/" + key + rb"\s*(?=<<)", src)
     if not m:
         return b""
-    i, depth = m.end(), 1
-    while i < len(src) and depth:
-        if src.startswith(b"<<", i):
-            depth += 1
-            i += 2
-        elif src.startswith(b">>", i):
-            depth -= 1
-            i += 2
-        else:
-            i += 1
-    return src[m.end() : i - 2 if depth == 0 else i]
+    j = _balanced(src, m.end(), b"<<", b">>")
+    # balanced → strip the << >> shell; unterminated → everything after
+    return src[m.end() + 2 : j - 2] if j > 0 else src[m.end() + 2 :]
 
 
 # PDF name chars: anything but whitespace and delimiters ()<>[]{}/%
@@ -1193,14 +1198,33 @@ def _page_blocks(
     return blocks, images
 
 
+_ENCRYPT_REF = re.compile(rb"/Encrypt\s+\d+\s+0\s+R")
+
+
+def _is_encrypted(data: bytes, objs: dict[int, bytes]) -> bool:
+    """/Encrypt lives in the file trailer (classic xref) or the /XRef
+    stream dict (PDF 1.5+) — scan ONLY those regions, not the whole
+    buffer: a document that merely mentions the byte sequence in a
+    content-stream string must not quarantine as encrypted."""
+    for m in re.finditer(rb"trailer", data):
+        if _ENCRYPT_REF.search(data, m.end(), m.end() + 2048):
+            return True
+    for body in objs.values():
+        if re.search(rb"/Type\s*/XRef(?![A-Za-z])", body):
+            if _ENCRYPT_REF.search(body.split(b"stream", 1)[0]):
+                return True
+    return False
+
+
 def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]]:
     """bytes → [(kind, text, media_ref, page)] — text blocks in pdf_layout
     reading order with layout classification, image spans at their
     transform position."""
-    if re.search(rb"/Encrypt\s+\d+\s+0\s+R", data):
-        # trailer names an encryption dict: strings/streams are ciphertext
-        raise ValueError("encrypted PDF (out of parser subset)")
     objs = _objects(data)
+    if _is_encrypted(data, objs):
+        # the trailer (or xref stream) names an encryption dict:
+        # strings/streams are ciphertext, not parseable content
+        raise ValueError("encrypted PDF (out of parser subset)")
     if not objs:
         raise ValueError("no PDF objects found")
     all_blocks: list[dict] = []

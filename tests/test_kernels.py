@@ -585,18 +585,49 @@ def test_srcless_img_resolves_largest_srcset_candidate():
     assert refs == ["/i/a-1600.jpg", "/i/b-hi.jpg", "/i/c-9.jpg"]
 
 
-def test_real_src_wins_over_lazy_and_srcset():
-    """A genuine (non-data:) src is the canonical identity even when
-    srcset variants exist — variant URLs differ per viewport, the src
-    fallback is the stable one."""
+def test_lazy_attr_wins_even_over_placeholder_url_src():
+    """WordPress Lazy Load parks a SHARED placeholder URL in src (not a
+    data: pixel) and the real image in data-lazy-src; the loader swaps
+    src at runtime, so the lazy attribute is the identity — otherwise
+    every image on the site collapses onto 1x1.trans.gif."""
     from docproc_spark.kernels.html import html_main_blocks
 
     html = (
-        "<body><img src='/i/hero.jpg' srcset='/i/hero-2x.jpg 2x' "
-        "data-src='/i/sneaky.jpg'></body>"
+        "<body><img src='/wp-content/plugins/lazy-load/images/1x1.trans.gif'"
+        " data-lazy-src='/photos/real-a.jpg'>"
+        "<img src='/wp-content/plugins/lazy-load/images/1x1.trans.gif'"
+        " data-lazy-src='/photos/real-b.jpg'></body>"
     )
     refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
+    assert refs == ["/photos/real-a.jpg", "/photos/real-b.jpg"]
+
+
+def test_real_src_wins_over_srcset():
+    """Without lazy attrs, a genuine (non-data:) src is the canonical
+    identity even when srcset variants exist — variant URLs differ per
+    viewport, the src fallback is the stable one."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = "<body><img src='/i/hero.jpg' srcset='/i/hero-2x.jpg 2x'></body>"
+    refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
     assert refs == ["/i/hero.jpg"]
+
+
+def test_srcset_comma_urls_survive():
+    """Cloudinary/imgix URLs embed commas in transform segments; the
+    srcset parser must not shred them (a bare split(',') yields
+    'c_fill/sample.jpg' as the identity)."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    html = (
+        "<body><img srcset='https://res.cloudinary.com/demo/image/upload/"
+        "w_300,c_fill/sample.jpg 300w, https://res.cloudinary.com/demo/"
+        "image/upload/w_600,c_fill/sample.jpg 600w'></body>"
+    )
+    refs = [r for k, _, r in html_main_blocks(html) if k == "image"]
+    assert refs == [
+        "https://res.cloudinary.com/demo/image/upload/w_600,c_fill/sample.jpg"
+    ]
 
 
 def test_inline_data_img_without_lazy_attrs_still_hashes_payload():

@@ -653,7 +653,10 @@ from docproc_spark.sources.pdf import _decode_stream  # noqa: E402
 
 def _lzw_encode(data: bytes, early: int = 1) -> bytes:
     """Spec-faithful LZWDecode encoder (test-local): clear, 9→12-bit
-    growth with EarlyChange, EOD. The decoder must round-trip it."""
+    growth with EarlyChange, EOD. Width switches as entry 2^w - early is
+    ADDED (next_code reaches 2^w + 1 - early) — the boundary the
+    pdfminer/pdf.js decoder convention implies; the decoder must
+    round-trip it."""
     table = {bytes([i]): i for i in range(256)}
     next_code, width = 258, 9
     out = bytearray()
@@ -677,7 +680,7 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         emit(table[w])
         table[w + c] = next_code
         next_code += 1
-        if next_code >= (1 << width) - early and width < 12:
+        if next_code >= (1 << width) + 1 - early and width < 12:
             width += 1
         if next_code > 4095:  # table full: clear, like real writers
             emit(256)
@@ -1065,3 +1068,67 @@ def test_filters_fixture_parses_before_fuzzing():
     texts = [s[1] for s in spans if s[0] != "image"]
     # the Differences font maps code 102 ('f') → é, and the TJ kern is a space
     assert texts == ["éuzz me", "page two"]
+
+
+def test_lzw_iso_spec_example_vector():
+    """ISO 32000 §7.4.4.2 worked example — an INDEPENDENT reference so a
+    matched encoder/decoder off-by-one (the width-switch boundary) cannot
+    hide behind round-trip tests. Input bytes are the spec's decimal
+    45 45 45 45 45 65 45 45 45 66; encoded stream 80 0B 60 50 22 0C 0C
+    85 01."""
+    enc = bytes.fromhex("800B6050220C0C8501")
+    want = bytes(bytearray([45, 45, 45, 45, 45, 65, 45, 45, 45, 66]))
+    assert _decode_stream(b"<< /Filter /LZWDecode >>", enc) == want
+
+
+def test_encrypt_mention_in_content_is_not_encryption():
+    """A document ABOUT PDF internals mentioning '/Encrypt 5 0 R' in a
+    content-stream string must parse — only the trailer / XRef-stream
+    dict names real encryption."""
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+            _stream_obj(
+                b"BT 72 700 Td (see /Encrypt 5 0 R in the trailer) Tj ET\n",
+                compress=False,
+            ),
+        ]
+    )
+    spans = parse_pdf_bytes(pdf)
+    assert [s[1] for s in spans] == ["see /Encrypt 5 0 R in the trailer"]
+
+
+def test_encrypt_in_xref_stream_dict_quarantines():
+    """Modern encrypted PDFs carry /Encrypt in the /XRef stream dict —
+    no 'trailer' keyword exists in such files."""
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [] /Count 0 >>\n",
+            b"<< /Type /XRef /Encrypt 9 0 R /Length 1 >>\n"
+            b"stream\nx\nendstream\n",
+        ]
+    ).replace(b"trailer\n<< /Root 1 0 R >>\n", b"")
+    with pytest.raises(ValueError, match="encrypted"):
+        parse_pdf_bytes(pdf)
+
+
+def test_filter_bytes_inside_payload_do_not_trigger_decode():
+    """A filterless stream whose PAYLOAD contains '/Filter /FlateDecode'
+    bytes must not be spuriously inflated (and quarantined to b'' when
+    inflation fails) — filters parse from the dict part only."""
+    content = b"BT 72 700 Td (mentions /Filter /FlateDecode inline) Tj ET\n"
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+            _stream_obj(content, compress=False),
+        ]
+    )
+    spans = parse_pdf_bytes(pdf)
+    assert [s[1] for s in spans] == ["mentions /Filter /FlateDecode inline"]
