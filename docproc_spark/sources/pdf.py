@@ -10,11 +10,22 @@ ordering/classification kernel both paths already share.
 Supported subset (documented contract — anything outside it quarantines
 with a parse_error instead of failing the job):
 
-  - non-encrypted PDFs; objects located by scanning `N 0 obj … endobj`
-    (no xref parsing — tolerant of linearized/appended files), then
-    /Type /ObjStm object streams expanded inline (PDF 1.5+ compressed
-    objects, the modern-writer default; the /XRef stream itself never
-    needs decoding — see _expand_object_streams)
+  - objects located by scanning `N 0 obj … endobj` (no xref parsing —
+    tolerant of linearized/appended files), then /Type /ObjStm object
+    streams expanded inline (PDF 1.5+ compressed objects, the
+    modern-writer default; the /XRef stream itself never needs
+    decoding — see _expand_object_streams)
+  - encrypted PDFs with an EMPTY user password (owner-password-only
+    print/copy restrictions — the common web case, which every viewer
+    and the reference via PyMuPDF opens without prompting) decrypt
+    transparently: standard security handler R=2/3/4 (RC4-40..128,
+    AES-128 /AESV2) and R=5/6 (AES-256 /AESV3, PDF 2.0) via
+    kernels/pdfcrypt; stream payloads are decrypted in place before
+    ObjStm expansion (object streams are themselves encrypted).
+    Dict-level STRINGS stay ciphertext — span extraction reads only
+    stream content, and /O //U themselves are spec-plaintext. Files
+    that genuinely need a user password, or use a non-Standard
+    security handler, quarantine with a precise reason
   - page order from the /Catalog → /Pages → /Kids tree (recursive,
     cycle/depth-bounded)
   - stream filters: /FlateDecode, /LZWDecode (9→12-bit, EarlyChange),
@@ -95,6 +106,11 @@ def _objects(data: bytes) -> dict[int, bytes]:
         num = int(m.group(1))
         objs[num] = m.group(2)
         pos[num] = m.start()
+    enc_num = _encrypt_obj_num(data, objs)
+    if enc_num is not None:
+        # decrypt BEFORE ObjStm expansion: the containers are encrypted
+        # as ordinary streams, their members are not re-encrypted
+        _decrypt_streams(data, objs, enc_num)
     _expand_object_streams(objs, pos)
     return objs
 
@@ -1198,33 +1214,166 @@ def _page_blocks(
     return blocks, images
 
 
-_ENCRYPT_REF = re.compile(rb"/Encrypt\s+\d+\s+0\s+R")
+_ENCRYPT_REF = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
 
 
-def _is_encrypted(data: bytes, objs: dict[int, bytes]) -> bool:
-    """/Encrypt lives in the file trailer (classic xref) or the /XRef
+def _encrypt_obj_num(data: bytes, objs: dict[int, bytes]) -> int | None:
+    """Object number of the /Encrypt dict, or None for plaintext files.
+
+    /Encrypt lives in the file trailer (classic xref) or the /XRef
     stream dict (PDF 1.5+) — scan ONLY those regions, not the whole
     buffer: a document that merely mentions the byte sequence in a
-    content-stream string must not quarantine as encrypted."""
+    content-stream string must not be treated as encrypted."""
     for m in re.finditer(rb"trailer", data):
-        if _ENCRYPT_REF.search(data, m.end(), m.end() + 2048):
-            return True
+        e = _ENCRYPT_REF.search(data, m.end(), m.end() + 2048)
+        if e:
+            return int(e.group(1))
     for body in objs.values():
         if re.search(rb"/Type\s*/XRef(?![A-Za-z])", body):
-            if _ENCRYPT_REF.search(body.split(b"stream", 1)[0]):
-                return True
-    return False
+            e = _ENCRYPT_REF.search(body.split(b"stream", 1)[0])
+            if e:
+                return int(e.group(1))
+    return None
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes | None:
+    """Direct string value of /key — (literal) or <hex>. The literal
+    scan is escape-aware (O/U/UE ciphertext contains unbalanced parens
+    and backslashes routinely; writers escape them, _balanced doesn't
+    know escapes)."""
+    for m in re.finditer(rb"/" + key + rb"(?![A-Za-z0-9_])\s*", body):
+        i = m.end()
+        nxt = body[i : i + 1]
+        if nxt == b"(":
+            depth, j = 0, i
+            while j < len(body):
+                c = body[j]
+                if c == 0x5C:  # backslash: skip the escaped byte
+                    j += 2
+                    continue
+                if c == 0x28:
+                    depth += 1
+                elif c == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        return _string_bytes(body[i : j + 1])
+                j += 1
+        elif nxt == b"<" and body[i : i + 2] != b"<<":
+            j = body.find(b">", i)
+            if j > 0:
+                return _string_bytes(body[i : j + 1])
+    return None
+
+
+def _file_id0(data: bytes) -> bytes:
+    """First element of the trailer /ID array (hex form — what real
+    writers emit). Part of the R≤4 key derivation; files without one
+    derive with the empty string, matching other tolerant readers."""
+    m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+    if not m:
+        return b""
+    hx = re.sub(rb"\s", b"", m.group(1))
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _decrypt_streams(data: bytes, objs: dict[int, bytes], enc_num: int) -> None:
+    """Decrypt every object's stream payload in place (standard security
+    handler, empty user password — see the module contract). Must run
+    BEFORE _expand_object_streams: /ObjStm containers are encrypted as
+    ordinary streams and their members are NOT re-encrypted. Raises
+    ValueError (→ per-document quarantine) when a real user password is
+    required or the handler/method is out of subset."""
+    from docproc_spark.kernels import pdfcrypt
+
+    enc = objs.get(enc_num)
+    if enc is None:
+        raise ValueError("encrypted PDF (encryption dictionary not found)")
+    enc = enc.split(b"stream", 1)[0]  # dict part only, like filter parsing
+    if not re.search(rb"/Filter\s*/Standard(?![A-Za-z])", enc):
+        raise ValueError("encrypted PDF (non-standard security handler)")
+
+    def _int(key: bytes, default: int) -> int:
+        m = re.search(rb"/" + key + rb"\s+(-?\d+)", enc)
+        return int(m.group(1)) if m else default
+
+    v, r = _int(b"V", 0), _int(b"R", 2)
+    length_bits = _int(b"Length", 40)
+    if length_bits < 40:  # some writers record bytes in /Length
+        length_bits *= 8
+    o_entry = _dict_string(enc, b"O")
+    u_entry = _dict_string(enc, b"U")
+    if o_entry is None or u_entry is None:
+        raise ValueError("encrypted PDF (malformed /O //U entries)")
+    encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false", enc)
+    aes = v >= 5  # V=5 is AES-256 (/AESV3) by definition
+    identity = False
+    if v == 4:
+        stmf = re.search(rb"/StmF\s*/([^\s/<>\[\]()]+)", enc)
+        name = stmf.group(1) if stmf else b"Identity"
+        if name == b"Identity":
+            identity = True  # streams not encrypted (default per spec)
+        else:
+            cf = re.search(
+                rb"/" + re.escape(name) + rb"\s*<<(.*?)>>", enc, re.S
+            )
+            cfm = re.search(rb"/CFM\s*/(\w+)", cf.group(1) if cf else enc)
+            method = cfm.group(1) if cfm else b"None"
+            if method == b"AESV2":
+                aes = True
+            elif method == b"V2":
+                aes = False
+            elif method == b"None":
+                identity = True
+            else:
+                raise ValueError(
+                    "encrypted PDF (unsupported crypt method /CFM "
+                    f"{method.decode('latin-1')})"
+                )
+    key = pdfcrypt.file_key(
+        r=r,
+        v=v,
+        length_bits=length_bits,
+        o_entry=o_entry,
+        u_entry=u_entry,
+        ue_entry=_dict_string(enc, b"UE"),
+        p=_int(b"P", -1),
+        id0=_file_id0(data),
+        encrypt_metadata=encrypt_metadata,
+    )
+    if identity:
+        return
+    for num, body in list(objs.items()):
+        if num == enc_num:
+            continue
+        m = _STREAM_RE.search(body)
+        if not m:
+            continue  # dict-level strings stay ciphertext (module contract)
+        head = body[: m.start()]
+        if re.search(rb"/Type\s*/XRef(?![A-Za-z])", head):
+            continue  # cross-reference streams are never encrypted
+        if not encrypt_metadata and re.search(
+            rb"/Type\s*/Metadata(?![A-Za-z])", head
+        ):
+            continue
+        okey = key if v >= 5 else pdfcrypt.object_key(key, num, 0, aes=aes)
+        dec = (
+            pdfcrypt.aes_cbc_decrypt(okey, m.group(1))
+            if aes
+            else pdfcrypt.rc4(okey, m.group(1))
+        )
+        if dec is None:
+            dec = b""  # corrupt crypt payload → quarantine-empty, like a failed filter
+        objs[num] = body[: m.start(1)] + dec + body[m.end(1) :]
 
 
 def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]]:
     """bytes → [(kind, text, media_ref, page)] — text blocks in pdf_layout
     reading order with layout classification, image spans at their
     transform position."""
-    objs = _objects(data)
-    if _is_encrypted(data, objs):
-        # the trailer (or xref stream) names an encryption dict:
-        # strings/streams are ciphertext, not parseable content
-        raise ValueError("encrypted PDF (out of parser subset)")
+    objs = _objects(data)  # decrypts empty-user-password files in place;
+    # password-protected / out-of-subset encryption raises → quarantine
     if not objs:
         raise ValueError("no PDF objects found")
     all_blocks: list[dict] = []

@@ -1132,3 +1132,202 @@ def test_filter_bytes_inside_payload_do_not_trigger_decode():
     )
     spans = parse_pdf_bytes(pdf)
     assert [s[1] for s in spans] == ["mentions /Filter /FlateDecode inline"]
+
+
+# --------------------------------------------------------------- encryption
+
+import re as _re
+
+from docproc_spark.kernels import pdfcrypt as _pc
+from docproc_spark.sources.pdf import _STREAM_RE as _SRE
+
+_OBJ = _re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", _re.S)
+
+
+def _encrypt_fixture(
+    data: bytes, *, r: int, v: int, length_bits: int = 128,
+    cfm: bytes | None = None, stmf_identity: bool = False,
+) -> bytes:
+    """Encrypt a plaintext fixture with the standard security handler
+    (owner password "owner", EMPTY user password): every stream payload
+    is RC4'd or AES-CBC'd under its per-object key, an /Encrypt object
+    is appended, and the trailer gains /Encrypt + /ID. The forward
+    direction runs through the SAME pdfcrypt primitives the reader
+    uses — test_pdfcrypt pins those to public vectors so this cannot be
+    self-consistently wrong."""
+    id0 = hashlib.md5(data).digest()
+    next_num = max(int(m.group(1)) for m in _OBJ.finditer(data)) + 1
+    p = -44
+    if r <= 4:
+        o = _pc.compute_o_entry(b"owner", b"", r, length_bits)
+        key = _pc._r234_file_key(b"", o, p, id0, r, length_bits, True)
+        u = _pc.compute_u_entry(key, id0, r)
+        aes = cfm == b"AESV2"
+        extra = b""
+        if v == 4:
+            stmf = b"Identity" if stmf_identity else b"StdCF"
+            extra = (b" /CF << /StdCF << /CFM /" + (cfm or b"V2")
+                     + b" /Length 16 >> >> /StmF /" + stmf + b" /StrF /StdCF")
+        enc_obj = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <"
+            % (v, r, length_bits, p)
+            + o.hex().encode() + b"> /U <" + u.hex().encode() + b">"
+            + extra + b" >>\n"
+        )
+    else:
+        key = hashlib.sha256(b"fixture-file-key").digest()
+        vs, ks = b"vsalt678", b"ksalt678"
+        if r == 6:
+            u = _pc._hash_2b(b"", vs, b"") + vs + ks
+            inter = _pc._hash_2b(b"", ks, b"")
+        else:
+            u = hashlib.sha256(vs).digest() + vs + ks
+            inter = hashlib.sha256(ks).digest()
+        ue = _pc.aes_cbc_encrypt_nopad(inter, b"\x00" * 16, key)
+        aes = True
+        enc_obj = (
+            b"<< /Filter /Standard /V 5 /R %d /Length 256 /P -4 /O <" % r
+            + (b"\x11" * 48).hex().encode() + b"> /U <" + u.hex().encode()
+            + b"> /OE <" + (b"\x22" * 32).hex().encode() + b"> /UE <"
+            + ue.hex().encode()
+            + b"> /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF >>\n"
+        )
+    pieces, last = [], 0
+    if not stmf_identity:
+        for m in _OBJ.finditer(data):
+            num, body = int(m.group(1)), m.group(2)
+            sm = _SRE.search(body)
+            if not sm:
+                continue
+            okey = key if v >= 5 else _pc.object_key(key, num, 0, aes=aes)
+            if aes:
+                iv = hashlib.md5(b"iv%d" % num).digest()
+                ct = _pc.aes_cbc_encrypt(okey, iv, sm.group(1))
+            else:
+                ct = _pc.rc4(okey, sm.group(1))
+            # the regex scanner must still delimit objects/streams: with
+            # these fixed keys no ciphertext collides with the markers
+            for tok in (b"endobj", b"endstream", b" 0 obj"):
+                assert tok not in ct, "fixture ciphertext hit a marker"
+            pieces.append(data[last : m.start(2) + sm.start(1)])
+            pieces.append(ct)
+            last = m.start(2) + sm.end(1)
+    pieces.append(data[last:])
+    out = b"".join(pieces)
+    out += b"%d 0 obj" % next_num + enc_obj + b"endobj\n"
+    h = id0.hex().encode()
+    return out.replace(
+        b"trailer\n<< /Root 1 0 R >>",
+        b"trailer\n<< /Root 1 0 R /Encrypt %d 0 R /ID [<" % next_num
+        + h + b"> <" + h + b">] >>",
+    )
+
+
+class TestEncryptedPdfs:
+    """Owner-password-only encryption (empty user password) must parse
+    to spans IDENTICAL to the plaintext twin — the reference via fitz
+    opens such files transparently (pdf_loader.py:17)."""
+
+    @pytest.mark.parametrize(
+        "r,v,bits,cfm",
+        [
+            (2, 1, 40, None),
+            (3, 2, 128, None),
+            (4, 4, 128, b"V2"),
+            (4, 4, 128, b"AESV2"),
+            (5, 5, 256, None),
+            (6, 5, 256, None),
+        ],
+        ids=["r2-rc4-40", "r3-rc4-128", "r4-rc4", "r4-aes128",
+             "r5-aes256", "r6-aes256"],
+    )
+    def test_empty_user_password_spans_equal_plaintext(self, r, v, bits, cfm):
+        plain = make_pdf()
+        enc = _encrypt_fixture(plain, r=r, v=v, length_bits=bits, cfm=cfm)
+        assert enc != plain
+        assert parse_pdf_bytes(enc) == parse_pdf_bytes(plain)
+
+    def test_stmf_identity_streams_stay_plaintext(self):
+        plain = make_pdf()
+        enc = _encrypt_fixture(
+            plain, r=4, v=4, cfm=b"V2", stmf_identity=True
+        )
+        assert parse_pdf_bytes(enc) == parse_pdf_bytes(plain)
+
+    def test_user_password_protected_quarantines(self):
+        plain = make_pdf()
+        id0 = hashlib.md5(plain).digest()
+        o = _pc.compute_o_entry(b"owner", b"secret", 3, 128)
+        key = _pc._r234_file_key(b"secret", o, -44, id0, 3, 128, True)
+        u = _pc.compute_u_entry(key, id0, 3)
+        h = id0.hex().encode()
+        bad = plain + (
+            b"9 0 obj<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 /O <"
+            + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>endobj\n"
+        )
+        bad = bad.replace(
+            b"trailer\n<< /Root 1 0 R >>",
+            b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R /ID [<"
+            + h + b"> <" + h + b">] >>",
+        )
+        with pytest.raises(ValueError, match="user password required"):
+            parse_pdf_bytes(bad)
+
+    def test_non_standard_handler_quarantines(self):
+        plain = make_pdf()
+        ns = plain + b"9 0 obj<< /Filter /MyDRM /V 1 >>endobj\n"
+        ns = ns.replace(
+            b"trailer\n<< /Root 1 0 R >>",
+            b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>",
+        )
+        with pytest.raises(ValueError, match="non-standard security handler"):
+            parse_pdf_bytes(ns)
+
+    def test_encrypted_objstm_decrypts_before_expansion(self):
+        """The catalog/pages/page dicts live inside an ENCRYPTED object
+        stream — decryption must run before ObjStm expansion or the
+        document scans empty."""
+        parts = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        ]
+        members = b"".join(parts)
+        offs = [0, len(parts[0]), len(parts[0]) + len(parts[1])]
+        head = b"1 %d 2 %d 3 %d " % tuple(offs)
+        payload = head + members
+        objstm = (
+            b"<< /Type /ObjStm /N 3 /First %d /Length %d >>\nstream\n"
+            % (len(head), len(payload))
+            + payload + b"\nendstream\n"
+        )
+        content = b"BT 72 700 Td (inside objstm) Tj ET\n"
+        plain = (
+            b"%PDF-1.5\n"
+            + b"5 0 obj" + objstm + b"endobj\n"
+            + b"4 0 obj" + _stream_obj(content, compress=False) + b"endobj\n"
+            + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+        )
+        assert [s[1] for s in parse_pdf_bytes(plain)] == ["inside objstm"]
+        enc = _encrypt_fixture(plain, r=4, v=4, cfm=b"AESV2")
+        assert [s[1] for s in parse_pdf_bytes(enc)] == ["inside objstm"]
+
+    def test_corrupt_crypt_payload_quarantines_empty_not_crash(self):
+        plain = _pdf(
+            [
+                b"<< /Type /Catalog /Pages 2 0 R >>\n",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                b"/MediaBox [0 0 612 792] >>\n",
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+                _stream_obj(b"BT 72 700 Td (gone) Tj ET\n", compress=False),
+            ]
+        )
+        enc = _encrypt_fixture(plain, r=4, v=4, cfm=b"AESV2")
+        # truncate the content stream's ciphertext to a non-block size
+        m = [mm for mm in _OBJ.finditer(enc) if int(mm.group(1)) == 4][0]
+        sm = _SRE.search(m.group(2))
+        s0 = m.start(2) + sm.start(1)
+        corrupt = enc[: s0] + enc[s0 + 7 :]
+        assert parse_pdf_bytes(corrupt) == []  # empty doc, no exception
