@@ -5294,6 +5294,100 @@ FROM v
 """
 
 
+def _media_headers(spark, sf):
+    """REAL container-header parsing (kernels/mediainfo.py) under a
+    round-trip oracle: Spark synthesizes actual PNG/GIF/WAV bytes from
+    doc_id (struct-packed headers, real CRCs), the real parser reads
+    them back, and DuckDB recomputes the planted values by formula —
+    the parser must exactly invert the synthesis. The byte layouts
+    themselves are pinned against fully valid files (PNG via zlib, WAV
+    via the wave module) in tests/test_mediainfo.py; JPEG/WEBP/BMP/AVI/
+    MP4 are unit-fixture-covered there (marker scans don't round-trip
+    from a formula)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from docproc_spark.kernels.mediainfo import sniff_media_header
+
+    def _blob(doc_id: int) -> bytes:
+        cls = doc_id % 3
+        if cls == 0:  # PNG: sig + IHDR + IEND, real chunk CRCs
+            w, h = 1 + doc_id % 4093, 1 + (doc_id * 7) % 2039
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+            out = b"\x89PNG\r\n\x1a\n"
+            for ctype, payload in ((b"IHDR", ihdr), (b"IEND", b"")):
+                out += (
+                    _struct.pack(">I", len(payload)) + ctype + payload
+                    + _struct.pack(">I", _zlib.crc32(ctype + payload))
+                )
+            return out
+        if cls == 1:  # GIF89a logical screen descriptor + trailer
+            w, h = 1 + doc_id % 4093, 1 + (doc_id * 7) % 2039
+            return b"GIF89a" + _struct.pack("<HH", w, h) + b"\x00\x00\x00;"
+        ch = 1 + doc_id % 2  # WAV: canonical 44-byte header + silence
+        rate = 8000 * (1 + doc_id % 3)
+        dsize = (50 + doc_id % 97) * ch * 2
+        return (
+            b"RIFF" + _struct.pack("<I", 36 + dsize) + b"WAVEfmt "
+            + _struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16)
+            + b"data" + _struct.pack("<I", dsize) + b"\x00" * dsize
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            metas = [sniff_media_header(_blob(int(i))) for i in pdf["doc_id"]]
+            blobs = [_blob(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [m["format"] for m in metas],
+                    "media_kind": [m["media_kind"] for m in metas],
+                    "n_bytes": pd.array([len(b) for b in blobs], dtype="Int64"),
+                    "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                    "height": pd.array([m["height"] for m in metas], dtype="Int32"),
+                    "duration_ms": pd.array(
+                        [m["duration_ms"] for m in metas], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] for m in metas], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [m["channels"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, format string, media_kind string, n_bytes long, "
+            "width int, height int, duration_ms long, sample_rate int, "
+            "channels int"
+        ),
+    )
+
+
+_MEDIA_HEADERS_SQL = """
+WITH d AS (SELECT doc_id, doc_id % 3 AS cls FROM documents)
+SELECT doc_id,
+  CASE cls WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
+  CASE WHEN cls = 2 THEN 'audio' ELSE 'image' END AS media_kind,
+  CAST(CASE cls WHEN 0 THEN 45 WHEN 1 THEN 14
+       ELSE 44 + (50 + doc_id % 97) * (1 + doc_id % 2) * 2 END AS BIGINT)
+    AS n_bytes,
+  CAST(CASE WHEN cls <= 1 THEN 1 + doc_id % 4093 END AS INT) AS width,
+  CAST(CASE WHEN cls <= 1 THEN 1 + (doc_id * 7) % 2039 END AS INT) AS height,
+  CAST(CASE WHEN cls = 2
+       THEN ((50 + doc_id % 97) * (1 + doc_id % 2) * 2 * 1000)
+            // (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2)
+       END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN cls = 2 THEN 8000 * (1 + doc_id % 3) END AS INT)
+    AS sample_rate,
+  CAST(CASE WHEN cls = 2 THEN 1 + doc_id % 2 END AS INT) AS channels
+FROM d
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -5363,6 +5457,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_jaccard_pairs": _media_jaccard,
     "multimodal_chunks_256": _multimodal_chunks,
     "curate_interleaved": _curate_interleaved,
+    "media_headers": _media_headers,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -5434,6 +5529,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "media_jaccard_pairs": _MEDIA_JACCARD_SQL,
     "multimodal_chunks_256": _MULTIMODAL_CHUNKS_SQL,
     "curate_interleaved": _CURATE_INTERLEAVED_SQL,
+    "media_headers": _MEDIA_HEADERS_SQL,
 }
 
 

@@ -71,6 +71,64 @@ def _ref(b) -> str:
     return hashlib.sha256(b or b"").hexdigest()
 
 
+MEDIA_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("media_kind", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+    ]
+)
+
+
+def sniff_media_meta(media: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL container-header metadata from media bytes — no codec needed.
+
+    Unlike :func:`extract_media_meta` (the documented decode stub kept
+    for the frozen driver contract), this parses the actual public byte
+    layouts of PNG/JPEG/GIF/WEBP/BMP/WAV/AVI/MP4 headers
+    (kernels/mediainfo.py): format sniff by magic, pixel dimensions,
+    audio sample-rate/channels, and duration.  Everything a curation
+    pass gates on before any GPU decode — beacon pixels, resolution
+    floors, duration quotas — from the first KB of each blob.
+
+    mapInPandas over Arrow batches of binary; unknown formats yield an
+    all-NULL metadata row (the blob still gets its sha256 identity).
+    """
+    from docproc_spark.kernels.mediainfo import sniff_media_header
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            metas = [sniff_media_header(b) for b in blobs]
+
+            def col(key, dtype):
+                return pd.array([m[key] for m in metas], dtype=dtype)
+
+            yield pd.DataFrame(
+                {
+                    "media_ref": blobs.map(_ref),
+                    "format": col("format", "object"),
+                    "media_kind": col("media_kind", "object"),
+                    "n_bytes": pd.array(
+                        [len(b or b"") for b in blobs], dtype="Int64"
+                    ),
+                    "width": col("width", "Int32"),
+                    "height": col("height", "Int32"),
+                    "duration_ms": col("duration_ms", "Int64"),
+                    "sample_rate": col("sample_rate", "Int32"),
+                    "channels": col("channels", "Int32"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=MEDIA_HEADER_SCHEMA)
+
+
 def extract_media_meta(media: DataFrame, blob_col: str = "blob", kind_col: str = "media_kind") -> DataFrame:
     """mapInPandas media metadata extraction: binary in → typed meta out.
 
