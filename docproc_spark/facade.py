@@ -195,6 +195,22 @@ class DocprocSpark:
         )
         return pdfs.unionByName(office).unionByName(html)
 
+    def media_sidecar(self, path: str) -> DataFrame:
+        """Directory of real .pdf/.docx/.pptx/.xlsx files → the embedded-
+        media catalogue (sources/media_sidecar.py): one row per distinct
+        embedded blob per document — sha256 identity (equal to the span
+        table's media_ref by construction), part/resource name, first
+        page + times shown, blob size, and codec-free header metadata
+        (dimensions / duration / sample rate). Same per-format binaryFile
+        scans as ``load_files``; join to spans on ``media_ref`` for
+        dimension-gated curation, template-media detection, or corpus
+        media dedupe over ingested files."""
+        from docproc_spark.sources.media_sidecar import load_media_sidecar
+
+        return load_media_sidecar(
+            self._binary_files(path, ("pdf", "docx", "pptx", "xlsx", "xlsm"))
+        )
+
     def load_warc(self, path: str) -> DataFrame:
         """Directory of .warc/.warc.gz web archives → one row per capture
         (sources/warc.py): HTML payloads land charset-decoded in

@@ -1,0 +1,222 @@
+"""Embedded-media catalogue ("media sidecar") over raw document bytes.
+
+Span ingestion (ooxml.py / pdf.py) identifies every embedded image by
+sha256-of-bytes in ``media_ref`` but deliberately carries no blobs —
+the span contract is text + references. Corpus-scale media curation
+needs the blob-level facts behind those references: size, container
+format, pixel dimensions (beacon pixels! resolution floors!), how many
+times one blob is shown per document. This module emits exactly that —
+one row per distinct embedded media blob per document — by SHARING the
+span parsers' single pass over the bytes (the ``media_facts`` sink on
+``parse_pdf_bytes`` / ``parse_pptx_bytes``), never re-walking the file:
+
+  pptx  blobs referenced by pic shapes (page-aware, identical refs to
+        the span table by construction) PLUS unreferenced ``ppt/media/``
+        members (slide-master art, embedded audio/video — shown count 0).
+  docx / xlsx / xlsm
+        package members under ``word/media/`` / ``xl/media/`` — these
+        loaders emit no image spans (reference parity), but the embedded
+        blobs are still corpus media worth cataloguing (n_refs 0).
+  pdf   /Subtype /Image XObjects (the dict's /Width /Height are
+        authoritative per ISO 32000 §8.9.5 — no codec needed; DCT
+        payloads ARE JPEG files so ``format`` says what the identity
+        bytes are) and inline BI/ID/EI images, same decoded-payload
+        sha256 identity as span ingestion.
+
+Header metadata for zip-package blobs comes from kernels/mediainfo
+(public PNG/JPEG/GIF/WEBP/BMP/WAV/AVI/MP4 byte layouts) — so a deck
+embedding an .mp4 gets duration, an embedded .wav gets sample rate.
+
+Scale shape: ``load_media_sidecar`` is one ``mapInPandas`` crossing
+over the same distributed ``binaryFile`` frame the span ingest reads —
+run both in one job (facade ``ingest_files`` + ``media_sidecar``) and
+the catalogue costs one extra CPU pass, zero extra shuffles. Downstream
+joins hit it on ``media_ref`` (broadcast when small, hash otherwise);
+corpus-wide frequency / template-media detection composes with
+operators/interleave.py which keys on the same identity. HTML media is
+intentionally absent here: web images are URLs resolved at extraction
+time (kernels/html) — only data: URIs have in-document bytes, and those
+already get sha256 identity in the span path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import zipfile
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from docproc_spark.kernels.mediainfo import sniff_media_header
+from docproc_spark.sources.ooxml import parse_pptx_bytes
+from docproc_spark.sources.pdf import parse_pdf_bytes
+
+__all__ = [
+    "MEDIA_SIDECAR_SCHEMA",
+    "media_rows",
+    "load_media_sidecar",
+]
+
+_META_KEYS = (
+    "format",
+    "media_kind",
+    "width",
+    "height",
+    "duration_ms",
+    "sample_rate",
+    "channels",
+)
+
+MEDIA_SIDECAR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("first_page", T.IntegerType(), True),
+        T.StructField("n_refs", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("media_kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("parse_error", T.StringType(), True),
+    ]
+)
+
+
+def _row(ref: str, facts: dict, first_page: int | None, n_refs: int) -> dict:
+    return {
+        "media_ref": ref,
+        "name": facts.get("name"),
+        "first_page": first_page,
+        "n_refs": n_refs,
+        "n_bytes": facts.get("n_bytes"),
+        **{k: facts.get(k) for k in _META_KEYS},
+        "parse_error": None,
+    }
+
+
+def _referenced_rows(
+    spans: Iterable[tuple], facts: dict[str, dict]
+) -> list[dict]:
+    """Group a span stream's image refs: one row per distinct ref, page
+    of first showing, count of showings — emission order of first
+    showing (deterministic, mirrors the span table)."""
+    first: dict[str, tuple[int, int]] = {}  # ref → (first_page, n_refs)
+    order: list[str] = []
+    for kind, _text, ref, page in spans:
+        if kind != "image" or ref is None:
+            continue
+        if ref in first:
+            fp, n = first[ref]
+            first[ref] = (fp, n + 1)
+        else:
+            first[ref] = (page, 1)
+            order.append(ref)
+    return [
+        _row(r, facts.get(r, {"name": None}), first[r][0], first[r][1])
+        for r in order
+    ]
+
+
+def _package_rows(
+    data: bytes, prefixes: tuple[str, ...], skip_refs: frozenset = frozenset()
+) -> list[dict]:
+    """Catalogue zip members under media prefixes (zip member order —
+    deterministic). Members whose content hash is already catalogued as
+    referenced are skipped; a corrupt member (CRC error) still gets a
+    row with its part name as the ref fallback (same contract as the
+    span path). n_refs 0 = present in the package, never shown."""
+    rows: list[dict] = []
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        for info in z.infolist():
+            fname = info.filename
+            if info.is_dir() or not fname.startswith(prefixes):
+                continue
+            try:
+                blob = z.read(info)
+            except Exception:
+                rows.append(
+                    _row(fname, {"name": fname, "n_bytes": None}, None, 0)
+                )
+                continue
+            ref = hashlib.sha256(blob).hexdigest()
+            if ref in skip_refs:
+                continue
+            rows.append(
+                _row(
+                    ref,
+                    {
+                        "name": fname,
+                        "n_bytes": len(blob),
+                        **sniff_media_header(blob),
+                    },
+                    None,
+                    0,
+                )
+            )
+    return rows
+
+
+def media_rows(fmt: str, data: bytes) -> list[dict]:
+    """All sidecar rows for one document's raw bytes; raises on a
+    malformed file or unknown format (callers quarantine per doc)."""
+    fmt = (fmt or "").lower().lstrip(".")
+    if fmt == "pdf":
+        facts: dict[str, dict] = {}
+        spans = parse_pdf_bytes(data, media_facts=facts)
+        return _referenced_rows(spans, facts)
+    if fmt == "pptx":
+        facts = {}
+        spans = parse_pptx_bytes(data, media_facts=facts)
+        rows = _referenced_rows(spans, facts)
+        shown = frozenset(r["media_ref"] for r in rows)
+        return rows + _package_rows(data, ("ppt/media/",), skip_refs=shown)
+    if fmt == "docx":
+        return _package_rows(data, ("word/media/",))
+    if fmt in ("xlsx", "xlsm"):
+        return _package_rows(data, ("xl/media/",))
+    raise ValueError(f"unsupported media-sidecar format: {fmt!r}")
+
+
+def load_media_sidecar(
+    docs: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    fmt_col: str = "fmt",
+    content_col: str = "content",
+) -> DataFrame:
+    """(doc_id, fmt, content:binary) → media catalogue
+    (MEDIA_SIDECAR_SCHEMA): one row per distinct embedded media blob per
+    document. One ``mapInPandas`` pass, Arrow-batched, no shuffle; a
+    malformed file quarantines as ONE all-null row with ``parse_error``
+    (same per-document contract as load_ooxml / load_pdf), so the
+    catalogue's doc_id set matches the ingest frame's."""
+    import pandas as pd
+
+    id_c, f_c, b_c = doc_id_col, fmt_col, content_col
+    cols = [f.name for f in MEDIA_SIDECAR_SCHEMA]
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[dict] = []
+            for did, fmt, blob in zip(pdf[id_c], pdf[f_c], pdf[b_c]):
+                try:
+                    for row in media_rows(fmt, bytes(blob)):
+                        out.append({"doc_id": did, **row})
+                except Exception as e:  # noqa: BLE001 — per-doc quarantine
+                    out.append(
+                        {
+                            "doc_id": did,
+                            **{c: None for c in cols[1:]},
+                            "parse_error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(gen, schema=MEDIA_SIDECAR_SCHEMA)

@@ -61,6 +61,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from docproc_spark.kernels.mediainfo import sniff_media_header
+
 NS_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 NS_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
 NS_P = "http://schemas.openxmlformats.org/presentationml/2006/main"
@@ -163,11 +165,17 @@ def _txbody_text(tx: ET.Element) -> str:
     return "\n".join(_a_text(p) for p in tx.findall(_q(NS_A, "p")))
 
 
-def parse_pptx_bytes(data: bytes) -> list[tuple[str, str, str | None, int]]:
+def parse_pptx_bytes(
+    data: bytes, media_facts: dict[str, dict] | None = None
+) -> list[tuple[str, str, str | None, int]]:
     """bytes → spans; slides in sldIdLst order, shapes in spTree order
     (pptx_loader.py:18-60). Table rows with empty " | "-joined text are
     dropped (the loader's ``if row_text:``); a picture becomes an image
-    span referencing its embedded part name."""
+    span referencing its embedded part name. When ``media_facts`` is
+    given, every first-seen image blob also records its sidecar facts
+    (part name, blob size, container-header metadata via
+    kernels/mediainfo) keyed by media_ref — the media-catalogue hook
+    (sources/media_sidecar.py) sharing this one zip walk."""
     spans: list[tuple[str, str, str | None, int]] = []
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         pres = ET.fromstring(z.read("ppt/presentation.xml"))
@@ -221,16 +229,28 @@ def parse_pptx_bytes(data: bytes) -> list[tuple[str, str, str | None, int]]:
                     # collide across documents and would break corpus-wide
                     # media dedupe. Unreadable part → fall back to the
                     # part name (still document-locally identifying).
-                    ref = part
+                    ref, blob = part, None
                     if part is not None:
                         try:
-                            ref = hashlib.sha256(z.read(part)).hexdigest()
+                            blob = z.read(part)
+                            ref = hashlib.sha256(blob).hexdigest()
                         except Exception:
                             # missing member (KeyError) but also corrupt
                             # CRC (BadZipFile) / encrypted (RuntimeError):
                             # one bad image must NOT quarantine the whole
                             # document's text — keep the part-name ref
-                            pass
+                            blob = None
+                    if (
+                        media_facts is not None
+                        and ref is not None
+                        and ref not in media_facts
+                    ):
+                        meta = sniff_media_header(blob)  # None → all-None
+                        media_facts[ref] = {
+                            "name": part,
+                            "n_bytes": len(blob) if blob is not None else None,
+                            **meta,
+                        }
                     spans.append(("image", None, ref, page))
     return spans
 

@@ -802,10 +802,50 @@ def _font_cmaps(
     return out
 
 
+_IMAGE_CODEC_FORMATS = {  # terminal codec → container format of the bytes
+    b"DCTDecode": "jpeg",
+    b"JPXDecode": "jp2",
+    b"CCITTFaxDecode": "ccitt",
+    b"JBIG2Decode": "jbig2",
+}
+
+
+def _image_blob_format(chain: list[tuple[bytes, bytes]]) -> str:
+    """What the identity bytes of an image stream ARE: the terminal
+    codec's container (DCT payloads are literal JPEG files) or, with no
+    terminal codec, decoded raw samples — dims then come from the image
+    dict, never from byte sniffing."""
+    for name, _ in chain:
+        if name in _IMAGE_CODEC_FORMATS:
+            return _IMAGE_CODEC_FORMATS[name]
+    return "raw"
+
+
+def _image_facts(
+    head: bytes, name: bytes, n_bytes: int | None, inline: bool = False
+) -> dict:
+    """Sidecar facts for one image stream from its DICT alone — /Width
+    and /Height are authoritative per ISO 32000 §8.9.5 (abbreviated /W
+    /H inside inline dicts), so no codec is ever needed."""
+    wkey = rb"/(?:Width|W)(?![A-Za-z])" if inline else rb"/Width(?![A-Za-z])"
+    hkey = rb"/(?:Height|H)(?![A-Za-z])" if inline else rb"/Height(?![A-Za-z])"
+    wm = re.search(wkey + rb"\s+(\d+)", head)
+    hm = re.search(hkey + rb"\s+(\d+)", head)
+    return {
+        "name": name.decode("latin-1"),
+        "n_bytes": n_bytes,
+        "format": _image_blob_format(_stream_filters(head, inline=inline)),
+        "media_kind": "image",
+        "width": int(wm.group(1)) if wm else None,
+        "height": int(hm.group(1)) if hm else None,
+    }
+
+
 def _image_xobjects(
     objs: dict[int, bytes],
     page_body: bytes,
     cache: dict[int, str] | None = None,
+    facts: dict[str, dict] | None = None,
 ) -> dict[bytes, str]:
     """Resource name → media_ref for /Subtype /Image XObjects on this page.
 
@@ -814,7 +854,10 @@ def _image_xobjects(
     names like ``Im1`` are page-scoped and collide across documents, so
     they cannot serve as corpus-wide media identity. A streamless image
     object falls back to its resource name. `cache` memoizes the hash per
-    XObject number across pages (a per-page logo is hashed once)."""
+    XObject number across pages (a per-page logo is hashed once). When
+    `facts` is given, each first-seen ref also records its sidecar facts
+    (media_sidecar.py) — blob size plus the dict's authoritative
+    /Width /Height — keyed by media_ref."""
     xdict = _named_dict(objs, _resources_body(objs, page_body), b"XObject")
     if not xdict:
         return {}
@@ -834,6 +877,13 @@ def _image_xobjects(
                 if stream
                 else name.decode("latin-1")
             )
+            if facts is not None and cache[onum] not in facts:
+                m = _STREAM_RE.search(tgt)
+                facts[cache[onum]] = _image_facts(
+                    tgt[: m.start()] if m else tgt,
+                    name,
+                    len(stream) if stream else None,
+                )
         refs[name] = cache[onum]
     return refs
 
@@ -898,7 +948,9 @@ _EI_RE = re.compile(_IWS + rb"EI(?=" + _IWS + rb"|$)")
 
 
 def _extract_inline_images(
-    content: bytes, taken=frozenset()
+    content: bytes,
+    taken=frozenset(),
+    facts: dict[str, dict] | None = None,
 ) -> tuple[bytes, dict[bytes, str]]:
     """Lift BI…ID…EI inline images out of a content stream BEFORE
     tokenization (their binary payload would otherwise shred the token
@@ -949,6 +1001,10 @@ def _extract_inline_images(
             name += b"_"
         n += 1
         inline[name] = hashlib.sha256(data).hexdigest()
+        if facts is not None and inline[name] not in facts:
+            facts[inline[name]] = _image_facts(
+                params, name, len(data), inline=True
+            )
         out.append(content[pos : m.start()])
         out.append(b" /" + name + b" Do ")
         pos = mei.end()
@@ -1368,10 +1424,16 @@ def _decrypt_streams(data: bytes, objs: dict[int, bytes], enc_num: int) -> None:
         objs[num] = body[: m.start(1)] + dec + body[m.end(1) :]
 
 
-def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]]:
+def parse_pdf_bytes(
+    data: bytes, media_facts: dict[str, dict] | None = None
+) -> list[tuple[str, str | None, str | None, int]]:
     """bytes → [(kind, text, media_ref, page)] — text blocks in pdf_layout
     reading order with layout classification, image spans at their
-    transform position."""
+    transform position. When ``media_facts`` is given, every distinct
+    image blob also records its sidecar facts (blob size, format of the
+    identity bytes, dict /Width /Height) keyed by media_ref — the
+    media-catalogue hook (sources/media_sidecar.py) that shares this one
+    parse instead of re-walking the file."""
     objs = _objects(data)  # decrypts empty-user-password files in place;
     # password-protected / out-of-subset encryption raises → quarantine
     if not objs:
@@ -1388,7 +1450,7 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
         _, page_h = _media_box(objs, body)
         page_heights[page] = page_h
         content = _content_streams(objs, body)
-        xobjs = _image_xobjects(objs, body, cache=img_cache)
+        xobjs = _image_xobjects(objs, body, cache=img_cache, facts=media_facts)
         fonts = _font_cmaps(objs, body, cache=cmap_cache)
         forms = _form_xobjects(objs, body)
         if forms:
@@ -1399,7 +1461,9 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
             fstack, fseen = list(forms.values()), set(forms.values())
             while fstack:
                 fbody = objs.get(fstack.pop(), b"")
-                for k, v in _image_xobjects(objs, fbody, cache=img_cache).items():
+                for k, v in _image_xobjects(
+                    objs, fbody, cache=img_cache, facts=media_facts
+                ).items():
                     xobjs.setdefault(k, v)
                 for k, v in _font_cmaps(objs, fbody, cache=cmap_cache).items():
                     fonts.setdefault(k, v)
@@ -1407,7 +1471,9 @@ def parse_pdf_bytes(data: bytes) -> list[tuple[str, str | None, str | None, int]
                     if fnum not in fseen:
                         fseen.add(fnum)
                         fstack.append(fnum)
-        content, inline = _extract_inline_images(content, taken=set(xobjs))
+        content, inline = _extract_inline_images(
+            content, taken=set(xobjs), facts=media_facts
+        )
         xobjs.update(inline)
         blocks, images = _page_blocks(
             content, page, page_h, xobjs, fonts=fonts,

@@ -1,0 +1,328 @@
+"""Embedded-media catalogue (sources/media_sidecar.py).
+
+Fixtures are real files assembled at test time (stdlib zipfile for
+OOXML, the same object-builder as test_pdf_source for PDFs, real PNG
+bytes with correct CRCs via zlib, real WAV via the wave module);
+expectations are written BY HAND from the documented contracts: sidecar
+``media_ref`` must equal the span table's by construction, /Width and
+/Height come from the PDF image dict (ISO 32000 §8.9.5), zip-package
+blobs sniff through kernels/mediainfo.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import wave
+import zipfile
+import zlib
+
+import pytest
+
+from docproc_spark.sources.media_sidecar import (
+    load_media_sidecar,
+    media_rows,
+)
+from docproc_spark.sources.ooxml import parse_pptx_bytes
+from docproc_spark.sources.pdf import parse_pdf_bytes
+
+A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+PKG_R = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def _zip(parts: dict[str, str | bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content in parts.items():
+            z.writestr(name, content)
+    return buf.getvalue()
+
+
+def make_png(w: int, h: int) -> bytes:
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x01\x02\x03\xff" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(channels: int, rate: int, n_frames: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x00\x00" * channels * n_frames)
+    return buf.getvalue()
+
+
+LOGO = make_png(40, 30)
+LOGO_SHA = hashlib.sha256(LOGO).hexdigest()
+CLIP = make_wav(2, 16000, 16000)  # 1 s stereo
+CLIP_SHA = hashlib.sha256(CLIP).hexdigest()
+
+
+def _pic(rid: str) -> str:
+    return (
+        f'<p:pic><p:blipFill><a:blip r:embed="{rid}"/></p:blipFill></p:pic>'
+    )
+
+
+def make_deck(extra_members: dict | None = None) -> bytes:
+    """Two slides; the same logo blob shown on both (different part
+    names on purpose — content identity must unify them), plus whatever
+    extra package members the test plants."""
+    pres = f"""<p:presentation xmlns:p="{P}" xmlns:r="{R}">
+      <p:sldIdLst><p:sldId id="256" r:id="rId1"/><p:sldId id="257" r:id="rId2"/></p:sldIdLst>
+    </p:presentation>"""
+    pres_rels = f"""<Relationships xmlns="{PKG_R}">
+      <Relationship Id="rId1" Target="slides/slide1.xml"/>
+      <Relationship Id="rId2" Target="slides/slide2.xml"/>
+    </Relationships>"""
+    slide = f"""<p:sld xmlns:p="{P}" xmlns:a="{A}" xmlns:r="{R}"><p:cSld><p:spTree>
+      {_pic("rId9")}
+    </p:spTree></p:cSld></p:sld>"""
+    rels1 = f"""<Relationships xmlns="{PKG_R}">
+      <Relationship Id="rId9" Target="../media/image1.png"/>
+    </Relationships>"""
+    rels2 = f"""<Relationships xmlns="{PKG_R}">
+      <Relationship Id="rId9" Target="../media/image2.png"/>
+    </Relationships>"""
+    parts = {
+        "[Content_Types].xml": "<Types/>",
+        "ppt/presentation.xml": pres,
+        "ppt/_rels/presentation.xml.rels": pres_rels,
+        "ppt/slides/slide1.xml": slide,
+        "ppt/slides/slide2.xml": slide,
+        "ppt/slides/_rels/slide1.xml.rels": rels1,
+        "ppt/slides/_rels/slide2.xml.rels": rels2,
+        "ppt/media/image1.png": LOGO,
+        "ppt/media/image2.png": LOGO,
+    }
+    parts.update(extra_members or {})
+    return _zip(parts)
+
+
+class TestPptx:
+    def test_shown_blob_unifies_across_parts_and_pages(self):
+        rows = media_rows("pptx", make_deck())
+        assert len(rows) == 1  # one DISTINCT blob, not two parts
+        r = rows[0]
+        assert r["media_ref"] == LOGO_SHA
+        assert (r["first_page"], r["n_refs"]) == (0, 2)
+        assert r["name"] == "ppt/media/image1.png"  # first sighting's part
+        assert (r["format"], r["media_kind"]) == ("png", "image")
+        assert (r["width"], r["height"]) == (40, 30)
+        assert r["n_bytes"] == len(LOGO)
+        assert r["parse_error"] is None
+
+    def test_sidecar_refs_equal_span_refs(self):
+        data = make_deck()
+        span_refs = {
+            m for k, _t, m, _p in parse_pptx_bytes(data) if k == "image"
+        }
+        assert {r["media_ref"] for r in media_rows("pptx", data)} == span_refs
+
+    def test_unreferenced_member_catalogued_with_zero_refs(self):
+        rows = media_rows(
+            "pptx", make_deck({"ppt/media/media1.wav": CLIP})
+        )
+        by_ref = {r["media_ref"]: r for r in rows}
+        clip = by_ref[CLIP_SHA]
+        assert (clip["n_refs"], clip["first_page"]) == (0, None)
+        assert (clip["format"], clip["media_kind"]) == ("wav", "audio")
+        assert (clip["sample_rate"], clip["channels"]) == (16000, 2)
+        assert clip["duration_ms"] == 1000
+        # the referenced logo is NOT duplicated by the package scan even
+        # though its parts sit under ppt/media/
+        assert [r for r in rows if r["media_ref"] == LOGO_SHA][0]["n_refs"] == 2
+        assert len(rows) == 2
+
+    def test_dangling_part_yields_no_blobless_row(self):
+        # rels point at a member that does not exist → span keeps the
+        # part-name ref; sidecar row carries it with no blob facts
+        deck = make_deck()
+        with zipfile.ZipFile(io.BytesIO(deck)) as z:
+            parts = {i.filename: z.read(i) for i in z.infolist()}
+        del parts["ppt/media/image2.png"]
+        rows = media_rows("pptx", _zip(parts))
+        by_ref = {r["media_ref"]: r for r in rows}
+        assert by_ref[LOGO_SHA]["n_refs"] == 1
+        dangling = by_ref["ppt/media/image2.png"]
+        assert dangling["n_bytes"] is None
+        assert dangling["format"] is None
+
+
+class TestPackages:
+    def test_docx_media_members(self):
+        doc = _zip(
+            {
+                "[Content_Types].xml": "<Types/>",
+                "word/document.xml": "<d/>",
+                "word/media/image1.png": LOGO,
+            }
+        )
+        rows = media_rows("docx", doc)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["media_ref"] == LOGO_SHA
+        assert (r["n_refs"], r["first_page"]) == (0, None)
+        assert (r["width"], r["height"]) == (40, 30)
+
+    def test_xlsx_media_members_and_empty(self):
+        wb = _zip(
+            {
+                "xl/workbook.xml": "<w/>",
+                "xl/media/image1.png": LOGO,
+            }
+        )
+        assert media_rows("xlsx", wb)[0]["media_ref"] == LOGO_SHA
+        assert media_rows("xlsx", _zip({"xl/workbook.xml": "<w/>"})) == []
+
+    def test_unknown_format_raises(self):
+        with pytest.raises(ValueError):
+            media_rows("html", b"<html/>")
+
+
+# --- PDF ------------------------------------------------------------------
+def _pdf(objects: list[bytes]) -> bytes:
+    out = [b"%PDF-1.4\n"]
+    for i, body in enumerate(objects, start=1):
+        out.append(b"%d 0 obj" % i + body + b"endobj\n")
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    return b"".join(out)
+
+
+JPEG_BYTES = (  # spec-faithful minimal JPEG: SOI, SOF0 8x6, EOI
+    b"\xff\xd8"
+    + b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3, 8, 6, 8, 1) + b"\x01\x11\x00"
+    + b"\xff\xd9"
+)
+JPEG_SHA = hashlib.sha256(JPEG_BYTES).hexdigest()
+RAW_SHA = hashlib.sha256(b"abc").hexdigest()
+
+
+def make_pdf() -> bytes:
+    """Two pages: a raw-sample XObject shown on BOTH pages, a DCT
+    XObject on page 2 only, an inline image on page 1."""
+    page1 = (
+        b"BT 72 700 Td (hello) Tj ET\n"
+        b"q 1 0 0 1 50 500 cm /Im1 Do Q\n"
+        b"BI /W 2 /H 2 ID \x00\x01\x02\x03 EI\n"
+    )
+    page2 = b"/Im1 Do\n/Jp1 Do\n"
+    return _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /XObject << /Im1 7 0 R >> >> >>\n",
+            b"<< /Length %d >>\nstream\n" % len(page1) + page1
+            + b"\nendstream\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R "
+            b"/Resources << /XObject << /Im1 7 0 R /Jp1 8 0 R >> >> >>\n",
+            b"<< /Length %d >>\nstream\n" % len(page2) + page2
+            + b"\nendstream\n",
+            b"<< /Subtype /Image /Width 4 /Height 3 /Length 3 >>\n"
+            b"stream\nabc\nendstream\n",
+            b"<< /Subtype /Image /Width 8 /Height 6 /Filter /DCTDecode "
+            b"/Length %d >>\nstream\n" % len(JPEG_BYTES) + JPEG_BYTES
+            + b"\nendstream\n",
+        ]
+    )
+
+
+INLINE_SHA = hashlib.sha256(b"\x00\x01\x02\x03").hexdigest()
+
+
+class TestPdf:
+    def test_xobject_dims_from_dict_and_ref_counting(self):
+        rows = {r["media_ref"]: r for r in media_rows("pdf", make_pdf())}
+        raw = rows[RAW_SHA]
+        assert (raw["width"], raw["height"]) == (4, 3)
+        assert raw["format"] == "raw"  # no terminal codec → decoded samples
+        assert (raw["first_page"], raw["n_refs"]) == (0, 2)
+        assert raw["n_bytes"] == 3
+        assert raw["name"] == "Im1"
+
+    def test_dct_payload_is_jpeg_identity(self):
+        rows = {r["media_ref"]: r for r in media_rows("pdf", make_pdf())}
+        jp = rows[JPEG_SHA]  # identity bytes ARE the JPEG file
+        assert jp["format"] == "jpeg"
+        assert (jp["width"], jp["height"]) == (8, 6)  # dict, not sniff
+        assert (jp["first_page"], jp["n_refs"]) == (1, 1)
+        assert jp["n_bytes"] == len(JPEG_BYTES)
+
+    def test_inline_image_facts(self):
+        rows = {r["media_ref"]: r for r in media_rows("pdf", make_pdf())}
+        inl = rows[INLINE_SHA]
+        assert (inl["width"], inl["height"]) == (2, 2)
+        assert inl["format"] == "raw"
+        assert (inl["first_page"], inl["n_refs"]) == (0, 1)
+        assert inl["n_bytes"] == 4
+
+    def test_sidecar_refs_equal_span_refs(self):
+        data = make_pdf()
+        span_refs = {
+            m for k, _t, m, _p in parse_pdf_bytes(data) if k == "image"
+        }
+        assert {r["media_ref"] for r in media_rows("pdf", data)} == span_refs
+
+    def test_parse_without_facts_unchanged(self):
+        # media_facts default must not perturb span output
+        assert parse_pdf_bytes(make_pdf()) == parse_pdf_bytes(
+            make_pdf(), media_facts={}
+        )
+
+
+@pytest.mark.usefixtures("spark")
+class TestSpark:
+    def test_load_media_sidecar_and_quarantine(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("deck.pptx", "pptx", bytearray(make_deck())),
+                ("doc.pdf", "pdf", bytearray(make_pdf())),
+                ("broken.docx", "docx", bytearray(b"not a zip")),
+            ],
+            "doc_id string, fmt string, content binary",
+        )
+        rows = load_media_sidecar(df).collect()
+        ok = [r for r in rows if r["parse_error"] is None]
+        bad = [r for r in rows if r["parse_error"] is not None]
+        assert {r["doc_id"] for r in ok} == {"deck.pptx", "doc.pdf"}
+        assert len([r for r in ok if r["doc_id"] == "doc.pdf"]) == 3
+        assert [r["doc_id"] for r in bad] == ["broken.docx"]
+        assert bad[0]["media_ref"] is None
+        deck = [r for r in ok if r["doc_id"] == "deck.pptx"][0]
+        assert deck["media_ref"] == LOGO_SHA and deck["n_refs"] == 2
+
+    def test_facade_media_sidecar(self, spark, tmp_path):
+        from docproc_spark.facade import DocprocSpark
+
+        (tmp_path / "deck.pptx").write_bytes(make_deck())
+        (tmp_path / "doc.pdf").write_bytes(make_pdf())
+        out = DocprocSpark(spark).media_sidecar(str(tmp_path)).collect()
+        by_doc: dict[str, list] = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert by_doc["deck.pptx"][0]["media_ref"] == LOGO_SHA
+        assert {r["media_ref"] for r in by_doc["doc.pdf"]} == {
+            RAW_SHA,
+            JPEG_SHA,
+            INLINE_SHA,
+        }
