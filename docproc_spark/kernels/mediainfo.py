@@ -15,6 +15,13 @@ duration, and audio parameters straight from the bytes:
   - AVI   (RIFF/AVI `avih` main header: frame period, count, dims)
   - MP4   (ISO 14496-12 box walk: mvhd timescale/duration, tkhd 16.16
            track dims — any ISO-BMFF brand: mp4/m4a/mov/heic...)
+  - FLAC  (STREAMINFO block: 20-bit rate, 3-bit channels, 36-bit
+           total samples — duration exact by spec)
+  - MP3   (ID3v2 skip, MPEG frame-sync header tables; Xing/Info frame
+           count for VBR duration, file-size/bitrate estimate for CBR)
+  - OGG   (page framing; Vorbis/Opus identification headers; duration
+           from the LAST page's granule position — Opus granules run at
+           48 kHz minus pre-skip per RFC 7845 §4/§5.1)
 
 This is what a 100-TB multimodal curation pass actually needs from
 media bytes before any GPU sees them: beacon-pixel detection (1x1
@@ -30,6 +37,7 @@ readable (never raises), unknown magic returns an all-None row.
 
 from __future__ import annotations
 
+import re
 import struct
 from typing import Optional
 
@@ -276,6 +284,126 @@ def _mp4(b: bytes) -> dict:
     return out
 
 
+def _flac(b: bytes) -> dict:
+    # STREAMINFO is mandatory-first (format §"STREAM"): 4-byte block
+    # header at 4, then min/max blocksize (2+2) + min/max framesize
+    # (3+3) at 8, then 8 bytes packing rate(20) chan-1(3) bps-1(5)
+    # total-samples(36) at 18
+    if len(b) < 26 or (b[4] & 0x7F) != 0:
+        return _meta("flac", "audio")
+    packed = int.from_bytes(b[18:26], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    total = packed & ((1 << 36) - 1)
+    out = _meta("flac", "audio", channels=channels)
+    if rate:
+        out["sample_rate"] = rate
+        if total:  # 0 = unknown length, per spec
+            out["duration_ms"] = total * 1000 // rate
+    return out
+
+
+# MPEG audio frame-header tables (ISO 11172-3 / 13818-3). Bitrates in
+# kbps, index 0 = "free" and 15 = invalid (both rejected); sample rates
+# by version field (MPEG1 / MPEG2 / MPEG2.5).
+_MP3_BITRATES = {
+    # (version_group, layer): row — version_group 1 = MPEG1, 2 = MPEG2/2.5
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+}
+_MP3_RATES = {0b11: (44100, 48000, 32000),  # MPEG1
+              0b10: (22050, 24000, 16000),  # MPEG2
+              0b00: (11025, 12000, 8000)}   # MPEG2.5
+
+
+def _mp3(b: bytes) -> dict:
+    out = _meta("mp3", "audio")
+    start = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        # syncsafe 28-bit tag size (ID3v2 §3.1) + 10-byte header
+        ss = b[6:10]
+        start = 10 + (
+            (ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14
+            | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F)
+        )
+    # scan a bounded window for the first valid frame sync
+    end = min(len(b) - 4, start + 65536)
+    i = start
+    while i <= end:
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            ver = (b[i + 1] >> 3) & 0x3
+            layer = (b[i + 1] >> 1) & 0x3
+            br_idx = (b[i + 2] >> 4) & 0xF
+            sr_idx = (b[i + 2] >> 2) & 0x3
+            if ver != 0b01 and layer != 0 and 0 < br_idx < 15 and sr_idx < 3:
+                layer_n = 4 - layer  # field 3/2/1 → layer 1/2/3
+                vgroup = 1 if ver == 0b11 else 2
+                bitrate = _MP3_BITRATES[(vgroup, layer_n)][br_idx] * 1000
+                rate = _MP3_RATES[ver][sr_idx]
+                mono = ((b[i + 3] >> 6) & 0x3) == 0b11
+                out["sample_rate"] = rate
+                out["channels"] = 1 if mono else 2
+                spf = (  # samples per frame (layer/version table)
+                    384 if layer_n == 1
+                    else 1152 if layer_n == 2
+                    else (1152 if vgroup == 1 else 576)
+                )
+                # VBR: Xing/Info frame count beats any bitrate estimate
+                m = re.search(rb"Xing|Info", b[i : i + 200])
+                if m:
+                    at = i + m.start() + 4
+                    if at + 8 <= len(b) and _be32(b, at) & 0x1:
+                        frames = _be32(b, at + 4)
+                        out["duration_ms"] = frames * spf * 1000 // rate
+                        return out
+                if bitrate:
+                    out["duration_ms"] = (len(b) - start) * 8000 // bitrate
+                return out
+        i += 1
+    return out
+
+
+def _ogg(b: bytes) -> dict:
+    out = _meta("ogg", "audio")
+    # identification header is the first packet of the first page:
+    # 27-byte page header + segment table (page_segments at 26)
+    if len(b) < 28:
+        return out
+    body = 27 + b[26]
+    rate = None
+    pre_skip = 0
+    opus = False
+    if b[body : body + 7] == b"\x01vorbis" and body + 16 <= len(b):
+        out["channels"] = b[body + 11]
+        rate = _le32(b, body + 12)
+        out["sample_rate"] = rate
+    elif b[body : body + 8] == b"OpusHead" and body + 14 <= len(b):
+        opus = True
+        out["channels"] = b[body + 9]
+        pre_skip = _le16(b, body + 10)
+        out["sample_rate"] = _le32(b, body + 12)  # original input rate
+        rate = 48000  # granule positions ALWAYS count at 48 kHz (RFC 7845)
+    else:
+        return out
+    # duration = last page's granule position; pages can't exceed
+    # 65307 bytes, so the final page header lives in the last 64 KiB
+    tail_at = max(0, len(b) - 65536)
+    last = b.rfind(b"OggS", tail_at)
+    while last != -1 and last + 14 > len(b):
+        last = b.rfind(b"OggS", tail_at, last)
+    if last != -1 and rate:
+        granule = int.from_bytes(b[last + 6 : last + 14], "little")
+        if granule > 0 and granule != 0xFFFFFFFFFFFFFFFF:
+            samples = granule - pre_skip if opus else granule
+            if samples > 0:
+                out["duration_ms"] = samples * 1000 // rate
+    return out
+
+
 def sniff_media_header(blob: Optional[bytes]) -> dict:
     """Return {format, media_kind, width, height, duration_ms,
     sample_rate, channels} parsed from ``blob``'s container header.
@@ -301,4 +429,16 @@ def sniff_media_header(blob: Optional[bytes]) -> dict:
         return dict(EMPTY_META)
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return _mp4(b)
+    if b[:4] == b"fLaC":
+        return _flac(b)
+    if b[:4] == b"OggS":
+        return _ogg(b)
+    if b[:3] == b"ID3":
+        return _mp3(b)
+    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        # bare frame sync is only 11 bits of magic — accept the label
+        # only when a full header validates (random \xff\xex must not
+        # catalogue as mp3)
+        out = _mp3(b)
+        return out if out["sample_rate"] is not None else dict(EMPTY_META)
     return dict(EMPTY_META)

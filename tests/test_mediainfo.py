@@ -269,3 +269,145 @@ def test_sniff_media_meta_spark(spark):
     assert rows[empty_ref]["format"] is None  # None blob -> sha256 of b""
     unk = hashlib.sha256(b"not media at all").hexdigest()
     assert rows[unk]["format"] is None and rows[unk]["n_bytes"] == 16
+
+
+# ---------------------------------------------------------------------------
+# audio containers: FLAC / MP3 / OGG
+# ---------------------------------------------------------------------------
+def make_flac(rate: int, channels: int, total_samples: int) -> bytes:
+    """Spec-faithful fLaC + mandatory-first STREAMINFO (last-block flag
+    set, type 0, length 34): blocksizes, framesizes, then the 8-byte
+    pack rate(20) | channels-1(3) | bps-1(5) | total(36), then md5."""
+    packed = (rate << 44) | ((channels - 1) << 41) | ((16 - 1) << 36) | total_samples
+    return (
+        b"fLaC"
+        + b"\x80" + (34).to_bytes(3, "big")
+        + struct.pack(">HH", 4096, 4096)
+        + (0).to_bytes(3, "big") * 2
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+
+
+def mp3_frame_header(
+    *, mono: bool = False, bitrate_idx: int = 9, sr_idx: int = 0
+) -> bytes:
+    """MPEG1 Layer III header: sync, version 11, layer 01, no CRC."""
+    return bytes(
+        [0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2), 0xC0 if mono else 0x00]
+    )
+
+
+def make_ogg_page(
+    payload: bytes, *, granule: int = 0, header_type: int = 2
+) -> bytes:
+    segs = []
+    rest = len(payload)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    return (
+        b"OggS\x00" + bytes([header_type])
+        + granule.to_bytes(8, "little")
+        + b"\x01\x00\x00\x00" + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00"
+        + bytes([len(segs)]) + bytes(segs) + payload
+    )
+
+
+def vorbis_id(channels: int, rate: int) -> bytes:
+    return (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+        + struct.pack("<I", rate) + b"\x00" * 12 + b"\xb8" + b"\x01"
+    )
+
+
+def opus_head(channels: int, pre_skip: int, input_rate: int) -> bytes:
+    return (
+        b"OpusHead\x01" + bytes([channels])
+        + struct.pack("<H", pre_skip) + struct.pack("<I", input_rate)
+        + b"\x00\x00" + b"\x00"
+    )
+
+
+class TestFlac:
+    def test_streaminfo(self):
+        m = sniff_media_header(make_flac(44100, 2, 88200))
+        assert (m["format"], m["media_kind"]) == ("flac", "audio")
+        assert (m["sample_rate"], m["channels"]) == (44100, 2)
+        assert m["duration_ms"] == 2000
+
+    def test_unknown_total_samples(self):
+        m = sniff_media_header(make_flac(48000, 1, 0))  # 0 = unknown by spec
+        assert m["sample_rate"] == 48000
+        assert m["duration_ms"] is None
+
+    def test_truncated(self):
+        m = sniff_media_header(b"fLaC\x80")
+        assert m["format"] == "flac"
+        assert m["sample_rate"] is None
+
+
+class TestMp3:
+    def test_cbr_estimate(self):
+        # 128 kbps → 1 s of audio is 16000 bytes
+        blob = mp3_frame_header() + b"\x00" * (16000 - 4)
+        m = sniff_media_header(blob)
+        assert (m["format"], m["media_kind"]) == ("mp3", "audio")
+        assert (m["sample_rate"], m["channels"]) == (44100, 2)
+        assert m["duration_ms"] == 1000
+
+    def test_id3v2_tag_skipped(self):
+        # syncsafe size 200: tag bytes must count toward NEITHER the
+        # sync scan start NOR the CBR size estimate
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 72]) + b"\xff" * 200
+        blob = tag + mp3_frame_header() + b"\x00" * (16000 - 4)
+        m = sniff_media_header(blob)
+        assert m["sample_rate"] == 44100
+        assert m["duration_ms"] == 1000
+
+    def test_xing_vbr_frame_count_wins(self):
+        xing = b"Xing" + struct.pack(">II", 0x1, 100)  # flags: frames set
+        blob = mp3_frame_header() + b"\x00" * 32 + xing + b"\x00" * 4000
+        m = sniff_media_header(blob)
+        assert m["duration_ms"] == 100 * 1152 * 1000 // 44100
+
+    def test_mono_mode(self):
+        m = sniff_media_header(mp3_frame_header(mono=True) + b"\x00" * 400)
+        assert m["channels"] == 1
+
+    def test_bare_sync_garbage_rejected(self):
+        # valid sync bits but reserved bitrate index 15 → not mp3
+        m = sniff_media_header(b"\xff\xfb\xf0\x00" + b"\x00" * 64)
+        assert m == EMPTY_META
+
+
+class TestOgg:
+    def test_vorbis_duration_from_last_granule(self):
+        blob = make_ogg_page(vorbis_id(2, 44100)) + make_ogg_page(
+            b"\x00" * 10, granule=88200, header_type=4
+        )
+        m = sniff_media_header(blob)
+        assert (m["format"], m["media_kind"]) == ("ogg", "audio")
+        assert (m["sample_rate"], m["channels"]) == (44100, 2)
+        assert m["duration_ms"] == 2000
+
+    def test_opus_preskip_and_48k_granules(self):
+        # RFC 7845: granules at 48 kHz regardless of input rate, minus
+        # pre-skip
+        blob = make_ogg_page(opus_head(1, 312, 16000)) + make_ogg_page(
+            b"\x00" * 10, granule=48000 + 312, header_type=4
+        )
+        m = sniff_media_header(blob)
+        assert (m["sample_rate"], m["channels"]) == (16000, 1)
+        assert m["duration_ms"] == 1000
+
+    def test_single_page_has_no_duration(self):
+        m = sniff_media_header(make_ogg_page(vorbis_id(2, 44100)))
+        assert m["sample_rate"] == 44100
+        assert m["duration_ms"] is None
+
+    def test_non_audio_ogg_unlabelled_fields(self):
+        m = sniff_media_header(make_ogg_page(b"\x80theora-ish"))
+        assert m["format"] == "ogg"
+        assert m["sample_rate"] is None
