@@ -195,6 +195,42 @@ class DocprocSpark:
         )
         return pdfs.unionByName(office).unionByName(html)
 
+    def ingest_files_with_media(
+        self, path: str, table_path: str
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """``ingest_files`` that also catalogues embedded media — in the
+        SAME single pass over the raw bytes (the span parsers' media_facts
+        sink fills while they walk), where ``media_sidecar`` alone would
+        re-read every file. One parquet checkpoint carries spans + the
+        nested per-document media array; returns (documents, quarantine,
+        media) — media is the exploded flat catalogue, all three as
+        pushdown-friendly scans over the checkpoint. HTML files carry no
+        embedded blobs (web images are URLs; data: URIs get sha256
+        identity in the span path), so their rows hold a NULL media
+        array."""
+        from pyspark.sql import functions as F
+
+        from docproc_spark.sources.html import load_html
+        from docproc_spark.sources.media_sidecar import (
+            MEDIA_ARRAY_TYPE,
+            load_files_with_media,
+            media_table,
+        )
+
+        binary = load_files_with_media(
+            self._binary_files(path, ("pdf", "docx", "pptx", "xlsx", "xlsm"))
+        )
+        html = load_html(
+            self._binary_files(path, ("html", "htm")).drop("fmt")
+        ).withColumn("media", F.lit(None).cast(MEDIA_ARRAY_TYPE))
+        binary.unionByName(html).write.mode("overwrite").parquet(table_path)
+        scan = self.spark.read.parquet(table_path)
+        return (
+            scan.filter(F.col("parse_error").isNull()).drop("media"),
+            scan.filter(F.col("parse_error").isNotNull()).drop("media"),
+            media_table(scan),
+        )
+
     def media_sidecar(self, path: str) -> DataFrame:
         """Directory of real .pdf/.docx/.pptx/.xlsx files → the embedded-
         media catalogue (sources/media_sidecar.py): one row per distinct

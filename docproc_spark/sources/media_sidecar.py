@@ -50,13 +50,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from docproc_spark.kernels.mediainfo import sniff_media_header
-from docproc_spark.sources.ooxml import parse_pptx_bytes
+from docproc_spark.sources.ooxml import (
+    OOXML_OUT_SCHEMA,
+    parse_docx_bytes,
+    parse_pptx_bytes,
+    parse_xlsx_bytes,
+)
 from docproc_spark.sources.pdf import parse_pdf_bytes
 
 __all__ = [
     "MEDIA_SIDECAR_SCHEMA",
+    "MEDIA_ARRAY_TYPE",
+    "INGEST_MEDIA_SCHEMA",
     "media_rows",
     "load_media_sidecar",
+    "load_files_with_media",
+    "media_table",
 ]
 
 _META_KEYS = (
@@ -182,6 +191,111 @@ def media_rows(fmt: str, data: bytes) -> list[dict]:
     if fmt in ("xlsx", "xlsm"):
         return _package_rows(data, ("xl/media/",))
     raise ValueError(f"unsupported media-sidecar format: {fmt!r}")
+
+
+# the sidecar row as a nested struct (no doc_id — it's the row key of
+# the carrying document row; no parse_error — the document row has one)
+MEDIA_ARRAY_TYPE = T.ArrayType(
+    T.StructType([f for f in MEDIA_SIDECAR_SCHEMA if f.name not in ("doc_id", "parse_error")])
+)
+
+# span-table contract (OOXML_OUT_SCHEMA) + the per-document media array
+INGEST_MEDIA_SCHEMA = T.StructType(
+    list(OOXML_OUT_SCHEMA) + [T.StructField("media", MEDIA_ARRAY_TYPE, True)]
+)
+
+
+def _spans_names_media(fmt: str, data: bytes):
+    """One parse of one document's bytes → (spans, sheet_names, media
+    rows). This is the single-pass core: the span parsers' media_facts
+    sink fills while THEY walk, so raw bytes are read exactly once."""
+    fmt = (fmt or "").lower().lstrip(".")
+    facts: dict[str, dict] = {}
+    if fmt == "pdf":
+        spans = parse_pdf_bytes(data, media_facts=facts)
+        return spans, None, _referenced_rows(spans, facts)
+    if fmt == "pptx":
+        spans = parse_pptx_bytes(data, media_facts=facts)
+        rows = _referenced_rows(spans, facts)
+        shown = frozenset(r["media_ref"] for r in rows)
+        return (
+            spans,
+            None,
+            rows + _package_rows(data, ("ppt/media/",), skip_refs=shown),
+        )
+    if fmt == "docx":
+        return (
+            parse_docx_bytes(data),
+            None,
+            _package_rows(data, ("word/media/",)),
+        )
+    if fmt in ("xlsx", "xlsm"):
+        spans, names = parse_xlsx_bytes(data)
+        return spans, names, _package_rows(data, ("xl/media/",))
+    raise ValueError(f"unsupported format: {fmt!r}")
+
+
+def load_files_with_media(
+    docs: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    fmt_col: str = "fmt",
+    content_col: str = "content",
+) -> DataFrame:
+    """(doc_id, fmt, content:binary) → span table + per-document
+    ``media`` catalogue array (INGEST_MEDIA_SCHEMA) in ONE pass over the
+    raw bytes.
+
+    This is the 100-TB ingestion shape: ``load_files`` + a separate
+    ``load_media_sidecar`` each run their own binaryFile scan — 2× IO
+    over the whole corpus — while this kernel parses once and emits
+    both, ready for one parquet checkpoint that every downstream
+    consumer (extraction, media curation) scans cheaply. Spans/
+    quarantine semantics are identical to load_ooxml/load_pdf; the
+    media array nests the sidecar rows (explode with ``media_table``)."""
+    import pandas as pd
+
+    id_c, f_c, b_c = doc_id_col, fmt_col, content_col
+    cols = [f.name for f in INGEST_MEDIA_SCHEMA]
+    media_cols = [f.name for f in MEDIA_ARRAY_TYPE.elementType]
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for did, fmt, blob in zip(pdf[id_c], pdf[f_c], pdf[b_c]):
+                row = dict.fromkeys(cols)
+                row["doc_id"] = did
+                row["doc_type"] = (fmt or "").lower().lstrip(".")
+                try:
+                    raw, names, media = _spans_names_media(fmt, bytes(blob))
+                    row["spans"] = [
+                        {"kind": k, "text": t, "media_ref": m, "page": p,
+                         "offset": i}
+                        for i, (k, t, m, p) in enumerate(raw)
+                    ]
+                    row["n_spans"] = len(raw)
+                    row["sheet_names"] = names
+                    row["media"] = [
+                        {c: r.get(c) for c in media_cols} for r in media
+                    ]
+                except Exception as e:  # noqa: BLE001 — per-doc quarantine
+                    row["parse_error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(gen, schema=INGEST_MEDIA_SCHEMA)
+
+
+def media_table(ingested: DataFrame) -> DataFrame:
+    """Explode an INGEST_MEDIA_SCHEMA frame (typically the post-
+    checkpoint parquet scan) into the flat per-blob catalogue:
+    (doc_id, media_ref, name, first_page, n_refs, n_bytes, format,
+    media_kind, width, height, duration_ms, sample_rate, channels)."""
+    import pyspark.sql.functions as F
+
+    return ingested.where(F.col("media").isNotNull()).select(
+        "doc_id", F.explode("media").alias("m")
+    ).select("doc_id", "m.*")
 
 
 def load_media_sidecar(

@@ -326,3 +326,89 @@ class TestSpark:
             JPEG_SHA,
             INLINE_SHA,
         }
+
+
+@pytest.mark.usefixtures("spark")
+class TestOnePassIngest:
+    """load_files_with_media: spans + media catalogue from ONE parse."""
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [
+                ("deck.pptx", "pptx", bytearray(make_deck())),
+                ("doc.pdf", "pdf", bytearray(make_pdf())),
+                ("broken.docx", "docx", bytearray(b"not a zip")),
+            ],
+            "doc_id string, fmt string, content binary",
+        )
+
+    def test_spans_match_single_purpose_loaders(self, spark):
+        from docproc_spark.sources.media_sidecar import load_files_with_media
+        from docproc_spark.sources.ooxml import load_ooxml
+        from docproc_spark.sources.pdf import load_pdf
+
+        df = self._frame(spark)
+        combined = {
+            r["doc_id"]: r
+            for r in load_files_with_media(df).drop("media").collect()
+        }
+        office = {
+            r["doc_id"]: r
+            for r in load_ooxml(df.where("fmt != 'pdf'")).collect()
+        }
+        pdfs = {
+            r["doc_id"]: r
+            for r in load_pdf(df.where("fmt = 'pdf'")).collect()
+        }
+        for k, v in {**office, **pdfs}.items():
+            assert combined[k] == v
+
+    def test_media_matches_sidecar_loader(self, spark):
+        from docproc_spark.sources.media_sidecar import (
+            load_files_with_media,
+            load_media_sidecar,
+            media_table,
+        )
+
+        df = self._frame(spark)
+        combined = sorted(
+            tuple(r) for r in media_table(load_files_with_media(df)).collect()
+        )
+        standalone = sorted(
+            tuple(r)[:-1]  # drop parse_error
+            for r in load_media_sidecar(df).collect()
+            if r["parse_error"] is None
+        )
+        assert combined == standalone
+
+    def test_facade_one_pass_checkpoint(self, spark, tmp_path):
+        from docproc_spark.facade import DocprocSpark
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "deck.pptx").write_bytes(make_deck())
+        (src / "doc.pdf").write_bytes(make_pdf())
+        (src / "page.html").write_bytes(b"<html><body><p>hi</p></body></html>")
+        (src / "broken.docx").write_bytes(b"junk")
+        eng = DocprocSpark(spark)
+        docs, quar, media = eng.ingest_files_with_media(
+            str(src), str(tmp_path / "tbl")
+        )
+        assert {r["doc_id"] for r in docs.select("doc_id").collect()} == {
+            "deck.pptx",
+            "doc.pdf",
+            "page.html",
+        }
+        assert [r["doc_id"] for r in quar.select("doc_id").collect()] == [
+            "broken.docx"
+        ]
+        got = {(r["doc_id"], r["media_ref"]) for r in media.collect()}
+        assert got == {
+            ("deck.pptx", LOGO_SHA),
+            ("doc.pdf", RAW_SHA),
+            ("doc.pdf", JPEG_SHA),
+            ("doc.pdf", INLINE_SHA),
+        }
+        # documents keeps the span-table contract shape (media dropped)
+        assert "media" not in docs.columns
+        assert "spans" in docs.columns
