@@ -5388,6 +5388,81 @@ FROM d
 """
 
 
+def _media_meta_gated(spark, sf):
+    """gate_media_spans (operators/interleave.py) under a synthesized
+    blob catalogue: every distinct (doc, media_ref) gets md5-derived
+    width/height (the engine-portable conv/hex-cast trick — bit-equal in
+    DuckDB), then gates min_width=100 / min_height=80 drop the ~14% of
+    blob rows whose planted dims fall below the floors. The oracle
+    recomputes surviving span counts per document from the same
+    formulas, NULL/empty span docs pass through untouched."""
+    from docproc_spark.operators.interleave import gate_media_spans
+
+    docs = _staged(spark).select("doc_id", "spans")
+    refs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(filter(spans, s -> s.kind IN ('figure','image')"
+                " AND s.media_ref IS NOT NULL), s -> s.media_ref)"
+            )
+        ).alias("media_ref"),
+    ).distinct()
+
+    def h(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("media_ref"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    cat = refs.select(
+        "doc_id",
+        "media_ref",
+        ((h("w:") % 1200) + 1).cast("int").alias("width"),
+        ((h("h:") % 800) + 1).cast("int").alias("height"),
+    )
+    out = gate_media_spans(docs, cat, min_width=100, min_height=80)
+    return out.select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.lit(None))
+        .otherwise(F.size("spans"))
+        .cast("long")
+        .alias("n_spans_after"),
+        F.col("n_removed"),
+    )
+
+
+_MEDIA_META_GATED_SQL = f"""
+WITH {_SPAN_UNNEST},
+alldocs AS (SELECT doc_id, spans IS NULL AS spans_null FROM d),
+tot AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+refs AS (SELECT DISTINCT doc_id, media_ref AS ref FROM s
+         WHERE kind IN ({_MEDIA_IN_SQL}) AND media_ref IS NOT NULL),
+cat AS (SELECT doc_id, ref,
+          1 + CAST('0x' || substr(md5('w:' || ref), 1, 8) AS BIGINT)
+              % 1200 AS width,
+          1 + CAST('0x' || substr(md5('h:' || ref), 1, 8) AS BIGINT)
+              % 800 AS height
+        FROM refs),
+bad AS (SELECT doc_id, ref FROM cat WHERE width < 100 OR height < 80),
+rem AS (SELECT s.doc_id, count(*) AS n_removed FROM s
+        JOIN bad ON s.doc_id = bad.doc_id AND s.media_ref = bad.ref
+        WHERE s.kind IN ({_MEDIA_IN_SQL})
+        GROUP BY 1)
+SELECT a.doc_id,
+       CAST(CASE WHEN a.spans_null THEN NULL
+            ELSE coalesce(tot.n, 0) - coalesce(rem.n_removed, 0) END
+            AS BIGINT) AS n_spans_after,
+       CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed
+FROM alldocs a
+LEFT JOIN tot ON a.doc_id = tot.doc_id
+LEFT JOIN rem ON a.doc_id = rem.doc_id
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -5458,6 +5533,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_chunks_256": _multimodal_chunks,
     "curate_interleaved": _curate_interleaved,
     "media_headers": _media_headers,
+    "media_meta_gated": _media_meta_gated,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -5530,6 +5606,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "multimodal_chunks_256": _MULTIMODAL_CHUNKS_SQL,
     "curate_interleaved": _CURATE_INTERLEAVED_SQL,
     "media_headers": _MEDIA_HEADERS_SQL,
+    "media_meta_gated": _MEDIA_META_GATED_SQL,
 }
 
 

@@ -342,6 +342,95 @@ def strip_template_media(
     )
 
 
+def gate_media_spans(
+    df: DataFrame,
+    media: DataFrame,
+    *,
+    min_width: int | None = None,
+    min_height: int | None = None,
+    min_bytes: int | None = None,
+    blocked_formats: tuple[str, ...] = (),
+    drop_unknown: bool = False,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop image spans whose BLOB fails metadata gates — the curation
+    pass that kills beacon pixels, sub-resolution icons, and unwanted
+    container formats before any decode, using the embedded-media
+    catalogue (sources/media_sidecar.py: one row per distinct blob per
+    document with codec-free header metadata).
+
+    A span is dropped when its ``media_ref`` has a catalogue row that
+    violates any enabled gate: ``width < min_width``,
+    ``height < min_height``, ``n_bytes < min_bytes``, or ``format`` in
+    ``blocked_formats``. Dimension/size gates only fire when the fact is
+    known; a blob with NULL metadata (unsniffable container) drops only
+    under ``drop_unknown=True`` — and "unknown" means the relevant gated
+    fact is missing, so with only ``min_bytes`` set, a known-size blob
+    with unknown format is NOT unknown. Spans whose ref has no catalogue
+    row at all (e.g. URL-identified web images) are never touched —
+    gate those by frequency (``strip_template_media``) instead.
+
+    Returns (all original columns, spans_col filtered in original order,
+    n_removed). NULL span arrays pass through as NULL with n_removed 0.
+
+    Plan shape (the 100-TB contract): the CATALOGUE — already one row
+    per distinct blob per document, orders of magnitude smaller than the
+    span payload — is filtered map-side to the violating rows, folded to
+    one small array per doc_id (one shuffle of the small side), then
+    joined on the document table's OWN key: AQE broadcasts it when tiny,
+    hash-joins otherwise, and the strip itself is an in-row array
+    filter. The wide span payload is never exploded and never regrouped."""
+    gates = []
+    unknown = []
+    if min_width is not None:
+        gates.append(F.col("width") < min_width)
+        unknown.append(F.col("width").isNull())
+    if min_height is not None:
+        gates.append(F.col("height") < min_height)
+        unknown.append(F.col("height").isNull())
+    if min_bytes is not None:
+        gates.append(F.col("n_bytes") < min_bytes)
+        unknown.append(F.col("n_bytes").isNull())
+    if blocked_formats:
+        gates.append(F.col("format").isin(*blocked_formats))
+    if not gates:
+        raise ValueError("no gate enabled")
+    bad = F.lit(False)
+    for g in gates:
+        bad = bad | F.coalesce(g, F.lit(False))
+    if drop_unknown and unknown:
+        miss = F.lit(True)
+        for u in unknown:
+            miss = miss & u
+        bad = bad | miss
+    bad_per_doc = (
+        media.where(bad)
+        .groupBy(F.col(id_col).alias("_gd"))
+        .agg(F.sort_array(F.collect_set("media_ref")).alias("_bad"))
+    )
+    is_gated = (
+        "(" + _IS_MEDIA + " AND s.media_ref IS NOT NULL"
+        " AND array_contains(_bad, s.media_ref))"
+    )
+    kept = F.when(F.col("_bad").isNull(), F.col(spans_col)).otherwise(
+        F.expr(f"filter({spans_col}, s -> NOT {is_gated})")
+    )
+    out_cols = [F.col(c) for c in df.columns if c != spans_col]
+    return (
+        df.join(
+            bad_per_doc, on=df[id_col] == bad_per_doc["_gd"], how="left"
+        )
+        .select(
+            *out_cols,
+            kept.alias(spans_col),
+            F.when(F.col(spans_col).isNull(), F.lit(0).cast("bigint"))
+            .otherwise((F.size(spans_col) - F.size(kept)).cast("bigint"))
+            .alias("n_removed"),
+        )
+    )
+
+
 def _span_cost(s: Column, image_tokens: int) -> Column:
     """Training cost of one span: ``image_tokens`` if media, whitespace
     token count if textual with non-null text, else 0. Shared by

@@ -482,3 +482,91 @@ class TestCurateInterleaved:
             curate_interleaved(df, max_gap=0)
         with pytest.raises(ValueError):
             curate_interleaved(df, max_media_permille=1001)
+
+
+class TestGateMediaSpans:
+    _MEDIA_SCHEMA = (
+        "doc_id long, media_ref string, n_bytes long, format string, "
+        "width int, height int"
+    )
+
+    def _frames(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, [("text", "hello", None, 0, 0),
+                     ("image", None, "beacon", 0, 1),
+                     ("image", None, "photo", 0, 2)]),
+                (2, [("image", None, "mystery", 0, 0)]),
+                (3, [("image", None, "uncatalogued", 0, 0)]),
+                (4, None),
+            ],
+            _SPAN_SCHEMA,
+        )
+        media = spark.createDataFrame(
+            [
+                (1, "beacon", 43, "gif", 1, 1),
+                (1, "photo", 120000, "jpeg", 800, 600),
+                (2, "mystery", None, None, None, None),
+            ],
+            self._MEDIA_SCHEMA,
+        )
+        return docs, media
+
+    def test_dimension_gate_drops_beacons_only(self, spark):
+        from docproc_spark.operators.interleave import gate_media_spans
+
+        docs, media = self._frames(spark)
+        out = {
+            r["doc_id"]: r
+            for r in gate_media_spans(
+                docs, media, min_width=10, min_height=10
+            ).collect()
+        }
+        assert [s["media_ref"] for s in out[1]["spans"] if s["kind"] == "image"] == ["photo"]
+        assert out[1]["n_removed"] == 1
+        assert [s["text"] for s in out[1]["spans"] if s["kind"] == "text"] == ["hello"]
+        # unknown dims kept by default; uncatalogued refs never touched
+        assert out[2]["n_removed"] == 0 and len(out[2]["spans"]) == 1
+        assert out[3]["n_removed"] == 0 and len(out[3]["spans"]) == 1
+        assert out[4]["spans"] is None and out[4]["n_removed"] == 0
+
+    def test_drop_unknown_metadata(self, spark):
+        from docproc_spark.operators.interleave import gate_media_spans
+
+        docs, media = self._frames(spark)
+        out = {
+            r["doc_id"]: r
+            for r in gate_media_spans(
+                docs, media, min_width=10, min_height=10, drop_unknown=True
+            ).collect()
+        }
+        assert out[2]["spans"] == [] and out[2]["n_removed"] == 1
+        # uncatalogued (no row at all) is STILL untouched — unknown
+        # means a catalogue row with missing facts
+        assert out[3]["n_removed"] == 0
+
+    def test_blocked_formats_and_min_bytes(self, spark):
+        from docproc_spark.operators.interleave import gate_media_spans
+
+        docs, media = self._frames(spark)
+        out = {
+            r["doc_id"]: r
+            for r in gate_media_spans(
+                docs, media, blocked_formats=("jpeg",)
+            ).collect()
+        }
+        assert [s["media_ref"] for s in out[1]["spans"] if s["kind"] == "image"] == ["beacon"]
+        out2 = {
+            r["doc_id"]: r
+            for r in gate_media_spans(docs, media, min_bytes=1000).collect()
+        }
+        assert [s["media_ref"] for s in out2[1]["spans"] if s["kind"] == "image"] == ["photo"]
+
+    def test_no_gate_raises(self, spark):
+        import pytest as _pytest
+
+        from docproc_spark.operators.interleave import gate_media_spans
+
+        docs, media = self._frames(spark)
+        with _pytest.raises(ValueError):
+            gate_media_spans(docs, media)
