@@ -95,6 +95,19 @@ MIN_CAPTION_CHARS = 3  # a <figcaption> block keeps at the heading floor
 TRACKER_MAX_DIM = 2  # width/height attr at or below this = beacon pixel
 
 
+def _data_uri_blob(src: str) -> bytes | None:
+    """Decoded payload of a data: URI, or None when malformed."""
+    try:
+        head, sep, payload = src.partition(",")
+        if sep == "":  # no comma: not a well-formed data URI
+            raise ValueError("no payload")
+        if head.rsplit(";", 1)[-1].lower() == "base64":
+            return base64.b64decode(payload, validate=True)
+        return unquote_to_bytes(payload)
+    except (ValueError, binascii.Error):
+        return None
+
+
 def _media_ref_for_src(src: str) -> str:
     """Stable media identity for an <img> src.
 
@@ -105,15 +118,8 @@ def _media_ref_for_src(src: str) -> str:
     """
     if not src.startswith("data:"):
         return src
-    try:
-        head, _, payload = src.partition(",")
-        if _ == "":  # no comma: not a well-formed data URI
-            raise ValueError("no payload")
-        if head.rsplit(";", 1)[-1].lower() == "base64":
-            blob = base64.b64decode(payload, validate=True)
-        else:
-            blob = unquote_to_bytes(payload)
-    except (ValueError, binascii.Error):
+    blob = _data_uri_blob(src)
+    if blob is None:
         blob = src.encode("utf-8", "surrogatepass")
     return hashlib.sha256(blob).hexdigest()
 
@@ -199,11 +205,20 @@ def _resolve_img_src(a: dict[str, str]) -> str:
 
 
 class _BlockParser(HTMLParser):
-    def __init__(self, base_url: str | None = None) -> None:
+    def __init__(
+        self,
+        base_url: str | None = None,
+        media_facts: dict[str, dict] | None = None,
+    ) -> None:
         # document base for resolving relative image URLs (the page's own
         # URL, e.g. the WARC-Target-URI); the first <base href> refines it
         self._base = base_url
         self._base_seen = False
+        # optional media-catalogue sink (sources/media_sidecar.py): each
+        # first-seen image ref records its facts — data: payloads get
+        # blob size + container-header sniff, URL images keep the
+        # resolved URL plus the author-DECLARED width/height attributes
+        self._media_facts = media_facts
         super().__init__(convert_charrefs=True)
         # (kind, text, media_ref, link_chars)
         self.blocks: list[tuple[str, str | None, str | None, int]] = []
@@ -312,6 +327,23 @@ class _BlockParser(HTMLParser):
             except ValueError:
                 pass  # pathological base/src: keep the raw string
         ref = _media_ref_for_src(src)
+        if self._media_facts is not None and ref not in self._media_facts:
+            facts: dict = {"name": src}
+            blob = _data_uri_blob(src) if src.startswith("data:") else None
+            if blob is not None:
+                from docproc_spark.kernels.mediainfo import sniff_media_header
+
+                facts["n_bytes"] = len(blob)
+                facts.update(sniff_media_header(blob))
+            else:
+                # no bytes in hand (URL image): the declared width/height
+                # attributes are the only dimension facts available
+                for dim in ("width", "height"):
+                    try:
+                        facts[dim] = int(a[dim].strip().rstrip("px"))
+                    except (KeyError, ValueError):
+                        pass
+            self._media_facts[ref] = facts
         alt = " ".join(a.get("alt", "").split()) or None
         if self._table_depth or "".join(self._buf).strip():
             # mid-block (or mid-table): emit after the enclosing block
@@ -503,7 +535,9 @@ class _BlockParser(HTMLParser):
 
 
 def html_main_blocks(
-    raw_html: str, base_url: str | None = None
+    raw_html: str,
+    base_url: str | None = None,
+    media_facts: dict[str, dict] | None = None,
 ) -> list[tuple[str, str | None, str | None]]:
     """Extract main-content blocks from raw HTML →
     [(kind, text, media_ref), ...].
@@ -516,10 +550,14 @@ def html_main_blocks(
     `base_url` (the page's own URL when known, e.g. WARC-Target-URI,
     refined by the document's first <base href>) resolves relative image
     srcs to absolute URL identities; without it refs stay verbatim.
+    `media_facts` (optional dict sink) records each first-seen image
+    ref's catalogue facts — data: payloads get blob size + container
+    sniff, URL images the resolved URL and declared width/height — for
+    sources/media_sidecar.py, sharing this one parse.
     """
     if not raw_html:
         return []
-    parser = _BlockParser(base_url=base_url)
+    parser = _BlockParser(base_url=base_url, media_facts=media_facts)
     try:
         parser.feed(raw_html)
         parser.close()

@@ -66,6 +66,8 @@ __all__ = [
     "load_media_sidecar",
     "load_files_with_media",
     "media_table",
+    "html_media_rows",
+    "html_media_table",
 ]
 
 _META_KEYS = (
@@ -296,6 +298,59 @@ def media_table(ingested: DataFrame) -> DataFrame:
     return ingested.where(F.col("media").isNotNull()).select(
         "doc_id", F.explode("media").alias("m")
     ).select("doc_id", "m.*")
+
+
+def html_media_rows(
+    raw_html: str | None, base_url: str | None = None
+) -> list[dict]:
+    """Sidecar rows for one HTML document — the images the density
+    kernel would SHOW (chrome/beacon imgs excluded), identified exactly
+    like its spans (data: payload sha256 / resolved URL). data: blobs
+    carry size + container-header facts; URL images carry the resolved
+    URL as ``name`` and the author-DECLARED width/height attributes
+    (the only dimension facts available without a fetch). first_page is
+    0 for every row (HTML has no pages)."""
+    from docproc_spark.kernels.html import html_main_blocks
+
+    facts: dict[str, dict] = {}
+    blocks = html_main_blocks(raw_html or "", base_url, media_facts=facts)
+    spans = [(k, t, m, 0) for k, t, m in blocks]
+    return _referenced_rows(spans, facts)
+
+
+def html_media_table(
+    docs: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    html_col: str = "raw_html",
+    url_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, raw_html [, url]) → media catalogue
+    (MEDIA_SIDECAR_SCHEMA) for HTML/WARC document tables: one row per
+    distinct shown image per document, identity-compatible with the
+    extraction pipeline's image spans (join on media_ref). Pass
+    ``url_col`` (e.g. the WARC-Target-URI) so relative srcs resolve to
+    the same absolute identities the span path emits. One mapInPandas
+    crossing, no shuffle; the kernel never raises on bad markup (a
+    malformed document simply catalogues nothing), so there is no
+    quarantine path — parse_error stays NULL."""
+    import pandas as pd
+
+    cols = [f.name for f in MEDIA_SIDECAR_SCHEMA]
+    sel = [doc_id_col, html_col] + ([url_col] if url_col else [])
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[dict] = []
+            urls = pdf[url_col] if url_col else [None] * len(pdf)
+            for did, html, url in zip(pdf[doc_id_col], pdf[html_col], urls):
+                base = url if isinstance(url, str) and url else None
+                raw = html if isinstance(html, str) else None
+                for row in html_media_rows(raw, base):
+                    out.append({"doc_id": did, **row})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select(*sel).mapInPandas(gen, schema=MEDIA_SIDECAR_SCHEMA)
 
 
 def load_media_sidecar(

@@ -412,3 +412,78 @@ class TestOnePassIngest:
         # documents keeps the span-table contract shape (media dropped)
         assert "media" not in docs.columns
         assert "spans" in docs.columns
+
+
+# --- HTML -------------------------------------------------------------------
+import base64 as _b64
+
+from docproc_spark.sources.media_sidecar import html_media_rows
+
+PNG_URI = "data:image/png;base64," + _b64.b64encode(LOGO).decode()
+PNG_URI_SHA = LOGO_SHA  # identity is the DECODED payload
+
+
+class TestHtmlCatalogue:
+    def test_data_uri_sniffed_and_span_identity(self):
+        html = (
+            "<html><body>"
+            f"<p>{'x' * 30}</p><img src='{PNG_URI}'>"
+            f"<img src='{PNG_URI}' alt='again'>"
+            "</body></html>"
+        )
+        rows = html_media_rows(html)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["media_ref"] == PNG_URI_SHA
+        assert (r["n_refs"], r["first_page"]) == (2, 0)
+        assert (r["format"], r["width"], r["height"]) == ("png", 40, 30)
+        assert r["n_bytes"] == len(LOGO)
+        # the identity matches what the span path emits
+        from docproc_spark.kernels.html import html_main_blocks
+
+        span_refs = {m for _k, _t, m in html_main_blocks(html) if m}
+        assert span_refs == {PNG_URI_SHA}
+
+    def test_url_image_declared_dims(self):
+        html = (
+            "<html><body><p>" + "y" * 30 + "</p>"
+            "<img src='/pic.jpg' width='640' height='480px'>"
+            "</body></html>"
+        )
+        rows = html_media_rows(html, base_url="https://ex.org/a/page.html")
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["media_ref"] == "https://ex.org/pic.jpg"  # resolved
+        assert r["name"] == "https://ex.org/pic.jpg"
+        assert (r["width"], r["height"]) == (640, 480)
+        assert r["n_bytes"] is None and r["format"] is None
+
+    def test_chrome_and_beacons_not_catalogued(self):
+        html = (
+            "<html><body><nav><img src='/logo.png'></nav>"
+            "<img src='/spacer.gif' width='1' height='1'>"
+            "<p>" + "z" * 30 + "</p></body></html>"
+        )
+        assert html_media_rows(html, base_url="https://ex.org/") == []
+
+    def test_malformed_and_empty(self):
+        assert html_media_rows(None) == []
+        assert html_media_rows("<<<not html") == []
+
+    def test_spark_html_media_table(self, spark):
+        from docproc_spark.sources.media_sidecar import html_media_table
+
+        df = spark.createDataFrame(
+            [
+                ("a", f"<body><img src='{PNG_URI}'></body>", "https://a.ex/"),
+                ("b", "<body><img src='i.png' width=9></body>", "https://b.ex/d/"),
+                ("c", None, None),
+            ],
+            "doc_id string, raw_html string, url string",
+        )
+        rows = {r["doc_id"]: r for r in html_media_table(df, url_col="url").collect()}
+        assert rows["a"]["media_ref"] == PNG_URI_SHA
+        assert rows["a"]["width"] == 40
+        assert rows["b"]["media_ref"] == "https://b.ex/d/i.png"
+        assert rows["b"]["width"] == 9
+        assert "c" not in rows
