@@ -15,6 +15,11 @@ duration, and audio parameters straight from the bytes:
   - AVI   (RIFF/AVI `avih` main header: frame period, count, dims)
   - MP4   (ISO 14496-12 box walk: mvhd timescale/duration, tkhd 16.16
            track dims — any ISO-BMFF brand: mp4/m4a/mov/heic...)
+  - TIFF  (II/MM byte order, first-IFD walk: ImageWidth/ImageLength
+           tags 256/257, SHORT-or-LONG inline values)
+  - ICO   (icon directory: largest entry's dims, 0 meaning 256)
+  - SVG   (text scan: width/height attributes in px units, else the
+           viewBox extent — the one vector format web corpora carry)
   - FLAC  (STREAMINFO block: 20-bit rate, 3-bit channels, 36-bit
            total samples — duration exact by spec)
   - MP3   (ID3v2 skip, MPEG frame-sync header tables; Xing/Info frame
@@ -284,6 +289,83 @@ def _mp4(b: bytes) -> dict:
     return out
 
 
+def _tiff(b: bytes) -> dict:
+    out = _meta("tiff", "image")
+    little = b[:2] == b"II"
+    order = "little" if little else "big"
+
+    def rd(i: int, n: int) -> int:
+        return int.from_bytes(b[i : i + n], order)
+
+    ifd = rd(4, 4)
+    if ifd + 2 > len(b):
+        return out
+    n_entries = rd(ifd, 2)
+    for k in range(min(n_entries, 256)):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(b):
+            break
+        tag, typ = rd(e, 2), rd(e + 2, 2)
+        if tag in (256, 257) and rd(e + 4, 4) == 1:
+            # SHORT(3) reads the first 2 bytes of the value field,
+            # LONG(4) all 4 — inline either way at count 1
+            val = rd(e + 8, 2) if typ == 3 else rd(e + 8, 4) if typ == 4 else None
+            if val is not None:
+                out["width" if tag == 256 else "height"] = val
+    return out
+
+
+def _ico(b: bytes) -> dict:
+    out = _meta("ico", "image")
+    count = _le16(b, 4)
+    best = -1
+    for k in range(min(count, 64)):
+        e = 6 + 16 * k
+        if e + 16 > len(b):
+            break
+        w = b[e] or 256  # 0 means 256 (the format's one quirk)
+        h = b[e + 1] or 256
+        if w * h > best:
+            best = w * h
+            out["width"], out["height"] = w, h
+    return out
+
+
+_SVG_TAG_RE = re.compile(rb"<svg[\s>]", re.I)
+_SVG_NUM = rb"([0-9]+(?:\.[0-9]+)?)"
+_SVG_END = rb"(?:px)?\s*[\"']"
+
+
+def _svg(b: bytes) -> dict:
+    out = _meta("svg", "image")
+    head = b[: _SVG_TAG_RE.search(b).end()]  # caller guarantees a match
+    tag_end = b.find(b">", len(head) - 1)
+    tag = b[len(head) - 1 : tag_end if tag_end != -1 else len(b)]
+    dims = {}
+    for key in (b"width", b"height"):
+        # (?<![-\w]): plain \b would let stroke-width match as width
+        m = re.search(
+            rb"(?<![-\w])" + key + rb"\s*=\s*[\"']\s*" + _SVG_NUM + _SVG_END,
+            tag,
+            re.I,
+        )
+        if m:
+            dims[key] = int(float(m.group(1)))
+    if len(dims) == 2:
+        out["width"], out["height"] = dims[b"width"], dims[b"height"]
+        return out
+    m = re.search(
+        rb"\bviewBox\s*=\s*[\"']\s*" + (rb"[-0-9.]+[\s,]+" * 2)
+        + _SVG_NUM + rb"[\s,]+" + _SVG_NUM + rb"\s*[\"']",
+        tag,
+        re.I,
+    )
+    if m:
+        out["width"] = int(float(m.group(1)))
+        out["height"] = int(float(m.group(2)))
+    return out
+
+
 def _flac(b: bytes) -> dict:
     # STREAMINFO is mandatory-first (format §"STREAM"): 4-byte block
     # header at 4, then min/max blocksize (2+2) + min/max framesize
@@ -404,6 +486,15 @@ def _ogg(b: bytes) -> dict:
     return out
 
 
+def _looks_like_svg(b: bytes) -> bool:
+    """SVG has no magic number: accept only markup-shaped input (leading
+    '<' after optional BOM/whitespace) with an <svg> tag in the first
+    KiB — generic XML without one stays unlabelled."""
+    head = b[:1024]
+    stripped = head.lstrip(b"\xef\xbb\xbf \t\r\n")
+    return stripped[:1] == b"<" and _SVG_TAG_RE.search(head) is not None
+
+
 def sniff_media_header(blob: Optional[bytes]) -> dict:
     """Return {format, media_kind, width, height, duration_ms,
     sample_rate, channels} parsed from ``blob``'s container header.
@@ -429,6 +520,12 @@ def sniff_media_header(blob: Optional[bytes]) -> dict:
         return dict(EMPTY_META)
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return _mp4(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff(b)
+    if b[:4] == b"\x00\x00\x01\x00" and len(b) >= 6:
+        return _ico(b)
+    if _looks_like_svg(b):
+        return _svg(b)
     if b[:4] == b"fLaC":
         return _flac(b)
     if b[:4] == b"OggS":

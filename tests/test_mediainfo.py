@@ -411,3 +411,72 @@ class TestOgg:
         m = sniff_media_header(make_ogg_page(b"\x80theora-ish"))
         assert m["format"] == "ogg"
         assert m["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# TIFF / ICO / SVG
+# ---------------------------------------------------------------------------
+def make_tiff(w: int, h: int, little: bool = True) -> bytes:
+    """Minimal spec-faithful TIFF: header + one IFD with ImageWidth
+    (SHORT) and ImageLength (LONG) entries."""
+    order = "little" if little else "big"
+
+    def n(v, size):
+        return v.to_bytes(size, order)
+
+    # SHORT value sits in the FIRST 2 bytes of the 4-byte field in both
+    # byte orders (left-justified per TIFF 6.0 §2)
+    e_w = n(256, 2) + n(3, 2) + n(1, 4) + n(w, 2) + b"\x00\x00"
+    e_h = n(257, 2) + n(4, 2) + n(1, 4) + n(h, 4)
+    ifd = n(2, 2) + e_w + e_h + n(0, 4)
+    head = (b"II*\x00" if little else b"MM\x00*") + n(8, 4)
+    return head + ifd
+
+
+class TestTiff:
+    def test_little_endian(self):
+        m = sniff_media_header(make_tiff(1920, 1080, little=True))
+        assert (m["format"], m["width"], m["height"]) == ("tiff", 1920, 1080)
+
+    def test_big_endian(self):
+        m = sniff_media_header(make_tiff(640, 480, little=False))
+        assert (m["width"], m["height"]) == (640, 480)
+
+    def test_truncated(self):
+        m = sniff_media_header(b"II*\x00\x08\x00\x00\x00")
+        assert m["format"] == "tiff" and m["width"] is None
+
+
+class TestIco:
+    def test_largest_entry_and_256_quirk(self):
+        # two entries: 16x16 and 0x0 (= 256x256, the winner)
+        d1 = bytes([16, 16]) + b"\x00" * 14
+        d2 = bytes([0, 0]) + b"\x00" * 14
+        blob = b"\x00\x00\x01\x00\x02\x00" + d1 + d2
+        m = sniff_media_header(blob)
+        assert (m["format"], m["width"], m["height"]) == ("ico", 256, 256)
+
+
+class TestSvg:
+    def test_width_height_attrs(self):
+        m = sniff_media_header(
+            b'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg"'
+            b' stroke-width="3" width="120px" height="48">'
+        )
+        assert (m["format"], m["media_kind"]) == ("svg", "image")
+        assert (m["width"], m["height"]) == (120, 48)
+
+    def test_viewbox_fallback(self):
+        m = sniff_media_header(
+            b'<svg viewBox="0 0 800.5 600" width="100%">'
+        )
+        # percentage width is not a pixel fact; viewBox extent is
+        assert (m["width"], m["height"]) == (800, 600)
+
+    def test_generic_xml_not_svg(self):
+        assert sniff_media_header(b"<?xml version='1.0'?><doc/>") == EMPTY_META
+
+    def test_binary_with_svg_text_not_svg(self):
+        assert (
+            sniff_media_header(b"\x01\x02<svg ")["format"] is None
+        )
