@@ -68,6 +68,7 @@ __all__ = [
     "media_table",
     "html_media_rows",
     "html_media_table",
+    "warc_media_catalogue",
 ]
 
 _META_KEYS = (
@@ -351,6 +352,83 @@ def html_media_table(
             yield pd.DataFrame(out, columns=cols)
 
     return docs.select(*sel).mapInPandas(gen, schema=MEDIA_SIDECAR_SCHEMA)
+
+
+def warc_media_catalogue(captures: DataFrame) -> DataFrame:
+    """The web corpus's media catalogue with FETCHED facts: images shown
+    by HTML captures (html_media_table over the extract-ready pages),
+    enriched by joining each URL-identified ref to the archive's own
+    capture of that URL — crawlers archive page assets alongside pages,
+    and sources/warc.py sniffs every non-HTML payload's header while the
+    bytes are in hand (``media_meta``). Declared <img> width/height
+    attributes fill in only where no fetched fact exists.
+
+    Output = MEDIA_SIDECAR_SCHEMA minus parse_error, plus
+    ``payload_sha256`` (the blob's CONTENT identity when fetched — the
+    key that unifies one image served from two URLs, NULL when the
+    archive never captured the URL) and ``fetched`` (whether blob facts
+    are real or declared-only).
+
+    Scale shape: both sides are per-URL/per-ref tables, orders of
+    magnitude smaller than payloads; the asset side dedupes to the
+    newest capture per URL (one window over url), then one hash join on
+    the ref — AQE broadcasts when small. No payload bytes move."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from docproc_spark.sources.warc import extractable_capture_col
+
+    pages = captures.where(extractable_capture_col())
+    shown = html_media_table(pages, url_col="url")
+    assets = (
+        captures.where(
+            F.col("parse_error").isNull()
+            & F.col("raw_html").isNull()
+            & F.col("url").isNotNull()
+            & F.col("payload_sha256").isNotNull()
+            & (F.coalesce(F.col("http_status"), F.lit(200)) < 400)
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(
+                    F.col("fetch_time").desc_nulls_last(),
+                    F.col("payload_sha256").desc(),
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("url").alias("_aurl"),
+            F.col("payload_sha256"),
+            F.col("payload_len").alias("_alen"),
+            F.col("media_meta").alias("_am"),
+        )
+    )
+    joined = shown.join(
+        assets, on=shown["media_ref"] == assets["_aurl"], how="left"
+    )
+
+    def pick(field: str):
+        return F.coalesce(F.col(f"_am.{field}"), F.col(field)).alias(field)
+
+    return joined.select(
+        "doc_id",
+        "media_ref",
+        "name",
+        "first_page",
+        "n_refs",
+        F.coalesce(F.col("_alen"), F.col("n_bytes")).alias("n_bytes"),
+        pick("format"),
+        pick("media_kind"),
+        pick("width"),
+        pick("height"),
+        pick("duration_ms"),
+        pick("sample_rate"),
+        pick("channels"),
+        F.col("payload_sha256"),
+        F.col("_aurl").isNotNull().alias("fetched"),
+    )
 
 
 def load_media_sidecar(

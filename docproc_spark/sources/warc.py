@@ -52,7 +52,23 @@ from typing import Iterable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from docproc_spark.kernels.mediainfo import sniff_media_header
 from docproc_spark.sources.html import _CP1252_LABELS, sniff_charset
+
+# codec-free header facts of a NON-HTML payload (kernels/mediainfo),
+# sniffed while the bytes are in hand — the capture row itself keeps
+# only identity + metadata, never the payload
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType(), True),
+        T.StructField("media_kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+    ]
+)
 
 WARC_OUT_SCHEMA = T.StructType(
     [
@@ -65,6 +81,7 @@ WARC_OUT_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType(), True),
         T.StructField("payload_len", T.LongType(), True),
         T.StructField("payload_sha256", T.StringType(), True),
+        T.StructField("media_meta", MEDIA_META_TYPE, True),
         T.StructField("raw_html", T.StringType(), True),
         T.StructField("parse_error", T.StringType(), True),
     ]
@@ -277,6 +294,7 @@ def iter_capture_rows(data: bytes, source_file: str) -> Iterator[dict]:
             "content_type": None,
             "payload_len": None,
             "payload_sha256": None,
+            "media_meta": None,
             "raw_html": None,
             "parse_error": None,
         }
@@ -313,6 +331,18 @@ def iter_capture_rows(data: bytes, source_file: str) -> Iterator[dict]:
                 row["payload_sha256"] = hashlib.sha256(body).hexdigest()
                 if row["content_type"] in _HTML_TYPES:
                     row["raw_html"] = decode_http_html(body, ctype)
+                else:
+                    # media facts while the bytes are in hand — a later
+                    # pass would have to re-read the whole archive
+                    meta = sniff_media_header(body)
+                    if meta["format"] is not None:
+                        row["media_meta"] = {
+                            k: meta[k]
+                            for k in (
+                                "format", "media_kind", "width", "height",
+                                "duration_ms", "sample_rate", "channels",
+                            )
+                        }
             except Exception as e:  # noqa: BLE001 — per-record quarantine
                 row["parse_error"] = f"{type(e).__name__}: {e}"
             n_out += 1

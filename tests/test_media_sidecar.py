@@ -487,3 +487,81 @@ class TestHtmlCatalogue:
         assert rows["b"]["media_ref"] == "https://b.ex/d/i.png"
         assert rows["b"]["width"] == 9
         assert "c" not in rows
+
+
+# --- WARC -------------------------------------------------------------------
+class TestWarcCatalogue:
+    def _archive(self) -> bytes:
+        from tests.test_warc_source import http_response, warc_record
+
+        page = (
+            "<html><body><p>" + "w" * 30 + "</p>"
+            "<img src='/logo.png' width='5' height='5'>"
+            "<img src='https://cdn.ex.com/hero.jpg' width='999'>"
+            "</body></html>"
+        ).encode()
+        old_logo = b"\x89PNG old bytes"
+        recs = [
+            warc_record(
+                "response", http_response(page), url="https://ex.com/a",
+                rid="urn:uuid:page",
+            ),
+            # an OLDER capture of the logo with different bytes — the
+            # newest capture must win the join
+            warc_record(
+                "response",
+                http_response(old_logo, ctype="image/png"),
+                url="https://ex.com/logo.png", rid="urn:uuid:old",
+                extra={"WARC-Date": "2020-01-01T00:00:00Z"},
+            ),
+            warc_record(
+                "response",
+                http_response(LOGO, ctype="image/png"),
+                url="https://ex.com/logo.png", rid="urn:uuid:new",
+                extra={"WARC-Date": "2026-01-01T00:00:00Z"},
+            ),
+        ]
+        return b"".join(recs)
+
+    def test_media_meta_sniffed_at_ingestion(self):
+        from docproc_spark.sources.warc import warc_record_rows
+
+        rows = warc_record_rows(self._archive(), "a.warc")
+        metas = {
+            r["doc_id"]: r["media_meta"]
+            for r in rows
+            if r["media_meta"] is not None
+        }
+        # the old capture's bytes are NOT a valid PNG header — unknown
+        # payloads stay meta-less (only identity), the real PNG sniffs
+        assert set(metas) == {"urn:uuid:new"}
+        assert metas["urn:uuid:new"]["format"] == "png"
+        assert metas["urn:uuid:new"]["width"] == 40
+        # HTML capture rows carry no media_meta
+        assert all(
+            r["media_meta"] is None for r in rows if r["raw_html"] is not None
+        )
+
+    def test_catalogue_joins_fetched_assets(self, spark):
+        from docproc_spark.sources.media_sidecar import warc_media_catalogue
+        from docproc_spark.sources.warc import load_warc
+
+        files = spark.createDataFrame(
+            [("a.warc", bytearray(self._archive()))],
+            "doc_id string, content binary",
+        )
+        cat = {
+            r["media_ref"]: r
+            for r in warc_media_catalogue(load_warc(files)).collect()
+        }
+        logo = cat["https://ex.com/logo.png"]
+        assert logo["fetched"] is True
+        assert logo["payload_sha256"] == LOGO_SHA  # newest capture won
+        assert (logo["width"], logo["height"]) == (40, 30)  # sniffed > declared
+        assert logo["n_bytes"] == len(LOGO)
+        assert logo["format"] == "png"
+        hero = cat["https://cdn.ex.com/hero.jpg"]
+        assert hero["fetched"] is False
+        assert hero["payload_sha256"] is None
+        assert (hero["width"], hero["height"]) == (999, None)  # declared only
+        assert hero["n_bytes"] is None
