@@ -182,6 +182,7 @@ class DocprocSpark:
         Globs are per-character case classes: Hadoop glob matching is
         case-sensitive and an uppercase SCAN.PDF would otherwise vanish
         without even a quarantine row."""
+        from docproc_spark.sources.epub import load_epub
         from docproc_spark.sources.html import load_html
         from docproc_spark.sources.ooxml import load_ooxml
         from docproc_spark.sources.pdf import load_pdf
@@ -190,10 +191,11 @@ class DocprocSpark:
         office = load_ooxml(
             self._binary_files(path, ("docx", "pptx", "xlsx", "xlsm"))
         )
+        books = load_epub(self._binary_files(path, ("epub",)).drop("fmt"))
         html = load_html(
             self._binary_files(path, ("html", "htm")).drop("fmt")
         )
-        return pdfs.unionByName(office).unionByName(html)
+        return pdfs.unionByName(office).unionByName(books).unionByName(html)
 
     def ingest_files_with_media(
         self, path: str, table_path: str
@@ -218,7 +220,9 @@ class DocprocSpark:
         )
 
         binary = load_files_with_media(
-            self._binary_files(path, ("pdf", "docx", "pptx", "xlsx", "xlsm"))
+            self._binary_files(
+                path, ("pdf", "docx", "pptx", "xlsx", "xlsm", "epub")
+            )
         )
         html = load_html(
             self._binary_files(path, ("html", "htm")).drop("fmt")
@@ -244,7 +248,9 @@ class DocprocSpark:
         from docproc_spark.sources.media_sidecar import load_media_sidecar
 
         return load_media_sidecar(
-            self._binary_files(path, ("pdf", "docx", "pptx", "xlsx", "xlsm"))
+            self._binary_files(
+                path, ("pdf", "docx", "pptx", "xlsx", "xlsm", "epub")
+            )
         )
 
     def load_warc(self, path: str) -> DataFrame:

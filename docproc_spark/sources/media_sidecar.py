@@ -179,6 +179,12 @@ def media_rows(fmt: str, data: bytes) -> list[dict]:
     """All sidecar rows for one document's raw bytes; raises on a
     malformed file or unknown format (callers quarantine per doc)."""
     fmt = (fmt or "").lower().lstrip(".")
+    if fmt == "epub":
+        from docproc_spark.sources.epub import parse_epub_bytes
+
+        facts: dict[str, dict] = {}
+        spans = parse_epub_bytes(data, media_facts=facts)
+        return _referenced_rows(spans, facts)
     if fmt == "pdf":
         facts: dict[str, dict] = {}
         spans = parse_pdf_bytes(data, media_facts=facts)
@@ -235,6 +241,11 @@ def _spans_names_media(fmt: str, data: bytes):
     if fmt in ("xlsx", "xlsm"):
         spans, names = parse_xlsx_bytes(data)
         return spans, names, _package_rows(data, ("xl/media/",))
+    if fmt == "epub":
+        from docproc_spark.sources.epub import parse_epub_bytes
+
+        spans = parse_epub_bytes(data, media_facts=facts)
+        return spans, None, _referenced_rows(spans, facts)
     raise ValueError(f"unsupported format: {fmt!r}")
 
 
