@@ -5463,6 +5463,141 @@ LEFT JOIN rem ON a.doc_id = rem.doc_id
 """
 
 
+def _media_report_synth(spark, sf):
+    """operators/report.media_report over a catalogue built by the REAL
+    header sniffer on synthesized blobs (PNG/GIF/WAV + an unsniffable
+    junk class → the '<null>' label; every tenth PNG is a 1x1 beacon).
+    The oracle recomputes every planted fact by formula and aggregates
+    identically — so the parser, the catalogue shaping, AND the report
+    rollup are all under one bit-exact check. n_blobs compares because
+    the blob bytes are a pure function of the planted parameter tuple:
+    count(DISTINCT sha256) == count(DISTINCT params)."""
+    import hashlib as _hashlib
+    import struct as _struct
+    import zlib as _zlib
+
+    from docproc_spark.kernels.mediainfo import sniff_media_header
+    from docproc_spark.operators.report import media_report
+
+    def _blob(doc_id: int) -> bytes:
+        cls = doc_id % 4
+        if cls == 0:  # PNG; every tenth doc plants a 1x1 beacon
+            if doc_id % 10 == 0:
+                w = h = 1
+            else:
+                w, h = 1 + doc_id % 4093, 1 + (doc_id * 7) % 2039
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+            out = b"\x89PNG\r\n\x1a\n"
+            for ctype, payload in ((b"IHDR", ihdr), (b"IEND", b"")):
+                out += (
+                    _struct.pack(">I", len(payload)) + ctype + payload
+                    + _struct.pack(">I", _zlib.crc32(ctype + payload))
+                )
+            return out
+        if cls == 1:  # GIF89a
+            w, h = 1 + doc_id % 4093, 1 + (doc_id * 7) % 2039
+            return b"GIF89a" + _struct.pack("<HH", w, h) + b"\x00\x00\x00;"
+        if cls == 2:  # WAV
+            ch = 1 + doc_id % 2
+            rate = 8000 * (1 + doc_id % 3)
+            dsize = (50 + doc_id % 97) * ch * 2
+            return (
+                b"RIFF" + _struct.pack("<I", 36 + dsize) + b"WAVEfmt "
+                + _struct.pack(
+                    "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+                )
+                + b"data" + _struct.pack("<I", dsize) + b"\x00" * dsize
+            )
+        # unsniffable junk — length still planted
+        return b"\x00" * (10 + doc_id % 5)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = _blob(i)
+                m = sniff_media_header(b)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "media_ref": _hashlib.sha256(b).hexdigest(),
+                        "n_refs": 1 + i % 3,
+                        "n_bytes": len(b),
+                        "format": m["format"],
+                        "media_kind": m["media_kind"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "duration_ms": m["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "n_refs", "n_bytes", "format",
+                    "media_kind", "width", "height", "duration_ms",
+                ],
+            )
+
+    cat = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, media_ref string, n_refs int, n_bytes long,"
+            " format string, media_kind string, width int, height int,"
+            " duration_ms long"
+        ),
+    )
+    return media_report(cat)
+
+
+_MEDIA_REPORT_SQL = """
+WITH c AS (
+  SELECT doc_id, doc_id % 4 AS cls,
+    CASE WHEN doc_id % 4 = 0 AND doc_id % 10 = 0 THEN 1
+         WHEN doc_id % 4 <= 1 THEN 1 + doc_id % 4093 END AS width,
+    CASE WHEN doc_id % 4 = 0 AND doc_id % 10 = 0 THEN 1
+         WHEN doc_id % 4 <= 1 THEN 1 + (doc_id * 7) % 2039 END AS height,
+    CASE WHEN doc_id % 4 = 2
+         THEN ((50 + doc_id % 97) * (1 + doc_id % 2) * 2 * 1000)
+              // (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2)
+         ELSE 0 END AS duration_ms,
+    CASE doc_id % 4 WHEN 0 THEN 45 WHEN 1 THEN 14
+      WHEN 2 THEN 44 + (50 + doc_id % 97) * (1 + doc_id % 2) * 2
+      ELSE 10 + doc_id % 5 END AS n_bytes,
+    1 + doc_id % 3 AS n_refs,
+    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav'
+      ELSE '<null>' END AS format,
+    CASE doc_id % 4 WHEN 2 THEN 'audio' WHEN 3 THEN '<null>'
+      ELSE 'image' END AS media_kind,
+    -- the blob is a pure function of this tuple, so DISTINCT params
+    -- and DISTINCT sha256 have equal cardinality
+    concat_ws(':', doc_id % 4,
+      CASE WHEN doc_id % 4 = 0 AND doc_id % 10 = 0 THEN 1
+           WHEN doc_id % 4 <= 1 THEN 1 + doc_id % 4093 ELSE -1 END,
+      CASE WHEN doc_id % 4 = 0 AND doc_id % 10 = 0 THEN 1
+           WHEN doc_id % 4 <= 1 THEN 1 + (doc_id * 7) % 2039 ELSE -1 END,
+      CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 2 ELSE -1 END,
+      CASE WHEN doc_id % 4 = 2 THEN 8000 * (1 + doc_id % 3) ELSE -1 END,
+      CASE WHEN doc_id % 4 = 2
+           THEN (50 + doc_id % 97) * (1 + doc_id % 2) * 2 ELSE -1 END,
+      CASE WHEN doc_id % 4 = 3 THEN 10 + doc_id % 5 ELSE -1 END
+    ) AS params
+  FROM documents)
+SELECT media_kind, format,
+  count(*) AS n_rows,
+  count(DISTINCT params) AS n_blobs,
+  count(DISTINCT doc_id) AS n_docs,
+  sum(n_refs)::BIGINT AS n_shown,
+  sum(n_bytes)::BIGINT AS total_bytes,
+  sum(duration_ms)::BIGINT AS total_duration_ms,
+  sum(CASE WHEN width <= 2 AND height <= 2 THEN 1 ELSE 0 END)::BIGINT
+    AS n_beacons,
+  min(width) AS min_width, max(width) AS max_width,
+  min(height) AS min_height, max(height) AS max_height
+FROM c GROUP BY 1, 2
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -5534,6 +5669,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_interleaved": _curate_interleaved,
     "media_headers": _media_headers,
     "media_meta_gated": _media_meta_gated,
+    "media_report_synth": _media_report_synth,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -5607,6 +5743,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "curate_interleaved": _CURATE_INTERLEAVED_SQL,
     "media_headers": _MEDIA_HEADERS_SQL,
     "media_meta_gated": _MEDIA_META_GATED_SQL,
+    "media_report_synth": _MEDIA_REPORT_SQL,
 }
 
 

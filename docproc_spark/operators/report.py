@@ -247,3 +247,49 @@ def domain_report(
         F.expr("total_tokens div n_docs").alias("tokens_per_doc"),
         F.expr("(1000 * n_docs) div _corpus_docs").alias("docs_permille"),
     )
+
+
+def media_report(catalogue: DataFrame) -> DataFrame:
+    """Dataset-card media composition over an embedded-media catalogue
+    (sources/media_sidecar.py shape: one row per distinct blob per
+    document with codec-free header facts).
+
+    One row per (media_kind, format) cell — NULL dimensions labelled
+    ``<null>`` (unsniffable blobs are their own honest category) — with
+    the rollup counts a multimodal release publishes: blob rows,
+    distinct blobs corpus-wide, carrying documents, times shown, byte
+    and duration totals, beacon-pixel count (both dims ≤ 2 — the
+    tracker signature), and min/max dimensions. All metrics integers,
+    so the oracle needs no rounding contract.
+
+    Scale shape: ONE groupBy over the catalogue (already orders of
+    magnitude smaller than payloads) with map-side partial aggregation;
+    the distinct-blob count is exact per cell via count(DISTINCT) —
+    one expand, still a single shuffle."""
+    lab = lambda c: F.coalesce(F.col(c), F.lit("<null>"))  # noqa: E731
+    beacon = (
+        (F.col("width") <= 2) & (F.col("height") <= 2)
+    ).cast("long")
+    return (
+        catalogue.groupBy(
+            lab("media_kind").alias("media_kind"),
+            lab("format").alias("format"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("media_ref").alias("n_blobs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_refs"), F.lit(0))).alias("n_shown"),
+            F.sum(F.coalesce(F.col("n_bytes"), F.lit(0))).alias(
+                "total_bytes"
+            ),
+            F.sum(F.coalesce(F.col("duration_ms"), F.lit(0))).alias(
+                "total_duration_ms"
+            ),
+            F.sum(F.coalesce(beacon, F.lit(0))).alias("n_beacons"),
+            F.min("width").alias("min_width"),
+            F.max("width").alias("max_width"),
+            F.min("height").alias("min_height"),
+            F.max("height").alias("max_height"),
+        )
+    )
