@@ -263,6 +263,16 @@ class DocprocSpark:
 
         return load_warc(self._binary_files(path, ("warc", "warc.gz")).drop("fmt"))
 
+    def warc_media(self, path: str) -> DataFrame:
+        """Directory of web archives → the web media catalogue with
+        FETCHED facts (sources/media_sidecar.warc_media_catalogue):
+        images shown by HTML captures, enriched from the archive's own
+        captures of their URLs — real dimensions/format/duration plus
+        payload sha256 as cross-URL content identity."""
+        from docproc_spark.sources.media_sidecar import warc_media_catalogue
+
+        return warc_media_catalogue(self.load_warc(path))
+
     def warc_documents(self, path: str) -> DataFrame:
         """``load_warc`` narrowed to the shared document table — HTML
         captures ready for ``extract_table`` (same downstream as

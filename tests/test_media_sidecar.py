@@ -565,3 +565,13 @@ class TestWarcCatalogue:
         assert hero["payload_sha256"] is None
         assert (hero["width"], hero["height"]) == (999, None)  # declared only
         assert hero["n_bytes"] is None
+
+
+def test_facade_warc_media(spark, tmp_path):
+    from docproc_spark.facade import DocprocSpark
+
+    (tmp_path / "a.warc").write_bytes(TestWarcCatalogue()._archive())
+    rows = DocprocSpark(spark).warc_media(str(tmp_path)).collect()
+    by_ref = {r["media_ref"]: r for r in rows}
+    assert by_ref["https://ex.com/logo.png"]["fetched"] is True
+    assert by_ref["https://ex.com/logo.png"]["payload_sha256"] == LOGO_SHA
