@@ -5598,6 +5598,101 @@ FROM c GROUP BY 1, 2
 """
 
 
+def _synth_srt_cues(spark, sf):
+    """Real SRT parsing (sources/subtitles.parse_srt) under a round-trip
+    oracle: Spark renders actual SRT text (index lines, comma
+    timestamps, a multiline cue every other index) from doc_id
+    formulas, the real parser reads it back, DuckDB recomputes the
+    planted cues — the parser must exactly invert the rendering."""
+    from docproc_spark.sources.subtitles import parse_srt
+
+    def _fmt(ms: int) -> str:
+        s, ms = divmod(ms, 1000)
+        m, s = divmod(s, 60)
+        h, m = divmod(m, 60)
+        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+    def _srt(doc_id: int) -> str:
+        blocks = []
+        for k in range(1 + doc_id % 4):
+            start = k * 3000 + (doc_id % 7) * 10
+            end = start + 1500 + ((doc_id + k) % 5) * 100
+            text = f"cue {k} of doc {doc_id}" + (
+                "\nline two" if k % 2 == 1 else ""
+            )
+            blocks.append(f"{k + 1}\n{_fmt(start)} --> {_fmt(end)}\n{text}\n")
+        return "\n".join(blocks)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                for idx, s, e, text in parse_srt(_srt(i)):
+                    rows.append(
+                        {"doc_id": i, "cue_idx": idx, "start_ms": s,
+                         "end_ms": e, "text": text}
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "cue_idx", "start_ms", "end_ms", "text"],
+            )
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, cue_idx int, start_ms long, end_ms long,"
+            " text string"
+        ),
+    )
+
+
+_SRT_CUES_SQL = """
+WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS n FROM documents),
+k AS (SELECT doc_id, u.k - 1 AS k FROM d,
+      LATERAL unnest(generate_series(1, n)) AS u(k))
+SELECT doc_id, CAST(k AS INT) AS cue_idx,
+  CAST(k * 3000 + (doc_id % 7) * 10 AS BIGINT) AS start_ms,
+  CAST(k * 3000 + (doc_id % 7) * 10 + 1500 + ((doc_id + k) % 5) * 100
+       AS BIGINT) AS end_ms,
+  'cue ' || k || ' of doc ' || doc_id
+    || CASE WHEN k % 2 = 1 THEN chr(10) || 'line two' ELSE '' END AS text
+FROM k
+"""
+
+
+def _transcript_stats_synth(spark, sf):
+    """transcript_stats over the synthesized-then-really-parsed cue
+    table — the per-document speech-density/token-rate gates, integer
+    div only, recomputed by DuckDB from the same cue formulas."""
+    from docproc_spark.sources.subtitles import transcript_stats
+
+    return transcript_stats(
+        _synth_srt_cues(spark, sf).withColumn(
+            "parse_error", F.lit(None).cast("string")
+        )
+    )
+
+
+_TRANSCRIPT_STATS_SQL = f"""
+WITH cues AS ({_SRT_CUES_SQL})
+SELECT doc_id,
+  count(*) AS n_cues,
+  (max(end_ms) - min(start_ms))::BIGINT AS span_ms,
+  sum(end_ms - start_ms)::BIGINT AS speech_ms,
+  CASE WHEN max(end_ms) - min(start_ms) > 0
+       THEN (1000 * sum(end_ms - start_ms))
+            // (max(end_ms) - min(start_ms)) ELSE 0 END::BIGINT
+    AS speech_permille,
+  sum(length(text))::BIGINT AS n_chars,
+  sum(5 + CASE WHEN cue_idx % 2 = 1 THEN 2 ELSE 0 END)::BIGINT AS n_tokens,
+  CASE WHEN sum(end_ms - start_ms) > 0
+       THEN (sum(5 + CASE WHEN cue_idx % 2 = 1 THEN 2 ELSE 0 END) * 60000)
+            // sum(end_ms - start_ms) ELSE 0 END::BIGINT AS tokens_per_min
+FROM cues GROUP BY doc_id
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -5670,6 +5765,8 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_headers": _media_headers,
     "media_meta_gated": _media_meta_gated,
     "media_report_synth": _media_report_synth,
+    "subtitle_cues_synth": _synth_srt_cues,
+    "transcript_stats_synth": _transcript_stats_synth,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -5744,6 +5841,8 @@ _SPARE_ORACLES: dict[str, str] = {
     "media_headers": _MEDIA_HEADERS_SQL,
     "media_meta_gated": _MEDIA_META_GATED_SQL,
     "media_report_synth": _MEDIA_REPORT_SQL,
+    "subtitle_cues_synth": _SRT_CUES_SQL,
+    "transcript_stats_synth": _TRANSCRIPT_STATS_SQL,
 }
 
 
