@@ -263,6 +263,17 @@ class DocprocSpark:
 
         return load_warc(self._binary_files(path, ("warc", "warc.gz")).drop("fmt"))
 
+    def load_webdataset(self, path: str) -> DataFrame:
+        """Directory of WebDataset .tar shards → one row per sample
+        (sources/webdataset.py): caption text, raw metadata JSON, and
+        every media member with sha256 identity + codec-free header
+        facts. One binaryFile scan (one shard per task — the format
+        sizes shards for exactly this), one mapInPandas crossing.
+        Lower onto the shared span table with ``wds_documents``."""
+        from docproc_spark.sources.webdataset import load_webdataset
+
+        return load_webdataset(self._binary_files(path, ("tar",)).drop("fmt"))
+
     def warc_media(self, path: str) -> DataFrame:
         """Directory of web archives → the web media catalogue with
         FETCHED facts (sources/media_sidecar.warc_media_catalogue):

@@ -1,0 +1,124 @@
+"""WebDataset tar-shard ingestion (sources/webdataset.py).
+
+Shards are real tars assembled at test time with stdlib tarfile;
+expectations follow the WebDataset grouping rule (key = basename up to
+the FIRST dot; samples may interleave) with sha256-of-bytes media
+identity and header facts from kernels/mediainfo.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import tarfile
+import zlib
+
+import pytest
+
+from docproc_spark.sources.webdataset import (
+    iter_wds_samples,
+    load_webdataset,
+    wds_documents,
+)
+
+
+def make_png(w: int, h: int) -> bytes:
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+IMG = make_png(64, 48)
+IMG_SHA = hashlib.sha256(IMG).hexdigest()
+
+
+def make_tar(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, blob in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+    return buf.getvalue()
+
+
+SHARD = make_tar(
+    {
+        "000001.png": IMG,
+        "000001.txt": b"a cat photo",
+        "000001.json": b'{"url": "http://x"}',
+        # second sample interleaves a dotted dir name and a double ext
+        "dir.v2/000002.seg.png": IMG,
+        "dir.v2/000002.txt": b"same image twice",
+    }
+)
+
+
+class TestIter:
+    def test_grouping_text_json_media(self):
+        rows = list(iter_wds_samples(SHARD, "s0.tar"))
+        assert [r["key"] for r in rows] == ["000001", "dir.v2/000002"]
+        a = rows[0]
+        assert a["doc_id"] == "s0.tar#000001"
+        assert a["text"] == "a cat photo"
+        assert a["meta_json"] == '{"url": "http://x"}'
+        assert len(a["media"]) == 1
+        m = a["media"][0]
+        assert (m["ext"], m["media_ref"]) == ("png", IMG_SHA)
+        assert (m["format"], m["width"], m["height"]) == ("png", 64, 48)
+        # first-dot rule: ext of the second sample's image is "seg.png"
+        b = rows[1]
+        assert b["media"][0]["ext"] == "seg.png"
+        assert b["media"][0]["media_ref"] == IMG_SHA  # content identity
+
+    def test_bad_archive_raises(self):
+        with pytest.raises(Exception):
+            list(iter_wds_samples(b"not a tar", "x"))
+
+
+@pytest.mark.usefixtures("spark")
+class TestSpark:
+    def test_load_and_documents(self, spark):
+        df = spark.createDataFrame(
+            [("s0.tar", bytearray(SHARD)), ("bad.tar", bytearray(b"junk"))],
+            "doc_id string, content binary",
+        )
+        samples = load_webdataset(df).collect()
+        ok = [r for r in samples if r["parse_error"] is None]
+        bad = [r for r in samples if r["parse_error"] is not None]
+        assert len(ok) == 2 and [r["doc_id"] for r in bad] == ["bad.tar"]
+
+        docs = {r["doc_id"]: r for r in wds_documents(load_webdataset(df)).collect()}
+        d = docs["s0.tar#000001"]
+        assert d["doc_type"] == "wds" and d["n_spans"] == 2
+        assert [s["kind"] for s in d["spans"]] == ["text", "image"]
+        assert d["spans"][1]["media_ref"] == IMG_SHA
+        assert [s["offset"] for s in d["spans"]] == [0, 1]
+        # a sample with no text yields media-only spans; quarantine
+        # shards are excluded
+        assert "bad.tar" not in docs
+
+    def test_documents_feed_extract(self, spark):
+        from docproc_spark.pipeline import extract
+
+        df = spark.createDataFrame(
+            [("s0.tar", bytearray(SHARD))], "doc_id string, content binary"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in extract(wds_documents(load_webdataset(df))).collect()
+        }
+        assert "a cat photo" in out["s0.tar#000001"]["markdown"]
+
+    def test_facade(self, spark, tmp_path):
+        from docproc_spark.facade import DocprocSpark
+
+        (tmp_path / "s0.tar").write_bytes(SHARD)
+        rows = DocprocSpark(spark).load_webdataset(str(tmp_path)).collect()
+        assert {r["key"] for r in rows} == {"000001", "dir.v2/000002"}
