@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 from docproc_spark.kernels.mediainfo import sniff_media_header
 
 __all__ = ["WDS_SAMPLE_SCHEMA", "iter_wds_samples", "load_webdataset",
-           "wds_documents"]
+           "wds_documents", "wds_media_table", "export_webdataset_text"]
 
 _TEXT_EXTS = ("txt", "text", "caption")
 _JSON_EXTS = ("json",)
@@ -165,6 +165,95 @@ def load_webdataset(
                     yield pd.DataFrame(chunk, columns=cols)
 
     return files.mapInPandas(gen, schema=WDS_SAMPLE_SCHEMA)
+
+
+def wds_media_table(samples: DataFrame) -> DataFrame:
+    """Samples → the flat per-blob catalogue (same column set as the
+    document sidecar's media_table: doc_id, media_ref, name, first_page,
+    n_refs, n_bytes + header facts) so WDS shards feed the SAME media
+    reports, dimension gates, and dedupe as every other source. `name`
+    carries the member extension (WDS's only naming), first_page is
+    NULL (samples have no pages), n_refs is 1 per member."""
+    return (
+        samples.where(
+            F.col("parse_error").isNull() & F.col("media").isNotNull()
+        )
+        .select("doc_id", F.explode("media").alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.media_ref").alias("media_ref"),
+            F.col("m.ext").alias("name"),
+            F.lit(None).cast("int").alias("first_page"),
+            F.lit(1).cast("int").alias("n_refs"),
+            F.col("m.n_bytes").alias("n_bytes"),
+            F.col("m.format").alias("format"),
+            F.col("m.media_kind").alias("media_kind"),
+            F.col("m.width").alias("width"),
+            F.col("m.height").alias("height"),
+            F.col("m.duration_ms").alias("duration_ms"),
+            F.col("m.sample_rate").alias("sample_rate"),
+            F.col("m.channels").alias("channels"),
+        )
+    )
+
+
+def export_webdataset_text(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "markdown",
+    meta_cols: tuple[str, ...] = (),
+) -> None:
+    """Write a TEXT corpus as WebDataset shards — the handoff format a
+    training loader consumes: one ``shard-{pid:05d}.tar`` per partition
+    (repartition upstream to size shards; the WebDataset contract is
+    one-shard-per-reader-task), each document a ``{key}.txt`` member
+    plus a ``{key}.json`` metadata member built from ``meta_cols``.
+    Keys are the doc id with '/' flattened (tar member names must not
+    re-introduce directories) and '.' replaced (everything after the
+    first dot would parse as the extension on re-read).
+
+    Executor-side via foreachPartition onto a shared filesystem, like
+    the markdown exporter; round-trips through ``load_webdataset`` (the
+    test's invariant). Deterministic per partition: member order is row
+    order, mtimes pinned to 0."""
+    import json as _json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [id_col, text_col, *meta_cols]
+
+    def write_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        wrote = False
+        with tarfile.open(path, "w") as tf:
+
+            def add(name: str, blob: bytes) -> None:
+                info = tarfile.TarInfo(name)
+                info.size = len(blob)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(blob))
+
+            for r in rows:
+                wrote = True
+                key = (
+                    str(r[id_col]).replace("/", "_").replace(".", "_")
+                )
+                add(f"{key}.txt", (r[text_col] or "").encode("utf-8"))
+                meta = {c: r[c] for c in meta_cols}
+                meta["doc_id"] = r[id_col]
+                add(
+                    f"{key}.json",
+                    _json.dumps(meta, sort_keys=True).encode("utf-8"),
+                )
+        if not wrote:
+            os.remove(path)  # no empty shards
+
+    docs.select(*cols).foreachPartition(write_partition)
 
 
 def wds_documents(samples: DataFrame) -> DataFrame:

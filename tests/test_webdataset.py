@@ -122,3 +122,53 @@ class TestSpark:
         (tmp_path / "s0.tar").write_bytes(SHARD)
         rows = DocprocSpark(spark).load_webdataset(str(tmp_path)).collect()
         assert {r["key"] for r in rows} == {"000001", "dir.v2/000002"}
+
+
+@pytest.mark.usefixtures("spark")
+class TestMediaTableAndExport:
+    def test_wds_media_table_shape(self, spark):
+        df = spark.createDataFrame(
+            [("s0.tar", bytearray(SHARD))], "doc_id string, content binary"
+        )
+        from docproc_spark.sources.webdataset import wds_media_table
+
+        rows = wds_media_table(load_webdataset(df)).collect()
+        assert len(rows) == 2
+        r = {x["doc_id"]: x for x in rows}["s0.tar#000001"]
+        assert (r["media_ref"], r["name"], r["n_refs"]) == (IMG_SHA, "png", 1)
+        assert (r["width"], r["height"]) == (64, 48)
+        # same columns as the document sidecar's flat catalogue
+        from docproc_spark.sources.media_sidecar import MEDIA_SIDECAR_SCHEMA
+
+        assert [f.name for f in MEDIA_SIDECAR_SCHEMA if f.name != "parse_error"] == [
+            x for x in wds_media_table(load_webdataset(df)).columns
+        ]
+
+    def test_export_round_trips_through_the_reader(self, spark, tmp_path):
+        from docproc_spark.sources.webdataset import export_webdataset_text
+
+        docs = spark.createDataFrame(
+            [
+                ("a/doc.one", "first text", "s1"),
+                ("b", "second text", "s2"),
+            ],
+            "doc_id string, markdown string, source string",
+        ).repartition(1)
+        out = tmp_path / "wds"
+        export_webdataset_text(
+            docs, str(out), meta_cols=("source",)
+        )
+        shards = sorted(p.name for p in out.iterdir())
+        assert len(shards) == 1  # empty partitions write no shards
+        back = spark.createDataFrame(
+            [(s, bytearray((out / s).read_bytes())) for s in shards],
+            "doc_id string, content binary",
+        )
+        samples = {r["key"]: r for r in load_webdataset(back).collect()}
+        assert set(samples) == {"a_doc_one", "b"}
+        a = samples["a_doc_one"]
+        assert a["text"] == "first text"
+        import json
+
+        meta = json.loads(a["meta_json"])
+        assert meta == {"doc_id": "a/doc.one", "source": "s1"}
