@@ -272,7 +272,10 @@ class DocprocSpark:
         Lower onto the shared span table with ``wds_documents``."""
         from docproc_spark.sources.webdataset import load_webdataset
 
-        return load_webdataset(self._binary_files(path, ("tar",)).drop("fmt"))
+        # tarfile auto-detects gzip, so .tar.gz shards parse unchanged
+        return load_webdataset(
+            self._binary_files(path, ("tar", "tar.gz")).drop("fmt")
+        )
 
     def warc_media(self, path: str) -> DataFrame:
         """Directory of web archives → the web media catalogue with

@@ -172,3 +172,14 @@ class TestMediaTableAndExport:
 
         meta = json.loads(a["meta_json"])
         assert meta == {"doc_id": "a/doc.one", "source": "s1"}
+
+
+def test_facade_reads_gzipped_shards(spark, tmp_path):
+    import gzip
+
+    from docproc_spark.facade import DocprocSpark
+
+    (tmp_path / "s1.tar.gz").write_bytes(gzip.compress(SHARD))
+    rows = DocprocSpark(spark).load_webdataset(str(tmp_path)).collect()
+    assert {r["key"] for r in rows} == {"000001", "dir.v2/000002"}
+    assert all(r["parse_error"] is None for r in rows)
