@@ -252,8 +252,24 @@ def _mp4_boxes(b: bytes, start: int, end: int):
         i += size
 
 
+# ISO-BMFF major brand → (format, media_kind); everything else is the
+# generic video container. Audio-only and still-image brands matter:
+# curation gates on media_kind, and .m4a / .heic ride the same ftyp box.
+_BMFF_BRANDS = {
+    b"M4A ": ("m4a", "audio"),
+    b"M4B ": ("m4a", "audio"),
+    b"heic": ("heic", "image"),
+    b"heix": ("heic", "image"),
+    b"mif1": ("heic", "image"),
+    b"msf1": ("heic", "image"),
+    b"avif": ("avif", "image"),
+    b"avis": ("avif", "image"),
+}
+
+
 def _mp4(b: bytes) -> dict:
-    out = _meta("mp4", "video")
+    fmt, kind = _BMFF_BRANDS.get(b[8:12], ("mp4", "video"))
+    out = _meta(fmt, kind)
 
     def scan(start: int, end: int, depth: int) -> None:
         if depth > 6:
@@ -463,7 +479,7 @@ def _ogg(b: bytes) -> dict:
         out["channels"] = b[body + 11]
         rate = _le32(b, body + 12)
         out["sample_rate"] = rate
-    elif b[body : body + 8] == b"OpusHead" and body + 14 <= len(b):
+    elif b[body : body + 8] == b"OpusHead" and body + 16 <= len(b):
         opus = True
         out["channels"] = b[body + 9]
         pre_skip = _le16(b, body + 10)

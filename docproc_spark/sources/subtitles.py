@@ -71,7 +71,9 @@ def _cue_from_block(lines: list[str], vtt: bool) -> tuple | None:
         if "-->" in line and _ARROW.search(line):
             a, _, b = line.partition("-->")
             start = _ms(a)
-            end = _ms(b.strip().split(" ")[0])  # drop cue settings
+            # cue settings separate by space OR tab (WebVTT allows both)
+            end_tok = b.split()
+            end = _ms(end_tok[0]) if end_tok else None
             if start is None or end is None:
                 return None
             text = "\n".join(lines[i + 1 :]).strip()
@@ -108,12 +110,25 @@ def parse_srt(body: str) -> list[tuple[int, int, int, str]]:
 
 def parse_vtt(body: str) -> list[tuple[int, int, int, str]]:
     """WebVTT text → [(cue_idx, start_ms, end_ms, text)]; NOTE/STYLE/
-    REGION blocks skipped, inline tags stripped."""
+    REGION comment blocks skipped, inline tags stripped.
+
+    Skip rules are WORD matches, not prefixes: a cue whose identifier
+    line merely starts with 'NOTES…' is a legal cue and must parse
+    (only NOTE followed by whitespace/end-of-line comments a block, and
+    comment text cannot contain '-->' per the spec). A sloppy file
+    whose WEBVTT header line is not followed by a blank line keeps its
+    first cue: the header LINE is dropped, the rest of the block
+    parses."""
     out = []
-    for block in _blocks(body):
-        head = block[0].strip()
-        if head.startswith(("WEBVTT", "NOTE", "STYLE", "REGION")):
+    for i, block in enumerate(_blocks(body)):
+        first = block[0].strip()
+        token = first.split(None, 1)[0] if first.split() else ""
+        if token in ("NOTE", "STYLE", "REGION"):
             continue
+        if i == 0 and token == "WEBVTT":
+            block = block[1:]  # header line; a missing blank line must
+            if not block:  # not swallow the first cue into this block
+                continue
         cue = _cue_from_block(block, vtt=True)
         if cue is not None:
             out.append((len(out), *cue))

@@ -223,6 +223,32 @@ class TestAudioVideo:
         m = sniff_media_header(b)
         assert m["format"] == "mp4" and m["duration_ms"] is None
 
+    @pytest.mark.parametrize(
+        "brand,fmt,kind",
+        [
+            (b"M4A ", "m4a", "audio"),
+            (b"M4B ", "m4a", "audio"),
+            (b"heic", "heic", "image"),
+            (b"mif1", "heic", "image"),
+            (b"avif", "avif", "image"),
+            (b"avis", "avif", "image"),
+            (b"qt  ", "mp4", "video"),  # unknown brand → generic video
+        ],
+    )
+    def test_bmff_major_brand_dispatch(self, brand, fmt, kind):
+        b = self._box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand)
+        m = sniff_media_header(b)
+        assert (m["format"], m["media_kind"]) == (fmt, kind)
+
+    def test_m4a_still_parses_mvhd_duration(self):
+        mvhd = bytes([0]) + b"\x00" * 3 + b"\x00" * 8 \
+            + struct.pack(">II", 44100, 441000) + b"\x00" * 80
+        b = self._box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42") \
+            + self._box(b"moov", self._box(b"mvhd", mvhd))
+        m = sniff_media_header(b)
+        assert (m["format"], m["media_kind"]) == ("m4a", "audio")
+        assert m["duration_ms"] == 10000
+
 
 class TestUnknownAndCorrupt:
     @pytest.mark.parametrize(
@@ -411,6 +437,14 @@ class TestOgg:
         m = sniff_media_header(make_ogg_page(b"\x80theora-ish"))
         assert m["format"] == "ogg"
         assert m["sample_rate"] is None
+
+    def test_truncated_opushead_reports_no_rate(self):
+        # OpusHead needs 16 bytes (input rate is LE32 at +12); a header
+        # cut at 14 bytes must not report a short-read garbage rate
+        blob = make_ogg_page(opus_head(1, 312, 16000)[:14])
+        m = sniff_media_header(blob)
+        assert m["format"] == "ogg"
+        assert m["sample_rate"] is None and m["channels"] is None
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,32 @@ class TestParsers:
         assert parse_srt("garbage\nwithout\ntimings") == []
         assert parse_vtt("WEBVTT\n") == []
 
+    def test_vtt_skip_is_word_match_not_prefix(self):
+        # a cue identifier that merely STARTS with NOTE/STYLE/REGION is
+        # a legal cue; only the bare word (followed by ws/EOL) comments
+        body = (
+            "WEBVTT\n\n"
+            "NOTES for the exam\n00:01.000 --> 00:02.000\ncue one\n\n"
+            "STYLEGUIDE\n00:03.000 --> 00:04.000\ncue two\n\n"
+            "NOTE\nactually a comment\n\n"
+            "NOTE trailing text comment\n"
+        )
+        assert parse_vtt(body) == [
+            (0, 1000, 2000, "cue one"),
+            (1, 3000, 4000, "cue two"),
+        ]
+
+    def test_vtt_header_without_blank_line_keeps_first_cue(self):
+        body = "WEBVTT\n00:01.000 --> 00:02.000\nfirst cue\n"
+        assert parse_vtt(body) == [(0, 1000, 2000, "first cue")]
+
+    def test_vtt_tab_separated_cue_settings(self):
+        body = "WEBVTT\n\n00:01.000 --> 00:02.000\talign:start\nhi\n"
+        assert parse_vtt(body) == [(0, 1000, 2000, "hi")]
+
+    def test_vtt_arrow_with_no_end_time_is_dropped(self):
+        assert parse_vtt("WEBVTT\n\n00:01.000 --> \ndangling\n") == []
+
 
 @pytest.mark.usefixtures("spark")
 class TestSpark:
