@@ -5693,6 +5693,156 @@ FROM cues GROUP BY doc_id
 """
 
 
+def _image_dhash_synth(spark, sf):
+    """REAL pixel decode + perceptual hashing under a round-trip
+    oracle: Spark synthesizes a true 9x8 grayscale PNG per document
+    (md5-formula pixels; real zlib stream + CRCs via
+    kernels/imagepix.encode_png), the REAL decoder + dHash read it
+    back (zlib inflate, scanline unfilter, BT.601 luma, box resample —
+    identity at 9x8 — and the signed-64 bit fold), and DuckDB
+    recomputes the hash from the planted formula with bit arithmetic.
+    Any drift in decoder, luma, resample, or bit packing breaks the
+    hash equality."""
+    import hashlib as _hl
+
+    from docproc_spark.kernels.imagepix import encode_png, image_signature
+
+    W, H = 9, 8
+
+    def blob(d: int) -> bytes:
+        px = bytearray()
+        for y in range(H):
+            for x in range(W):
+                g = int(_hl.md5(f"{d}:{x}:{y}".encode()).hexdigest()[:2], 16)
+                px += bytes([g, g, g])
+        return encode_png(bytes(px), W, H)
+
+    def kernel(batches):
+        for pdf in batches:
+            sigs = [image_signature(blob(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array([s["width"] for s in sigs], dtype="Int32"),
+                    "height": pd.array([s["height"] for s in sigs], dtype="Int32"),
+                    "gray_mean": pd.array(
+                        [s["gray_mean"] for s in sigs], dtype="Int32"
+                    ),
+                    "dhash64": pd.array(
+                        [s["dhash64"] for s in sigs], dtype="Int64"
+                    ),
+                }
+            )
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        kernel,
+        schema="doc_id long, width int, height int, gray_mean int, dhash64 long",
+    )
+
+
+# dHash from the planted formula: g(d,x,y) = first md5 byte of 'd:x:y';
+# luma of (g,g,g) is g and the 9x8→9x8 resample is the identity, so the
+# bit at (y,x) is g(x)>g(x+1). The signed-64 fold keeps every term in
+# BIGINT: the MSB (idx 0) contributes -2^63 instead of +2^63.
+_IMAGE_DHASH_SQL = """
+WITH grid AS (
+  SELECT d.doc_id, y.y, x.x,
+    CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':',
+         CAST(x.x AS VARCHAR), ':', CAST(y.y AS VARCHAR))), 1, 2))
+         AS BIGINT) AS g
+  FROM documents d, range(8) y(y), range(9) x(x)
+), bits AS (
+  SELECT a.doc_id, (a.y * 8 + a.x) AS idx,
+    CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b
+    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+)
+, dh AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN bit = 0 THEN 0
+         WHEN idx = 0 THEN CAST('-9223372036854775808' AS BIGINT)
+         ELSE (CAST(1 AS BIGINT) << (63 - idx)) END) AS BIGINT) AS dhash64
+  FROM bits GROUP BY doc_id
+), gm AS (
+  SELECT doc_id, CAST(sum(g) // 72 AS INT) AS gray_mean
+  FROM grid GROUP BY doc_id
+)
+SELECT gm.doc_id, 9 AS width, 8 AS height, gm.gray_mean, dh.dhash64
+FROM gm JOIN dh USING (doc_id)
+"""
+
+
+def _image_neardup_synth(spark, sf):
+    """Generic pigeonhole-banded hamming pairs
+    (operators/dedupe.hamming_neardup_pairs — the engine behind
+    perceptual image dedupe) under a brute-force oracle: 200 planted
+    full-64-bit signatures (md5 hi/lo words, signed fold, one
+    per-document bit flip → clusters of hamming ≤ 2) go through the
+    BANDED plan in Spark, while DuckDB computes ALL pairs with
+    bit_count(xor) — equality proves the pigeonhole candidate
+    generation has no false negatives at max_hamming < n_bands,
+    including across the sign bit in the top band."""
+    from docproc_spark.operators.dedupe import hamming_neardup_pairs
+
+    ids = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    k = (F.col("doc_id") % 37).cast("string")
+
+    def word(prefix: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), k)), 1, 8), 16, 10
+        ).cast("long")
+
+    hi = word("hi:")  # 0..2^32-1
+    lo = word("lo:")
+    hi_signed = F.when(hi >= F.lit(2**31), hi - F.lit(2**32)).otherwise(hi)
+    base = hi_signed * F.lit(2**32).cast("long") + lo
+    # shiftleft() takes a literal shift count, so the per-row shift is
+    # an expr; the b=63 CASE keeps both engines off the 1<<63 overflow
+    # edge (DuckDB errors, Spark wraps)
+    flip = F.expr(
+        "CASE WHEN (doc_id * 11) % 64 = 63 "
+        "THEN CAST('-9223372036854775808' AS BIGINT) "
+        "ELSE shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 11) % 64 AS INT)) "
+        "END"
+    )
+    sigs = ids.select("doc_id", base.bitwiseXOR(flip).alias("sig"))
+    return hamming_neardup_pairs(
+        sigs, sig_col="sig", id_col="doc_id",
+        max_hamming=3, n_bands=4, n_bits=64, log_dropped=False,
+    )
+
+
+_IMAGE_NEARDUP_SQL = """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+), sigs AS (
+  SELECT doc_id,
+    xor(
+      (CASE WHEN CAST(concat('0x', substr(md5(concat('hi:',
+              CAST(doc_id % 37 AS VARCHAR))), 1, 8)) AS BIGINT) >= 2147483648
+            THEN CAST(concat('0x', substr(md5(concat('hi:',
+              CAST(doc_id % 37 AS VARCHAR))), 1, 8)) AS BIGINT) - 4294967296
+            ELSE CAST(concat('0x', substr(md5(concat('hi:',
+              CAST(doc_id % 37 AS VARCHAR))), 1, 8)) AS BIGINT) END)
+        * 4294967296
+      + CAST(concat('0x', substr(md5(concat('lo:',
+          CAST(doc_id % 37 AS VARCHAR))), 1, 8)) AS BIGINT),
+      CASE WHEN (doc_id * 11) % 64 = 63
+           THEN CAST('-9223372036854775808' AS BIGINT)
+           ELSE (CAST(1 AS BIGINT) << CAST((doc_id * 11) % 64 AS INT)) END
+    ) AS sig
+  FROM ids
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+  CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sig, y.sig)) <= 3
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -5767,6 +5917,8 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_report_synth": _media_report_synth,
     "subtitle_cues_synth": _synth_srt_cues,
     "transcript_stats_synth": _transcript_stats_synth,
+    "image_dhash_synth": _image_dhash_synth,
+    "image_neardup_synth": _image_neardup_synth,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -5843,6 +5995,8 @@ _SPARE_ORACLES: dict[str, str] = {
     "media_report_synth": _MEDIA_REPORT_SQL,
     "subtitle_cues_synth": _SRT_CUES_SQL,
     "transcript_stats_synth": _TRANSCRIPT_STATS_SQL,
+    "image_dhash_synth": _IMAGE_DHASH_SQL,
+    "image_neardup_synth": _IMAGE_NEARDUP_SQL,
 }
 
 

@@ -185,21 +185,46 @@ def extract_media_features(media: DataFrame, blob_col: str = "blob", dims: int =
 
 
 def resize_images(media: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
-    """Resize stub: binary in → binary out with target-dim metadata.
+    """Resize: binary in → binary out with target-dim metadata.
 
-    The real kernel is PIL `Image.resize` inside this same mapInPandas
-    shape; here the bytes pass through untouched (deterministic) while the
-    schema/batching contract — what a swap-in implementation must honor —
-    is exercised for real.
+    REAL for stdlib-decodable formats (PNG/BMP/GIF): integer box-mean
+    resample of the decoded RGB, re-encoded as PNG — deterministic,
+    no PIL. Blobs this environment cannot decode (JPEG/WEBP need a
+    native codec; corrupt bytes) pass through untouched, preserving
+    the original schema/batching contract a full-codec swap-in must
+    honor. ``media_ref`` stays the INPUT blob's identity so resized
+    output joins back to the catalogue/span tables.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docproc_spark.kernels.imagepix import (
+            ImageDecodeError,
+            box_resample,
+            decode_image_pixels,
+            encode_png,
+        )
+
+        def one(b):
+            try:
+                d = decode_image_pixels(b)
+            except ImageDecodeError:
+                return b  # pass through what we cannot decode
+            w, h = d["width"], d["height"]
+            planes = [
+                box_resample(list(d["rgb"][c::3]), w, h, width, height)
+                for c in range(3)
+            ]
+            out = bytes(
+                planes[c][i] for i in range(width * height) for c in range(3)
+            )
+            return encode_png(out, width, height)
+
         for pdf in batches:
             blobs = pdf[blob_col]
             yield pd.DataFrame(
                 {
                     "media_ref": blobs.map(_ref),
-                    "resized": blobs,  # PIL resize goes here
+                    "resized": blobs.map(one),
                     "width": width,
                     "height": height,
                 }
@@ -244,9 +269,117 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, blob_col: str = "blob"
     )
 
 
-def decode_image(blob: bytes):
-    """Real image decode — requires PIL, not present in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv which are not installed here; "
-        "the pipeline treats media as opaque binary + extract_media_meta stubs"
+IMAGE_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("gray_mean", T.IntegerType(), True),
+        T.StructField("dhash64", T.LongType(), True),
+        T.StructField("ahash64", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def image_signatures(
+    media: DataFrame, blob_col: str = "blob", max_pixels: int | None = None
+) -> DataFrame:
+    """REAL pixel decode + perceptual signatures for stdlib-decodable
+    image formats (PNG/BMP/GIF — kernels/imagepix.py; no PIL needed).
+
+    Per blob: sha256 identity, decoded dimensions, integer BT.601
+    gray mean, and two 64-bit perceptual fingerprints — dHash
+    (gradient) and aHash (mean-threshold) — the near-dup image
+    identity that survives re-encoding and rescaling, which the
+    byte-level sha256 cannot. Undecodable blobs (JPEG/WEBP need a
+    codec; corrupt data) yield NULL metrics with the reason in
+    ``decode_error`` — a row property, never a task failure.
+
+    Scale shape: one mapInPandas over Arrow batches, no shuffle; the
+    decode cost per blob is bounded by the header-declared pixel count
+    (``max_pixels``) BEFORE any decompression, so a hostile 67-byte
+    PNG cannot inflate to gigabytes on an executor.
+    """
+    from docproc_spark.kernels.imagepix import (
+        DEFAULT_MAX_PIXELS,
+        image_signature,
     )
+
+    cap = DEFAULT_MAX_PIXELS if max_pixels is None else max_pixels
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            sigs = [image_signature(b, cap) for b in blobs]
+
+            def col(key, dtype):
+                return pd.array([s[key] for s in sigs], dtype=dtype)
+
+            yield pd.DataFrame(
+                {
+                    "media_ref": blobs.map(_ref),
+                    "format": col("format", "object"),
+                    "width": col("width", "Int32"),
+                    "height": col("height", "Int32"),
+                    "gray_mean": col("gray_mean", "Int32"),
+                    "dhash64": col("dhash64", "Int64"),
+                    "ahash64": col("ahash64", "Int64"),
+                    "decode_error": col("decode_error", "object"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=IMAGE_SIG_SCHEMA)
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    blob_col: str = "blob",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by dHash: decode + signature (one
+    mapInPandas pass), collapse byte-identical blobs to their sha256
+    ref, then pigeonhole-banded hamming pairs via the generic
+    :func:`docproc_spark.operators.dedupe.hamming_neardup_pairs` —
+    perfect recall up to ``max_bucket`` skew capping, never O(n²).
+
+    Returns (a, b, hamming) over media_ref identities — the LAION-style
+    perceptual dedupe step: re-encoded/rescaled copies of one image
+    land within a few bits of hamming distance.
+    """
+    from docproc_spark.operators.dedupe import hamming_neardup_pairs
+
+    sigs = image_signatures(media, blob_col).filter(
+        F.col("dhash64").isNotNull()
+    )
+    uniq = sigs.select("media_ref", "dhash64").dropDuplicates(["media_ref"])
+    return hamming_neardup_pairs(
+        uniq,
+        sig_col="dhash64",
+        id_col="media_ref",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        n_bits=64,
+        max_bucket=max_bucket,
+    )
+
+
+def decode_image(blob: bytes):
+    """Real image decode for stdlib-decodable formats — PNG (zlib
+    DEFLATE + unfiltering), BMP, GIF (LZW) via kernels/imagepix.py.
+    Returns {format, width, height, rgb}. Formats that need a native
+    codec (JPEG/WEBP/TIFF — not present in this container) raise
+    NotImplementedError, preserving the loud env-stub contract;
+    corrupt bytes raise ImageDecodeError (quarantine, not env)."""
+    from docproc_spark.kernels.imagepix import (
+        CodecUnavailableError,
+        decode_image_pixels,
+    )
+
+    try:
+        return decode_image_pixels(blob)
+    except CodecUnavailableError as exc:
+        raise NotImplementedError(str(exc)) from None

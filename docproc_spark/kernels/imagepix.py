@@ -1,0 +1,633 @@
+"""Pure-stdlib image PIXEL decoding (PNG / BMP / GIF) + perceptual hashes.
+
+The container ships no PIL/opencv — but PNG is DEFLATE (stdlib zlib),
+BMP is uncompressed, and GIF's LZW fits in forty lines. That makes
+real pixel access — and therefore real perceptual hashing and
+corpus-wide near-dup image dedupe (the LAION-style curation step) —
+possible for the raster formats that dominate document packages and
+web corpora, with no native codec. JPEG/WEBP/TIFF stay behind the
+loud decode error (DCT / VP8 entropy coding is a codec, not a byte
+walk; kernels/mediainfo.py still sniffs their headers for metadata).
+
+Everything here is a plain-Python worker kernel called from
+mapInPandas batches (functions/media.py) — deterministic integer
+arithmetic ONLY, so Spark and the DuckDB oracle can agree bit-for-bit
+on the planted-formula spares.
+
+Scale shape: decode cost is bounded BEFORE any decompression by the
+header-declared pixel count (``max_pixels`` — the zip-bomb guard: a
+67-byte PNG can declare a 2-gigapixel canvas), and the per-blob work
+is O(bytes) with no cross-row state, so the operator parallelizes
+as ordinary Arrow batches.
+
+Reference parity: the reference hands media bytes to vision models
+and dedupes them by sha256 (docproc/extractors/vision_llm.py:292-294);
+pixel-level near-dup identity is a beyond-reference training-data
+operator (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = [
+    "ImageDecodeError",
+    "CodecUnavailableError",
+    "decode_image_pixels",
+    "encode_png",
+    "image_signature",
+    "gray_from_rgb",
+    "box_resample",
+    "dhash64_from_gray",
+    "ahash64_from_gray",
+    "signed64",
+]
+
+# Pixel-count cap enforced from the HEADER, before inflating anything.
+DEFAULT_MAX_PIXELS = 16_000_000
+
+
+class ImageDecodeError(ValueError):
+    """Raised for corrupt, truncated, or unsupported-format images."""
+
+
+class CodecUnavailableError(ImageDecodeError):
+    """The format is recognized but needs a native codec (JPEG/WEBP/
+    TIFF) that this environment does not ship — an environment
+    limitation, not bad data. Callers that distinguish quarantine
+    from env-stub catch this separately."""
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype → samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, off: int, width: int, height: int,
+              channels: int, depth: int) -> tuple[list[bytearray], int]:
+    """Invert PNG scanline filtering for one (sub-)image; returns the
+    filtered-out scanline byte rows and the new stream offset."""
+    row_bytes = (width * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
+    rows: list[bytearray] = []
+    prev = bytearray(row_bytes)
+    for _ in range(height):
+        if off + 1 + row_bytes > len(raw):
+            raise ImageDecodeError("png: truncated pixel data")
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + row_bytes])
+        off += 1 + row_bytes
+        if ftype == 1:  # Sub
+            for i in range(bpp, row_bytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_bytes):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_bytes):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_bytes):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ImageDecodeError(f"png: unknown filter type {ftype}")
+        rows.append(line)
+        prev = line
+    return rows, off
+
+
+def _samples(line: bytearray, width: int, channels: int, depth: int) -> list[int]:
+    """One scanline of filtered-out bytes → flat 8-bit sample list.
+    Sub-byte depths unpack MSB-first and SCALE to 8-bit (the PNG
+    convention: max sample value maps to 255); 16-bit keeps the high
+    byte — except palette indices, which never scale (handled by the
+    caller passing depth with colortype; indices use _indices)."""
+    n = width * channels
+    if depth == 8:
+        return list(line[:n])
+    if depth == 16:
+        return [line[2 * i] for i in range(n)]
+    out = []
+    scale = 255 // ((1 << depth) - 1)
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    for i in range(n):
+        byte = line[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        out.append(((byte >> shift) & mask) * scale)
+    return out
+
+
+def _indices(line: bytearray, width: int, depth: int) -> list[int]:
+    """Palette indices: like _samples but WITHOUT 8-bit scaling."""
+    if depth == 8:
+        return list(line[:width])
+    out = []
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    for i in range(width):
+        byte = line[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        out.append((byte >> shift) & mask)
+    return out
+
+
+def _decode_png(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
+    pos = len(_PNG_SIG)
+    w = h = depth = ctype = interlace = None
+    plte: bytes | None = None
+    trns: bytes | None = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(b):
+        ln = struct.unpack(">I", b[pos : pos + 4])[0]
+        kind = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ImageDecodeError("png: truncated chunk")
+        if kind == b"IHDR":
+            if ln < 13:
+                raise ImageDecodeError("png: short IHDR")
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if comp != 0 or filt != 0:
+                raise ImageDecodeError("png: nonzero compression/filter method")
+            if ctype not in _PNG_CHANNELS:
+                raise ImageDecodeError(f"png: bad color type {ctype}")
+            if depth not in _PNG_DEPTHS[ctype]:
+                raise ImageDecodeError(
+                    f"png: depth {depth} invalid for color type {ctype}"
+                )
+            if interlace not in (0, 1):
+                raise ImageDecodeError(f"png: bad interlace {interlace}")
+            if not w or not h:
+                raise ImageDecodeError("png: zero dimension")
+            if w * h > max_pixels:  # BEFORE any inflate — zip-bomb guard
+                raise ImageDecodeError(
+                    f"png: {w}x{h} exceeds max_pixels={max_pixels}"
+                )
+        elif kind == b"PLTE":
+            plte = data
+        elif kind == b"tRNS":
+            trns = data
+        elif kind == b"IDAT":
+            idat.append(data)
+        elif kind == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ImageDecodeError("png: no IHDR")
+    if not idat:
+        raise ImageDecodeError("png: no IDAT")
+    if ctype == 3 and plte is None:
+        raise ImageDecodeError("png: palette image without PLTE")
+    channels = _PNG_CHANNELS[ctype]
+    try:
+        # cap the inflate output too: a lying IHDR cannot widen it
+        bound = (w * channels * depth + 7) // 8 * h + h + 64
+        raw = zlib.decompressobj().decompress(b"".join(idat), bound * 2)
+    except zlib.error as exc:
+        raise ImageDecodeError(f"png: bad zlib stream ({exc})") from None
+
+    # palette → (r, g, b, a) lookup with tRNS alpha
+    pal: list[tuple[int, int, int, int]] | None = None
+    if ctype == 3:
+        pal = []
+        for i in range(len(plte) // 3):
+            a = trns[i] if trns is not None and i < len(trns) else 255
+            pal.append((plte[3 * i], plte[3 * i + 1], plte[3 * i + 2], a))
+
+    rgb = bytearray(w * h * 3)
+
+    # decode each (sub-)image's scanlines straight into canvas writes;
+    # xs carries the pass's x positions (row-major within the pass)
+    def emit(line: bytearray, width_px: int, xs, y: int) -> None:
+        if ctype == 3:
+            idxs = _indices(line, width_px, depth)
+            for k, x in enumerate(xs):
+                idx = idxs[k]
+                if idx >= len(pal):
+                    raise ImageDecodeError("png: palette index out of range")
+                r, g, bl, a = pal[idx]
+                o = (y * w + x) * 3
+                if a == 255:
+                    rgb[o], rgb[o + 1], rgb[o + 2] = r, g, bl
+                else:  # composite over white — document convention
+                    rgb[o] = (r * a + 255 * (255 - a)) // 255
+                    rgb[o + 1] = (g * a + 255 * (255 - a)) // 255
+                    rgb[o + 2] = (bl * a + 255 * (255 - a)) // 255
+            return
+        vals = _samples(line, width_px, channels, depth)
+        for k, x in enumerate(xs):
+            o = (y * w + x) * 3
+            if ctype == 0:
+                v = vals[k]
+                rgb[o] = rgb[o + 1] = rgb[o + 2] = v
+            elif ctype == 2:
+                rgb[o : o + 3] = bytes(vals[3 * k : 3 * k + 3])
+            elif ctype == 4:
+                v, a = vals[2 * k], vals[2 * k + 1]
+                g2 = (v * a + 255 * (255 - a)) // 255
+                rgb[o] = rgb[o + 1] = rgb[o + 2] = g2
+            else:  # 6: RGBA
+                r, g, bl, a = vals[4 * k : 4 * k + 4]
+                rgb[o] = (r * a + 255 * (255 - a)) // 255
+                rgb[o + 1] = (g * a + 255 * (255 - a)) // 255
+                rgb[o + 2] = (bl * a + 255 * (255 - a)) // 255
+
+    if interlace == 0:
+        rows, _ = _unfilter(raw, 0, w, h, channels, depth)
+        allx = list(range(w))
+        for y, line in enumerate(rows):
+            emit(line, w, allx, y)
+    else:  # Adam7
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _unfilter(raw, off, pw, ph, channels, depth)
+            xs = list(range(x0, w, dx))
+            for r_i, line in enumerate(rows):
+                emit(line, pw, xs, y0 + r_i * dy)
+    return w, h, rgb
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER+, BI_RGB, 8/24/32 bpp)
+# ---------------------------------------------------------------------------
+def _decode_bmp(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
+    if len(b) < 54:
+        raise ImageDecodeError("bmp: truncated header")
+    pix_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        raise ImageDecodeError("bmp: pre-BITMAPINFOHEADER not supported")
+    w, h_raw = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    comp = struct.unpack("<I", b[30:34])[0]
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ImageDecodeError("bmp: bad dimensions")
+    if w * h > max_pixels:
+        raise ImageDecodeError(f"bmp: {w}x{h} exceeds max_pixels={max_pixels}")
+    # BI_RGB only; BI_BITFIELDS with the standard BGRA masks is the one
+    # other wild variant — accept it for 32bpp when the masks say BGRA.
+    # The three masks sit at absolute offset 54 whether the DIB header
+    # is 40 bytes (masks follow it) or 108/124 (masks inside it).
+    if comp == 3 and bpp == 32:
+        if len(b) < 66 or struct.unpack("<III", b[54:66]) != (
+            0x00FF0000, 0x0000FF00, 0x000000FF,
+        ):
+            raise ImageDecodeError("bmp: nonstandard bitfields")
+    elif comp != 0:
+        raise ImageDecodeError(f"bmp: compression {comp} not supported")
+    if bpp not in (8, 24, 32):
+        raise ImageDecodeError(f"bmp: {bpp}bpp not supported")
+    pal = None
+    if bpp == 8:
+        n_colors = struct.unpack("<I", b[46:50])[0] or 256
+        pal_at = 14 + hdr_size
+        if pal_at + 4 * n_colors > len(b):
+            raise ImageDecodeError("bmp: truncated palette")
+        pal = [
+            (b[pal_at + 4 * i + 2], b[pal_at + 4 * i + 1], b[pal_at + 4 * i])
+            for i in range(n_colors)
+        ]
+    stride = (w * bpp // 8 + 3) & ~3
+    if pix_off + stride * h > len(b):
+        raise ImageDecodeError("bmp: truncated pixel data")
+    rgb = bytearray(w * h * 3)
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        row = pix_off + src_y * stride
+        o = y * w * 3
+        if bpp == 8:
+            for x in range(w):
+                idx = b[row + x]
+                if idx >= len(pal):
+                    raise ImageDecodeError("bmp: palette index out of range")
+                rgb[o + 3 * x : o + 3 * x + 3] = bytes(pal[idx])
+        else:
+            step = bpp // 8
+            for x in range(w):
+                p = row + x * step
+                rgb[o + 3 * x] = b[p + 2]      # BGR(A) order on disk
+                rgb[o + 3 * x + 1] = b[p + 1]
+                rgb[o + 3 * x + 2] = b[p]
+    return w, h, rgb
+
+
+# ---------------------------------------------------------------------------
+# GIF (first frame; LZW; interlace; GCE transparency)
+# ---------------------------------------------------------------------------
+def _lzw_decode(min_code: int, data: bytes, max_out: int) -> bytearray:
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = table[: clear + 2]
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ImageDecodeError("gif: bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ImageDecodeError("gif: LZW code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise ImageDecodeError("gif: LZW output exceeds canvas")
+            prev = entry
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _decode_gif(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
+    if len(b) < 13:
+        raise ImageDecodeError("gif: truncated header")
+    flags = b[10]
+    gct = None
+    pos = 13
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ImageDecodeError("gif: truncated global color table")
+        pos += 3 * n
+    transparent = -1
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension
+            if pos + 2 > len(b):
+                raise ImageDecodeError("gif: truncated extension")
+            label = b[pos + 1]
+            pos += 2
+            # Graphic Control Extension carries the transparent index
+            if label == 0xF9 and pos + 1 + b[pos] <= len(b) and b[pos] >= 4:
+                if b[pos + 1] & 0x01:
+                    transparent = b[pos + 4]
+            while pos < len(b) and b[pos] != 0:  # skip sub-blocks
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor — first frame only
+            if pos + 10 > len(b):
+                raise ImageDecodeError("gif: truncated image descriptor")
+            w, h = struct.unpack("<HH", b[pos + 5 : pos + 9])
+            iflags = b[pos + 9]
+            pos += 10
+            if not w or not h:
+                raise ImageDecodeError("gif: zero dimension")
+            if w * h > max_pixels:
+                raise ImageDecodeError(
+                    f"gif: {w}x{h} exceeds max_pixels={max_pixels}"
+                )
+            table = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                table = b[pos : pos + 3 * n]
+                if len(table) < 3 * n:
+                    raise ImageDecodeError("gif: truncated local color table")
+                pos += 3 * n
+            if table is None:
+                raise ImageDecodeError("gif: no color table")
+            if pos >= len(b):
+                raise ImageDecodeError("gif: missing LZW data")
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ImageDecodeError(f"gif: bad LZW min code {min_code}")
+            chunks = []
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                chunks.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idxs = _lzw_decode(min_code, b"".join(chunks), w * h)
+            if len(idxs) < w * h:
+                raise ImageDecodeError("gif: short pixel data")
+            # interlaced GIF writes rows in 4 passes
+            if iflags & 0x40:
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+            else:
+                order = list(range(h))
+            n_colors = len(table) // 3
+            rgb = bytearray(w * h * 3)
+            for src_row, y in enumerate(order):
+                base = src_row * w
+                o = y * w * 3
+                for x in range(w):
+                    idx = idxs[base + x]
+                    if idx >= n_colors:
+                        raise ImageDecodeError("gif: color index out of range")
+                    if idx == transparent:
+                        rgb[o + 3 * x : o + 3 * x + 3] = b"\xff\xff\xff"
+                    else:
+                        rgb[o + 3 * x : o + 3 * x + 3] = table[
+                            3 * idx : 3 * idx + 3
+                        ]
+            return w, h, rgb
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ImageDecodeError(f"gif: unknown block 0x{block:02x}")
+    raise ImageDecodeError("gif: no image frame")
+
+
+# ---------------------------------------------------------------------------
+# public decode + encode
+# ---------------------------------------------------------------------------
+def decode_image_pixels(
+    blob: bytes | None, max_pixels: int = DEFAULT_MAX_PIXELS
+) -> dict:
+    """Decode PNG/BMP/GIF bytes to 8-bit RGB.
+
+    Returns ``{"format", "width", "height", "rgb"}`` where ``rgb`` is
+    ``bytes`` of row-major R,G,B triples. Alpha/transparency composites
+    over white (the document-rendering convention, and what a beacon /
+    blank-image gate should see). Raises :class:`ImageDecodeError` for
+    corrupt or truncated input — and for formats that need a real codec
+    (JPEG/WEBP/TIFF), with a message saying so.
+    """
+    b = blob or b""
+    if b[:8] == _PNG_SIG:
+        w, h, rgb = _decode_png(b, max_pixels)
+        fmt = "png"
+    elif b[:2] == b"BM":
+        w, h, rgb = _decode_bmp(b, max_pixels)
+        fmt = "bmp"
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, rgb = _decode_gif(b, max_pixels)
+        fmt = "gif"
+    elif b[:3] == b"\xff\xd8\xff" or (b[:4] == b"RIFF" and b[8:12] == b"WEBP") \
+            or b[:4] in (b"II*\x00", b"MM\x00*"):
+        raise CodecUnavailableError(
+            "jpeg/webp/tiff pixel decode needs a native codec not present "
+            "in this environment (header metadata via kernels/mediainfo)"
+        )
+    else:
+        raise ImageDecodeError("unrecognized image format")
+    return {"format": fmt, "width": w, "height": h, "rgb": bytes(rgb)}
+
+
+def encode_png(rgb: bytes, width: int, height: int) -> bytes:
+    """Minimal PNG encoder: 8-bit RGB, filter 0, one zlib IDAT.
+
+    Output is a fully valid PNG (real CRCs) that this module's own
+    decoder — and any other PNG reader — round-trips exactly.
+    """
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb length {len(rgb)} != {width}x{height}x3"
+        )
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += rgb[y * width * 3 : (y + 1) * width * 3]
+
+    def chunk(kind: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + kind + payload
+            + struct.pack(">I", zlib.crc32(kind + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grayscale, resampling, perceptual hashes — integer-exact
+# ---------------------------------------------------------------------------
+def gray_from_rgb(rgb: bytes) -> list[int]:
+    """ITU-R BT.601 integer luma: (299R + 587G + 114B) // 1000."""
+    return [
+        (299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]) // 1000
+        for i in range(0, len(rgb), 3)
+    ]
+
+
+def box_resample(
+    gray: list[int], w: int, h: int, ow: int, oh: int
+) -> list[int]:
+    """Integer box-mean resample (floor). Output box (ox, oy) averages
+    input range [ox*w//ow, max(that+1, (ox+1)*w//ow)) — the max() keeps
+    every box non-empty even when upsampling, and (ow==w, oh==h) is the
+    identity, which the DuckDB formula oracle relies on."""
+    out = []
+    for oy in range(oh):
+        y0 = oy * h // oh
+        y1 = max(y0 + 1, (oy + 1) * h // oh)
+        for ox in range(ow):
+            x0 = ox * w // ow
+            x1 = max(x0 + 1, (ox + 1) * w // ow)
+            s = 0
+            for y in range(y0, y1):
+                base = y * w
+                for x in range(x0, x1):
+                    s += gray[base + x]
+            out.append(s // ((y1 - y0) * (x1 - x0)))
+    return out
+
+
+def signed64(u: int) -> int:
+    """Two's-complement fold into a signed 64-bit int (Spark/DuckDB
+    BIGINT)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def dhash64_from_gray(gray: list[int], w: int, h: int) -> int:
+    """Difference hash: resample to 9x8, bit = left > right, row-major
+    MSB-first. Robust to rescaling/re-encoding; brightness-shift
+    sensitive only at gradient boundaries."""
+    g = box_resample(gray, w, h, 9, 8)
+    u = 0
+    for y in range(8):
+        for x in range(8):
+            u = (u << 1) | (1 if g[y * 9 + x] > g[y * 9 + x + 1] else 0)
+    return signed64(u)
+
+
+def ahash64_from_gray(gray: list[int], w: int, h: int) -> int:
+    """Average hash: resample to 8x8, bit = pixel > floor-mean,
+    row-major MSB-first."""
+    g = box_resample(gray, w, h, 8, 8)
+    mean = sum(g) // 64
+    u = 0
+    for v in g:
+        u = (u << 1) | (1 if v > mean else 0)
+    return signed64(u)
+
+
+def image_signature(
+    blob: bytes | None, max_pixels: int = DEFAULT_MAX_PIXELS
+) -> dict:
+    """Decode + perceptual signature in one call (the mapInPandas
+    kernel unit). Never raises: undecodable blobs return the error
+    string in ``decode_error`` with NULL metrics — quarantine is a row
+    property, not a task failure."""
+    try:
+        d = decode_image_pixels(blob, max_pixels)
+    except ImageDecodeError as exc:
+        return {
+            "format": None, "width": None, "height": None,
+            "gray_mean": None, "dhash64": None, "ahash64": None,
+            "decode_error": str(exc),
+        }
+    gray = gray_from_rgb(d["rgb"])
+    return {
+        "format": d["format"],
+        "width": d["width"],
+        "height": d["height"],
+        "gray_mean": sum(gray) // len(gray),
+        "dhash64": dhash64_from_gray(gray, d["width"], d["height"]),
+        "ahash64": ahash64_from_gray(gray, d["width"], d["height"]),
+        "decode_error": None,
+    }

@@ -800,6 +800,37 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs (a < b, hamming(sig_a, sig_b) ≤ max_hamming).
 
+    Signature computation (simhash64) + the generic pigeonhole-banded
+    hamming join (:func:`hamming_neardup_pairs` — also the engine for
+    perceptual-image dedupe via functions/media.image_neardup_pairs).
+    """
+    sig = simhash64(docs, text_col, id_col, n_bits).cache()
+    return hamming_neardup_pairs(
+        sig,
+        sig_col="simhash",
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        n_bits=n_bits,
+        max_bucket=max_bucket,
+        log_dropped=log_dropped,
+    )
+
+
+def hamming_neardup_pairs(
+    sigs: DataFrame,
+    sig_col: str = "sig",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_bits: int = 64,
+    max_bucket: int = 1000,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column (a < b,
+    hamming(sig_a, sig_b) ≤ max_hamming) — SimHash, dHash/aHash image
+    fingerprints, or any other bitwise signature.
+
     The Manku/Jain/Sarma WWW'07 trick: split the signature into n_bands
     contiguous bit blocks; by pigeonhole, any pair within hamming distance
     < n_bands agrees EXACTLY on ≥1 block — so block-equality groupBys
@@ -808,10 +839,20 @@ def simhash_neardup_pairs(
     bit_count(xor) verifies. Buckets over the cap are dropped WITH a
     logged accounting (log_dropped), mirroring minhash_neardup_pairs —
     a >cap bucket of exact copies would otherwise lose its pairs silently.
+
+    Band extraction uses arithmetic shiftright + mask, so the sign bit
+    of a full-64-bit signature lands correctly in the top band.
     """
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole needs max_hamming < n_bands")
-    sig = simhash64(docs, text_col, id_col, n_bits).cache()
+    if n_bits % n_bands:
+        raise ValueError(
+            f"n_bits={n_bits} must divide evenly into n_bands={n_bands} — "
+            "uncovered bits would break the pigeonhole recall guarantee"
+        )
+    sig = sigs.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("simhash")
+    )
     bits_per = n_bits // n_bands
     mask = (1 << bits_per) - 1
     keys = F.array(
@@ -822,7 +863,7 @@ def simhash_neardup_pairs(
             for b in range(n_bands)
         ]
     )
-    # single pass over the cached signatures: all band keys posexploded
+    # single pass over the signatures: all band keys posexploded
     banded = sig.select(
         "doc_id", "simhash", F.posexplode(keys).alias("band", "bk")
     )

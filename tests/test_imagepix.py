@@ -1,0 +1,552 @@
+"""Pure-stdlib image pixel decoding (kernels/imagepix.py).
+
+Fixtures are spec-faithful byte streams built with independent forward
+implementations (a PNG forward-filterer, an LZW-literal GIF encoder,
+hand-packed BMP rows) so the decoder must invert real encodings, not
+its own assumptions. Round-trip property tests drive encode_png →
+decode_image_pixels over random pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docproc_spark.kernels.imagepix import (
+    ImageDecodeError,
+    ahash64_from_gray,
+    box_resample,
+    decode_image_pixels,
+    dhash64_from_gray,
+    encode_png,
+    gray_from_rgb,
+    image_signature,
+    signed64,
+)
+
+# ---------------------------------------------------------------------------
+# PNG builders (forward implementations, independent of the decoder)
+# ---------------------------------------------------------------------------
+
+
+def _chunk(kind: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + kind + payload
+        + struct.pack(">I", zlib.crc32(kind + payload))
+    )
+
+
+def _png(w, h, depth, ctype, idat_raw, *, interlace=0, plte=None, trns=None):
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(idat_raw)) + _chunk(b"IEND", b"")
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_line(ftype, line, prev, bpp):
+    """PNG forward filter (spec §9) — the decoder must invert this."""
+    out = bytearray([ftype])
+    for i, x in enumerate(line):
+        a = line[i - bpp] if i >= bpp else 0
+        b_ = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            v = x
+        elif ftype == 1:
+            v = x - a
+        elif ftype == 2:
+            v = x - b_
+        elif ftype == 3:
+            v = x - ((a + b_) >> 1)
+        else:
+            v = x - _paeth(a, b_, c)
+        out.append(v & 0xFF)
+    return bytes(out)
+
+
+class TestPng:
+    def test_all_five_filters_invert(self):
+        # 4x5 RGB, one row per filter type (0..4)
+        w, h = 4, 5
+        px = bytes((y * 40 + x * 7 + c * 3) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+        raw = bytearray()
+        prev = bytes(w * 3)
+        for y in range(h):
+            line = px[y * w * 3 : (y + 1) * w * 3]
+            raw += _filter_line(y, line, prev, 3)
+            prev = line
+        d = decode_image_pixels(_png(w, h, 8, 2, bytes(raw)))
+        assert (d["format"], d["width"], d["height"]) == ("png", w, h)
+        assert d["rgb"] == px
+
+    def test_gray_subbyte_depths_scale_to_8bit(self):
+        # depth 1: bits 1,0,1,1,0,0,1,0 → 255/0; one packed byte per row
+        d = decode_image_pixels(_png(8, 1, 1, 0, b"\x00\xb2"))
+        assert list(d["rgb"][::3]) == [255, 0, 255, 255, 0, 0, 255, 0]
+        # depth 2: values 0..3 scale by 85
+        d = decode_image_pixels(_png(4, 1, 2, 0, b"\x00\x1b"))  # 00 01 10 11
+        assert list(d["rgb"][::3]) == [0, 85, 170, 255]
+        # depth 4: values scale by 17
+        d = decode_image_pixels(_png(2, 1, 4, 0, b"\x00\x5a"))  # 5, 10
+        assert list(d["rgb"][::3]) == [85, 170]
+
+    def test_16bit_keeps_high_byte(self):
+        line = b"\x00" + struct.pack(">HHH", 0xAB12, 0x00FF, 0xFF00)
+        d = decode_image_pixels(_png(1, 1, 16, 2, line))
+        assert list(d["rgb"]) == [0xAB, 0x00, 0xFF]
+
+    def test_palette_with_trns_composites_white(self):
+        plte = bytes([200, 10, 30, 0, 0, 0])
+        # index 1 fully transparent; 2x1, depth 8
+        d = decode_image_pixels(
+            _png(2, 1, 8, 3, b"\x00\x00\x01", plte=plte, trns=b"\xff\x00")
+        )
+        assert list(d["rgb"]) == [200, 10, 30, 255, 255, 255]
+
+    def test_palette_subbyte_indices_do_not_scale(self):
+        plte = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+        # depth 2, indices 3,2,1,0 packed MSB-first = 0b11100100
+        d = decode_image_pixels(_png(4, 1, 2, 3, b"\x00\xe4", plte=plte))
+        assert list(d["rgb"]) == [10, 11, 12, 7, 8, 9, 4, 5, 6, 1, 2, 3]
+
+    def test_rgba_and_gray_alpha_composite_over_white(self):
+        line = b"\x00" + bytes([100, 150, 200, 128])
+        d = decode_image_pixels(_png(1, 1, 8, 6, line))
+        exp = [(v * 128 + 255 * 127) // 255 for v in (100, 150, 200)]
+        assert list(d["rgb"]) == exp
+        line = b"\x00" + bytes([60, 64])
+        d = decode_image_pixels(_png(1, 1, 8, 4, line))
+        g = (60 * 64 + 255 * 191) // 255
+        assert list(d["rgb"]) == [g, g, g]
+
+    def test_adam7_matches_sequential(self):
+        w = h = 9  # odd size exercises ragged passes
+        px = bytes((x * 29 + y * 53) % 256 for y in range(h) for x in range(w))
+        seq = bytearray()
+        for y in range(h):
+            seq += b"\x00" + px[y * w : (y + 1) * w]
+        plain = decode_image_pixels(_png(w, h, 8, 0, bytes(seq)))
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        inter = bytearray()
+        for x0, y0, dx, dy in passes:
+            xs = list(range(x0, w, dx))
+            ys = list(range(y0, h, dy))
+            if not xs or not ys:
+                continue
+            for y in ys:
+                inter += b"\x00" + bytes(px[y * w + x] for x in xs)
+        lace = decode_image_pixels(_png(w, h, 8, 0, bytes(inter), interlace=1))
+        assert lace["rgb"] == plain["rgb"] == bytes(
+            v for v in px for _ in range(3)
+        )
+
+    def test_zip_bomb_rejected_before_inflate(self):
+        bomb = _png(50_000, 50_000, 8, 0, b"")
+        with pytest.raises(ImageDecodeError, match="max_pixels"):
+            decode_image_pixels(bomb)
+
+    def test_corrupt_streams_raise(self):
+        with pytest.raises(ImageDecodeError, match="no IDAT"):
+            decode_image_pixels(_png(1, 1, 8, 0, b"x")[:33] + _chunk(b"IEND", b""))
+        with pytest.raises(ImageDecodeError, match="zlib"):
+            decode_image_pixels(
+                b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+                + _chunk(b"IDAT", b"not zlib")
+                + _chunk(b"IEND", b"")
+            )
+        with pytest.raises(ImageDecodeError, match="truncated pixel"):
+            decode_image_pixels(_png(4, 4, 8, 2, b"\x00abc"))
+        with pytest.raises(ImageDecodeError, match="without PLTE"):
+            decode_image_pixels(_png(1, 1, 8, 3, b"\x00\x00"))
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 6), st.integers(1, 6), st.integers(0, 2**32 - 1))
+    def test_encode_decode_round_trip(self, w, h, seed):
+        rnd = __import__("random").Random(seed)
+        px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        d = decode_image_pixels(encode_png(px, w, h))
+        assert (d["width"], d["height"], d["rgb"]) == (w, h, px)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def _bmp(w, h, bpp, rows_bgr, *, top_down=False, palette=None, comp=0,
+         masks=None):
+    """rows_bgr: per-VISUAL-row packed pixel bytes (unpadded)."""
+    stride = (w * bpp // 8 + 3) & ~3
+    pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in (palette or []))
+    body = bytearray()
+    order = rows_bgr if top_down else rows_bgr[::-1]
+    for row in order:
+        body += row + b"\x00" * (stride - len(row))
+    hdr = struct.pack(
+        "<iiHHIIiiII", w, h if not top_down else -h, 1, bpp, comp,
+        len(body), 2835, 2835, len(palette or []), 0,
+    )
+    info = struct.pack("<I", 40) + hdr
+    if masks is not None:
+        info += struct.pack("<III", *masks)
+    off = 14 + len(info) + len(pal)
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + info + pal + bytes(body)
+    )
+
+
+class TestBmp:
+    def test_24bpp_bottom_up_with_padding(self):
+        # 2x2: visual rows [(R)(G)] / [(B)(W)] — stored bottom-up, BGR
+        rows = [b"\x00\x00\xff" + b"\x00\xff\x00", b"\xff\x00\x00" + b"\xff\xff\xff"]
+        d = decode_image_pixels(_bmp(2, 2, 24, rows))
+        assert (d["format"], d["width"], d["height"]) == ("bmp", 2, 2)
+        assert list(d["rgb"]) == [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+
+    def test_32bpp_top_down_and_bitfields(self):
+        rows = [b"\x01\x02\x03\x00"]  # BGRA → RGB (3,2,1)
+        d = decode_image_pixels(_bmp(1, 1, 32, rows, top_down=True))
+        assert list(d["rgb"]) == [3, 2, 1]
+        ok = _bmp(1, 1, 32, rows, comp=3,
+                  masks=(0x00FF0000, 0x0000FF00, 0x000000FF))
+        assert list(decode_image_pixels(ok)["rgb"]) == [3, 2, 1]
+        bad = _bmp(1, 1, 32, rows, comp=3,
+                   masks=(0x000000FF, 0x0000FF00, 0x00FF0000))
+        with pytest.raises(ImageDecodeError, match="bitfields"):
+            decode_image_pixels(bad)
+
+    def test_8bpp_palette(self):
+        d = decode_image_pixels(
+            _bmp(2, 1, 8, [b"\x01\x00"], palette=[(9, 8, 7), (50, 60, 70)])
+        )
+        assert list(d["rgb"]) == [50, 60, 70, 9, 8, 7]
+
+    def test_rle_rejected(self):
+        with pytest.raises(ImageDecodeError, match="compression"):
+            decode_image_pixels(_bmp(2, 1, 8, [b"\x00\x00"], comp=1))
+
+
+# ---------------------------------------------------------------------------
+# GIF (independent LZW-literal encoder: CLEAR before every pixel code)
+# ---------------------------------------------------------------------------
+
+
+def _gif(w, h, palette, idxs, *, interlace=False, transparent=None,
+         local=False):
+    n = max(2, (len(palette) - 1).bit_length())  # color table size exp
+    min_code = max(2, n)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        stream = [idxs[y * w + x] for y in order for x in range(w)]
+    else:
+        stream = list(idxs)
+    codes = [clear]
+    for px in stream:
+        codes += [px, clear]
+    codes[-1] = eoi
+    width = min_code + 1  # constant: the table never grows past a CLEAR
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    table = b"".join(bytes(c) for c in palette)
+    table += b"\x00" * ((3 << n) - len(table))
+    out = b"GIF89a" + struct.pack("<HH", w, h)
+    out += bytes([(0x80 | (n - 1)) if not local else 0x00, 0, 0])
+    if not local:
+        out += table
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([((0x80 | (n - 1)) if local else 0) | (0x40 if interlace else 0)])
+    if local:
+        out += table
+    out += bytes([min_code])
+    for i in range(0, len(packed), 255):
+        blockb = packed[i : i + 255]
+        out += bytes([len(blockb)]) + blockb
+    return out + b"\x00\x3b"
+
+
+PAL4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+
+class TestGif:
+    def test_basic_frame(self):
+        d = decode_image_pixels(_gif(2, 2, PAL4, [0, 1, 2, 3]))
+        assert (d["format"], d["width"], d["height"]) == ("gif", 2, 2)
+        assert list(d["rgb"]) == [0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255]
+
+    def test_interlaced_rows_reordered(self):
+        h = 9
+        idxs = [(y % 4) for y in range(h) for _ in range(2)]
+        plain = decode_image_pixels(_gif(2, h, PAL4, idxs))
+        laced = decode_image_pixels(_gif(2, h, PAL4, idxs, interlace=True))
+        assert laced["rgb"] == plain["rgb"]
+
+    def test_transparent_index_is_white(self):
+        d = decode_image_pixels(_gif(2, 1, PAL4, [1, 2], transparent=2))
+        assert list(d["rgb"]) == [255, 0, 0, 255, 255, 255]
+
+    def test_local_color_table(self):
+        d = decode_image_pixels(_gif(1, 1, PAL4, [3], local=True))
+        assert list(d["rgb"]) == [0, 0, 255]
+
+    def test_real_lzw_compression_decodes(self):
+        # a REAL growing-table LZW encoder (back-references, no interim
+        # clears) whose bit-width schedule mirrors the decoder's: the
+        # decoder appends one table entry per code after the first and
+        # widens when the table size reaches 2^width
+        w = h = 5
+        idxs = [1, 1, 1, 1, 1,
+                1, 0, 0, 0, 1,
+                1, 0, 2, 0, 1,
+                1, 0, 0, 0, 1,
+                1, 1, 1, 1, 1]
+        min_code = 2
+        clear, eoi = 4, 5
+        table = {bytes([i]): i for i in range(4)}
+        next_code = 6
+        codes = [clear]
+        buf = b""
+        for px in idxs:
+            cand = buf + bytes([px])
+            if cand in table:
+                buf = cand
+            else:
+                codes.append(table[buf])
+                table[cand] = next_code
+                next_code += 1
+                buf = bytes([px])
+        codes.append(table[buf])
+        codes.append(eoi)
+        packed = bytearray()
+        acc = nbits = 0
+        width = min_code + 1
+        size = 6  # decoder table size right after CLEAR
+        first_data = True
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            if c == clear:
+                width, size, first_data = min_code + 1, 6, True
+            elif c != eoi:
+                if first_data:
+                    first_data = False
+                else:
+                    size += 1
+                    if size >= (1 << width) and width < 12:
+                        width += 1
+        if nbits:
+            packed.append(acc & 0xFF)
+        gif = (
+            b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x81, 0, 0])
+            + b"".join(bytes(c) for c in PAL4)
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + bytes([min_code, len(packed)]) + bytes(packed) + b"\x00\x3b"
+        )
+        exp = b"".join(bytes(PAL4[i]) for i in idxs)
+        assert decode_image_pixels(gif)["rgb"] == exp
+
+    def test_truncated_raises(self):
+        g = _gif(2, 2, PAL4, [0, 1, 2, 3])
+        with pytest.raises(ImageDecodeError):
+            decode_image_pixels(g[:20])
+
+
+# ---------------------------------------------------------------------------
+# unsupported formats + signature math
+# ---------------------------------------------------------------------------
+
+
+class TestSignature:
+    def test_codec_formats_raise_with_reason(self):
+        with pytest.raises(ImageDecodeError, match="native codec"):
+            decode_image_pixels(b"\xff\xd8\xff\xe0JFIF")
+        with pytest.raises(ImageDecodeError, match="native codec"):
+            decode_image_pixels(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        with pytest.raises(ImageDecodeError, match="unrecognized"):
+            decode_image_pixels(b"plain text")
+        with pytest.raises(ImageDecodeError):
+            decode_image_pixels(None)
+
+    def test_box_resample_identity_and_means(self):
+        g = list(range(72))
+        assert box_resample(g, 9, 8, 9, 8) == g
+        assert box_resample([1, 2, 3, 5], 2, 2, 1, 1) == [(1 + 2 + 3 + 5) // 4]
+        assert box_resample([7], 1, 1, 9, 8) == [7] * 72
+
+    def test_dhash_known_values(self):
+        # strictly decreasing left→right: every bit 1 → signed -1
+        grad = [255 - 28 * x for x in range(9)] * 8
+        assert dhash64_from_gray(grad, 9, 8) == signed64(2**64 - 1) == -1
+        # constant image → all bits 0
+        assert dhash64_from_gray([9] * 72, 9, 8) == 0
+        assert ahash64_from_gray([9] * 64, 8, 8) == 0
+
+    def test_gray_is_bt601_integer(self):
+        assert gray_from_rgb(bytes([255, 0, 0])) == [299 * 255 // 1000]
+        assert gray_from_rgb(bytes([10, 20, 30])) == [
+            (299 * 10 + 587 * 20 + 114 * 30) // 1000
+        ]
+
+    def test_same_pixels_same_hash_across_formats(self):
+        w, h = 16, 12
+        px = bytes((x * 31 + y * 17 + c * 5) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+        png_sig = image_signature(encode_png(px, w, h))
+        rows = [
+            bytes(v for x in range(w)
+                  for v in px[(y * w + x) * 3 : (y * w + x) * 3 + 3][::-1])
+            for y in range(h)
+        ]
+        bmp_sig = image_signature(_bmp(w, h, 24, rows))
+        assert png_sig["decode_error"] is None
+        assert bmp_sig["decode_error"] is None
+        assert png_sig["dhash64"] == bmp_sig["dhash64"]
+        assert png_sig["ahash64"] == bmp_sig["ahash64"]
+        assert png_sig["gray_mean"] == bmp_sig["gray_mean"]
+
+    def test_near_duplicate_has_small_hamming(self):
+        w, h = 32, 24
+        px = bytearray((x * 13 + y * 29) % 256
+                       for y in range(h) for x in range(w) for _ in range(3))
+        a = image_signature(encode_png(bytes(px), w, h))
+        px[0] = (px[0] + 40) % 256  # one corner pixel nudged
+        b_sig = image_signature(encode_png(bytes(px), w, h))
+        ham = bin((a["dhash64"] ^ b_sig["dhash64"]) & (2**64 - 1)).count("1")
+        assert ham <= 3
+        # a very different image is far
+        inv = bytes(255 - v for v in px)
+        c = image_signature(encode_png(inv, w, h))
+        ham2 = bin((a["dhash64"] ^ c["dhash64"]) & (2**64 - 1)).count("1")
+        assert ham2 > 16
+
+    def test_signature_never_raises(self):
+        s = image_signature(b"garbage")
+        assert s["decode_error"] and s["dhash64"] is None
+        s = image_signature(None)
+        assert s["decode_error"]
+
+
+# ---------------------------------------------------------------------------
+# Spark operators over the kernel
+# ---------------------------------------------------------------------------
+
+
+def _grad_png(w, h, fx, fy, bump=0):
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * fx + y * fy) % 256
+            px += bytes([v, v, (v + bump) % 256])
+    return encode_png(bytes(px), w, h)
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkImageOps:
+    def test_image_signatures_schema_and_errors(self, spark):
+        import hashlib
+
+        png = _grad_png(16, 12, 13, 29)
+        df = spark.createDataFrame(
+            [(bytearray(png),), (bytearray(b"\xff\xd8\xffJFIFgarbage"),)],
+            "blob binary",
+        )
+        from docproc_spark.functions.media import image_signatures
+
+        rows = {r["media_ref"]: r for r in image_signatures(df).collect()}
+        ok = rows[hashlib.sha256(png).hexdigest()]
+        assert (ok["format"], ok["width"], ok["height"]) == ("png", 16, 12)
+        assert ok["decode_error"] is None and ok["dhash64"] is not None
+        sig = image_signature(png)
+        assert ok["dhash64"] == sig["dhash64"]
+        assert ok["ahash64"] == sig["ahash64"]
+        bad = rows[hashlib.sha256(b"\xff\xd8\xffJFIFgarbage").hexdigest()]
+        assert bad["dhash64"] is None and "codec" in bad["decode_error"]
+
+    def test_image_neardup_pairs_finds_reencodes_and_tweaks(self, spark):
+        import hashlib
+
+        w, h = 16, 12
+        base_px = bytes((x * 13 + y * 29) % 256
+                        for y in range(h) for x in range(w) for _ in range(3))
+        png = encode_png(base_px, w, h)
+        # same pixels, different container → different sha256, hamming 0
+        rows_bgr = [
+            bytes(v for x in range(w)
+                  for v in base_px[(y * w + x) * 3 : (y * w + x) * 3 + 3][::-1])
+            for y in range(h)
+        ]
+        bmp = _bmp(w, h, 24, rows_bgr)
+        tweaked = bytearray(base_px)
+        tweaked[0] = (tweaked[0] + 40) % 256
+        near = encode_png(bytes(tweaked), w, h)
+        far = encode_png(bytes(255 - v for v in base_px), w, h)
+        df = spark.createDataFrame(
+            [(bytearray(b),) for b in (png, bmp, near, far, b"junk")],
+            "blob binary",
+        )
+        from docproc_spark.functions.media import image_neardup_pairs
+
+        pairs = image_neardup_pairs(df, max_hamming=3).collect()
+        ref = lambda b: hashlib.sha256(b).hexdigest()
+        got = {tuple(sorted((p["a"], p["b"]))): p["hamming"] for p in pairs}
+        assert got[tuple(sorted((ref(png), ref(bmp))))] == 0
+        assert got[tuple(sorted((ref(png), ref(near))))] <= 3
+        assert not any(ref(far) in k for k in got)
+
+    def test_resize_images_real_for_png_passthrough_for_junk(self, spark):
+        from docproc_spark.functions.media import resize_images
+
+        solid = encode_png(bytes([10, 200, 30]) * 16, 4, 4)
+        df = spark.createDataFrame(
+            [(bytearray(solid),), (bytearray(b"not an image"),)],
+            "blob binary",
+        )
+        out = {len(r["resized"]): r for r in resize_images(df, 2, 2).collect()}
+        resized = next(
+            r for r in out.values() if r["resized"] != b"not an image"
+        )
+        d = decode_image_pixels(bytes(resized["resized"]))
+        assert (d["width"], d["height"]) == (2, 2)
+        assert d["rgb"] == bytes([10, 200, 30]) * 4
+        passthru = next(
+            r for r in out.values() if r["resized"] == b"not an image"
+        )
+        assert passthru["width"] == 2  # contract columns still present

@@ -123,10 +123,18 @@ def test_media_stub_plumbing(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_real_for_stdlib_formats_stubbed_for_codecs():
     from docproc_spark.functions.media import decode_image
+    from docproc_spark.kernels.imagepix import ImageDecodeError, encode_png
 
+    # codec formats keep the loud env-stub contract
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
+    # stdlib-decodable formats decode for REAL now
+    d = decode_image(encode_png(b"\x01\x02\x03", 1, 1))
+    assert (d["width"], d["height"], d["rgb"]) == (1, 1, b"\x01\x02\x03")
+    # corrupt bytes are quarantine, not env limitation
+    with pytest.raises(ImageDecodeError):
         decode_image(b"")
 
 
