@@ -253,6 +253,24 @@ class DocprocSpark:
             )
         )
 
+    def media_signatures(self, path: str) -> DataFrame:
+        """Directory of real document files → the perceptual-signature
+        catalogue (sources/media_sidecar.load_media_signatures): one
+        row per distinct embedded image blob per document with REAL
+        pixel-decoded dimensions and dHash/aHash fingerprints
+        (kernels/imagepix — stdlib decode for PNG/BMP/GIF and PDF raw
+        rasters; codec formats carry the reason in ``decode_error``).
+        Same sha256 identity as ``media_sidecar``/spans; feed to
+        functions/media.perceptual_dup_clusters for template /
+        re-encoded-logo detection across the ingested corpus."""
+        from docproc_spark.sources.media_sidecar import load_media_signatures
+
+        return load_media_signatures(
+            self._binary_files(
+                path, ("pdf", "docx", "pptx", "xlsx", "xlsm", "epub")
+            )
+        )
+
     def load_warc(self, path: str) -> DataFrame:
         """Directory of .warc/.warc.gz web archives → one row per capture
         (sources/warc.py): HTML payloads land charset-decoded in

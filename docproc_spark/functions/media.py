@@ -367,6 +367,52 @@ def image_neardup_pairs(
     )
 
 
+def perceptual_dup_clusters(
+    sig_table: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """media_ref → perceptual cluster over a signature catalogue
+    (sources/media_sidecar.load_media_signatures or
+    :func:`image_signatures` output): pigeonhole-banded hamming pairs
+    on dHash, then connected components — re-encoded/rescaled copies
+    of one image collapse to one ``cluster`` (min media_ref), which
+    is what corpus-level template-media detection joins on. Refs
+    without pixels (NULL dhash64: codec-gated or corrupt) are
+    excluded; singletons return their own ref as cluster.
+
+    Scale: the signature table is one row per DISTINCT blob identity
+    (dropDuplicates on media_ref — one hash shuffle of the small
+    distinct-blob side, never the document table); pairs and
+    components inherit the banded never-O(n²) contract.
+    """
+    from docproc_spark.operators.dedupe import (
+        dup_components,
+        hamming_neardup_pairs,
+    )
+
+    uniq = (
+        sig_table.filter(F.col("dhash64").isNotNull())
+        .select("media_ref", "dhash64")
+        .dropDuplicates(["media_ref"])
+    )
+    pairs = hamming_neardup_pairs(
+        uniq,
+        sig_col="dhash64",
+        id_col="media_ref",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        n_bits=64,
+        max_bucket=max_bucket,
+    )
+    comps = dup_components(pairs).withColumnRenamed("doc_id", "media_ref")
+    return uniq.select("media_ref").join(comps, "media_ref", "left").select(
+        "media_ref",
+        F.coalesce("component", F.col("media_ref")).alias("cluster"),
+    )
+
+
 def decode_image(blob: bytes):
     """Real image decode for stdlib-decodable formats — PNG (zlib
     DEFLATE + unfiltering), BMP, GIF (LZW) via kernels/imagepix.py.

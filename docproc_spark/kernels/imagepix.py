@@ -37,6 +37,8 @@ __all__ = [
     "decode_image_pixels",
     "encode_png",
     "image_signature",
+    "signature_from_rgb",
+    "rgb_from_raw_samples",
     "gray_from_rgb",
     "box_resample",
     "dhash64_from_gray",
@@ -606,6 +608,22 @@ def ahash64_from_gray(gray: list[int], w: int, h: int) -> int:
     return signed64(u)
 
 
+def signature_from_rgb(rgb: bytes, width: int, height: int,
+                       fmt: str | None = None) -> dict:
+    """Perceptual signature of already-decoded RGB pixels — the shared
+    core of :func:`image_signature` and the PDF raw-sample path."""
+    gray = gray_from_rgb(rgb)
+    return {
+        "format": fmt,
+        "width": width,
+        "height": height,
+        "gray_mean": sum(gray) // len(gray),
+        "dhash64": dhash64_from_gray(gray, width, height),
+        "ahash64": ahash64_from_gray(gray, width, height),
+        "decode_error": None,
+    }
+
+
 def image_signature(
     blob: bytes | None, max_pixels: int = DEFAULT_MAX_PIXELS
 ) -> dict:
@@ -621,13 +639,57 @@ def image_signature(
             "gray_mean": None, "dhash64": None, "ahash64": None,
             "decode_error": str(exc),
         }
-    gray = gray_from_rgb(d["rgb"])
-    return {
-        "format": d["format"],
-        "width": d["width"],
-        "height": d["height"],
-        "gray_mean": sum(gray) // len(gray),
-        "dhash64": dhash64_from_gray(gray, d["width"], d["height"]),
-        "ahash64": ahash64_from_gray(gray, d["width"], d["height"]),
-        "decode_error": None,
-    }
+    return signature_from_rgb(d["rgb"], d["width"], d["height"], d["format"])
+
+
+def rgb_from_raw_samples(
+    samples: bytes,
+    width: int,
+    height: int,
+    color: str,
+    bpc: int,
+    max_pixels: int = DEFAULT_MAX_PIXELS,
+) -> bytes:
+    """Containerless raster → RGB: the layout PDF image XObjects use
+    after their filter chain is undone (ISO 32000 §8.9.5 — rows start
+    byte-aligned, samples most-significant-bit first). ``color`` is
+    'gray' or 'rgb'; ``bpc`` 1/2/4/8 for gray, 8 for rgb. Sub-byte
+    gray scales to full range like PNG. Raises ImageDecodeError on
+    unsupported combos or short data (CMYK / Indexed / 16-bit are the
+    honest gaps — they need the color-space object resolved)."""
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError("raw: bad dimensions")
+    if width * height > max_pixels:
+        raise ImageDecodeError(
+            f"raw: {width}x{height} exceeds max_pixels={max_pixels}"
+        )
+    if color == "rgb":
+        if bpc != 8:
+            raise ImageDecodeError(f"raw: rgb bpc {bpc} not supported")
+        need = width * height * 3
+        if len(samples) < need:
+            raise ImageDecodeError("raw: short sample data")
+        return bytes(samples[:need])
+    if color != "gray":
+        raise ImageDecodeError(f"raw: color space {color!r} not supported")
+    if bpc == 8:
+        if len(samples) < width * height:
+            raise ImageDecodeError("raw: short sample data")
+        return bytes(v for v in samples[: width * height] for _ in range(3))
+    if bpc not in (1, 2, 4):
+        raise ImageDecodeError(f"raw: gray bpc {bpc} not supported")
+    row_bytes = (width * bpc + 7) // 8
+    if len(samples) < row_bytes * height:
+        raise ImageDecodeError("raw: short sample data")
+    scale = 255 // ((1 << bpc) - 1)
+    per_byte = 8 // bpc
+    mask = (1 << bpc) - 1
+    out = bytearray()
+    for y in range(height):
+        row = samples[y * row_bytes : (y + 1) * row_bytes]
+        for x in range(width):
+            byte = row[x // per_byte]
+            shift = 8 - bpc * (x % per_byte + 1)
+            v = ((byte >> shift) & mask) * scale
+            out += bytes((v, v, v))
+    return bytes(out)

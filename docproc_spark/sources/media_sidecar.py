@@ -69,6 +69,9 @@ __all__ = [
     "html_media_rows",
     "html_media_table",
     "warc_media_catalogue",
+    "MEDIA_SIGNATURE_SCHEMA",
+    "signature_rows",
+    "load_media_signatures",
 ]
 
 _META_KEYS = (
@@ -478,3 +481,164 @@ def load_media_sidecar(
             yield pd.DataFrame(out, columns=cols)
 
     return docs.mapInPandas(gen, schema=MEDIA_SIDECAR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-signature catalogue (pixel-level media identity)
+# ---------------------------------------------------------------------------
+
+MEDIA_SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("blob_format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("gray_mean", T.IntegerType(), True),
+        T.StructField("dhash64", T.LongType(), True),
+        T.StructField("ahash64", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+        T.StructField("parse_error", T.StringType(), True),
+    ]
+)
+
+_ZIP_SIG_FMTS = ("docx", "pptx", "xlsx", "xlsm", "epub")
+
+
+def _sig_row(ref: str, name: str | None, blob_format: str | None,
+             sig: dict) -> dict:
+    return {
+        "media_ref": ref,
+        "name": name,
+        "blob_format": blob_format,
+        "width": sig["width"],
+        "height": sig["height"],
+        "gray_mean": sig["gray_mean"],
+        "dhash64": sig["dhash64"],
+        "ahash64": sig["ahash64"],
+        "decode_error": sig["decode_error"],
+        "parse_error": None,
+    }
+
+
+def _null_sig(msg: str) -> dict:
+    return {
+        "width": None, "height": None, "gray_mean": None,
+        "dhash64": None, "ahash64": None, "decode_error": msg,
+    }
+
+
+def signature_rows(fmt: str, data: bytes) -> list[dict]:
+    """Perceptual-signature rows for one document's raw bytes: one row
+    per distinct embedded image blob, keyed by the SAME sha256 identity
+    as the span table and the sidecar catalogue — so pixel-level
+    near-dup clusters join straight onto extraction output.
+
+    Zip packages (docx/pptx/xlsx/xlsm/epub) walk every member and sign
+    the ones whose bytes sniff as images. PDFs sign every /Subtype
+    /Image XObject: container payloads (kept DCT = literal JPEG files)
+    go through the container decoder; fully-undone filter chains are
+    containerless rasters decoded straight from the dict's
+    /Width /Height /BitsPerComponent + simple color space
+    (kernels/imagepix.rgb_from_raw_samples — PNG-predictor output is
+    already unfiltered by the stream decoder). Formats that genuinely
+    need a native codec (JPEG/JPX/CCITT/JBIG2, WEBP) yield a row with
+    the reason in ``decode_error`` — the catalogue still learns the
+    blob exists and is an image.
+
+    Raises on a malformed file or unknown format (callers quarantine
+    per document, mirroring media_rows)."""
+    from docproc_spark.kernels.imagepix import (
+        ImageDecodeError,
+        image_signature,
+        rgb_from_raw_samples,
+        signature_from_rgb,
+    )
+
+    fmt = (fmt or "").lower().lstrip(".")
+    rows: list[dict] = []
+    if fmt in _ZIP_SIG_FMTS:
+        seen: set[str] = set()
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            for info in z.infolist():
+                if info.is_dir():
+                    continue
+                try:
+                    blob = z.read(info)
+                except Exception:
+                    continue  # corrupt member: no pixels to sign
+                meta = sniff_media_header(blob)
+                if meta["media_kind"] != "image":
+                    continue
+                ref = hashlib.sha256(blob).hexdigest()
+                if ref in seen:
+                    continue
+                seen.add(ref)
+                rows.append(
+                    _sig_row(
+                        ref, info.filename, meta["format"],
+                        image_signature(blob),
+                    )
+                )
+        return rows
+    if fmt == "pdf":
+        from docproc_spark.sources.pdf import iter_image_blobs
+
+        for ref, blob, info in iter_image_blobs(data):
+            if info["format"] == "raw":
+                try:
+                    rgb = rgb_from_raw_samples(
+                        blob, info["width"] or 0, info["height"] or 0,
+                        info["color"], info["bpc"],
+                    )
+                    sig = signature_from_rgb(
+                        rgb, info["width"], info["height"], "raw"
+                    )
+                except ImageDecodeError as exc:
+                    sig = _null_sig(str(exc))
+            else:
+                sig = image_signature(blob)
+            rows.append(_sig_row(ref, info["name"], info["format"], sig))
+        return rows
+    raise ValueError(f"unsupported media-signature format: {fmt!r}")
+
+
+def load_media_signatures(
+    docs: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    fmt_col: str = "fmt",
+    content_col: str = "content",
+) -> DataFrame:
+    """(doc_id, fmt, content:binary) → perceptual-signature catalogue
+    (MEDIA_SIGNATURE_SCHEMA): one row per distinct embedded image blob
+    per document with pixel-decoded dims and dHash/aHash fingerprints.
+    Same shape as load_media_sidecar: one mapInPandas pass, Arrow
+    batches, no shuffle, malformed files quarantine as one all-null
+    row with ``parse_error``. Feed the result to
+    functions/media.perceptual_dup_clusters for corpus-wide template /
+    re-encoded-logo detection over INGESTED documents."""
+    import pandas as pd
+
+    id_c, f_c, b_c = doc_id_col, fmt_col, content_col
+    cols = [f.name for f in MEDIA_SIGNATURE_SCHEMA]
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[dict] = []
+            for did, fmt, blob in zip(pdf[id_c], pdf[f_c], pdf[b_c]):
+                try:
+                    for row in signature_rows(fmt, bytes(blob)):
+                        out.append({"doc_id": did, **row})
+                except Exception as e:  # noqa: BLE001 — per-doc quarantine
+                    out.append(
+                        {
+                            "doc_id": did,
+                            **{c: None for c in cols[1:]},
+                            "parse_error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(gen, schema=MEDIA_SIGNATURE_SCHEMA)

@@ -841,6 +841,73 @@ def _image_facts(
     }
 
 
+_CS_SIMPLE = {
+    b"DeviceRGB": "rgb",
+    b"CalRGB": "rgb",
+    b"DeviceGray": "gray",
+    b"CalGray": "gray",
+}
+
+
+def iter_image_blobs(data: bytes) -> list[tuple[str, bytes, dict]]:
+    """Every distinct /Subtype /Image XObject in the file as
+    (media_ref, blob, info): blob is the DECODED stream — the same
+    bytes span ingestion hashes, so sha256(blob) == the span table's
+    and sidecar catalogue's media_ref — and info carries what a
+    containerless raster decode needs (dict /Width /Height
+    /BitsPerComponent, simple color space, 'format' of the identity
+    bytes: 'jpeg' for kept DCT payloads, 'raw' for fully-undone filter
+    chains, per _image_blob_format).
+
+    File-level object walk, no page machinery: the perceptual-signature
+    catalogue wants every embedded image whether shown or not;
+    first_page / n_refs context joins from the sidecar on the shared
+    sha256 identity (reference identity: vision_llm.py:292-294).
+    """
+    objs = _objects(data)
+    seen: set[str] = set()
+    out: list[tuple[str, bytes, dict]] = []
+    for num in sorted(objs):
+        body = objs[num]
+        m = _STREAM_RE.search(body)
+        if not m:
+            continue
+        head = body[: m.start()]
+        if not re.search(rb"/Subtype\s*/Image", head):
+            continue
+        blob = _stream_bytes(objs, num)
+        if not blob:
+            continue
+        ref = hashlib.sha256(blob).hexdigest()
+        if ref in seen:
+            continue
+        seen.add(ref)
+        wm = re.search(rb"/Width(?![A-Za-z])\s+(\d+)", head)
+        hm = re.search(rb"/Height(?![A-Za-z])\s+(\d+)", head)
+        bm = re.search(rb"/BitsPerComponent(?![A-Za-z])\s+(\d+)", head)
+        cs = re.search(rb"/ColorSpace\s*/([A-Za-z0-9]+)", head)
+        mask = re.search(rb"/ImageMask(?![A-Za-z])\s+true", head)
+        color = _CS_SIMPLE.get(cs.group(1)) if cs else None
+        if color is None and mask:
+            color = "gray"  # stencil mask: 1-bit, no color space entry
+        out.append(
+            (
+                ref,
+                blob,
+                {
+                    "name": f"obj{num}",
+                    "width": int(wm.group(1)) if wm else None,
+                    "height": int(hm.group(1)) if hm else None,
+                    "bpc": int(bm.group(1)) if bm else (1 if mask else 8),
+                    "color": color
+                    or (cs.group(1).decode("latin-1") if cs else "unknown"),
+                    "format": _image_blob_format(_stream_filters(head)),
+                },
+            )
+        )
+    return out
+
+
 def _image_xobjects(
     objs: dict[int, bytes],
     page_body: bytes,

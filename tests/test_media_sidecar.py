@@ -575,3 +575,153 @@ def test_facade_warc_media(spark, tmp_path):
     by_ref = {r["media_ref"]: r for r in rows}
     assert by_ref["https://ex.com/logo.png"]["fetched"] is True
     assert by_ref["https://ex.com/logo.png"]["payload_sha256"] == LOGO_SHA
+
+
+# --- perceptual-signature catalogue ---------------------------------------
+def make_gray_pdf() -> bytes:
+    """One page, one raw DeviceGray 4x2 XObject (planted gradient) and
+    one DCT (JPEG) XObject."""
+    gray = bytes([0, 64, 128, 255, 10, 20, 30, 40])
+    page = b"/Gr1 Do\n/Jp1 Do\n"
+    return _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>\n",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>\n",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /XObject << /Gr1 5 0 R /Jp1 6 0 R >> >> >>\n",
+            b"<< /Length %d >>\nstream\n" % len(page) + page
+            + b"\nendstream\n",
+            b"<< /Subtype /Image /Width 4 /Height 2 /ColorSpace /DeviceGray"
+            b" /BitsPerComponent 8 /Length %d >>\nstream\n" % len(gray)
+            + gray + b"\nendstream\n",
+            b"<< /Subtype /Image /Width 8 /Height 6 /Filter /DCTDecode "
+            b"/Length %d >>\nstream\n" % len(JPEG_BYTES) + JPEG_BYTES
+            + b"\nendstream\n",
+        ]
+    )
+
+
+GRAY_BYTES = bytes([0, 64, 128, 255, 10, 20, 30, 40])
+GRAY_SHA = hashlib.sha256(GRAY_BYTES).hexdigest()
+
+
+class TestSignatureRows:
+    def test_pptx_members_signed_with_span_identity(self):
+        from docproc_spark.kernels.imagepix import image_signature
+        from docproc_spark.sources.media_sidecar import signature_rows
+
+        deck = make_deck({"ppt/media/clip.wav": CLIP})
+        rows = {r["media_ref"]: r for r in signature_rows("pptx", deck)}
+        # the PNG logo is signed; the WAV member is not an image
+        assert set(rows) == {LOGO_SHA}
+        row = rows[LOGO_SHA]
+        want = image_signature(LOGO)
+        assert (row["blob_format"], row["width"], row["height"]) == (
+            "png", 40, 30,
+        )
+        assert row["dhash64"] == want["dhash64"]
+        assert row["ahash64"] == want["ahash64"]
+        assert row["decode_error"] is None
+        # identity joins onto the sidecar catalogue / span table
+        side_refs = {r["media_ref"] for r in media_rows("pptx", deck)}
+        assert LOGO_SHA in side_refs
+
+    def test_pdf_raw_gray_decodes_and_dct_is_codec_gated(self):
+        from docproc_spark.kernels.imagepix import (
+            rgb_from_raw_samples,
+            signature_from_rgb,
+        )
+        from docproc_spark.sources.media_sidecar import signature_rows
+
+        rows = {
+            r["media_ref"]: r for r in signature_rows("pdf", make_gray_pdf())
+        }
+        assert set(rows) == {GRAY_SHA, JPEG_SHA}
+        gr = rows[GRAY_SHA]
+        want = signature_from_rgb(
+            rgb_from_raw_samples(GRAY_BYTES, 4, 2, "gray", 8), 4, 2, "raw"
+        )
+        assert (gr["blob_format"], gr["width"], gr["height"]) == ("raw", 4, 2)
+        assert gr["dhash64"] == want["dhash64"]
+        assert gr["decode_error"] is None
+        jp = rows[JPEG_SHA]
+        assert jp["blob_format"] == "jpeg"
+        assert jp["dhash64"] is None and "codec" in jp["decode_error"]
+
+    def test_unknown_colorspace_is_row_level_error(self):
+        from docproc_spark.sources.media_sidecar import signature_rows
+
+        # make_pdf's Im1 has no /ColorSpace — signed as error, not raise
+        rows = {r["media_ref"]: r for r in signature_rows("pdf", make_pdf())}
+        assert rows[RAW_SHA]["dhash64"] is None
+        assert "color space" in rows[RAW_SHA]["decode_error"]
+
+    def test_unsupported_format_raises(self):
+        from docproc_spark.sources.media_sidecar import signature_rows
+
+        with pytest.raises(ValueError, match="unsupported"):
+            signature_rows("html", b"<p>hi</p>")
+
+
+class TestSignatureSpark:
+    def test_load_quarantines_and_signs(self, spark):
+        from docproc_spark.sources.media_sidecar import load_media_signatures
+
+        df = spark.createDataFrame(
+            [
+                ("deck.pptx", "pptx", bytearray(make_deck())),
+                ("doc.pdf", "pdf", bytearray(make_gray_pdf())),
+                ("broken.docx", "docx", bytearray(b"not a zip")),
+            ],
+            "doc_id string, fmt string, content binary",
+        )
+        rows = load_media_signatures(df).collect()
+        ok = [r for r in rows if r["parse_error"] is None]
+        bad = [r for r in rows if r["parse_error"] is not None]
+        assert {r["doc_id"] for r in bad} == {"broken.docx"}
+        assert {(r["doc_id"], r["media_ref"]) for r in ok} == {
+            ("deck.pptx", LOGO_SHA),
+            ("doc.pdf", GRAY_SHA),
+            ("doc.pdf", JPEG_SHA),
+        }
+
+    def test_perceptual_clusters_collapse_reencodes(self, spark):
+        import pyspark.sql.functions as F
+        from docproc_spark.functions.media import (
+            image_signatures,
+            perceptual_dup_clusters,
+        )
+        from docproc_spark.kernels.imagepix import encode_png
+
+        w, h = 16, 12
+        px = bytes((x * 13 + y * 29) % 256
+                   for y in range(h) for x in range(w) for _ in range(3))
+        png = encode_png(px, w, h)
+        tweaked = bytearray(px)
+        tweaked[0] = (tweaked[0] + 40) % 256
+        near = encode_png(bytes(tweaked), w, h)
+        far = encode_png(bytes(255 - v for v in px), w, h)
+        df = spark.createDataFrame(
+            [(bytearray(b),) for b in (png, near, far)], "blob binary"
+        )
+        sigs = image_signatures(df)
+        clusters = {
+            r["media_ref"]: r["cluster"]
+            for r in perceptual_dup_clusters(sigs).collect()
+        }
+        refs = {b: hashlib.sha256(b).hexdigest() for b in (png, near, far)}
+        assert clusters[refs[png]] == clusters[refs[near]]
+        assert clusters[refs[far]] != clusters[refs[png]]
+        assert clusters[refs[far]] == refs[far]  # singleton keeps own ref
+
+
+def test_facade_media_signatures(spark, tmp_path):
+    from docproc_spark.facade import DocprocSpark
+
+    (tmp_path / "deck.pptx").write_bytes(make_deck())
+    (tmp_path / "doc.pdf").write_bytes(make_gray_pdf())
+    rows = DocprocSpark(spark).media_signatures(str(tmp_path)).collect()
+    got = {(r["doc_id"], r["media_ref"]) for r in rows}
+    assert ("deck.pptx", LOGO_SHA) in got
+    assert ("doc.pdf", GRAY_SHA) in got
