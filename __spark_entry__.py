@@ -5843,6 +5843,83 @@ WHERE bit_count(xor(x.sig, y.sig)) <= 3
 """
 
 
+def _audio_features_synth(spark, sf):
+    """REAL PCM decode + integer audio features under a round-trip
+    oracle: Spark writes a true RIFF/WAVE PCM file per document
+    (md5-formula 16-bit samples, variable length and rate), the real
+    kernel (kernels/audiofeat.py) parses the container and computes
+    energy/silence/clip/crossing features, and DuckDB recomputes every
+    one from the planted formula — parser, normalization, and each
+    integer reduction must agree exactly."""
+    import hashlib as _hl
+    import struct as _struct
+
+    from docproc_spark.kernels.audiofeat import wav_features
+
+    def blob(d: int) -> bytes:
+        n = 50 + d % 97
+        rate = 8000 * (1 + d % 3)
+        samples = [
+            int(_hl.md5(f"s:{d}:{i}".encode()).hexdigest()[:4], 16) - 32768
+            for i in range(n)
+        ]
+        data = b"".join(_struct.pack("<h", s) for s in samples)
+        fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (
+            b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    keys = (
+        "sample_rate", "n_frames", "duration_ms", "mean_square",
+        "peak_abs", "silence_permille", "clip_permille", "zero_crossings",
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            feats = [wav_features(blob(int(d))) for d in pdf["doc_id"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for k in keys:
+                out[k] = pd.array([f[k] for f in feats], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        kernel,
+        schema="doc_id long, " + ", ".join(f"{k} long" for k in keys),
+    )
+
+
+_AUDIO_FEATURES_SQL = """
+WITH s AS (
+  SELECT d.doc_id, i.i,
+    CAST(concat('0x', substr(md5(concat('s:', CAST(d.doc_id AS VARCHAR),
+         ':', CAST(i.i AS VARCHAR))), 1, 4)) AS BIGINT) - 32768 AS v
+  FROM documents d, range(147) i(i)
+  WHERE i.i < 50 + d.doc_id % 97
+), zc AS (
+  SELECT a.doc_id,
+    sum(CASE WHEN (a.v < 0) <> (b.v < 0) THEN 1 ELSE 0 END) AS crossings
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.doc_id
+)
+SELECT s.doc_id,
+  CAST(8000 * (1 + s.doc_id % 3) AS BIGINT) AS sample_rate,
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(count(*) * 1000 // (8000 * (1 + s.doc_id % 3)) AS BIGINT)
+    AS duration_ms,
+  CAST(sum(v * v) // count(*) AS BIGINT) AS mean_square,
+  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+  CAST(sum(CASE WHEN abs(v) < 327 THEN 1 ELSE 0 END) * 1000 // count(*)
+    AS BIGINT) AS silence_permille,
+  CAST(sum(CASE WHEN abs(v) >= 32760 THEN 1 ELSE 0 END) * 1000 // count(*)
+    AS BIGINT) AS clip_permille,
+  CAST(coalesce(any_value(zc.crossings), 0) AS BIGINT) AS zero_crossings
+FROM s LEFT JOIN zc ON s.doc_id = zc.doc_id
+GROUP BY s.doc_id
+"""
+
+
 _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": _q6,
     "q14_promo_revenue": _q14_promo_revenue,
@@ -5919,6 +5996,7 @@ _SPARE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_stats_synth": _transcript_stats_synth,
     "image_dhash_synth": _image_dhash_synth,
     "image_neardup_synth": _image_neardup_synth,
+    "audio_features_synth": _audio_features_synth,
 }
 
 _SPARE_ORACLES: dict[str, str] = {
@@ -5997,6 +6075,7 @@ _SPARE_ORACLES: dict[str, str] = {
     "transcript_stats_synth": _TRANSCRIPT_STATS_SQL,
     "image_dhash_synth": _IMAGE_DHASH_SQL,
     "image_neardup_synth": _IMAGE_NEARDUP_SQL,
+    "audio_features_synth": _AUDIO_FEATURES_SQL,
 }
 
 

@@ -367,6 +367,73 @@ def image_neardup_pairs(
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_square", T.LongType(), True),
+        T.StructField("peak_abs", T.IntegerType(), True),
+        T.StructField("silence_permille", T.IntegerType(), True),
+        T.StructField("clip_permille", T.IntegerType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame, blob_col: str = "blob", max_frames: int | None = None
+) -> DataFrame:
+    """REAL PCM sample-level audio features for WAV blobs
+    (kernels/audiofeat.py — stdlib + numpy, no ffmpeg): energy
+    (integer mean-square), peak, silence/clipping permille, zero
+    crossings — the gates an audio-corpus curation pass runs before
+    any GPU transcription (drop silent clips, flag clipped recordings,
+    screen tones vs speech by crossing rate). Compressed audio reports
+    the codec gap in ``decode_error``; header facts still come from
+    :func:`sniff_media_meta`.
+
+    One mapInPandas over Arrow batches, no shuffle; per-blob cost is
+    bounded by the header-declared frame count before the data chunk
+    is touched.
+    """
+    from docproc_spark.kernels.audiofeat import (
+        DEFAULT_MAX_FRAMES,
+        wav_features,
+    )
+
+    cap = DEFAULT_MAX_FRAMES if max_frames is None else max_frames
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            feats = [wav_features(b, cap) for b in blobs]
+
+            def col(key, dtype):
+                return pd.array([f[key] for f in feats], dtype=dtype)
+
+            yield pd.DataFrame(
+                {
+                    "media_ref": blobs.map(_ref),
+                    "sample_rate": col("sample_rate", "Int32"),
+                    "channels": col("channels", "Int32"),
+                    "n_frames": col("n_frames", "Int64"),
+                    "duration_ms": col("duration_ms", "Int64"),
+                    "mean_square": col("mean_square", "Int64"),
+                    "peak_abs": col("peak_abs", "Int32"),
+                    "silence_permille": col("silence_permille", "Int32"),
+                    "clip_permille": col("clip_permille", "Int32"),
+                    "zero_crossings": col("zero_crossings", "Int64"),
+                    "decode_error": col("decode_error", "object"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def perceptual_dup_clusters(
     sig_table: DataFrame,
     max_hamming: int = 3,
