@@ -355,7 +355,15 @@ def image_neardup_pairs(
     sigs = image_signatures(media, blob_col).filter(
         F.col("dhash64").isNotNull()
     )
-    uniq = sigs.select("media_ref", "dhash64").dropDuplicates(["media_ref"])
+    # cache BEFORE the banded join: its bucket-accounting collect plus
+    # the left/right self-join branches would otherwise re-run the full
+    # pixel-decode mapInPandas 3-4x over the corpus (the same guard
+    # simhash_neardup_pairs applies to its signature computation)
+    uniq = (
+        sigs.select("media_ref", "dhash64")
+        .dropDuplicates(["media_ref"])
+        .cache()
+    )
     return hamming_neardup_pairs(
         uniq,
         sig_col="dhash64",
@@ -459,10 +467,14 @@ def perceptual_dup_clusters(
         hamming_neardup_pairs,
     )
 
+    # cache: consumed by the banded pair join (bucket accounting +
+    # two self-join branches) AND the final cluster mapping — without
+    # it the upstream signature decode re-executes per consumer
     uniq = (
         sig_table.filter(F.col("dhash64").isNotNull())
         .select("media_ref", "dhash64")
         .dropDuplicates(["media_ref"])
+        .cache()
     )
     pairs = hamming_neardup_pairs(
         uniq,

@@ -31,6 +31,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 __all__ = [
     "ImageDecodeError",
     "CodecUnavailableError",
@@ -82,6 +84,43 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def unfilter_scanline(
+    ftype: int, line: bytearray, prev: bytearray, bpp: int
+) -> None:
+    """Invert ONE PNG-filtered scanline in place (filter types 1-4;
+    type 0 is a no-op the caller skips). Shared by the PNG decoder here
+    and the PDF /Predictor 10-15 chain (sources/pdf._unpredict) — one
+    implementation of the five-filter inversion, not two drifting
+    copies. Sub and Up vectorize with numpy (uint8 arithmetic wraps
+    mod 256 exactly like the scalar ``& 0xFF``); Average and Paeth are
+    inherently sequential in x and stay as loops."""
+    row_bytes = len(line)
+    if ftype == 1:  # Sub: out[i] = raw[i] + out[i-bpp] — a running sum
+        if row_bytes >= 64:
+            a = np.frombuffer(line, dtype=np.uint8)
+            for r in range(bpp):
+                np.add.accumulate(a[r::bpp], out=a[r::bpp])
+        else:
+            for i in range(bpp, row_bytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif ftype == 2:  # Up
+        if row_bytes >= 64:
+            a = np.frombuffer(line, dtype=np.uint8)
+            a += np.frombuffer(prev, dtype=np.uint8)
+        else:
+            for i in range(row_bytes):
+                line[i] = (line[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(row_bytes):
+            left = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(row_bytes):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+
+
 def _unfilter(raw: bytes, off: int, width: int, height: int,
               channels: int, depth: int) -> tuple[list[bytearray], int]:
     """Invert PNG scanline filtering for one (sub-)image; returns the
@@ -96,23 +135,10 @@ def _unfilter(raw: bytes, off: int, width: int, height: int,
         ftype = raw[off]
         line = bytearray(raw[off + 1 : off + 1 + row_bytes])
         off += 1 + row_bytes
-        if ftype == 1:  # Sub
-            for i in range(bpp, row_bytes):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(row_bytes):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(row_bytes):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(row_bytes):
-                left = line[i - bpp] if i >= bpp else 0
-                ul = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
+        if ftype > 4:
             raise ImageDecodeError(f"png: unknown filter type {ftype}")
+        if ftype:
+            unfilter_scanline(ftype, line, prev, bpp)
         rows.append(line)
         prev = line
     return rows, off
@@ -213,13 +239,54 @@ def _decode_png(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
 
     # palette → (r, g, b, a) lookup with tRNS alpha
     pal: list[tuple[int, int, int, int]] | None = None
+    pal_arr = None
     if ctype == 3:
         pal = []
         for i in range(len(plte) // 3):
             a = trns[i] if trns is not None and i < len(trns) else 255
             pal.append((plte[3 * i], plte[3 * i + 1], plte[3 * i + 2], a))
+        pal_arr = np.asarray(pal, dtype=np.int32)  # (n, 4) rgba
 
     rgb = bytearray(w * h * 3)
+
+    # vectorized whole-row path (the non-interlaced 8-bit common case:
+    # xs is the full contiguous width) — integer-identical to the
+    # scalar loops below, just numpy. Returns False when the row shape
+    # needs the scalar path (sub-byte depths, Adam7 strided writes).
+    def emit_row_fast(line: bytearray, y: int) -> bool:
+        if depth != 8:
+            return False
+        o = y * w * 3
+        if ctype == 2:
+            rgb[o : o + w * 3] = line[: w * 3]
+            return True
+        if ctype == 0:
+            rgb[o : o + w * 3] = (
+                np.repeat(np.frombuffer(line, np.uint8, w), 3).tobytes()
+            )
+            return True
+        if ctype == 6:
+            arr = np.frombuffer(line, np.uint8, 4 * w).reshape(-1, 4)
+            px = arr[:, :3].astype(np.int32)
+            al = arr[:, 3:4].astype(np.int32)
+            out = (px * al + 255 * (255 - al)) // 255
+            rgb[o : o + w * 3] = out.astype(np.uint8).tobytes()
+            return True
+        if ctype == 4:
+            arr = np.frombuffer(line, np.uint8, 2 * w).astype(np.int32)
+            v, al = arr[0::2], arr[1::2]
+            g2 = ((v * al + 255 * (255 - al)) // 255).astype(np.uint8)
+            rgb[o : o + w * 3] = np.repeat(g2, 3).tobytes()
+            return True
+        if ctype == 3:
+            idxs = np.frombuffer(line, np.uint8, w).astype(np.intp)
+            if idxs.max(initial=0) >= len(pal_arr):
+                raise ImageDecodeError("png: palette index out of range")
+            px, al = pal_arr[idxs, :3], pal_arr[idxs, 3:4]
+            out = (px * al + 255 * (255 - al)) // 255
+            rgb[o : o + w * 3] = out.astype(np.uint8).tobytes()
+            return True
+        return False
 
     # decode each (sub-)image's scanlines straight into canvas writes;
     # xs carries the pass's x positions (row-major within the pass)
@@ -261,7 +328,8 @@ def _decode_png(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
         rows, _ = _unfilter(raw, 0, w, h, channels, depth)
         allx = list(range(w))
         for y, line in enumerate(rows):
-            emit(line, w, allx, y)
+            if not emit_row_fast(line, y):
+                emit(line, w, allx, y)
     else:  # Adam7
         off = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -408,6 +476,8 @@ def _decode_gif(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
                 raise ImageDecodeError("gif: truncated extension")
             label = b[pos + 1]
             pos += 2
+            if pos >= len(b):  # file cut right after the label byte
+                raise ImageDecodeError("gif: truncated extension")
             # Graphic Control Extension carries the transparent index
             if label == 0xF9 and pos + 1 + b[pos] <= len(b) and b[pos] >= 4:
                 if b[pos + 1] & 0x01:
@@ -440,7 +510,9 @@ def _decode_gif(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
                 raise ImageDecodeError("gif: missing LZW data")
             min_code = b[pos]
             pos += 1
-            if not 2 <= min_code <= 11:
+            # literals are byte values, so the initial code size caps
+            # at 8 (width grows to 12 from there)
+            if not 2 <= min_code <= 8:
                 raise ImageDecodeError(f"gif: bad LZW min code {min_code}")
             chunks = []
             while pos < len(b) and b[pos] != 0:
@@ -549,11 +621,10 @@ def encode_png(rgb: bytes, width: int, height: int) -> bytes:
 # grayscale, resampling, perceptual hashes — integer-exact
 # ---------------------------------------------------------------------------
 def gray_from_rgb(rgb: bytes) -> list[int]:
-    """ITU-R BT.601 integer luma: (299R + 587G + 114B) // 1000."""
-    return [
-        (299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]) // 1000
-        for i in range(0, len(rgb), 3)
-    ]
+    """ITU-R BT.601 integer luma: (299R + 587G + 114B) // 1000.
+    Vectorized; identical to the scalar formula (all-int arithmetic)."""
+    a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int32).reshape(-1, 3)
+    return ((299 * a[:, 0] + 587 * a[:, 1] + 114 * a[:, 2]) // 1000).tolist()
 
 
 def box_resample(
@@ -562,21 +633,24 @@ def box_resample(
     """Integer box-mean resample (floor). Output box (ox, oy) averages
     input range [ox*w//ow, max(that+1, (ox+1)*w//ow)) — the max() keeps
     every box non-empty even when upsampling, and (ow==w, oh==h) is the
-    identity, which the DuckDB formula oracle relies on."""
-    out = []
-    for oy in range(oh):
-        y0 = oy * h // oh
-        y1 = max(y0 + 1, (oy + 1) * h // oh)
-        for ox in range(ow):
-            x0 = ox * w // ow
-            x1 = max(x0 + 1, (ox + 1) * w // ow)
-            s = 0
-            for y in range(y0, y1):
-                base = y * w
-                for x in range(x0, x1):
-                    s += gray[base + x]
-            out.append(s // ((y1 - y0) * (x1 - x0)))
-    return out
+    identity, which the DuckDB formula oracle relies on.
+
+    Implemented as an int64 summed-area table: box sums are O(1) each
+    and total work is one numpy cumsum pass — bit-identical to the
+    naive double loop (exact integer sums, floor division)."""
+    a = np.asarray(gray, dtype=np.int64).reshape(h, w)
+    sat = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(a, axis=0), axis=1, out=sat[1:, 1:])
+    y0 = np.arange(oh) * h // oh
+    y1 = np.maximum(y0 + 1, (np.arange(oh) + 1) * h // oh)
+    x0 = np.arange(ow) * w // ow
+    x1 = np.maximum(x0 + 1, (np.arange(ow) + 1) * w // ow)
+    sums = (
+        sat[np.ix_(y1, x1)] - sat[np.ix_(y0, x1)]
+        - sat[np.ix_(y1, x0)] + sat[np.ix_(y0, x0)]
+    )
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (sums // area).ravel().tolist()
 
 
 def signed64(u: int) -> int:

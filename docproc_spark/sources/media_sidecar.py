@@ -139,12 +139,20 @@ def _referenced_rows(
     ]
 
 
+# Per-member inflation cap for catalogue/signature walks: a zip entry
+# DECLARES its uncompressed size, so a crafted 10 MB member inflating
+# to 10 GB is rejected before z.read materializes it in executor
+# memory. 64 MB covers any real embedded image/clip.
+_MAX_MEMBER_BYTES = 64 * 1024 * 1024
+
+
 def _package_rows(
     data: bytes, prefixes: tuple[str, ...], skip_refs: frozenset = frozenset()
 ) -> list[dict]:
     """Catalogue zip members under media prefixes (zip member order —
     deterministic). Members whose content hash is already catalogued as
-    referenced are skipped; a corrupt member (CRC error) still gets a
+    referenced are skipped; a corrupt member (CRC error) or one whose
+    DECLARED uncompressed size exceeds the inflation cap still gets a
     row with its part name as the ref fallback (same contract as the
     span path). n_refs 0 = present in the package, never shown."""
     rows: list[dict] = []
@@ -152,6 +160,16 @@ def _package_rows(
         for info in z.infolist():
             fname = info.filename
             if info.is_dir() or not fname.startswith(prefixes):
+                continue
+            if info.file_size > _MAX_MEMBER_BYTES:  # zip-bomb guard
+                rows.append(
+                    _row(
+                        fname,
+                        {"name": fname, "n_bytes": info.file_size},
+                        None,
+                        0,
+                    )
+                )
                 continue
             try:
                 blob = z.read(info)
@@ -564,6 +582,8 @@ def signature_rows(fmt: str, data: bytes) -> list[dict]:
             for info in z.infolist():
                 if info.is_dir():
                     continue
+                if info.file_size > _MAX_MEMBER_BYTES:
+                    continue  # declared-size zip-bomb guard: never inflate
                 try:
                     blob = z.read(info)
                 except Exception:

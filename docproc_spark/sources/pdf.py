@@ -426,6 +426,12 @@ def _unpredict(data: bytes, parms: bytes) -> bytes:
             for i in range(r + bpp, r + rowlen):
                 out[i] = (out[i] + out[i - bpp]) & 0xFF
         return bytes(out)
+    # per-row inversion shared with the PNG decoder (ONE implementation
+    # of the five-filter math, numpy-fast Sub/Up); tags outside 1-4 are
+    # tolerated as no-ops here — predictor'd streams in the wild carry
+    # garbage tags and the only consumer may be the identity hash
+    from docproc_spark.kernels.imagepix import unfilter_scanline
+
     out = bytearray()
     prev = bytearray(rowlen)
     i = 0
@@ -435,26 +441,8 @@ def _unpredict(data: bytes, parms: bytes) -> bytes:
         i += 1 + rowlen
         if len(row) < rowlen:
             row.extend(bytes(rowlen - len(row)))
-        if tag == 1:  # Sub
-            for j in range(bpp, rowlen):
-                row[j] = (row[j] + row[j - bpp]) & 0xFF
-        elif tag == 2:  # Up
-            for j in range(rowlen):
-                row[j] = (row[j] + prev[j]) & 0xFF
-        elif tag == 3:  # Average
-            for j in range(rowlen):
-                left = row[j - bpp] if j >= bpp else 0
-                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
-        elif tag == 4:  # Paeth
-            for j in range(rowlen):
-                a = row[j - bpp] if j >= bpp else 0
-                b = prev[j]
-                c = prev[j - bpp] if j >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                row[j] = (
-                    row[j] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
-                ) & 0xFF
+        if 1 <= tag <= 4:
+            unfilter_scanline(tag, row, prev, bpp)
         out += row
         prev = row
     return bytes(out)

@@ -123,7 +123,10 @@ def parse_vtt(body: str) -> list[tuple[int, int, int, str]]:
     for i, block in enumerate(_blocks(body)):
         first = block[0].strip()
         token = first.split(None, 1)[0] if first.split() else ""
-        if token in ("NOTE", "STYLE", "REGION"):
+        # NOTE comments with trailing text on the same line; STYLE and
+        # REGION open their blocks only as an EXACT line (a line like
+        # 'STYLE guide' is a legal cue identifier per the spec)
+        if token == "NOTE" or first in ("STYLE", "REGION"):
             continue
         if i == 0 and token == "WEBVTT":
             block = block[1:]  # header line; a missing blank line must

@@ -388,6 +388,58 @@ class TestGif:
         with pytest.raises(ImageDecodeError):
             decode_image_pixels(g[:20])
 
+    def test_cut_after_extension_label_raises_decode_error(self):
+        # regression: a file ending right after the 0x21 0xF9 extension
+        # introducer raised IndexError (escaping every 'never raises'
+        # catch) instead of ImageDecodeError
+        blob = b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00\x00\x00\x21\xf9"
+        with pytest.raises(ImageDecodeError):
+            decode_image_pixels(blob)
+        assert image_signature(blob)["decode_error"]
+
+
+class TestMutationFuzz:
+    """The decoders' never-hang/never-escape contract: any byte
+    mutation or truncation of a valid image either decodes or raises
+    ImageDecodeError — nothing else ever escapes (one IndexError did,
+    via a truncated GIF extension; found by exactly this fuzz)."""
+
+    def _fixtures(self):
+        px = bytes((x * 7 + y * 13 + c) % 256
+                   for y in range(6) for x in range(5) for c in range(3))
+        rows = [
+            bytes(v for x in range(5)
+                  for v in px[(y * 5 + x) * 3 : (y * 5 + x) * 3 + 3][::-1])
+            for y in range(6)
+        ]
+        return [
+            encode_png(px, 5, 6),
+            _bmp(5, 6, 24, rows),
+            _gif(2, 2, PAL4, [0, 1, 2, 3], transparent=1),
+        ]
+
+    def test_mutations_never_escape(self):
+        rnd = __import__("random").Random(1234)
+        for base in self._fixtures():
+            for _ in range(400):
+                b = bytearray(base)
+                for _ in range(rnd.randrange(1, 4)):
+                    b[rnd.randrange(len(b))] = rnd.randrange(256)
+                if rnd.random() < 0.5:
+                    b = b[: rnd.randrange(len(b))]
+                try:
+                    decode_image_pixels(bytes(b))
+                except ImageDecodeError:
+                    pass  # the contract: this class only
+
+    def test_truncations_never_escape(self):
+        for base in self._fixtures():
+            for cut in range(len(base)):
+                try:
+                    decode_image_pixels(base[:cut])
+                except ImageDecodeError:
+                    pass
+
 
 # ---------------------------------------------------------------------------
 # unsupported formats + signature math

@@ -54,19 +54,24 @@ class TestParsers:
         assert parse_srt("garbage\nwithout\ntimings") == []
         assert parse_vtt("WEBVTT\n") == []
 
-    def test_vtt_skip_is_word_match_not_prefix(self):
-        # a cue identifier that merely STARTS with NOTE/STYLE/REGION is
-        # a legal cue; only the bare word (followed by ws/EOL) comments
+    def test_vtt_skip_rules_note_word_style_exact(self):
+        # NOTE comments with or without trailing text on its line;
+        # STYLE/REGION open blocks only as an EXACT line — identifiers
+        # like 'NOTES…', 'STYLEGUIDE', or 'STYLE guide' are legal cues
         body = (
             "WEBVTT\n\n"
             "NOTES for the exam\n00:01.000 --> 00:02.000\ncue one\n\n"
             "STYLEGUIDE\n00:03.000 --> 00:04.000\ncue two\n\n"
+            "STYLE guide\n00:05.000 --> 00:06.000\ncue three\n\n"
+            "STYLE\n::cue { color: red }\n\n"
+            "REGION\nid:r1\n\n"
             "NOTE\nactually a comment\n\n"
             "NOTE trailing text comment\n"
         )
         assert parse_vtt(body) == [
             (0, 1000, 2000, "cue one"),
             (1, 3000, 4000, "cue two"),
+            (2, 5000, 6000, "cue three"),
         ]
 
     def test_vtt_header_without_blank_line_keeps_first_cue(self):
