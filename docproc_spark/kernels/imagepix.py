@@ -1,13 +1,16 @@
-"""Pure-stdlib image PIXEL decoding (PNG / BMP / GIF) + perceptual hashes.
+"""Pure-stdlib image PIXEL decoding (PNG / BMP / GIF / JPEG dispatch)
++ perceptual hashes.
 
 The container ships no PIL/opencv — but PNG is DEFLATE (stdlib zlib),
 BMP is uncompressed, and GIF's LZW fits in forty lines. That makes
 real pixel access — and therefore real perceptual hashing and
 corpus-wide near-dup image dedupe (the LAION-style curation step) —
 possible for the raster formats that dominate document packages and
-web corpora, with no native codec. JPEG/WEBP/TIFF stay behind the
-loud decode error (DCT / VP8 entropy coding is a codec, not a byte
-walk; kernels/mediainfo.py still sniffs their headers for metadata).
+web corpora, with no native codec. Baseline JPEG decodes too
+(kernels/jpegdec.py — Huffman + numpy IDCT); WEBP/TIFF and
+progressive/arithmetic JPEG stay behind the loud
+CodecUnavailableError (kernels/mediainfo.py still sniffs their
+headers for metadata).
 
 Everything here is a plain-Python worker kernel called from
 mapInPandas batches (functions/media.py) — deterministic integer
@@ -578,10 +581,17 @@ def decode_image_pixels(
     elif b[:6] in (b"GIF87a", b"GIF89a"):
         w, h, rgb = _decode_gif(b, max_pixels)
         fmt = "gif"
-    elif b[:3] == b"\xff\xd8\xff" or (b[:4] == b"RIFF" and b[8:12] == b"WEBP") \
+    elif b[:3] == b"\xff\xd8\xff":
+        # baseline JPEG decodes for real (kernels/jpegdec.py);
+        # progressive/arithmetic/CMYK raise CodecUnavailableError there
+        from docproc_spark.kernels.jpegdec import decode_jpeg
+
+        w, h, rgb = decode_jpeg(b, max_pixels)
+        fmt = "jpeg"
+    elif (b[:4] == b"RIFF" and b[8:12] == b"WEBP") \
             or b[:4] in (b"II*\x00", b"MM\x00*"):
         raise CodecUnavailableError(
-            "jpeg/webp/tiff pixel decode needs a native codec not present "
+            "webp/tiff pixel decode needs a native codec not present "
             "in this environment (header metadata via kernels/mediainfo)"
         )
     else:

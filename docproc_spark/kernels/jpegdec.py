@@ -1,0 +1,394 @@
+"""Baseline JPEG decoding in pure Python + numpy — no native codec.
+
+Closes the biggest gap in the stdlib pixel path (kernels/imagepix.py):
+DCT payloads are what document packages actually embed — PDF
+/DCTDecode XObjects ARE JPEG files, and deck/web photos are JPEG —
+so perceptual identity over real corpora needs this decoder far more
+often than PNG/GIF.
+
+Subset (honest, checked up front, each gap reported by name):
+  - baseline sequential DCT (SOF0) and extended sequential (SOF1),
+    8-bit samples, 1 or 3 components (grayscale / JFIF YCbCr),
+    4:4:4, 4:2:2, 4:2:0, 4:1:1 sampling, restart markers
+  - NOT: progressive (SOF2), arithmetic coding (SOF9+), 12-bit,
+    CMYK/Adobe 4-component — these raise CodecUnavailableError with
+    the reason, and the catalogue records it per row
+
+Determinism: the IDCT runs in float64 (a fixed numpy basis matrix,
+same result on every platform) and quantizes with round-half-away
+(np.rint is banker's — we use floor(x+0.5) explicitly), then clamps.
+Color conversion is the integer-exact JFIF formula. Two decodes of
+the same bytes are bit-identical everywhere, which is all perceptual
+identity needs (there is no cross-engine oracle for JPEG).
+
+Scale shape: decode cost is bounded by the SOF-declared pixel count
+(``max_pixels``) BEFORE entropy decode; the Huffman loop is Python
+(cache-friendly table walk) and everything after is vectorized numpy.
+
+Reference parity: the reference feeds these bytes to vision models
+and dedupes by sha256 (docproc/extractors/vision_llm.py:292-294);
+pixel-level identity is a beyond-reference training-data operator.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from docproc_spark.kernels.imagepix import (
+    DEFAULT_MAX_PIXELS,
+    CodecUnavailableError,
+    ImageDecodeError,
+)
+
+__all__ = ["decode_jpeg"]
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.intp)
+
+# 8x8 IDCT basis: B[u, x] = C(u)/2 * cos((2x+1) u pi / 16)
+_BASIS = np.zeros((8, 8))
+for _u in range(8):
+    _c = (0.5 ** 0.5) if _u == 0 else 1.0
+    for _x in range(8):
+        _BASIS[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+class _Huff:
+    """Canonical JPEG Huffman table as a (code -> symbol) dict keyed by
+    (length, code) — lookups walk lengths 1..16, matching the spec's
+    DECODE procedure exactly."""
+
+    def __init__(self, counts: bytes, symbols: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                self.lut[(ln, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    stuffing; stops at any non-RST marker."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.b
+        while self.nbits <= 24:
+            if self.pos >= len(b):
+                # past the end: pad with 1s (spec: fill bits) so a
+                # final truncated code errors as bad-symbol, not IndexError
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            byte = b[self.pos]
+            if byte == 0xFF:
+                nxt = b[self.pos + 1] if self.pos + 1 < len(b) else 0xD9
+                if nxt == 0x00:  # stuffed
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    return  # restart marker: caller resyncs
+                else:
+                    return  # EOI / next segment
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise ImageDecodeError("jpeg: entropy data exhausted")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: _Huff) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ImageDecodeError("jpeg: invalid huffman code")
+
+    def resync(self) -> None:
+        """Skip to just past the next RSTn marker and reset bit state."""
+        self.acc = 0
+        self.nbits = 0
+        b = self.b
+        while self.pos + 1 < len(b):
+            if b[self.pos] == 0xFF and 0xD0 <= b[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ImageDecodeError("jpeg: missing restart marker")
+
+
+def _extend(v: int, n: int) -> int:
+    """JPEG EXTEND: map an n-bit magnitude to its signed value."""
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive jpeg (SOF2) not supported",
+    0xC3: "lossless jpeg not supported",
+    0xC5: "differential jpeg not supported",
+    0xC6: "progressive jpeg not supported",
+    0xC7: "lossless jpeg not supported",
+    0xC9: "arithmetic-coded jpeg not supported",
+    0xCA: "arithmetic-coded jpeg not supported",
+    0xCB: "arithmetic-coded jpeg not supported",
+    0xCD: "arithmetic-coded jpeg not supported",
+    0xCE: "arithmetic-coded jpeg not supported",
+    0xCF: "arithmetic-coded jpeg not supported",
+}
+
+
+def decode_jpeg(
+    b: bytes, max_pixels: int = DEFAULT_MAX_PIXELS
+) -> tuple[int, int, bytes]:
+    """Baseline JPEG bytes → (width, height, row-major RGB bytes).
+    Raises ImageDecodeError for corrupt data or out-of-subset files —
+    and ONLY that class: malformed streams that trip short-slice
+    unpacks in segment parsing are folded into it (the decoders'
+    never-escape contract, mutation-fuzz enforced)."""
+    try:
+        return _decode(b, max_pixels)
+    except ImageDecodeError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise ImageDecodeError(
+            f"jpeg: malformed stream ({type(exc).__name__})"
+        ) from None
+
+
+def _decode(b: bytes, max_pixels: int) -> tuple[int, int, bytes]:
+    if b[:2] != b"\xff\xd8":
+        raise ImageDecodeError("jpeg: missing SOI")
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _Huff] = {}
+    ac_tabs: dict[int, _Huff] = {}
+    comps: list[dict] = []
+    w = h = None
+    restart_interval = 0
+    pos = 2
+    scan_at = None
+    scan_comps = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            pos += 1  # tolerate fill bytes between segments
+            continue
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker in _SOF_UNSUPPORTED:
+            # a real, recognized JPEG our subset can't do — callers that
+            # distinguish env/subset gaps from corrupt data catch this
+            raise CodecUnavailableError(f"jpeg: {_SOF_UNSUPPORTED[marker]}")
+        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(seg) < 6:
+                raise ImageDecodeError("jpeg: short SOF")
+            prec = seg[0]
+            if prec != 8:
+                raise CodecUnavailableError(
+                    f"jpeg: {prec}-bit not supported"
+                )
+            h, w = struct.unpack(">HH", seg[1:5])
+            n_comp = seg[5]
+            if not w or not h:
+                raise ImageDecodeError("jpeg: zero dimension")
+            if w * h > max_pixels:
+                raise ImageDecodeError(
+                    f"jpeg: {w}x{h} exceeds max_pixels={max_pixels}"
+                )
+            if n_comp not in (1, 3):
+                raise CodecUnavailableError(
+                    f"jpeg: {n_comp}-component (CMYK/Adobe) not supported"
+                )
+            comps = []
+            for i in range(n_comp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({
+                    "id": cid, "hs": hv >> 4, "vs": hv & 0xF, "tq": tq,
+                })
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc_th = seg[p]
+                counts = seg[p + 1 : p + 17]
+                n = sum(counts)
+                symbols = seg[p + 17 : p + 17 + n]
+                if len(symbols) < n:
+                    raise ImageDecodeError("jpeg: truncated DHT")
+                tab = _Huff(counts, symbols)
+                if tc_th >> 4 == 0:
+                    dc_tabs[tc_th & 0xF] = tab
+                else:
+                    ac_tabs[tc_th & 0xF] = tab
+                p += 17 + n
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4 == 0:
+                    vals = np.frombuffer(
+                        seg[p + 1 : p + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    p += 65
+                else:  # 16-bit table
+                    vals = np.frombuffer(
+                        seg[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    p += 129
+                if vals.size < 64:
+                    raise ImageDecodeError("jpeg: truncated DQT")
+                qt[pq_tq & 0xF] = vals
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cs, td_ta >> 4, td_ta & 0xF))
+            scan_at = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if w is None:
+        raise ImageDecodeError("jpeg: no SOF")
+    if scan_at is None:
+        raise ImageDecodeError("jpeg: no SOS")
+    if len(scan_comps) != len(comps):
+        raise ImageDecodeError("jpeg: scan/frame component mismatch")
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
+        raise ImageDecodeError("jpeg: bad sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan_comps:
+        c = by_id.get(cs)
+        if c is None:
+            raise ImageDecodeError("jpeg: scan references unknown component")
+        if c["tq"] not in qt:
+            raise ImageDecodeError("jpeg: missing quantization table")
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise ImageDecodeError("jpeg: missing huffman table")
+        c["dc"] = dc_tabs[td]
+        c["ac"] = ac_tabs[ta]
+        c["q"] = qt[c["tq"]]
+        c["bw"] = mcux * c["hs"]  # blocks per row
+        c["bh"] = mcuy * c["vs"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+        order.append(c)
+
+    r = _BitReader(b, scan_at)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                r.resync()
+                for c in order:
+                    c["pred"] = 0
+            mcu_i += 1
+            for c in order:
+                for v in range(c["vs"]):
+                    for u in range(c["hs"]):
+                        blk = c["coef"][
+                            (my * c["vs"] + v) * c["bw"] + mx * c["hs"] + u
+                        ]
+                        t = r.huff(c["dc"])
+                        diff = _extend(r.bits(t), t) if t else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(c["ac"])
+                            rr, ss = rs >> 4, rs & 0xF
+                            if ss == 0:
+                                if rr == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ImageDecodeError(
+                                    "jpeg: AC index out of range"
+                                )
+                            blk[k] = _extend(r.bits(ss), ss)
+                            k += 1
+
+    # dequantize + IDCT + level shift, vectorized over all blocks/comp
+    planes = []
+    for c in order:
+        deq = (c["coef"] * c["q"][None, :]).astype(np.float64)
+        m = np.zeros((deq.shape[0], 64))
+        m[:, _ZIGZAG] = deq  # un-zigzag into natural order
+        m = m.reshape(-1, 8, 8)
+        # 2-D IDCT: Bᵀ · M · B  (basis rows are frequencies)
+        sp = np.einsum("ux,nuv,vy->nxy", _BASIS, m, _BASIS, optimize=True)
+        # round half away from zero, deterministic across platforms
+        sp = np.floor(sp + 128.0 + 0.5)
+        sp = np.clip(sp, 0, 255).astype(np.uint8)
+        # stitch blocks → full sample plane
+        bh, bw = c["bh"], c["bw"]
+        plane = sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
+            bh * 8, bw * 8
+        )
+        # upsample to full resolution by sample repetition (nearest)
+        ry, rx = vmax // c["vs"], hmax // c["hs"]
+        if vmax % c["vs"] or hmax % c["hs"]:
+            raise ImageDecodeError("jpeg: non-integer sampling ratio")
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w].astype(np.int32))
+
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return w, h, np.repeat(g[:, :, None], 3, axis=2).tobytes()
+    y, cb, cr = planes
+    cb = cb - 128
+    cr = cr - 128
+    # integer-exact JFIF conversion (scaled by 2^16, floor+round)
+    r_ = y + ((91881 * cr + 32768) >> 16)
+    g_ = y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+    b_ = y + ((116130 * cb + 32768) >> 16)
+    rgb = np.stack(
+        [np.clip(p, 0, 255).astype(np.uint8) for p in (r_, g_, b_)], axis=2
+    )
+    return w, h, rgb.tobytes()

@@ -555,14 +555,15 @@ def signature_rows(fmt: str, data: bytes) -> list[dict]:
 
     Zip packages (docx/pptx/xlsx/xlsm/epub) walk every member and sign
     the ones whose bytes sniff as images. PDFs sign every /Subtype
-    /Image XObject: container payloads (kept DCT = literal JPEG files)
-    go through the container decoder; fully-undone filter chains are
+    /Image XObject: container payloads (kept DCT = literal JPEG files,
+    now REALLY decoded by the baseline-JPEG path) go through the
+    container decoder; fully-undone filter chains are
     containerless rasters decoded straight from the dict's
     /Width /Height /BitsPerComponent + simple color space
     (kernels/imagepix.rgb_from_raw_samples — PNG-predictor output is
     already unfiltered by the stream decoder). Formats that genuinely
-    need a native codec (JPEG/JPX/CCITT/JBIG2, WEBP) yield a row with
-    the reason in ``decode_error`` — the catalogue still learns the
+    need a native codec (JPX/CCITT/JBIG2, WEBP, progressive JPEG)
+    yield a row with the reason in ``decode_error`` — the catalogue still learns the
     blob exists and is an image.
 
     Raises on a malformed file or unknown format (callers quarantine

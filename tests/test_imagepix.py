@@ -448,7 +448,9 @@ class TestMutationFuzz:
 
 class TestSignature:
     def test_codec_formats_raise_with_reason(self):
-        with pytest.raises(ImageDecodeError, match="native codec"):
+        # truncated JPEG: recognized, dispatched to the real decoder,
+        # fails as corrupt (baseline JPEG decodes for real now)
+        with pytest.raises(ImageDecodeError):
             decode_image_pixels(b"\xff\xd8\xff\xe0JFIF")
         with pytest.raises(ImageDecodeError, match="native codec"):
             decode_image_pixels(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
@@ -550,7 +552,7 @@ class TestSparkImageOps:
         assert ok["dhash64"] == sig["dhash64"]
         assert ok["ahash64"] == sig["ahash64"]
         bad = rows[hashlib.sha256(b"\xff\xd8\xffJFIFgarbage").hexdigest()]
-        assert bad["dhash64"] is None and "codec" in bad["decode_error"]
+        assert bad["dhash64"] is None and bad["decode_error"]  # corrupt jpeg
 
     def test_image_neardup_pairs_finds_reencodes_and_tweaks(self, spark):
         import hashlib

@@ -647,7 +647,9 @@ class TestSignatureRows:
         assert gr["decode_error"] is None
         jp = rows[JPEG_SHA]
         assert jp["blob_format"] == "jpeg"
-        assert jp["dhash64"] is None and "codec" in jp["decode_error"]
+        # JPEG_BYTES is SOI+SOF0+EOI with no scan — a real-but-corrupt
+        # jpeg now that baseline decodes; error is row-level either way
+        assert jp["dhash64"] is None and jp["decode_error"]
 
     def test_unknown_colorspace_is_row_level_error(self):
         from docproc_spark.sources.media_sidecar import signature_rows

@@ -127,9 +127,10 @@ def test_decode_image_real_for_stdlib_formats_stubbed_for_codecs():
     from docproc_spark.functions.media import decode_image
     from docproc_spark.kernels.imagepix import ImageDecodeError, encode_png
 
-    # codec formats keep the loud env-stub contract
+    # genuinely codec-bound formats keep the loud env-stub contract
+    # (webp; progressive jpeg is the subset gap of the real decoder)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # stdlib-decodable formats decode for REAL now
     d = decode_image(encode_png(b"\x01\x02\x03", 1, 1))
     assert (d["width"], d["height"], d["rgb"]) == (1, 1, b"\x01\x02\x03")
