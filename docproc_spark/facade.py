@@ -295,6 +295,18 @@ class DocprocSpark:
             self._binary_files(path, ("tar", "tar.gz")).drop("fmt")
         )
 
+    def wds_signatures(self, path: str) -> DataFrame:
+        """Directory of WebDataset .tar shards → the perceptual-
+        signature catalogue for every image member
+        (sources/webdataset.load_wds_signatures): real pixel-decoded
+        dims + dHash/aHash under the sample table's sha256 identity,
+        so WDS shards join the same perceptual dedupe as documents."""
+        from docproc_spark.sources.webdataset import load_wds_signatures
+
+        return load_wds_signatures(
+            self._binary_files(path, ("tar", "tar.gz")).drop("fmt")
+        )
+
     def warc_media(self, path: str) -> DataFrame:
         """Directory of web archives → the web media catalogue with
         FETCHED facts (sources/media_sidecar.warc_media_catalogue):

@@ -40,7 +40,8 @@ from pyspark.sql import types as T
 from docproc_spark.kernels.mediainfo import sniff_media_header
 
 __all__ = ["WDS_SAMPLE_SCHEMA", "iter_wds_samples", "load_webdataset",
-           "wds_documents", "wds_media_table", "export_webdataset_text"]
+           "wds_documents", "wds_media_table", "export_webdataset_text",
+           "iter_wds_signatures", "load_wds_signatures"]
 
 _TEXT_EXTS = ("txt", "text", "caption")
 _JSON_EXTS = ("json",)
@@ -301,3 +302,87 @@ def wds_documents(samples: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("parse_error"),
         )
     )
+
+
+def iter_wds_signatures(data: bytes, shard: str) -> Iterator[dict]:
+    """Perceptual-signature rows (media_sidecar.MEDIA_SIGNATURE_SCHEMA
+    minus doc_id prefixing) for one shard's image members — sha256
+    identity equal to the sample table's media_ref, pixel decode via
+    kernels/imagepix (PNG/BMP/GIF/baseline-JPEG: exactly the formats
+    LAION-style shards carry). Raises on an unreadable archive."""
+    from docproc_spark.kernels.imagepix import image_signature
+    from docproc_spark.sources.media_sidecar import (
+        _MAX_MEMBER_BYTES,
+        _sig_row,
+    )
+
+    with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+        seen: set[tuple[str, str]] = set()
+        for member in tf:
+            if not member.isfile() or member.size > _MAX_MEMBER_BYTES:
+                continue
+            key, ext = _split_key(member.name)
+            if ext in _TEXT_EXTS or ext in _JSON_EXTS:
+                continue
+            try:
+                blob = tf.extractfile(member).read()
+            except Exception:
+                continue  # the sample loader records the quarantine
+            if sniff_media_header(blob)["media_kind"] != "image":
+                continue
+            ref = hashlib.sha256(blob).hexdigest()
+            if (key, ref) in seen:
+                continue
+            seen.add((key, ref))
+            yield {
+                "doc_id": f"{shard}#{key}",
+                **_sig_row(ref, ext or None, None, image_signature(blob)),
+            }
+
+
+def load_wds_signatures(
+    files: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(shard_id, content:binary) per .tar shard → the perceptual-
+    signature catalogue for every image member
+    (media_sidecar.MEDIA_SIGNATURE_SCHEMA, doc_id = shard#key): REAL
+    pixel-decoded dims + dHash/aHash under the same sha256 identity as
+    ``load_webdataset``'s media entries — so one
+    functions/media.perceptual_dup_clusters pass dedupes WDS shards,
+    office documents, and PDFs together. One mapInPandas crossing per
+    shard, zero shuffle; a corrupt shard yields ONE quarantine row.
+
+    The ``blob_format`` column carries the DECODED format; join on
+    media_ref to the sample table for the declared ext/header facts.
+    """
+    import pandas as pd
+
+    from docproc_spark.sources.media_sidecar import MEDIA_SIGNATURE_SCHEMA
+
+    cols = [f.name for f in MEDIA_SIGNATURE_SCHEMA]
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for fid, blob in zip(pdf[doc_id_col], pdf[content_col]):
+                chunk: list[dict] = []
+                try:
+                    for row in iter_wds_signatures(bytes(blob), str(fid)):
+                        chunk.append(row)
+                        if len(chunk) >= 2048:
+                            yield pd.DataFrame(chunk, columns=cols)
+                            chunk = []
+                except Exception as e:  # noqa: BLE001 — shard quarantine
+                    chunk.append(
+                        {
+                            "doc_id": str(fid),
+                            **{c: None for c in cols[1:]},
+                            "parse_error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+                if chunk:
+                    yield pd.DataFrame(chunk, columns=cols)
+
+    return files.mapInPandas(gen, schema=MEDIA_SIGNATURE_SCHEMA)

@@ -183,3 +183,60 @@ def test_facade_reads_gzipped_shards(spark, tmp_path):
     rows = DocprocSpark(spark).load_webdataset(str(tmp_path)).collect()
     assert {r["key"] for r in rows} == {"000001", "dir.v2/000002"}
     assert all(r["parse_error"] is None for r in rows)
+
+
+class TestSignatures:
+    def _shard(self):
+        from docproc_spark.kernels.imagepix import encode_png
+
+        px = bytes((x * 11 + y * 7) % 256
+                   for y in range(12) for x in range(16) for _ in range(3))
+        real = encode_png(px, 16, 12)
+        return real, make_tar(
+            {
+                "a.png": real,
+                "a.txt": b"caption",
+                "b.png": IMG,  # header-only PNG: decode_error row
+                "b.txt": b"caption two",
+                "c.wav": b"RIFF\x00\x00\x00\x00WAVE",  # audio: skipped
+            }
+        )
+
+    def test_iter_signature_rows(self):
+        from docproc_spark.kernels.imagepix import image_signature
+        from docproc_spark.sources.webdataset import iter_wds_signatures
+
+        real, shard = self._shard()
+        rows = {r["doc_id"]: r for r in iter_wds_signatures(shard, "s0")}
+        assert set(rows) == {"s0#a", "s0#b"}
+        a = rows["s0#a"]
+        assert a["media_ref"] == hashlib.sha256(real).hexdigest()
+        assert (a["width"], a["height"]) == (16, 12)
+        assert a["dhash64"] == image_signature(real)["dhash64"]
+        assert rows["s0#b"]["decode_error"]  # header-only PNG
+
+    def test_spark_loader_and_quarantine(self, spark):
+        from docproc_spark.sources.webdataset import load_wds_signatures
+
+        real, shard = self._shard()
+        df = spark.createDataFrame(
+            [("s0.tar", bytearray(shard)), ("bad.tar", bytearray(b"junk"))],
+            "doc_id string, content binary",
+        )
+        rows = load_wds_signatures(df).collect()
+        bad = [r for r in rows if r["parse_error"] is not None]
+        assert [r["doc_id"] for r in bad] == ["bad.tar"]
+        ok = {r["doc_id"] for r in rows if r["parse_error"] is None}
+        assert ok == {"s0.tar#a", "s0.tar#b"}
+
+    def test_identity_matches_sample_table(self):
+        from docproc_spark.sources.webdataset import iter_wds_signatures
+
+        real, shard = self._shard()
+        sig_refs = {r["media_ref"] for r in iter_wds_signatures(shard, "s")}
+        sample_refs = {
+            m["media_ref"]
+            for row in iter_wds_samples(shard, "s")
+            for m in row["media"]
+        }
+        assert sig_refs <= sample_refs
