@@ -187,10 +187,10 @@ def extract_media_features(media: DataFrame, blob_col: str = "blob", dims: int =
 def resize_images(media: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
     """Resize: binary in → binary out with target-dim metadata.
 
-    REAL for stdlib-decodable formats (PNG/BMP/GIF/baseline JPEG):
+    REAL for stdlib-decodable formats (PNG/BMP/GIF/JPEG):
     integer box-mean resample of the decoded RGB, re-encoded as PNG —
     deterministic, no PIL. Blobs this environment cannot decode
-    (WEBP/progressive JPEG; corrupt bytes) pass through untouched, preserving
+    (WEBP/arithmetic JPEG; corrupt bytes) pass through untouched, preserving
     the original schema/batching contract a full-codec swap-in must
     honor. ``media_ref`` stays the INPUT blob's identity so resized
     output joins back to the catalogue/span tables.
@@ -287,14 +287,14 @@ def image_signatures(
     media: DataFrame, blob_col: str = "blob", max_pixels: int | None = None
 ) -> DataFrame:
     """REAL pixel decode + perceptual signatures for stdlib-decodable
-    image formats (PNG/BMP/GIF + baseline JPEG —
+    image formats (PNG/BMP/GIF + baseline/progressive JPEG —
     kernels/imagepix.py / jpegdec.py; no PIL needed).
 
     Per blob: sha256 identity, decoded dimensions, integer BT.601
     gray mean, and two 64-bit perceptual fingerprints — dHash
     (gradient) and aHash (mean-threshold) — the near-dup image
     identity that survives re-encoding and rescaling, which the
-    byte-level sha256 cannot. Undecodable blobs (WEBP/progressive-JPEG
+    byte-level sha256 cannot. Undecodable blobs (WEBP/arithmetic-JPEG
     need a codec; corrupt data) yield NULL metrics with the reason in
     ``decode_error`` — a row property, never a task failure.
 
@@ -496,9 +496,9 @@ def perceptual_dup_clusters(
 def decode_image(blob: bytes):
     """Real image decode for stdlib-decodable formats — PNG (zlib
     DEFLATE + unfiltering), BMP, GIF (LZW) via kernels/imagepix.py.
-    Returns {format, width, height, rgb}. Baseline JPEG decodes via
+    Returns {format, width, height, rgb}. Baseline + progressive JPEG decode via
     kernels/jpegdec.py; formats that still need a native codec
-    (WEBP/TIFF, progressive/arithmetic JPEG) raise
+    (WEBP/TIFF, arithmetic-coded JPEG) raise
     NotImplementedError, preserving the loud env-stub contract;
     corrupt bytes raise ImageDecodeError (quarantine, not env)."""
     from docproc_spark.kernels.imagepix import (

@@ -6,10 +6,10 @@ BMP is uncompressed, and GIF's LZW fits in forty lines. That makes
 real pixel access — and therefore real perceptual hashing and
 corpus-wide near-dup image dedupe (the LAION-style curation step) —
 possible for the raster formats that dominate document packages and
-web corpora, with no native codec. Baseline JPEG decodes too
-(kernels/jpegdec.py — Huffman + numpy IDCT); WEBP/TIFF and
-progressive/arithmetic JPEG stay behind the loud
-CodecUnavailableError (kernels/mediainfo.py still sniffs their
+web corpora, with no native codec. Baseline AND progressive JPEG
+decode too (kernels/jpegdec.py — Huffman + numpy IDCT, successive
+approximation); WEBP/TIFF and arithmetic-coded JPEG stay behind the
+loud CodecUnavailableError (kernels/mediainfo.py still sniffs their
 headers for metadata).
 
 Everything here is a plain-Python worker kernel called from
@@ -60,9 +60,9 @@ class ImageDecodeError(ValueError):
 
 
 class CodecUnavailableError(ImageDecodeError):
-    """The format is recognized but needs a native codec (JPEG/WEBP/
-    TIFF) that this environment does not ship — an environment
-    limitation, not bad data. Callers that distinguish quarantine
+    """The format is recognized but needs a codec this engine does not
+    implement (WEBP/TIFF, arithmetic-coded or lossless JPEG) — a
+    capability gap, not bad data. Callers that distinguish quarantine
     from env-stub catch this separately."""
 
 

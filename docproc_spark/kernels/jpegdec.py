@@ -1,4 +1,4 @@
-"""Baseline JPEG decoding in pure Python + numpy — no native codec.
+"""Baseline + progressive JPEG decoding in pure Python + numpy.
 
 Closes the biggest gap in the stdlib pixel path (kernels/imagepix.py):
 DCT payloads are what document packages actually embed — PDF
@@ -7,10 +7,12 @@ so perceptual identity over real corpora needs this decoder far more
 often than PNG/GIF.
 
 Subset (honest, checked up front, each gap reported by name):
-  - baseline sequential DCT (SOF0) and extended sequential (SOF1),
-    8-bit samples, 1 or 3 components (grayscale / JFIF YCbCr),
-    4:4:4, 4:2:2, 4:2:0, 4:1:1 sampling, restart markers
-  - NOT: progressive (SOF2), arithmetic coding (SOF9+), 12-bit,
+  - baseline sequential DCT (SOF0), extended sequential (SOF1), and
+    PROGRESSIVE (SOF2: spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs), 8-bit samples,
+    1 or 3 components (grayscale / JFIF YCbCr), 4:4:4, 4:2:2, 4:2:0,
+    4:1:1 sampling, restart markers
+  - NOT: arithmetic coding (SOF9+), hierarchical/lossless, 12-bit,
     CMYK/Adobe 4-component — these raise CodecUnavailableError with
     the reason, and the catalogue records it per row
 
@@ -150,6 +152,19 @@ class _BitReader:
             self.pos += 1
         raise ImageDecodeError("jpeg: missing restart marker")
 
+    def to_next_marker(self) -> int:
+        """Byte position of the next non-RST marker at/after the
+        current read position (entropy data consumed so far)."""
+        b = self.b
+        pos = self.pos
+        while pos + 1 < len(b):
+            if b[pos] == 0xFF and b[pos + 1] not in (0x00,) and not (
+                0xD0 <= b[pos + 1] <= 0xD7
+            ):
+                return pos
+            pos += 1
+        return len(b)
+
 
 def _extend(v: int, n: int) -> int:
     """JPEG EXTEND: map an n-bit magnitude to its signed value."""
@@ -157,10 +172,9 @@ def _extend(v: int, n: int) -> int:
 
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive jpeg (SOF2) not supported",
     0xC3: "lossless jpeg not supported",
     0xC5: "differential jpeg not supported",
-    0xC6: "progressive jpeg not supported",
+    0xC6: "differential progressive jpeg not supported",
     0xC7: "lossless jpeg not supported",
     0xC9: "arithmetic-coded jpeg not supported",
     0xCA: "arithmetic-coded jpeg not supported",
@@ -174,11 +188,11 @@ _SOF_UNSUPPORTED = {
 def decode_jpeg(
     b: bytes, max_pixels: int = DEFAULT_MAX_PIXELS
 ) -> tuple[int, int, bytes]:
-    """Baseline JPEG bytes → (width, height, row-major RGB bytes).
-    Raises ImageDecodeError for corrupt data or out-of-subset files —
-    and ONLY that class: malformed streams that trip short-slice
-    unpacks in segment parsing are folded into it (the decoders'
-    never-escape contract, mutation-fuzz enforced)."""
+    """JPEG bytes (baseline or progressive) → (width, height,
+    row-major RGB bytes). Raises ImageDecodeError for corrupt data or
+    out-of-subset files — and ONLY that class: malformed streams that
+    trip short-slice unpacks in segment parsing are folded into it
+    (the decoders' never-escape contract, mutation-fuzz enforced)."""
     try:
         return _decode(b, max_pixels)
     except ImageDecodeError:
@@ -189,6 +203,182 @@ def decode_jpeg(
         ) from None
 
 
+def _block_sequential(r: _BitReader, c: dict, blk: np.ndarray) -> None:
+    t = r.huff(c["dc"])
+    diff = _extend(r.bits(t), t) if t else 0
+    c["pred"] += diff
+    blk[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = r.huff(c["ac"])
+        rr, ss = rs >> 4, rs & 0xF
+        if ss == 0:
+            if rr == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ImageDecodeError("jpeg: AC index out of range")
+        blk[k] = _extend(r.bits(ss), ss)
+        k += 1
+
+
+def _block_dc_first(r: _BitReader, c: dict, blk: np.ndarray, al: int) -> None:
+    t = r.huff(c["dc"])
+    diff = _extend(r.bits(t), t) if t else 0
+    c["pred"] += diff
+    blk[0] = c["pred"] << al
+
+
+def _block_dc_refine(r: _BitReader, blk: np.ndarray, al: int) -> None:
+    # append the next magnitude bit (the de-facto libjpeg convention:
+    # OR into the stored two's-complement coefficient)
+    if r.bit():
+        blk[0] |= 1 << al
+
+
+def _block_ac_first(
+    r: _BitReader, c: dict, blk: np.ndarray,
+    ss_: int, se: int, al: int, eobrun: list[int],
+) -> None:
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss_
+    while k <= se:
+        rs = r.huff(c["ac"])
+        rr, ssz = rs >> 4, rs & 0xF
+        if ssz == 0:
+            if rr == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of 2^rr + extra blocks, current one included
+            eobrun[0] = (1 << rr) - 1
+            if rr:
+                eobrun[0] += r.bits(rr)
+            return
+        k += rr
+        if k > se:
+            raise ImageDecodeError("jpeg: AC index out of band")
+        blk[k] = _extend(r.bits(ssz), ssz) << al
+        k += 1
+
+
+def _block_ac_refine(
+    r: _BitReader, c: dict, blk: np.ndarray,
+    ss_: int, se: int, al: int, eobrun: list[int],
+) -> None:
+    """T.81 G.1.2.3 AC successive-approximation refinement: new ±1
+    coefficients arrive at the scan's bit position while every
+    already-nonzero coefficient passed over absorbs one correction
+    bit."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss_
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = r.huff(c["ac"])
+            rr, ssz = rs >> 4, rs & 0xF
+            val = 0
+            if ssz == 0:
+                if rr < 15:
+                    eobrun[0] = 1 << rr
+                    if rr:
+                        eobrun[0] += r.bits(rr)
+                    break  # rest of block handled by the EOB-run tail
+                # ZRL: skip 16 zero-HISTORY positions
+            else:
+                if ssz != 1:
+                    raise ImageDecodeError("jpeg: bad AC refine size")
+                val = p1 if r.bit() else m1
+            while k <= se:
+                if blk[k]:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:  # correction bits for the rest of the block
+            if blk[k]:
+                if r.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan(
+    b: bytes,
+    scan_at: int,
+    scan_list: list[dict],
+    params: tuple[int, int, int, int],
+    geom: tuple[int, int],
+    restart_interval: int,
+    progressive: bool,
+) -> int:
+    """Entropy-decode one scan into the components' coefficient arrays;
+    returns the byte position of the next marker."""
+    ss_, se, ah, al = params
+    mcux, mcuy = geom
+    r = _BitReader(b, scan_at)
+    eobrun = [0]
+    for c in scan_list:
+        c["pred"] = 0
+
+    def maybe_restart(i: int) -> None:
+        if restart_interval and i and i % restart_interval == 0:
+            r.resync()
+            eobrun[0] = 0
+            for c in scan_list:
+                c["pred"] = 0
+
+    if len(scan_list) > 1:
+        # interleaved MCU walk (sequential scans; progressive DC scans)
+        i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(i)
+                i += 1
+                for c in scan_list:
+                    for v in range(c["vs"]):
+                        for u in range(c["hs"]):
+                            blk = c["coef"][
+                                (my * c["vs"] + v) * c["bw"]
+                                + mx * c["hs"] + u
+                            ]
+                            if not progressive:
+                                _block_sequential(r, c, blk)
+                            elif ah == 0:
+                                _block_dc_first(r, c, blk, al)
+                            else:
+                                _block_dc_refine(r, blk, al)
+    else:
+        # non-interleaved: iterate the component's REAL blocks only
+        c = scan_list[0]
+        for by in range(c["bh_real"]):
+            for bx in range(c["bw_real"]):
+                maybe_restart(by * c["bw_real"] + bx)
+                blk = c["coef"][by * c["bw"] + bx]
+                if not progressive:
+                    _block_sequential(r, c, blk)
+                elif ss_ == 0:
+                    if ah == 0:
+                        _block_dc_first(r, c, blk, al)
+                    else:
+                        _block_dc_refine(r, blk, al)
+                elif ah == 0:
+                    _block_ac_first(r, c, blk, ss_, se, al, eobrun)
+                else:
+                    _block_ac_refine(r, c, blk, ss_, se, al, eobrun)
+    return r.to_next_marker()
+
+
 def _decode(b: bytes, max_pixels: int) -> tuple[int, int, bytes]:
     if b[:2] != b"\xff\xd8":
         raise ImageDecodeError("jpeg: missing SOI")
@@ -197,19 +387,25 @@ def _decode(b: bytes, max_pixels: int) -> tuple[int, int, bytes]:
     ac_tabs: dict[int, _Huff] = {}
     comps: list[dict] = []
     w = h = None
+    hmax = vmax = mcux = mcuy = None
+    progressive = False
     restart_interval = 0
+    n_scans = 0
     pos = 2
-    scan_at = None
-    scan_comps = None
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             pos += 1  # tolerate fill bytes between segments
             continue
         marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(b):
             break
         seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
         seg = b[pos + 4 : pos + 2 + seg_len]
@@ -217,7 +413,8 @@ def _decode(b: bytes, max_pixels: int) -> tuple[int, int, bytes]:
             # a real, recognized JPEG our subset can't do — callers that
             # distinguish env/subset gaps from corrupt data catch this
             raise CodecUnavailableError(f"jpeg: {_SOF_UNSUPPORTED[marker]}")
-        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 raise ImageDecodeError("jpeg: short SOF")
             prec = seg[0]
@@ -237,12 +434,32 @@ def _decode(b: bytes, max_pixels: int) -> tuple[int, int, bytes]:
                 raise CodecUnavailableError(
                     f"jpeg: {n_comp}-component (CMYK/Adobe) not supported"
                 )
+            if len(seg) < 6 + 3 * n_comp:
+                raise ImageDecodeError("jpeg: short SOF")
             comps = []
             for i in range(n_comp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({
                     "id": cid, "hs": hv >> 4, "vs": hv & 0xF, "tq": tq,
                 })
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4 or any(
+                c["hs"] == 0 or c["vs"] == 0 for c in comps
+            ):
+                raise ImageDecodeError("jpeg: bad sampling factors")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcux * c["hs"]  # padded (MCU) block grid
+                c["bh"] = mcuy * c["vs"]
+                # real block counts (non-interleaved scans code ONLY
+                # these; the padding blocks exist only in MCU walks)
+                cw = (w * c["hs"] + hmax - 1) // hmax
+                ch = (h * c["vs"] + vmax - 1) // vmax
+                c["bw_real"] = (cw + 7) // 8
+                c["bh_real"] = (ch + 7) // 8
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
         elif marker == 0xC4:  # DHT
             p = 0
             while p + 17 <= len(seg):
@@ -277,86 +494,71 @@ def _decode(b: bytes, max_pixels: int) -> tuple[int, int, bytes]:
                 qt[pq_tq & 0xF] = vals
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan, keep going
+            if w is None:
+                raise ImageDecodeError("jpeg: SOS before SOF")
             ns = seg[0]
-            scan_comps = []
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ImageDecodeError("jpeg: short SOS")
+            by_id = {c["id"]: c for c in comps}
+            scan_list = []
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
-                scan_comps.append((cs, td_ta >> 4, td_ta & 0xF))
-            scan_at = pos + 2 + seg_len
-            break
+                c = by_id.get(cs)
+                if c is None:
+                    raise ImageDecodeError(
+                        "jpeg: scan references unknown component"
+                    )
+                td, ta = td_ta >> 4, td_ta & 0xF
+                c["td"], c["ta"] = td, ta
+                scan_list.append(c)
+            ss_, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if not progressive:
+                ss_, se, ah, al = 0, 63, 0, 0
+            if ss_ > 63 or se > 63 or se < ss_:
+                raise ImageDecodeError("jpeg: bad spectral selection")
+            if progressive and ss_ == 0 and se != 0:
+                raise ImageDecodeError(
+                    "jpeg: progressive DC scan must have Se=0"
+                )
+            if progressive and ss_ > 0 and len(scan_list) != 1:
+                raise ImageDecodeError(
+                    "jpeg: interleaved progressive AC scan"
+                )
+            # bind only the tables this scan actually reads
+            for c in scan_list:
+                if (ss_ == 0 and ah == 0) or not progressive:
+                    if c["td"] not in dc_tabs:
+                        raise ImageDecodeError("jpeg: missing huffman table")
+                    c["dc"] = dc_tabs[c["td"]]
+                if (ss_ > 0 or not progressive) and se > 0:
+                    if c["ta"] not in ac_tabs:
+                        raise ImageDecodeError("jpeg: missing huffman table")
+                    c["ac"] = ac_tabs[c["ta"]]
+                if c["tq"] not in qt:
+                    raise ImageDecodeError("jpeg: missing quantization table")
+            n_scans += 1
+            if n_scans > 256:
+                raise ImageDecodeError("jpeg: too many scans")
+            pos = _decode_scan(
+                b, pos + 2 + seg_len, scan_list, (ss_, se, ah, al),
+                (mcux, mcuy), restart_interval, progressive,
+            )
+            continue
         pos += 2 + seg_len
     if w is None:
         raise ImageDecodeError("jpeg: no SOF")
-    if scan_at is None:
+    if n_scans == 0:
         raise ImageDecodeError("jpeg: no SOS")
-    if len(scan_comps) != len(comps):
-        raise ImageDecodeError("jpeg: scan/frame component mismatch")
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
-        raise ImageDecodeError("jpeg: bad sampling factors")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in scan_comps:
-        c = by_id.get(cs)
-        if c is None:
-            raise ImageDecodeError("jpeg: scan references unknown component")
+    for c in comps:
         if c["tq"] not in qt:
             raise ImageDecodeError("jpeg: missing quantization table")
-        if td not in dc_tabs or ta not in ac_tabs:
-            raise ImageDecodeError("jpeg: missing huffman table")
-        c["dc"] = dc_tabs[td]
-        c["ac"] = ac_tabs[ta]
-        c["q"] = qt[c["tq"]]
-        c["bw"] = mcux * c["hs"]  # blocks per row
-        c["bh"] = mcuy * c["vs"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        c["pred"] = 0
-        order.append(c)
-
-    r = _BitReader(b, scan_at)
-    mcu_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                r.resync()
-                for c in order:
-                    c["pred"] = 0
-            mcu_i += 1
-            for c in order:
-                for v in range(c["vs"]):
-                    for u in range(c["hs"]):
-                        blk = c["coef"][
-                            (my * c["vs"] + v) * c["bw"] + mx * c["hs"] + u
-                        ]
-                        t = r.huff(c["dc"])
-                        diff = _extend(r.bits(t), t) if t else 0
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = r.huff(c["ac"])
-                            rr, ss = rs >> 4, rs & 0xF
-                            if ss == 0:
-                                if rr == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ImageDecodeError(
-                                    "jpeg: AC index out of range"
-                                )
-                            blk[k] = _extend(r.bits(ss), ss)
-                            k += 1
 
     # dequantize + IDCT + level shift, vectorized over all blocks/comp
     planes = []
-    for c in order:
-        deq = (c["coef"] * c["q"][None, :]).astype(np.float64)
+    for c in comps:
+        deq = (c["coef"] * qt[c["tq"]][None, :]).astype(np.float64)
         m = np.zeros((deq.shape[0], 64))
         m[:, _ZIGZAG] = deq  # un-zigzag into natural order
         m = m.reshape(-1, 8, 8)

@@ -562,7 +562,7 @@ def signature_rows(fmt: str, data: bytes) -> list[dict]:
     /Width /Height /BitsPerComponent + simple color space
     (kernels/imagepix.rgb_from_raw_samples — PNG-predictor output is
     already unfiltered by the stream decoder). Formats that genuinely
-    need a native codec (JPX/CCITT/JBIG2, WEBP, progressive JPEG)
+    need a native codec (JPX/CCITT/JBIG2, WEBP, arithmetic JPEG)
     yield a row with the reason in ``decode_error`` — the catalogue still learns the
     blob exists and is an image.
 

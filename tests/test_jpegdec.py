@@ -245,12 +245,166 @@ class TestColor:
         assert rgb[0] == flat_expect(5)
 
 
+def make_prog_jpeg(w, h, comp_spec, scans, q=16):
+    """Progressive fixture: ``scans`` is a list of
+    (comp_idxs, Ss, Se, Ah, Al, encode(wtr)) — the callback writes the
+    scan's complete entropy-coded payload."""
+    n = len(comp_spec)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([q] * 64))
+    sofp = bytes([8]) + struct.pack(">HH", h, w) + bytes([n])
+    for i, (hs, vs) in enumerate(comp_spec):
+        sofp += bytes([i + 1, (hs << 4) | vs, 0])
+    out += _seg(0xC2, sofp)
+    out += _seg(0xC4, bytes([0x00]) + DC_COUNTS + DC_SYMBOLS)
+    out += _seg(0xC4, bytes([0x10]) + AC_COUNTS + AC_SYMBOLS)
+    for comp_idxs, ss, se, ah, al, encode in scans:
+        sosp = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            sosp += bytes([ci + 1, 0x00])
+        sosp += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sosp)
+        wtr = _BitWriter()
+        encode(wtr)
+        wtr.flush()
+        out += wtr.out
+    return bytes(out) + b"\xff\xd9"
+
+
+class TestProgressive:
+    def test_dc_successive_approximation(self):
+        # DCs 5, -6, 9, 2 (2x2 blocks, 16x16): first scan at Al=1
+        # codes dc>>1 (floor), refine appends bit 0
+        dcs = [5, -6, 9, 2]
+
+        def scan1(wtr):
+            pred = 0
+            for dc in dcs:
+                _dc_code(wtr, (dc >> 1) - pred)
+                pred = dc >> 1
+
+        def scan2(wtr):
+            for dc in dcs:
+                wtr.put(dc & 1, 1)
+
+        jpg = make_prog_jpeg(
+            16, 16, [(1, 1)],
+            [([0], 0, 0, 0, 1, scan1), ([0], 0, 0, 1, 0, scan2)],
+        )
+        _, _, rgb = decode_jpeg(jpg)
+        base = dc_only_gray(16, 16, [(dc >> 1 << 1) | (dc & 1) for dc in dcs])
+        assert rgb == decode_jpeg(base)[2]
+        # positive DCs reconstruct exactly; check one directly
+        assert rgb[(0 * 16 + 8) * 3] == flat_expect(-6 >> 1 << 1 | 0)
+
+    def test_ac_first_scan_with_eob_run(self):
+        # 4 blocks (32x8): block0 has AC=+1 at k=1, blocks 1-3 covered
+        # by one EOB2 run (rr=1 → eobrun = 2-1 + 1 extra bit = 2... use
+        # extra bit 1 → covers blocks 1,2; block 3 gets its own EOB0)
+        def dc_scan2(wtr):
+            for d in (4, -4, 0, 0):  # absolute DCs 4, 0, 0, 0
+                _dc_code(wtr, d)
+
+        def ac_scan(wtr):
+            wtr.put(0b01, 2)  # block0: symbol 0x01 run0 size1
+            wtr.put(1, 1)     # +1
+            wtr.put(0b00, 2)  # EOB0 ends block0
+            # blocks 1+2: EOB2 = sym (rr=1,ss=0)... our AC table has no
+            # EOB2 symbol — emit EOB0 per block instead (table economy)
+            wtr.put(0b00, 2)
+            wtr.put(0b00, 2)
+            wtr.put(0b00, 2)
+
+        jpg = make_prog_jpeg(
+            32, 8, [(1, 1)],
+            [([0], 0, 0, 0, 0, dc_scan2), ([0], 1, 63, 0, 0, ac_scan)],
+        )
+        _, _, rgb = decode_jpeg(jpg)
+
+        # baseline equivalent: block0 coefs DC=4 AC1=+1, block1 DC=0...
+        def enc(wtr, ci, bno):
+            _dc_code(wtr, 4 if bno == 0 else (-4 if bno == 1 else 0))
+            if bno == 0:
+                wtr.put(0b01, 2)
+                wtr.put(1, 1)
+            wtr.put(0b00, 2)
+
+        base = make_jpeg(32, 8, [(1, 1)], enc)
+        assert rgb == decode_jpeg(base)[2]
+
+    def test_ac_refinement_with_new_and_corrected_coefs(self):
+        # one block: AC[1]=3 (first pass at Al=1 → +1; refine bit 1),
+        # AC[3]=-1 arrives IN the refinement scan
+        def dc_scan(wtr):
+            _dc_code(wtr, 0)
+
+        def ac_first(wtr):  # Al=1: code AC[1] = 3>>1 = +1
+            wtr.put(0b01, 2)
+            wtr.put(1, 1)
+            wtr.put(0b00, 2)  # EOB
+
+        def ac_refine(wtr):  # Al=0
+            wtr.put(0b10, 2)  # symbol 0x11 (run 1, size 1): new coef
+            #                   after ONE zero-HISTORY position — the
+            #                   nonzero AC[1] does not count in the run
+            wtr.put(0, 1)     # sign bit → -1
+            wtr.put(1, 1)     # correction bit for AC[1] (3 has bit0=1)
+            wtr.put(0b00, 2)  # EOB0 for the rest
+
+        jpg = make_prog_jpeg(
+            8, 8, [(1, 1)],
+            [
+                ([0], 0, 0, 0, 0, dc_scan),
+                ([0], 1, 63, 0, 1, ac_first),
+                ([0], 1, 63, 1, 0, ac_refine),
+            ],
+        )
+        _, _, rgb = decode_jpeg(jpg)
+
+        # compare against independent IDCT math (the test AC table has
+        # no size-2 symbol, so no baseline twin exists for coef 3)
+        q = 16
+        import numpy as np
+
+        m = np.zeros((8, 8))
+        m[0, 1] = 3 * q   # zigzag 1 → natural (0,1)
+        m[2, 0] = -1 * q  # zigzag 3 → natural index 16 = (2,0)
+        basis = np.zeros((8, 8))
+        for u in range(8):
+            cu = (0.5 ** 0.5) if u == 0 else 1.0
+            for x in range(8):
+                basis[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+        f = basis.T @ m @ basis
+        exp = np.clip(np.floor(f + 128.5), 0, 255).astype(int)
+        got = [rgb[(y * 8 + x) * 3] for y in range(8) for x in range(8)]
+        assert got == [int(exp[y, x]) for y in range(8) for x in range(8)]
+
+    def test_color_dc_only_progressive(self):
+        # interleaved DC scan for 3 components, neutral chroma
+        def dc_scan(wtr):
+            for dc in (10, 0, 0):  # one MCU: Y, Cb, Cr
+                _dc_code(wtr, dc)
+
+        jpg = make_prog_jpeg(
+            8, 8, [(1, 1), (1, 1), (1, 1)],
+            [([0, 1, 2], 0, 0, 0, 0, dc_scan)],
+        )
+        w, h, rgb = decode_jpeg(jpg)
+        v = flat_expect(10)
+        assert rgb[:3] == bytes([v, v, v])
+
+    def test_progressive_dc_scan_with_bad_se_rejected(self):
+        jpg = dc_only_gray(8, 8, [0]).replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(ImageDecodeError, match="Se=0"):
+            decode_jpeg(jpg)
+
+
 class TestSubsetGates:
-    def test_progressive_and_cmyk_report_codec_gap(self):
+    def test_arithmetic_and_cmyk_report_codec_gap(self):
         jpg = dc_only_gray(8, 8, [0])
-        prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
-        with pytest.raises(CodecUnavailableError, match="progressive"):
-            decode_jpeg(prog)
+        arith = jpg.replace(b"\xff\xc0", b"\xff\xc9", 1)
+        with pytest.raises(CodecUnavailableError, match="arithmetic"):
+            decode_jpeg(arith)
         # 4-component SOF
         with pytest.raises(CodecUnavailableError, match="component"):
             sofp = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([4]) + bytes(12)
@@ -296,9 +450,23 @@ class TestIntegration:
         sig = image_signature(jpg)
         assert sig["decode_error"] is None and sig["gray_mean"] == v
 
-    def test_progressive_still_reports_via_signature(self):
+    def test_progressive_signs_for_real(self):
         from docproc_spark.kernels.imagepix import image_signature
 
-        jpg = dc_only_gray(8, 8, [0]).replace(b"\xff\xc0", b"\xff\xc2", 1)
+        def scan1(wtr):
+            for d in (6, -6):  # absolute DCs 6, 0
+                _dc_code(wtr, d)
+
+        jpg = make_prog_jpeg(
+            16, 8, [(1, 1)], [([0], 0, 0, 0, 0, scan1)]
+        )
         sig = image_signature(jpg)
-        assert sig["dhash64"] is None and "progressive" in sig["decode_error"]
+        assert sig["decode_error"] is None
+        assert sig["format"] == "jpeg" and sig["width"] == 16
+
+    def test_arithmetic_reports_codec_gap_via_signature(self):
+        from docproc_spark.kernels.imagepix import image_signature
+
+        jpg = dc_only_gray(8, 8, [0]).replace(b"\xff\xc0", b"\xff\xc9", 1)
+        sig = image_signature(jpg)
+        assert sig["dhash64"] is None and "arithmetic" in sig["decode_error"]
