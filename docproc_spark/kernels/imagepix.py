@@ -582,8 +582,8 @@ def decode_image_pixels(
         w, h, rgb = _decode_gif(b, max_pixels)
         fmt = "gif"
     elif b[:3] == b"\xff\xd8\xff":
-        # baseline JPEG decodes for real (kernels/jpegdec.py);
-        # progressive/arithmetic/CMYK raise CodecUnavailableError there
+        # baseline + progressive JPEG decode for real (jpegdec.py);
+        # arithmetic/lossless/CMYK raise CodecUnavailableError there
         from docproc_spark.kernels.jpegdec import decode_jpeg
 
         w, h, rgb = decode_jpeg(b, max_pixels)

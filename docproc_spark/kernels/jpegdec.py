@@ -203,11 +203,25 @@ def decode_jpeg(
         ) from None
 
 
-def _block_sequential(r: _BitReader, c: dict, blk: np.ndarray) -> None:
+_PRED_CAP = 1 << 17  # legal 8-bit DCs stay under 2^11; the cap keeps a
+# hostile stream of max-magnitude diffs (or a DHT mapping a code to a
+# huge size symbol) inside int32 even after the << Al shift
+
+
+def _dc_diff(r: _BitReader, c: dict) -> int:
     t = r.huff(c["dc"])
-    diff = _extend(r.bits(t), t) if t else 0
-    c["pred"] += diff
-    blk[0] = c["pred"]
+    if t > 15:
+        raise ImageDecodeError("jpeg: bad DC size symbol")
+    return _extend(r.bits(t), t) if t else 0
+
+
+def _clamped_pred(c: dict, diff: int) -> int:
+    c["pred"] = max(-_PRED_CAP, min(_PRED_CAP, c["pred"] + diff))
+    return c["pred"]
+
+
+def _block_sequential(r: _BitReader, c: dict, blk: np.ndarray) -> None:
+    blk[0] = _clamped_pred(c, _dc_diff(r, c))
     k = 1
     while k < 64:
         rs = r.huff(c["ac"])
@@ -225,10 +239,7 @@ def _block_sequential(r: _BitReader, c: dict, blk: np.ndarray) -> None:
 
 
 def _block_dc_first(r: _BitReader, c: dict, blk: np.ndarray, al: int) -> None:
-    t = r.huff(c["dc"])
-    diff = _extend(r.bits(t), t) if t else 0
-    c["pred"] += diff
-    blk[0] = c["pred"] << al
+    blk[0] = _clamped_pred(c, _dc_diff(r, c)) << al
 
 
 def _block_dc_refine(r: _BitReader, blk: np.ndarray, al: int) -> None:
@@ -538,6 +549,12 @@ def _decode(b: bytes, max_pixels: int) -> tuple[int, int, bytes]:
                     c["ac"] = ac_tabs[c["ta"]]
                 if c["tq"] not in qt:
                     raise ImageDecodeError("jpeg: missing quantization table")
+                # LATCH the quant table at the component's first scan —
+                # a DQT redefinition after (or between) scans must not
+                # change already-coded pixels (libjpeg semantics)
+                c.setdefault("q", qt[c["tq"]])
+                if ss_ == 0 or not progressive:
+                    c["coded_dc"] = True
             n_scans += 1
             if n_scans > 256:
                 raise ImageDecodeError("jpeg: too many scans")
@@ -552,13 +569,16 @@ def _decode(b: bytes, max_pixels: int) -> tuple[int, int, bytes]:
     if n_scans == 0:
         raise ImageDecodeError("jpeg: no SOS")
     for c in comps:
-        if c["tq"] not in qt:
-            raise ImageDecodeError("jpeg: missing quantization table")
+        # every component needs at least its DC coded — otherwise a
+        # truncated multi-scan file would decode to plausible-looking
+        # flat planes instead of quarantining
+        if not c.get("coded_dc"):
+            raise ImageDecodeError("jpeg: component never coded")
 
     # dequantize + IDCT + level shift, vectorized over all blocks/comp
     planes = []
     for c in comps:
-        deq = (c["coef"] * qt[c["tq"]][None, :]).astype(np.float64)
+        deq = (c["coef"] * c["q"][None, :]).astype(np.float64)
         m = np.zeros((deq.shape[0], 64))
         m[:, _ZIGZAG] = deq  # un-zigzag into natural order
         m = m.reshape(-1, 8, 8)

@@ -476,29 +476,22 @@ def load_media_sidecar(
     malformed file quarantines as ONE all-null row with ``parse_error``
     (same per-document contract as load_ooxml / load_pdf), so the
     catalogue's doc_id set matches the ingest frame's."""
-    import pandas as pd
+    from docproc_spark.sources.loaderutil import quarantined_binary_loader
 
-    id_c, f_c, b_c = doc_id_col, fmt_col, content_col
     cols = [f.name for f in MEDIA_SIDECAR_SCHEMA]
-
-    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out: list[dict] = []
-            for did, fmt, blob in zip(pdf[id_c], pdf[f_c], pdf[b_c]):
-                try:
-                    for row in media_rows(fmt, bytes(blob)):
-                        out.append({"doc_id": did, **row})
-                except Exception as e:  # noqa: BLE001 — per-doc quarantine
-                    out.append(
-                        {
-                            "doc_id": did,
-                            **{c: None for c in cols[1:]},
-                            "parse_error": f"{type(e).__name__}: {e}",
-                        }
-                    )
-            yield pd.DataFrame(out, columns=cols)
-
-    return docs.mapInPandas(gen, schema=MEDIA_SIDECAR_SCHEMA)
+    return quarantined_binary_loader(
+        docs,
+        MEDIA_SIDECAR_SCHEMA,
+        (doc_id_col, fmt_col, content_col),
+        lambda did, fmt, blob: (
+            {"doc_id": did, **row} for row in media_rows(fmt, blob)
+        ),
+        lambda did, fmt, blob, e: {
+            "doc_id": did,
+            **{c: None for c in cols[1:]},
+            "parse_error": f"{type(e).__name__}: {e}",
+        },
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -640,26 +633,19 @@ def load_media_signatures(
     row with ``parse_error``. Feed the result to
     functions/media.perceptual_dup_clusters for corpus-wide template /
     re-encoded-logo detection over INGESTED documents."""
-    import pandas as pd
+    from docproc_spark.sources.loaderutil import quarantined_binary_loader
 
-    id_c, f_c, b_c = doc_id_col, fmt_col, content_col
     cols = [f.name for f in MEDIA_SIGNATURE_SCHEMA]
-
-    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out: list[dict] = []
-            for did, fmt, blob in zip(pdf[id_c], pdf[f_c], pdf[b_c]):
-                try:
-                    for row in signature_rows(fmt, bytes(blob)):
-                        out.append({"doc_id": did, **row})
-                except Exception as e:  # noqa: BLE001 — per-doc quarantine
-                    out.append(
-                        {
-                            "doc_id": did,
-                            **{c: None for c in cols[1:]},
-                            "parse_error": f"{type(e).__name__}: {e}",
-                        }
-                    )
-            yield pd.DataFrame(out, columns=cols)
-
-    return docs.mapInPandas(gen, schema=MEDIA_SIGNATURE_SCHEMA)
+    return quarantined_binary_loader(
+        docs,
+        MEDIA_SIGNATURE_SCHEMA,
+        (doc_id_col, fmt_col, content_col),
+        lambda did, fmt, blob: (
+            {"doc_id": did, **row} for row in signature_rows(fmt, blob)
+        ),
+        lambda did, fmt, blob, e: {
+            "doc_id": did,
+            **{c: None for c in cols[1:]},
+            "parse_error": f"{type(e).__name__}: {e}",
+        },
+    )

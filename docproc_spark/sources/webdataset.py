@@ -31,7 +31,7 @@ from __future__ import annotations
 import hashlib
 import io
 import tarfile
-from typing import Iterable, Iterator
+from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -139,33 +139,21 @@ def load_webdataset(
     """(shard_id, content:binary) per .tar shard → one row per sample
     (WDS_SAMPLE_SCHEMA). One mapInPandas crossing, bounded chunks, zero
     shuffle; a corrupt shard yields ONE quarantine row."""
-    import pandas as pd
+    from docproc_spark.sources.loaderutil import quarantined_binary_loader
 
     cols = [f.name for f in WDS_SAMPLE_SCHEMA]
-
-    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for fid, blob in zip(pdf[doc_id_col], pdf[content_col]):
-                chunk: list[dict] = []
-                try:
-                    for row in iter_wds_samples(bytes(blob), str(fid)):
-                        chunk.append(row)
-                        if len(chunk) >= 2048:
-                            yield pd.DataFrame(chunk, columns=cols)
-                            chunk = []
-                except Exception as e:  # noqa: BLE001 — shard quarantine
-                    chunk.append(
-                        {
-                            "doc_id": str(fid),
-                            "shard": str(fid),
-                            **{c: None for c in cols[2:-1]},
-                            "parse_error": f"{type(e).__name__}: {e}",
-                        }
-                    )
-                if chunk:
-                    yield pd.DataFrame(chunk, columns=cols)
-
-    return files.mapInPandas(gen, schema=WDS_SAMPLE_SCHEMA)
+    return quarantined_binary_loader(
+        files,
+        WDS_SAMPLE_SCHEMA,
+        (doc_id_col, content_col),
+        lambda fid, blob: iter_wds_samples(blob, fid),
+        lambda fid, blob, e: {
+            "doc_id": fid,
+            "shard": fid,
+            **{c: None for c in cols[2:-1]},
+            "parse_error": f"{type(e).__name__}: {e}",
+        },
+    )
 
 
 def wds_media_table(samples: DataFrame) -> DataFrame:
@@ -308,8 +296,9 @@ def iter_wds_signatures(data: bytes, shard: str) -> Iterator[dict]:
     """Perceptual-signature rows (media_sidecar.MEDIA_SIGNATURE_SCHEMA
     minus doc_id prefixing) for one shard's image members — sha256
     identity equal to the sample table's media_ref, pixel decode via
-    kernels/imagepix (PNG/BMP/GIF/baseline-JPEG: exactly the formats
-    LAION-style shards carry). Raises on an unreadable archive."""
+    kernels/imagepix (PNG/BMP/GIF and baseline+progressive JPEG:
+    exactly the formats LAION-style shards carry). Raises on an
+    unreadable archive."""
     from docproc_spark.kernels.imagepix import image_signature
     from docproc_spark.sources.media_sidecar import (
         _MAX_MEMBER_BYTES,
@@ -328,7 +317,8 @@ def iter_wds_signatures(data: bytes, shard: str) -> Iterator[dict]:
                 blob = tf.extractfile(member).read()
             except Exception:
                 continue  # the sample loader records the quarantine
-            if sniff_media_header(blob)["media_kind"] != "image":
+            meta = sniff_media_header(blob)
+            if meta["media_kind"] != "image":
                 continue
             ref = hashlib.sha256(blob).hexdigest()
             if (key, ref) in seen:
@@ -336,7 +326,9 @@ def iter_wds_signatures(data: bytes, shard: str) -> Iterator[dict]:
             seen.add((key, ref))
             yield {
                 "doc_id": f"{shard}#{key}",
-                **_sig_row(ref, ext or None, None, image_signature(blob)),
+                **_sig_row(
+                    ref, ext or None, meta["format"], image_signature(blob)
+                ),
             }
 
 
@@ -358,31 +350,18 @@ def load_wds_signatures(
     The ``blob_format`` column carries the DECODED format; join on
     media_ref to the sample table for the declared ext/header facts.
     """
-    import pandas as pd
-
+    from docproc_spark.sources.loaderutil import quarantined_binary_loader
     from docproc_spark.sources.media_sidecar import MEDIA_SIGNATURE_SCHEMA
 
     cols = [f.name for f in MEDIA_SIGNATURE_SCHEMA]
-
-    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for fid, blob in zip(pdf[doc_id_col], pdf[content_col]):
-                chunk: list[dict] = []
-                try:
-                    for row in iter_wds_signatures(bytes(blob), str(fid)):
-                        chunk.append(row)
-                        if len(chunk) >= 2048:
-                            yield pd.DataFrame(chunk, columns=cols)
-                            chunk = []
-                except Exception as e:  # noqa: BLE001 — shard quarantine
-                    chunk.append(
-                        {
-                            "doc_id": str(fid),
-                            **{c: None for c in cols[1:]},
-                            "parse_error": f"{type(e).__name__}: {e}",
-                        }
-                    )
-                if chunk:
-                    yield pd.DataFrame(chunk, columns=cols)
-
-    return files.mapInPandas(gen, schema=MEDIA_SIGNATURE_SCHEMA)
+    return quarantined_binary_loader(
+        files,
+        MEDIA_SIGNATURE_SCHEMA,
+        (doc_id_col, content_col),
+        lambda fid, blob: iter_wds_signatures(blob, fid),
+        lambda fid, blob, e: {
+            "doc_id": fid,
+            **{c: None for c in cols[1:]},
+            "parse_error": f"{type(e).__name__}: {e}",
+        },
+    )

@@ -399,6 +399,55 @@ class TestProgressive:
             decode_jpeg(jpg)
 
 
+class TestHardening:
+    def test_post_scan_dqt_redefinition_does_not_change_pixels(self):
+        # quant tables latch at the component's first scan (libjpeg
+        # semantics): a DQT appended after the entropy data must not
+        # alter decoded pixels
+        jpg = dc_only_gray(8, 8, [10])
+        tampered = jpg[:-2] + _seg(0xDB, bytes([0]) + bytes([255] * 64)) + jpg[-2:]
+        assert decode_jpeg(tampered)[2] == decode_jpeg(jpg)[2]
+
+    def test_uncoded_component_rejected(self):
+        # 3-component frame whose single scan codes only component 1:
+        # must quarantine, not decode chroma as silent flat gray
+        def enc(wtr):
+            _dc_code(wtr, 5)
+            wtr.put(0b00, 2)
+
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, bytes([0]) + bytes([16] * 64))
+        sofp = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3])
+        for i in range(3):
+            sofp += bytes([i + 1, 0x11, 0])
+        out += _seg(0xC0, sofp)
+        out += _seg(0xC4, bytes([0x00]) + DC_COUNTS + DC_SYMBOLS)
+        out += _seg(0xC4, bytes([0x10]) + AC_COUNTS + AC_SYMBOLS)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        wtr = _BitWriter()
+        enc(wtr)
+        wtr.flush()
+        out += wtr.out + b"\xff\xd9"
+        with pytest.raises(ImageDecodeError, match="never coded"):
+            decode_jpeg(bytes(out))
+
+    def test_huge_dc_size_symbol_rejected(self):
+        # a hostile DHT can map a code to a size symbol > 15; the
+        # magnitude read must not blow past int32 coefficient storage
+        counts = bytes([0, 0, 0, 12] + [0] * 12)
+        symbols = bytes([40] + list(range(1, 12)))  # symbol 40 at code 0
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, bytes([0]) + bytes([16] * 64))
+        out += _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                    + bytes([1, 1, 0x11, 0]))
+        out += _seg(0xC4, bytes([0x00]) + counts + symbols)
+        out += _seg(0xC4, bytes([0x10]) + AC_COUNTS + AC_SYMBOLS)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += b"\x00" * 8 + b"\xff\xd9"  # code 0000 → symbol 40
+        with pytest.raises(ImageDecodeError, match="DC size"):
+            decode_jpeg(bytes(out))
+
+
 class TestSubsetGates:
     def test_arithmetic_and_cmyk_report_codec_gap(self):
         jpg = dc_only_gray(8, 8, [0])
