@@ -50,6 +50,7 @@ BENCH_QUERIES = (
     "web_curation",
     "pagerank_101",
     "curate_interleaved",
+    "image_signatures",
 )
 
 
@@ -386,6 +387,40 @@ def main() -> None:
         return curate_interleaved(docs.select("doc_id", "spans"))
 
     qs["curate_interleaved"] = _curate_interleaved_scaled
+
+    # real pixel decode + perceptual hashing throughput: one synthesized
+    # PNG per document (32x24, formula pixels) through the REAL decoder
+    # (zlib inflate, unfilter, luma, dHash/aHash) — the per-blob python
+    # kernel cost that dominates a corpus-wide image-dedupe pass
+    def _image_signatures_scaled(spark, sf):
+        import pandas as _pd
+
+        from docproc_spark.functions.media import image_signatures
+
+        def synth(batches):
+            import numpy as _np
+
+            from docproc_spark.kernels.imagepix import encode_png
+
+            for pdf in batches:
+                blobs = []
+                for d in pdf["doc_id"]:
+                    i = _np.arange(32 * 24 * 3, dtype=_np.int64)
+                    px = ((int(d) * 31 + i * 7) % 256).astype(_np.uint8)
+                    blobs.append(encode_png(px.tobytes(), 32, 24))
+                yield _pd.DataFrame({"blob": blobs})
+
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+        blobs = docs.mapInPandas(synth, schema="blob binary")
+        sigs = image_signatures(blobs)
+        return sigs.groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum(F.bit_count("dhash64")).alias("bits"),
+        )
+
+    qs["image_signatures"] = _image_signatures_scaled
     q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     for name in BENCH_QUERIES:
         best = float("inf")

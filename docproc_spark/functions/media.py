@@ -493,6 +493,44 @@ def perceptual_dup_clusters(
     )
 
 
+def perceptual_template_refs(
+    sig_table: DataFrame,
+    min_docs: int = 3,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """media_refs whose PERCEPTUAL cluster appears in ≥ ``min_docs``
+    distinct documents — template media (logos, letterheads, slide
+    chrome) that exact-identity frequency misses whenever each document
+    carries a slightly re-encoded copy. Feed the result to the
+    exact-identity template strippers (operators/interleave.py) or any
+    span gate: the returned refs ARE span-table identities.
+
+    Input is a signature catalogue (load_media_signatures /
+    load_wds_signatures / image_signatures joined to docs). Returns
+    (media_ref, cluster, n_docs). Scale: clustering inherits the
+    banded never-O(n²) contract; frequency is one groupBy over the
+    distinct-blob side, never the span tables.
+    """
+    clusters = perceptual_dup_clusters(
+        sig_table, max_hamming=max_hamming
+    )
+    with_cluster = (
+        sig_table.filter(F.col("dhash64").isNotNull())
+        .select(id_col, "media_ref")
+        .dropDuplicates([id_col, "media_ref"])
+        .join(clusters, "media_ref")
+    )
+    freq = with_cluster.groupBy("cluster").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    return (
+        clusters.join(freq, "cluster")
+        .filter(F.col("n_docs") >= min_docs)
+        .select("media_ref", "cluster", "n_docs")
+    )
+
+
 def decode_image(blob: bytes):
     """Real image decode for stdlib-decodable formats — PNG (zlib
     DEFLATE + unfiltering), BMP, GIF (LZW) via kernels/imagepix.py.

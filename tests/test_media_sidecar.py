@@ -727,3 +727,39 @@ def test_facade_media_signatures(spark, tmp_path):
     got = {(r["doc_id"], r["media_ref"]) for r in rows}
     assert ("deck.pptx", LOGO_SHA) in got
     assert ("doc.pdf", GRAY_SHA) in got
+
+
+def test_perceptual_template_refs_catch_reencoded_logos(spark):
+    """Three docs each embed a re-encoded variant of one logo (one
+    corner pixel nudged per doc → distinct sha256, hamming ≤ 3 apart);
+    two docs carry unrelated images. The template detector must flag
+    all three logo variants and neither singleton."""
+    import pyspark.sql.functions as F
+    from docproc_spark.functions.media import (
+        image_signatures,
+        perceptual_template_refs,
+    )
+    from docproc_spark.kernels.imagepix import encode_png
+
+    w, h = 16, 12
+    base = bytearray((x * 13 + y * 29) % 256
+                     for y in range(h) for x in range(w) for _ in range(3))
+    rows = []
+    logo_refs = set()
+    for i in range(3):
+        px = bytearray(base)
+        px[0] = (px[0] + i * 30) % 256  # re-encode variants
+        blob = encode_png(bytes(px), w, h)
+        logo_refs.add(hashlib.sha256(blob).hexdigest())
+        rows.append((f"d{i}", bytearray(blob)))
+    far1 = encode_png(bytes(255 - v for v in base), w, h)
+    far2 = encode_png(bytes((v * 3 + 7) % 256 for v in base), w, h)
+    rows += [("d0", bytearray(far1)), ("d4", bytearray(far2))]
+    df = spark.createDataFrame(rows, "doc_id string, blob binary")
+    sigs = image_signatures(df).join(
+        df.select("doc_id", F.sha2("blob", 256).alias("media_ref")),
+        "media_ref",
+    )
+    got = {r["media_ref"] for r in
+           perceptual_template_refs(sigs, min_docs=3).collect()}
+    assert got == logo_refs
