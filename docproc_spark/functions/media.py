@@ -1,10 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no image/audio codecs, so the DECODE step is a stub
-(deterministic fake or NotImplementedError) — but the Spark-side plumbing
-is real and tested: schemas, Arrow batch shapes, mapInPandas signatures,
-and partitioning are exactly what a production pipeline with PIL/ffmpeg
-plugged in would use.
+Pixel and sample decode are REAL for every format stdlib+numpy can
+reach (PNG/BMP/GIF/TIFF + baseline/progressive JPEG via
+kernels/imagepix + jpegdec; WAV PCM via kernels/audiofeat) — perceptual
+signatures, near-dup clustering, resizing, and audio curation gates run
+on actual pixels/samples. Only the genuinely codec-bound formats (WEBP,
+CCITT fax, arithmetic JPEG, compressed audio, video frames) keep the
+loud stub contract; the historical `extract_media_meta` /
+`extract_media_features` fakes stay for the frozen driver oracle, and
+the Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning) is exactly what a full-codec production
+pipeline would use.
 
 Reference parity: the reference treats media as raw bytes identified by
 sha256 (vision_llm.py:292-294) with per-batch extraction (batch size 5,
@@ -187,7 +193,7 @@ def extract_media_features(media: DataFrame, blob_col: str = "blob", dims: int =
 def resize_images(media: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
     """Resize: binary in → binary out with target-dim metadata.
 
-    REAL for stdlib-decodable formats (PNG/BMP/GIF/JPEG):
+    REAL for stdlib-decodable formats (PNG/BMP/GIF/JPEG/TIFF):
     integer box-mean resample of the decoded RGB, re-encoded as PNG —
     deterministic, no PIL. Blobs this environment cannot decode
     (WEBP/arithmetic JPEG; corrupt bytes) pass through untouched, preserving
@@ -287,7 +293,7 @@ def image_signatures(
     media: DataFrame, blob_col: str = "blob", max_pixels: int | None = None
 ) -> DataFrame:
     """REAL pixel decode + perceptual signatures for stdlib-decodable
-    image formats (PNG/BMP/GIF + baseline/progressive JPEG —
+    image formats (PNG/BMP/GIF/TIFF + baseline/progressive JPEG —
     kernels/imagepix.py / jpegdec.py; no PIL needed).
 
     Per blob: sha256 identity, decoded dimensions, integer BT.601

@@ -8,9 +8,10 @@ corpus-wide near-dup image dedupe (the LAION-style curation step) —
 possible for the raster formats that dominate document packages and
 web corpora, with no native codec. Baseline AND progressive JPEG
 decode too (kernels/jpegdec.py — Huffman + numpy IDCT, successive
-approximation); WEBP/TIFF and arithmetic-coded JPEG stay behind the
-loud CodecUnavailableError (kernels/mediainfo.py still sniffs their
-headers for metadata).
+approximation), as does baseline TIFF (uncompressed/LZW/PackBits
+strips); WEBP, CCITT-fax TIFF, and arithmetic-coded JPEG stay behind
+the loud CodecUnavailableError (kernels/mediainfo.py still sniffs
+their headers for metadata).
 
 Everything here is a plain-Python worker kernel called from
 mapInPandas batches (functions/media.py) — deterministic integer
@@ -41,6 +42,8 @@ __all__ = [
     "CodecUnavailableError",
     "decode_image_pixels",
     "encode_png",
+    "lzw_decode_msb",
+    "unfilter_scanline",
     "image_signature",
     "signature_from_rgb",
     "rgb_from_raw_samples",
@@ -61,9 +64,9 @@ class ImageDecodeError(ValueError):
 
 class CodecUnavailableError(ImageDecodeError):
     """The format is recognized but needs a codec this engine does not
-    implement (WEBP/TIFF, arithmetic-coded or lossless JPEG) — a
-    capability gap, not bad data. Callers that distinguish quarantine
-    from env-stub catch this separately."""
+    implement (WEBP, CCITT-fax/JPEG-in-TIFF, arithmetic-coded or
+    lossless JPEG) — a capability gap, not bad data. Callers that
+    distinguish quarantine from env-stub catch this separately."""
 
 
 # ---------------------------------------------------------------------------
@@ -557,19 +560,213 @@ def _decode_gif(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
 
 
 # ---------------------------------------------------------------------------
+# TIFF (baseline 6.0: uncompressed / LZW / PackBits strips)
+# ---------------------------------------------------------------------------
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+
+
+def lzw_decode_msb(
+    data: bytes, early: int = 1, max_out: int | None = None
+) -> bytes:
+    """MSB-first LZW with 9→12-bit codes, 256=clear, 257=EOD, and the
+    EarlyChange width convention — ONE implementation for the two specs
+    that share it verbatim: PDF LZWDecode (ISO 32000 §7.4.4, via
+    sources/pdf._lzw_decode) and TIFF compression 5 (TIFF 6.0 §13).
+    Decoder widens at next_to_assign ≥ 2^width - early — 511 for
+    EarlyChange=1 at 9 bits, the boundary pdfminer (hardcoded) and
+    pdf.js (parameterized) both use; the decoder lags the encoder by
+    one table entry (the entry a code defines is built while processing
+    the FOLLOWING code), so the matching encoder switches as it ADDS
+    entry 2^width - 1. ``max_out`` bounds the inflation (TIFF strips
+    declare their decoded size; PDF streams pass None)."""
+    out = bytearray()
+    table: list[bytes] = []  # entries 258+
+    width, prev = 9, None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table, width, prev = [], 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif 258 <= code < 258 + len(table):
+                entry = table[code - 258]
+            elif code == 258 + len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ImageDecodeError("lzw: code out of range")
+            if prev is not None:
+                table.append(prev + entry[:1])
+            out += entry
+            if max_out is not None and len(out) > max_out:
+                raise ImageDecodeError("lzw: output exceeds bound")
+            prev = entry
+            if 258 + len(table) >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)  # EOD missing: tolerate, return what decoded
+
+
+def _packbits(data: bytes, max_out: int) -> bytearray:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ImageDecodeError("tiff: truncated packbits literal")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ImageDecodeError("tiff: truncated packbits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+        if len(out) > max_out:
+            raise ImageDecodeError("tiff: packbits output exceeds strip")
+    return out
+
+
+def _decode_tiff(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
+    order = "little" if b[:2] == b"II" else "big"
+
+    def rd(off: int, n: int) -> int:
+        if off + n > len(b):
+            raise ImageDecodeError("tiff: truncated read")
+        return int.from_bytes(b[off : off + n], order)
+
+    ifd = rd(4, 4)
+    n_ent = rd(ifd, 2)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_ent):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = rd(e, 2), rd(e + 2, 2), rd(e + 4, 4)
+        size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+        tags[tag] = (typ, cnt, e + 8 if size <= 4 else rd(e + 8, 4))
+
+    def vals(tag: int) -> list[int] | None:
+        if tag not in tags:
+            return None
+        typ, cnt, voff = tags[tag]
+        sz = _TIFF_TYPE_SIZE.get(typ, 1)
+        if cnt > 1 << 20:
+            raise ImageDecodeError("tiff: absurd tag count")
+        return [rd(voff + i * sz, sz) for i in range(cnt)]
+
+    def val(tag: int, default: int | None = None) -> int | None:
+        v = vals(tag)
+        return v[0] if v else default
+
+    w, h = val(256), val(257)
+    if not w or not h:
+        raise ImageDecodeError("tiff: missing dimensions")
+    if w * h > max_pixels:
+        raise ImageDecodeError(
+            f"tiff: {w}x{h} exceeds max_pixels={max_pixels}"
+        )
+    comp = val(259, 1)
+    photo = val(262, 1)
+    spp = val(277, 1)
+    bps_list = vals(258) or [1]
+    bps = bps_list[0]
+    if any(x != bps for x in bps_list):
+        raise ImageDecodeError("tiff: mixed bits per sample")
+    if val(284, 1) != 1:
+        raise ImageDecodeError("tiff: planar configuration not supported")
+    if comp in (2, 3, 4):
+        raise CodecUnavailableError("tiff: CCITT fax compression needs a codec")
+    if comp in (6, 7):
+        raise CodecUnavailableError("tiff: JPEG-in-TIFF needs its own scan")
+    if comp not in (1, 5, 32773):
+        raise CodecUnavailableError(f"tiff: compression {comp} not supported")
+    ok = (bps == 8 and spp in (1, 3, 4)) or (bps == 1 and spp == 1)
+    if not ok:
+        raise ImageDecodeError(
+            f"tiff: {bps}-bit x{spp} samples not supported"
+        )
+    offs, cnts = vals(273), vals(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ImageDecodeError("tiff: missing strip layout")
+    rows_per_strip = val(278, h) or h
+    row_bytes = (w * spp * bps + 7) // 8
+    data = bytearray()
+    for off, cnt_ in zip(offs, cnts):
+        if off + cnt_ > len(b):
+            raise ImageDecodeError("tiff: truncated strip")
+        raw = b[off : off + cnt_]
+        cap = row_bytes * rows_per_strip + 8
+        if comp == 5:
+            data += bytearray(lzw_decode_msb(raw, 1, cap))
+        elif comp == 32773:
+            data += _packbits(raw, cap)
+        else:
+            data += raw
+    if len(data) < row_bytes * h:
+        raise ImageDecodeError("tiff: short pixel data")
+    if val(317, 1) == 2:  # horizontal differencing predictor
+        if bps != 8:
+            raise ImageDecodeError("tiff: sub-byte predictor not supported")
+        for y in range(h):
+            row = memoryview(data)[y * row_bytes : (y + 1) * row_bytes]
+            line = bytearray(row)
+            unfilter_scanline(1, line, line, spp)  # Sub == differencing
+            row[:] = line
+    rgb = bytearray(w * h * 3)
+    if bps == 1:
+        # bilevel, byte-aligned rows; photometric 0 = WhiteIsZero
+        on, off_v = (0, 255) if photo == 0 else (255, 0)
+        for y in range(h):
+            row = data[y * row_bytes : (y + 1) * row_bytes]
+            o = y * w * 3
+            for x in range(w):
+                v = on if (row[x >> 3] >> (7 - (x & 7))) & 1 else off_v
+                rgb[o + 3 * x] = rgb[o + 3 * x + 1] = rgb[o + 3 * x + 2] = v
+        return w, h, rgb
+    px = np.frombuffer(bytes(data[: w * h * spp]), np.uint8).reshape(-1, spp)
+    if spp == 1:
+        if photo == 3:  # palette: ColorMap is 3*2^bps 16-bit channels
+            cmap = vals(320)
+            if not cmap or len(cmap) < 3 * 256:
+                raise ImageDecodeError("tiff: missing color map")
+            cm = (np.asarray(cmap[: 3 * 256], dtype=np.int32)
+                  .reshape(3, 256).T >> 8).astype(np.uint8)
+            out = cm[px[:, 0]]
+        else:
+            g = 255 - px[:, 0] if photo == 0 else px[:, 0]
+            out = np.repeat(g[:, None], 3, axis=1)
+    elif spp == 3:
+        out = px
+    else:  # RGBA: composite over white (ExtraSamples treated as alpha)
+        al = px[:, 3:4].astype(np.int32)
+        out = ((px[:, :3].astype(np.int32) * al + 255 * (255 - al)) // 255
+               ).astype(np.uint8)
+    return w, h, bytearray(out.tobytes())
+
+
+# ---------------------------------------------------------------------------
 # public decode + encode
 # ---------------------------------------------------------------------------
 def decode_image_pixels(
     blob: bytes | None, max_pixels: int = DEFAULT_MAX_PIXELS
 ) -> dict:
-    """Decode PNG/BMP/GIF bytes to 8-bit RGB.
+    """Decode PNG/BMP/GIF/JPEG/TIFF bytes to 8-bit RGB.
 
     Returns ``{"format", "width", "height", "rgb"}`` where ``rgb`` is
     ``bytes`` of row-major R,G,B triples. Alpha/transparency composites
     over white (the document-rendering convention, and what a beacon /
     blank-image gate should see). Raises :class:`ImageDecodeError` for
-    corrupt or truncated input — and for formats that need a real codec
-    (JPEG/WEBP/TIFF), with a message saying so.
+    corrupt or truncated input, and :class:`CodecUnavailableError` for
+    the formats that still need a real codec (WEBP, CCITT fax,
+    arithmetic JPEG), with a message saying so.
     """
     b = blob or b""
     if b[:8] == _PNG_SIG:
@@ -588,10 +785,14 @@ def decode_image_pixels(
 
         w, h, rgb = decode_jpeg(b, max_pixels)
         fmt = "jpeg"
-    elif (b[:4] == b"RIFF" and b[8:12] == b"WEBP") \
-            or b[:4] in (b"II*\x00", b"MM\x00*"):
+    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+        # baseline TIFF: uncompressed / LZW / PackBits strips decode
+        # for real; CCITT fax and JPEG-in-TIFF raise CodecUnavailable
+        w, h, rgb = _decode_tiff(b, max_pixels)
+        fmt = "tiff"
+    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         raise CodecUnavailableError(
-            "webp/tiff pixel decode needs a native codec not present "
+            "webp pixel decode needs a native codec not present "
             "in this environment (header metadata via kernels/mediainfo)"
         )
     else:

@@ -359,44 +359,12 @@ def _rl_decode(data: bytes) -> bytes:
 
 
 def _lzw_decode(data: bytes, early: int = 1) -> bytes:
-    """PDF LZWDecode (§7.4.4): 9→12-bit codes, 256=clear, 257=EOD,
-    EarlyChange (default 1) widens one code before the mathematically
-    tight point. Decoder widens at next_to_assign ≥ 2^width - early —
-    511 for EarlyChange=1 at 9 bits, the boundary pdfminer (hardcoded)
-    and pdf.js (parameterized) both use; the decoder lags the encoder by
-    one table entry (the entry a code defines is built while processing
-    the FOLLOWING code), so the matching encoder switches as it ADDS
-    entry 2^width - 1."""
-    out = bytearray()
-    table: list[bytes] = []  # entries 258+
-    width, prev = 9, None
-    acc = nbits = 0
-    for byte in data:
-        acc = (acc << 8) | byte
-        nbits += 8
-        while nbits >= width:
-            nbits -= width
-            code = (acc >> nbits) & ((1 << width) - 1)
-            if code == 256:
-                table, width, prev = [], 9, None
-                continue
-            if code == 257:
-                return bytes(out)
-            if code < 256:
-                entry = bytes([code])
-            elif 258 <= code < 258 + len(table):
-                entry = table[code - 258]
-            elif code == 258 + len(table) and prev is not None:
-                entry = prev + prev[:1]  # KwKwK
-            else:
-                raise ValueError("LZW code out of range")
-            if prev is not None:
-                table.append(prev + entry[:1])
-            out += entry
-            prev = entry
-            if 258 + len(table) >= (1 << width) - early and width < 12:
-                width += 1
-    return bytes(out)  # EOD missing: tolerate, return what decoded
+    """PDF LZWDecode (§7.4.4) — delegates to the shared MSB-first LZW
+    in kernels/imagepix (the same algorithm serves TIFF compression 5;
+    see lzw_decode_msb for the EarlyChange width convention)."""
+    from docproc_spark.kernels.imagepix import lzw_decode_msb
+
+    return lzw_decode_msb(data, early)
 
 
 def _unpredict(data: bytes, parms: bytes) -> bytes:

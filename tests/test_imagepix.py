@@ -604,3 +604,253 @@ class TestSparkImageOps:
             r for r in out.values() if r["resized"] == b"not an image"
         )
         assert passthru["width"] == 2  # contract columns still present
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+
+def _tiff(w, h, data, *, entries=None, little=True, strip_rows=None):
+    """Minimal spec-faithful TIFF writer: one IFD, strips of
+    ``strip_rows`` rows (default: one strip). ``entries`` overrides/
+    extends the default tag set; values are (type, [values])."""
+    order = "little" if little else "big"
+
+    def n(v, size):
+        return int(v).to_bytes(size, order)
+
+    strip_rows = strip_rows or h
+    if strip_rows >= h:
+        strips = [data]  # one strip carries ALL bytes (compressed too)
+    else:
+        row_bytes = len(data) // h
+        strips = [
+            data[y * row_bytes : min(y + strip_rows, h) * row_bytes]
+            for y in range(0, h, strip_rows)
+        ]
+    tags = {
+        256: (4, [w]), 257: (4, [h]), 258: (3, [8]), 259: (3, [1]),
+        262: (3, [1]), 273: (4, []), 277: (3, [1]), 278: (4, [strip_rows]),
+        279: (4, [len(s) for s in strips]),
+    }
+    tags.update(entries or {})
+    sizes = {1: 1, 3: 2, 4: 4}
+    # layout: header(8) IFD, then out-of-line values, then strips
+    n_ent = len(tags)
+    ifd_size = 2 + 12 * n_ent + 4
+    heap = bytearray()
+    heap_base = 8 + ifd_size
+
+    def encode_val(typ, vs):
+        sz = sizes[typ]
+        raw = b"".join(n(v, sz) for v in vs)
+        if len(raw) <= 4:
+            return raw + b"\x00" * (4 - len(raw)), None
+        off = heap_base + len(heap)
+        heap.extend(raw)
+        return n(off, 4), off
+
+    # strips go after the value heap — two passes: first compute value
+    # encodings with strip offsets deferred
+    ifd = bytearray(n(n_ent, 2))
+    deferred = []
+    for tag in sorted(tags):
+        typ, vs = tags[tag]
+        if tag == 273:
+            ifd += n(tag, 2) + n(typ, 2) + n(len(strips), 4)
+            deferred.append(len(ifd))
+            ifd += b"\x00" * 4
+            if len(strips) > 2:
+                raise NotImplementedError("test helper: ≤2 strips inline")
+            continue
+        enc, _ = encode_val(typ, vs)
+        ifd += n(tag, 2) + n(typ, 2) + n(len(vs), 4) + enc
+    ifd += n(0, 4)  # next IFD
+    strips_base = heap_base + len(heap)
+    offs = []
+    at = strips_base
+    for s in strips:
+        offs.append(at)
+        at += len(s)
+    # patch strip offsets (inline when count*4 <= 4, else via heap)
+    raw = b"".join(n(o, 4) for o in offs)
+    if len(raw) <= 4:
+        patch = raw + b"\x00" * (4 - len(raw))
+    else:
+        patch = n(strips_base + sum(len(s) for s in strips), 4)
+    ifd[deferred[0] : deferred[0] + 4] = patch
+    out = (
+        (b"II" + n(42, 2) if little else b"MM" + n(42, 2)) + n(8, 4)
+        + ifd + heap + b"".join(strips)
+    )
+    if len(raw) > 4:
+        out += raw  # out-of-line strip offset array after the strips
+    return out
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW forward encoder with EarlyChange — independent of the
+    decoder."""
+    clear, eoi = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    put(clear)
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        # EarlyChange: the encoder switches as it ADDS entry 2^w - 1
+        # (the decoder, one table entry behind, switches at the same
+        # stream position via its next_to_assign >= 2^w - 1 rule)
+        if next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        buf = bytes([byte])
+    if buf:
+        put(table[buf])
+    put(eoi)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (j < len(data) and j - i < 128
+                   and not (j + 1 < len(data) and data[j] == data[j + 1])):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+class TestTiff:
+    PX = bytes((x * 11 + y * 23 + c * 5) % 256
+               for y in range(6) for x in range(5) for c in range(3))
+
+    def test_uncompressed_rgb_both_orders_and_strips(self):
+        ent = {258: (3, [8, 8, 8]), 262: (3, [2]), 277: (3, [3])}
+        for little in (True, False):
+            t = _tiff(5, 6, self.PX, entries=ent, little=little,
+                      strip_rows=4)
+            d = decode_image_pixels(t)
+            assert (d["format"], d["width"], d["height"]) == ("tiff", 5, 6)
+            assert d["rgb"] == self.PX
+
+    def test_lzw_with_predictor(self):
+        # predictor 2: rows stored as horizontal differences
+        row_bytes = 5 * 3
+        diffed = bytearray()
+        for y in range(6):
+            row = bytearray(self.PX[y * row_bytes : (y + 1) * row_bytes])
+            for i in range(row_bytes - 1, 2, -1):
+                row[i] = (row[i] - row[i - 3]) & 0xFF
+            diffed += row
+        ent = {258: (3, [8, 8, 8]), 259: (3, [5]), 262: (3, [2]),
+               277: (3, [3]), 317: (3, [2])}
+        t = _tiff(5, 6, _tiff_lzw_encode(bytes(diffed)), entries=ent)
+        # strip byte counts must reflect the COMPRESSED size
+        assert decode_image_pixels(t)["rgb"] == self.PX
+
+    def test_lzw_width_growth_round_trip(self):
+        # >253 distinct pairs force the 9→10 bit transition
+        data = bytes(range(256)) * 16
+        ent = {258: (3, [8]), 259: (3, [5]), 262: (3, [1])}
+        t = _tiff(256, 16, _tiff_lzw_encode(data), entries=ent)
+        d = decode_image_pixels(t)
+        assert bytes(d["rgb"][::3]) == data
+
+    def test_packbits_gray_and_inversion(self):
+        g = bytes([0, 10, 10, 10, 250] * 4 * 3)  # 5x? make 5 wide, 12 high? keep 5x12
+        g = (bytes([0, 10, 10, 10, 250]) * 12)
+        ent = {258: (3, [8]), 259: (3, [32773]), 262: (3, [1])}
+        t = _tiff(5, 12, _packbits_encode(g), entries=ent)
+        d = decode_image_pixels(t)
+        assert bytes(d["rgb"][::3]) == g
+        # WhiteIsZero inverts
+        ent[262] = (3, [0])
+        t = _tiff(5, 12, _packbits_encode(g), entries=ent)
+        d = decode_image_pixels(t)
+        assert bytes(d["rgb"][::3]) == bytes(255 - v for v in g)
+
+    def test_palette(self):
+        cmap = []
+        for ch in range(3):
+            cmap += [(i * (ch + 1) * 257) & 0xFFFF for i in range(256)]
+        ent = {258: (3, [8]), 262: (3, [3]), 320: (3, cmap)}
+        t = _tiff(3, 1, bytes([0, 1, 200]), entries=ent)
+        d = decode_image_pixels(t)
+        exp = []
+        for idx in (0, 1, 200):
+            exp += [((idx * (ch + 1) * 257) & 0xFFFF) >> 8 for ch in range(3)]
+        assert list(d["rgb"]) == exp
+
+    def test_bilevel(self):
+        # 10x2, photometric 1 (BlackIsZero): bit 1 → white
+        rows = bytes([0b10100000, 0b01000000, 0b11111111, 0b11000000])
+        ent = {258: (3, [1]), 262: (3, [1])}
+        t = _tiff(10, 2, rows, entries=ent)
+        d = decode_image_pixels(t)
+        got = [d["rgb"][3 * i] for i in range(20)]
+        assert got[:10] == [255, 0, 255, 0, 0, 0, 0, 1 * 0, 255 * 0 + 0, 255][:10] or True
+        exp_row1 = [255, 0, 255, 0, 0, 0, 0, 0, 0, 255]
+        exp_row2 = [255] * 10
+        assert got == exp_row1 + exp_row2
+
+    def test_rgba_composites_white(self):
+        px = bytes([100, 150, 200, 128])
+        ent = {258: (3, [8, 8, 8, 8]), 262: (3, [2]), 277: (3, [4]),
+               338: (3, [1])}
+        t = _tiff(1, 1, px, entries=ent)
+        d = decode_image_pixels(t)
+        exp = [(v * 128 + 255 * 127) // 255 for v in (100, 150, 200)]
+        assert list(d["rgb"]) == exp
+
+    def test_ccitt_reports_codec_gap(self):
+        ent = {258: (3, [1]), 259: (3, [4]), 262: (3, [0])}
+        t = _tiff(8, 1, b"\x00", entries=ent)
+        with pytest.raises(ImageDecodeError, match="CCITT"):
+            decode_image_pixels(t)
+
+    def test_mutations_never_escape(self):
+        base = _tiff(5, 6, self.PX,
+                     entries={258: (3, [8, 8, 8]), 262: (3, [2]),
+                              277: (3, [3])})
+        rnd = __import__("random").Random(77)
+        for _ in range(500):
+            m = bytearray(base)
+            for _ in range(rnd.randrange(1, 4)):
+                m[rnd.randrange(len(m))] = rnd.randrange(256)
+            if rnd.random() < 0.4:
+                m = m[: rnd.randrange(len(m))]
+            try:
+                decode_image_pixels(bytes(m))
+            except ImageDecodeError:
+                pass
