@@ -5695,15 +5695,17 @@ FROM cues GROUP BY doc_id
 
 def _image_dhash_synth(spark, sf):
     """REAL pixel decode + perceptual hashing under a round-trip
-    oracle: Spark synthesizes a true 9x8 grayscale PNG per document
-    (md5-formula pixels; real zlib stream + CRCs via
-    kernels/imagepix.encode_png), the REAL decoder + dHash read it
-    back (zlib inflate, scanline unfilter, BT.601 luma, box resample —
-    identity at 9x8 — and the signed-64 bit fold), and DuckDB
-    recomputes the hash from the planted formula with bit arithmetic.
-    Any drift in decoder, luma, resample, or bit packing breaks the
-    hash equality."""
+    oracle — THREE decoders under one SQL: per document, the same
+    md5-formula 9x8 grayscale pixels are containerized as PNG
+    (doc_id%3==0: real zlib stream + CRCs), bottom-up 24-bit BMP
+    (==1), or uncompressed little-endian TIFF (==2); the REAL decoder
+    family + dHash read them back (inflate/unfilter, BMP row flip,
+    TIFF strip walk, BT.601 luma, identity box resample, signed-64
+    fold), and DuckDB recomputes the hash from the pixel formula with
+    bit arithmetic — container-independent, so all three decode paths
+    must agree with the formula AND each other."""
     import hashlib as _hl
+    import struct as _struct
 
     from docproc_spark.kernels.imagepix import encode_png, image_signature
 
@@ -5715,7 +5717,46 @@ def _image_dhash_synth(spark, sf):
             for x in range(W):
                 g = int(_hl.md5(f"{d}:{x}:{y}".encode()).hexdigest()[:2], 16)
                 px += bytes([g, g, g])
-        return encode_png(bytes(px), W, H)
+        cls = d % 3
+        if cls == 0:
+            return encode_png(bytes(px), W, H)
+        if cls == 1:  # BMP: BGR rows, bottom-up, 4-byte padded
+            stride = (W * 3 + 3) & ~3
+            body = bytearray()
+            for y in range(H - 1, -1, -1):
+                row = bytearray()
+                for x in range(W):
+                    r, g2, bl = px[(y * W + x) * 3 : (y * W + x) * 3 + 3]
+                    row += bytes([bl, g2, r])
+                body += row + b"\x00" * (stride - len(row))
+            info = _struct.pack(
+                "<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(body),
+                2835, 2835, 0, 0,
+            )
+            off = 14 + len(info)
+            return (
+                b"BM" + _struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + info + bytes(body)
+            )
+        # TIFF: gray samples, one uncompressed strip, little-endian
+        gray = bytes(px[3 * i] for i in range(W * H))
+
+        def ent(tag, typ, cnt, val):
+            return _struct.pack("<HHI", tag, typ, cnt) + _struct.pack(
+                "<I", val
+            )
+
+        n_ent = 8
+        strips_at = 8 + 2 + 12 * n_ent + 4
+        ifd = _struct.pack("<H", n_ent)
+        for tag, typ, cnt, val in (
+            (256, 4, 1, W), (257, 4, 1, H), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, strips_at), (278, 4, 1, H),
+            (279, 4, 1, len(gray)),
+        ):
+            ifd += ent(tag, typ, cnt, val)
+        ifd += _struct.pack("<I", 0)
+        return b"II" + _struct.pack("<HI", 42, 8) + ifd + gray
 
     def kernel(batches):
         for pdf in batches:
