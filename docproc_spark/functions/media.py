@@ -540,9 +540,9 @@ def perceptual_template_refs(
 def decode_image(blob: bytes):
     """Real image decode for stdlib-decodable formats — PNG (zlib
     DEFLATE + unfiltering), BMP, GIF (LZW) via kernels/imagepix.py.
-    Returns {format, width, height, rgb}. Baseline + progressive JPEG decode via
-    kernels/jpegdec.py; formats that still need a native codec
-    (WEBP/TIFF, arithmetic-coded JPEG) raise
+    Returns {format, width, height, rgb}. Baseline + progressive JPEG
+    and baseline TIFF decode too; formats that still need a native
+    codec (WEBP, CCITT fax, arithmetic-coded JPEG) raise
     NotImplementedError, preserving the loud env-stub contract;
     corrupt bytes raise ImageDecodeError (quarantine, not env)."""
     from docproc_spark.kernels.imagepix import (

@@ -690,26 +690,45 @@ def _decode_tiff(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
         raise CodecUnavailableError(f"tiff: compression {comp} not supported")
     ok = (bps == 8 and spp in (1, 3, 4)) or (bps == 1 and spp == 1)
     if not ok:
-        raise ImageDecodeError(
+        # well-formed files our subset can't render (16-bit, extra
+        # sample layouts) are a capability gap, not corrupt data
+        raise CodecUnavailableError(
             f"tiff: {bps}-bit x{spp} samples not supported"
+        )
+    # multi-sample data must actually BE RGB(A): CMYK (photo 5) and
+    # YCbCr (photo 6) would silently decode to garbage pixels
+    if spp >= 3 and photo != 2:
+        raise CodecUnavailableError(
+            f"tiff: photometric {photo} with {spp} samples not supported"
+        )
+    if spp == 1 and photo not in (0, 1, 3):
+        raise CodecUnavailableError(
+            f"tiff: photometric {photo} not supported"
         )
     offs, cnts = vals(273), vals(279)
     if not offs or not cnts or len(offs) != len(cnts):
         raise ImageDecodeError("tiff: missing strip layout")
-    rows_per_strip = val(278, h) or h
+    # clamp: RowsPerStrip=0xFFFFFFFF is the spec's "one strip" idiom,
+    # and an unclamped value would unbound the decompression cap
+    rows_per_strip = min(val(278, h) or h, h)
     row_bytes = (w * spp * bps + 7) // 8
     data = bytearray()
-    for off, cnt_ in zip(offs, cnts):
+    for i, (off, cnt_) in enumerate(zip(offs, cnts)):
         if off + cnt_ > len(b):
             raise ImageDecodeError("tiff: truncated strip")
         raw = b[off : off + cnt_]
-        cap = row_bytes * rows_per_strip + 8
+        # rows THIS strip must contribute — decoded output truncates to
+        # exactly this, so an oversize strip cannot shift later rows
+        strip_bytes = row_bytes * min(rows_per_strip, h - i * rows_per_strip)
+        if strip_bytes <= 0:
+            break  # more strips than rows: ignore the excess
         if comp == 5:
-            data += bytearray(lzw_decode_msb(raw, 1, cap))
+            strip = lzw_decode_msb(raw, 1, strip_bytes + 8)
         elif comp == 32773:
-            data += _packbits(raw, cap)
+            strip = _packbits(raw, strip_bytes + 8)
         else:
-            data += raw
+            strip = raw
+        data += strip[:strip_bytes]
     if len(data) < row_bytes * h:
         raise ImageDecodeError("tiff: short pixel data")
     if val(317, 1) == 2:  # horizontal differencing predictor
