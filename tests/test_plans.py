@@ -536,3 +536,24 @@ def test_curate_interleaved_doc_table_never_shuffles(spark, tmp_path):
     assert "EvalPython" not in plan
     # the 1-row template set joins back as a broadcast nested loop
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_hamming_neardup_plan_shape(spark):
+    """The generic pigeonhole-banded hamming join (behind simhash AND
+    perceptual image dedupe) must never materialize all-pairs: band
+    equality keys the candidate join — no CartesianProduct, no
+    single-partition exchange."""
+    import pyspark.sql.functions as F
+
+    from docproc_spark.operators.dedupe import hamming_neardup_pairs
+
+    sigs = spark.range(200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") * 2654435761).cast("long").alias("sig"),
+    )
+    pairs = hamming_neardup_pairs(
+        sigs, sig_col="sig", id_col="doc_id", n_bits=64, log_dropped=False
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
