@@ -38,6 +38,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Scan fanout for compute-heavy per-row work: the sf tables are
+    single-row-group parquet files, which scan as ONE task — per-token
+    hashing / regex chains then run serially regardless of core count
+    (guide §2.5 input skew). One cheap keyed exchange first; no-op when
+    the input is already well-split (see docproc_spark/partition.py)."""
+    from docproc_spark.partition import scan_fanout
+
+    return scan_fanout(df, key=key)
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -86,9 +97,15 @@ def _q3(spark, sf):
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    # Join order: reduce orders by the selective customer filter FIRST,
+    # then broadcast only the surviving order keys into lineitem — the
+    # broadcast build is ~5× smaller than broadcasting all of orders and
+    # lineitem is never shuffled (guide §3.1/§3.2: prune the big side's
+    # partner before it meets the big side). Inner-join reassociation:
+    # o_custkey is unique per order, so (li⋈o)⋈c ≡ li⋈(o⋈c) row-for-row.
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
             F.round(
@@ -123,12 +140,30 @@ def _q5(spark, sf):
     dims = F.broadcast(
         n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
     )
+    # Semi-reduce every side by the ASIA dimension BEFORE it meets
+    # lineitem (guide §3.2): customers to ASIA (~1/5), orders to those
+    # customers, suppliers to ASIA — lineitem then probes two small
+    # broadcasts and is never shuffled. Equivalence: the original plan's
+    # c_nationkey = s_nationkey filter plus s_nationkey ∈ ASIA implies
+    # c_nationkey ∈ ASIA, so pre-filtering customers by the same dims
+    # table keeps exactly the same joined tuple set.
+    c_asia = c.join(
+        F.broadcast(dims.select("n_nationkey")),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    o_asia = o.join(F.broadcast(c_asia), o.o_custkey == c_asia.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    s_dim = s.join(dims, s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        li.join(F.broadcast(o_asia), li.l_orderkey == o_asia.o_orderkey)
+        .join(
+            F.broadcast(s_dim),
+            (li.l_suppkey == s_dim.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(
             F.round(
@@ -212,7 +247,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-0
 def _top3_orders(spark, sf):
     from docproc_spark.operators.topk import topk_per_group
 
-    o = _t(spark, sf, "orders")
+    o = _fan(_t(spark, sf, "orders"), key="o_custkey")
     return topk_per_group(
         o.select("o_custkey", "o_orderkey", "o_totalprice"),
         ["o_custkey"],
@@ -592,7 +627,7 @@ def _doc_quality(spark, sf):
         token_count_col,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _fan(_t(spark, sf, "documents"))
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -636,7 +671,7 @@ FROM m
 def _lang_pred(spark, sf):
     from docproc_spark.functions.text import lang_id_col
 
-    d = _t(spark, sf, "documents")
+    d = _fan(_t(spark, sf, "documents"))
     return d.select("doc_id", "lang", lang_id_col(F.col("text")).alias("lang_pred"))
 
 
@@ -849,7 +884,7 @@ FROM f GROUP BY fp HAVING count(*) > 1
 def _first_wins(spark, sf):
     from docproc_spark.operators.dedupe import first_wins_dedupe
 
-    return first_wins_dedupe(_t(spark, sf, "documents")).select("doc_id")
+    return first_wins_dedupe(_fan(_t(spark, sf, "documents"))).select("doc_id")
 
 
 _FIRST_WINS_SQL = """
@@ -891,7 +926,9 @@ FROM documents
 def _minhash_bands(spark, sf):
     from docproc_spark.operators.dedupe import minhash_band_histogram
 
-    return minhash_band_histogram(_t(spark, sf, "documents"), k=4, rows_per_band=2)
+    return minhash_band_histogram(
+        _fan(_t(spark, sf, "documents")), k=4, rows_per_band=2
+    )
 
 
 _MINHASH_BANDS_SQL = f"""
@@ -1161,7 +1198,7 @@ SELECT doc_id, component, (rn = 1) AS keep FROM kb_r
 def _simhash(spark, sf):
     from docproc_spark.operators.dedupe import simhash64
 
-    return simhash64(_t(spark, sf, "documents"))
+    return simhash64(_fan(_t(spark, sf, "documents")))
 
 
 def _simhash_pairs(spark, sf):
@@ -1326,7 +1363,9 @@ FROM o
 def _cosine_topk(spark, sf):
     from docproc_spark.operators.similarity import brute_force_topk
 
-    return brute_force_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+    return brute_force_topk(
+        _fan(_t(spark, sf, "embeddings"), key="vec_id"), query_vec_id=0, k=10
+    )
 
 
 _COSINE_SQL = """
@@ -3441,7 +3480,7 @@ def _web_curation(spark, sf):
     t = F.coalesce(F.col("text"), F.lit(""))
     for pat, rep in _C4_REWRITES + _MOJI_REWRITES:
         t = F.replace(t, F.lit(pat), F.lit(rep))
-    docs = _t(spark, sf, "documents").select(
+    docs = _fan(_t(spark, sf, "documents")).select(
         "doc_id", t.alias("text"), F.expr(_URL_SYNTH).alias("url")
     )
     return curate_web(

@@ -304,16 +304,22 @@ def image_signatures(
     need a codec; corrupt data) yield NULL metrics with the reason in
     ``decode_error`` — a row property, never a task failure.
 
-    Scale shape: one mapInPandas over Arrow batches, no shuffle; the
-    decode cost per blob is bounded by the header-declared pixel count
+    Scale shape: one mapInPandas over Arrow batches; the decode cost
+    per blob is bounded by the header-declared pixel count
     (``max_pixels``) BEFORE any decompression, so a hostile 67-byte
-    PNG cannot inflate to gigabytes on an executor.
+    PNG cannot inflate to gigabytes on an executor. Low-split inputs
+    (single-row-group parquet, one archive) are fanned out to session
+    parallelism first — decode is the heavy per-row kernel of this
+    family and would otherwise run on one core (guide §2.5 input
+    skew); well-split inputs pass through with no added exchange.
     """
     from docproc_spark.kernels.imagepix import (
         DEFAULT_MAX_PIXELS,
         image_signature,
     )
+    from docproc_spark.partition import scan_fanout
 
+    media = scan_fanout(media)
     cap = DEFAULT_MAX_PIXELS if max_pixels is None else max_pixels
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

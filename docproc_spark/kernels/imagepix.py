@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -329,6 +330,45 @@ def _decode_png(b: bytes, max_pixels: int) -> tuple[int, int, bytearray]:
                 rgb[o] = (r * a + 255 * (255 - a)) // 255
                 rgb[o + 1] = (g * a + 255 * (255 - a)) // 255
                 rgb[o + 2] = (bl * a + 255 * (255 - a)) // 255
+
+    # whole-image fast path: non-interlaced 8-bit with EVERY scanline
+    # filter 0 (this module's own encoder and most small-image encoders)
+    # — no unfilter, no per-row loop; integer-identical to the row path
+    def emit_image_fast(body: "np.ndarray") -> bool:
+        if ctype == 2:
+            rgb[:] = body.tobytes()
+            return True
+        if ctype == 0:
+            rgb[:] = np.repeat(body.ravel(), 3).tobytes()
+            return True
+        if ctype == 6:
+            arr = body.reshape(-1, 4)
+            px = arr[:, :3].astype(np.int32)
+            al = arr[:, 3:4].astype(np.int32)
+            rgb[:] = ((px * al + 255 * (255 - al)) // 255).astype(np.uint8).tobytes()
+            return True
+        if ctype == 4:
+            arr = body.reshape(-1, 2).astype(np.int32)
+            v, al = arr[:, 0], arr[:, 1]
+            g2 = ((v * al + 255 * (255 - al)) // 255).astype(np.uint8)
+            rgb[:] = np.repeat(g2, 3).tobytes()
+            return True
+        if ctype == 3:
+            idxs = body.ravel().astype(np.intp)
+            if idxs.max(initial=0) >= len(pal_arr):
+                raise ImageDecodeError("png: palette index out of range")
+            px, al = pal_arr[idxs, :3], pal_arr[idxs, 3:4]
+            rgb[:] = ((px * al + 255 * (255 - al)) // 255).astype(np.uint8).tobytes()
+            return True
+        return False
+
+    if interlace == 0 and depth == 8:
+        rb = w * channels
+        need = h * (rb + 1)
+        if len(raw) >= need:
+            fa = np.frombuffer(raw, np.uint8, need).reshape(h, rb + 1)
+            if not fa[:, 0].any() and emit_image_fast(fa[:, 1:]):
+                return w, h, rgb
 
     if interlace == 0:
         rows, _ = _unfilter(raw, 0, w, h, channels, depth)
@@ -829,10 +869,13 @@ def encode_png(rgb: bytes, width: int, height: int) -> bytes:
         raise ValueError(
             f"rgb length {len(rgb)} != {width}x{height}x3"
         )
-    raw = bytearray()
-    for y in range(height):
-        raw.append(0)
-        raw += rgb[y * width * 3 : (y + 1) * width * 3]
+    # filter-byte insertion vectorized (output bytes identical to the
+    # per-row loop; this encoder sits in per-blob hot paths)
+    arr = np.frombuffer(bytes(rgb), np.uint8).reshape(height, width * 3)
+    out = np.empty((height, width * 3 + 1), np.uint8)
+    out[:, 0] = 0
+    out[:, 1:] = arr
+    raw = out.tobytes()
 
     def chunk(kind: bytes, payload: bytes) -> bytes:
         return (
@@ -850,11 +893,52 @@ def encode_png(rgb: bytes, width: int, height: int) -> bytes:
 # ---------------------------------------------------------------------------
 # grayscale, resampling, perceptual hashes — integer-exact
 # ---------------------------------------------------------------------------
+def _gray_arr(rgb: bytes) -> "np.ndarray":
+    """BT.601 integer luma as an int64 numpy array (internal hot path)."""
+    a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+    return (299 * a[:, 0] + 587 * a[:, 1] + 114 * a[:, 2]) // 1000
+
+
 def gray_from_rgb(rgb: bytes) -> list[int]:
     """ITU-R BT.601 integer luma: (299R + 587G + 114B) // 1000.
     Vectorized; identical to the scalar formula (all-int arithmetic)."""
-    a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int32).reshape(-1, 3)
-    return ((299 * a[:, 0] + 587 * a[:, 1] + 114 * a[:, 2]) // 1000).tolist()
+    return _gray_arr(rgb).tolist()
+
+
+@lru_cache(maxsize=1024)
+def _box_grid(n_in: int, n_out: int) -> tuple:
+    """Cached box boundaries for one axis of the integer box resample
+    (images in a corpus repeat a small set of dimensions)."""
+    i = np.arange(n_out)
+    lo = i * n_in // n_out
+    hi = np.maximum(lo + 1, (i + 1) * n_in // n_out)
+    return lo, hi
+
+
+def _sat_table(a: "np.ndarray", w: int, h: int) -> "np.ndarray":
+    """Inclusive int64 summed-area table with a zero border row/col."""
+    a = np.asarray(a, dtype=np.int64).reshape(h, w)
+    sat = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(a, axis=0), axis=1, out=sat[1:, 1:])
+    return sat
+
+
+def _box_from_sat(sat: "np.ndarray", w: int, h: int, ow: int, oh: int) -> "np.ndarray":
+    """Box means from a prebuilt SAT (lets one gray image feed both the
+    9x8 dHash and 8x8 aHash grids with a single cumsum pass)."""
+    y0, y1 = _box_grid(h, oh)
+    x0, x1 = _box_grid(w, ow)
+    rows_hi, rows_lo = sat[y1], sat[y0]
+    sums = (rows_hi[:, x1] - rows_hi[:, x0]) - (rows_lo[:, x1] - rows_lo[:, x0])
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return sums // area
+
+
+def _box_resample_arr(a: "np.ndarray", w: int, h: int, ow: int, oh: int) -> "np.ndarray":
+    """Integer box-mean resample on a flat int array → (oh, ow) int64
+    array. Bit-identical to :func:`box_resample` (exact integer sums,
+    floor division) — the array form skips the list round-trips."""
+    return _box_from_sat(_sat_table(a, w, h), w, h, ow, oh)
 
 
 def box_resample(
@@ -868,19 +952,7 @@ def box_resample(
     Implemented as an int64 summed-area table: box sums are O(1) each
     and total work is one numpy cumsum pass — bit-identical to the
     naive double loop (exact integer sums, floor division)."""
-    a = np.asarray(gray, dtype=np.int64).reshape(h, w)
-    sat = np.zeros((h + 1, w + 1), dtype=np.int64)
-    np.cumsum(np.cumsum(a, axis=0), axis=1, out=sat[1:, 1:])
-    y0 = np.arange(oh) * h // oh
-    y1 = np.maximum(y0 + 1, (np.arange(oh) + 1) * h // oh)
-    x0 = np.arange(ow) * w // ow
-    x1 = np.maximum(x0 + 1, (np.arange(ow) + 1) * w // ow)
-    sums = (
-        sat[np.ix_(y1, x1)] - sat[np.ix_(y0, x1)]
-        - sat[np.ix_(y1, x0)] + sat[np.ix_(y0, x0)]
-    )
-    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
-    return (sums // area).ravel().tolist()
+    return _box_resample_arr(np.asarray(gray, dtype=np.int64), w, h, ow, oh).ravel().tolist()
 
 
 def signed64(u: int) -> int:
@@ -889,41 +961,45 @@ def signed64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
-def dhash64_from_gray(gray: list[int], w: int, h: int) -> int:
+def _pack_bits64(bits: "np.ndarray") -> int:
+    """64 booleans (row-major MSB-first) → unsigned 64-bit int, exactly
+    the ``u = (u << 1) | bit`` fold."""
+    return int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+def dhash64_from_gray(gray, w: int, h: int) -> int:
     """Difference hash: resample to 9x8, bit = left > right, row-major
     MSB-first. Robust to rescaling/re-encoding; brightness-shift
     sensitive only at gradient boundaries."""
-    g = box_resample(gray, w, h, 9, 8)
-    u = 0
-    for y in range(8):
-        for x in range(8):
-            u = (u << 1) | (1 if g[y * 9 + x] > g[y * 9 + x + 1] else 0)
-    return signed64(u)
+    g = _box_resample_arr(np.asarray(gray, dtype=np.int64), w, h, 9, 8)
+    return signed64(_pack_bits64((g[:, :8] > g[:, 1:]).ravel()))
 
 
-def ahash64_from_gray(gray: list[int], w: int, h: int) -> int:
+def ahash64_from_gray(gray, w: int, h: int) -> int:
     """Average hash: resample to 8x8, bit = pixel > floor-mean,
     row-major MSB-first."""
-    g = box_resample(gray, w, h, 8, 8)
-    mean = sum(g) // 64
-    u = 0
-    for v in g:
-        u = (u << 1) | (1 if v > mean else 0)
-    return signed64(u)
+    g = _box_resample_arr(np.asarray(gray, dtype=np.int64), w, h, 8, 8).ravel()
+    mean = int(g.sum()) // 64
+    return signed64(_pack_bits64(g > mean))
 
 
 def signature_from_rgb(rgb: bytes, width: int, height: int,
                        fmt: str | None = None) -> dict:
     """Perceptual signature of already-decoded RGB pixels — the shared
-    core of :func:`image_signature` and the PDF raw-sample path."""
-    gray = gray_from_rgb(rgb)
+    core of :func:`image_signature` and the PDF raw-sample path. One
+    luma pass and ONE summed-area table feed both perceptual hashes
+    (bit-identical to calling the public per-hash helpers)."""
+    gray = _gray_arr(rgb)
+    sat = _sat_table(gray, width, height)
+    gd = _box_from_sat(sat, width, height, 9, 8)
+    ga = _box_from_sat(sat, width, height, 8, 8).ravel()
     return {
         "format": fmt,
         "width": width,
         "height": height,
-        "gray_mean": sum(gray) // len(gray),
-        "dhash64": dhash64_from_gray(gray, width, height),
-        "ahash64": ahash64_from_gray(gray, width, height),
+        "gray_mean": int(gray.sum()) // len(gray),
+        "dhash64": signed64(_pack_bits64((gd[:, :8] > gd[:, 1:]).ravel())),
+        "ahash64": signed64(_pack_bits64(ga > (int(ga.sum()) // 64))),
         "decode_error": None,
     }
 
