@@ -105,7 +105,13 @@ def sanitize_ascii_col(text: Column) -> Column:
     collapse passes the only whitespace that can touch an edge IS
     {space, \\n, \\r} (\\t collapsed to space, \\x0b/\\x0c deleted), so
     the set-trim strips exactly what Java \\s+ did, without the
-    whole-string backtracking scan \\s+$ costs."""
+    whole-string backtracking scan \\s+$ costs.
+
+    (r6 note: probe-gating each collapse regex on literal contains() of
+    its trigger substring was tried and MEASURED SLOWER — the nested
+    conditional chain defeats codegen subexpression elimination and the
+    shared subtree re-evaluates per branch, 2.3 s → 6.8 s on the sf0.1
+    map stage. The straight chain stays.)"""
     s = F.coalesce(text, F.lit(""))
     s = F.translate(s, _CTRL_STRIP, "")
     s = F.regexp_replace(s, r"[ \t]+", " ")
@@ -124,8 +130,12 @@ def sanitize_hybrid_col(text: Column) -> Column:
 
     NB: Catalyst extracts python UDFs out of CASE branches and evaluates
     them for EVERY row — so the UDF input is pre-masked to null for ASCII
-    rows, making the Arrow crossing carry ~no bytes for the common case."""
-    non_ascii = text.rlike("[^\\x00-\\x7f]")
+    rows, making the Arrow crossing carry ~no bytes for the common case.
+
+    ASCII detection is octet_length != char_length (a char > U+007F is
+    exactly a multi-byte UTF-8 sequence) — two counter reads instead of
+    the `[^\\x00-\\x7f]` regex scan the map stage used to pay per span."""
+    non_ascii = F.octet_length(text) != F.length(text)
     masked = F.when(non_ascii, text)
     return F.when(text.isNull(), F.lit("")).otherwise(
         F.when(non_ascii, sanitize_udf(masked)).otherwise(sanitize_ascii_col(text))
@@ -170,9 +180,15 @@ def boilerplate_kind_col(sanitized: Column) -> Column:
     … | rlike(pn), so `when(probe, <per-pattern chain>)` is semantically
     identical to the bare chain while the common case (a substantive span)
     pays 2 regex scans instead of 2×n — the bare chain was ~half of
-    extract's post-shuffle wall (measured 4.4 s of a ~9 s sf0.1 run)."""
-    first_line = pystrip_col(F.regexp_extract(sanitized, r"^([^\n]*)", 1))
-    n_lines = F.size(F.split(sanitized, "\n"))
+    extract's post-shuffle wall (measured 4.4 s of a ~9 s sf0.1 run).
+
+    first_line / n_lines use literal string ops (substring_index; a
+    replace-based newline count) instead of regexp_extract + regex
+    split — same values including NULL propagation, no regex engine."""
+    first_line = pystrip_col(F.substring_index(sanitized, "\n", 1))
+    n_lines = (
+        F.length(sanitized) - F.length(F.replace(sanitized, F.lit("\n"))) + 1
+    )
     combined = "(?iU)(?:" + "|".join(p.pattern for _, p in BOILERPLATE_PATTERNS) + ")"
     probe = first_line.rlike(combined) | ((n_lines <= 2) & sanitized.rlike(combined))
     chain = None
