@@ -106,10 +106,19 @@ def _band_table(sig: DataFrame, k: int, rows_per_band: int) -> DataFrame:
     # zero-token docs have NULL signatures; concat_ws would silently turn
     # them into '' keys that BUCKET TOGETHER, while a SQL oracle's
     # mh0 || '|' || mh1 stays NULL and never joins — exclude them (an empty
-    # doc has no shingles and can never be a near-dup candidate anyway)
-    return (
-        sig.filter(F.col("mh0").isNotNull())
-        .select("doc_id", F.posexplode(keys).alias("band_id", "band_key"))
+    # doc has no shingles and can never be a near-dup candidate anyway).
+    # The exclusion rides INSIDE the generator (posexplode of a NULL array
+    # emits no rows with outer=false) rather than as a .filter(): a filter
+    # on the computed mh0 gets predicate-pushed below any upstream
+    # exchange with the whole minhash expression inlined, re-running the
+    # per-token md5 work in the (possibly single-task) scan stage —
+    # measured 1.56 s -> 0.54 s on the sf1.0 band histogram (guide §4.4's
+    # duplicated-evaluation trap, filter-pushdown variant).
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.when(F.col("mh0").isNotNull(), keys)).alias(
+            "band_id", "band_key"
+        ),
     )
 
 
