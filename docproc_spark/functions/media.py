@@ -368,14 +368,17 @@ def image_neardup_pairs(
     sigs = image_signatures(media, blob_col).filter(
         F.col("dhash64").isNotNull()
     )
-    # cache BEFORE the banded join: its bucket-accounting collect plus
-    # the left/right self-join branches would otherwise re-run the full
-    # pixel-decode mapInPandas 3-4x over the corpus (the same guard
-    # simhash_neardup_pairs applies to its signature computation)
+    # materialize BEFORE the banded join: its bucket-accounting collect
+    # plus the left/right self-join branches would otherwise re-run the
+    # full pixel-decode mapInPandas 3-4x over the corpus. A lazy
+    # localCheckpoint (not .cache()): checkpoint blocks are reclaimed by
+    # the ContextCleaner as soon as the result frame is dropped, so
+    # repeated corpus-scale invocations no longer accumulate decode
+    # output in executor storage (the r5-ADVICE unpersist leak).
     uniq = (
         sigs.select("media_ref", "dhash64")
         .dropDuplicates(["media_ref"])
-        .cache()
+        .localCheckpoint(eager=False)
     )
     return hamming_neardup_pairs(
         uniq,
@@ -480,14 +483,16 @@ def perceptual_dup_clusters(
         hamming_neardup_pairs,
     )
 
-    # cache: consumed by the banded pair join (bucket accounting +
+    # materialized: consumed by the banded pair join (bucket accounting +
     # two self-join branches) AND the final cluster mapping — without
-    # it the upstream signature decode re-executes per consumer
+    # it the upstream signature decode re-executes per consumer. Lazy
+    # localCheckpoint so the blocks are ContextCleaner-reclaimed when the
+    # result frame is dropped (no unpersist leak across invocations).
     uniq = (
         sig_table.filter(F.col("dhash64").isNotNull())
         .select("media_ref", "dhash64")
         .dropDuplicates(["media_ref"])
-        .cache()
+        .localCheckpoint(eager=False)
     )
     pairs = hamming_neardup_pairs(
         uniq,

@@ -813,7 +813,10 @@ def simhash_neardup_pairs(
     hamming join (:func:`hamming_neardup_pairs` — also the engine for
     perceptual-image dedupe via functions/media.image_neardup_pairs).
     """
-    sig = simhash64(docs, text_col, id_col, n_bits).cache()
+    # lazy localCheckpoint (not .cache()): blocks are ContextCleaner-
+    # reclaimed when the result frame is dropped — repeated invocations
+    # no longer accumulate signature frames in executor storage
+    sig = simhash64(docs, text_col, id_col, n_bits).localCheckpoint(eager=False)
     return hamming_neardup_pairs(
         sig,
         sig_col="simhash",
