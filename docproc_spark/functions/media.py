@@ -200,7 +200,16 @@ def resize_images(media: DataFrame, width: int, height: int, blob_col: str = "bl
     the original schema/batching contract a full-codec swap-in must
     honor. ``media_ref`` stays the INPUT blob's identity so resized
     output joins back to the catalogue/span tables.
+
+    Decode+re-encode is the heavy per-row kernel, so low-split inputs
+    are fanned out to session parallelism first (scan_fanout; no-op on
+    well-split inputs). Header-sniff-only siblings (sniff_media_meta)
+    deliberately do NOT fan out — shuffling full blobs would cost more
+    than the header peek they parallelize.
     """
+    from docproc_spark.partition import scan_fanout
+
+    media = scan_fanout(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from docproc_spark.kernels.imagepix import (
@@ -420,14 +429,19 @@ def audio_features(
     the codec gap in ``decode_error``; header facts still come from
     :func:`sniff_media_meta`.
 
-    One mapInPandas over Arrow batches, no shuffle; per-blob cost is
-    bounded by the header-declared frame count before the data chunk
-    is touched.
+    One mapInPandas over Arrow batches; per-blob cost is bounded by the
+    header-declared frame count before the data chunk is touched.
+    PCM feature extraction is heavy per row, so low-split inputs are
+    fanned out to session parallelism first (scan_fanout; no-op on
+    well-split inputs).
     """
     from docproc_spark.kernels.audiofeat import (
         DEFAULT_MAX_FRAMES,
         wav_features,
     )
+    from docproc_spark.partition import scan_fanout
+
+    media = scan_fanout(media)
 
     cap = DEFAULT_MAX_FRAMES if max_frames is None else max_frames
 
