@@ -884,7 +884,10 @@ FROM f GROUP BY fp HAVING count(*) > 1
 def _first_wins(spark, sf):
     from docproc_spark.operators.dedupe import first_wins_dedupe
 
-    return first_wins_dedupe(_fan(_t(spark, sf, "documents"))).select("doc_id")
+    # no _fan here: the per-row work (one regex collapse + one md5 of the
+    # whole text) is too light to amortize an extra exchange — measured
+    # 0.214 s -> 0.300 s at sf0.1 with fanout, so the r5 plan shape stays
+    return first_wins_dedupe(_t(spark, sf, "documents")).select("doc_id")
 
 
 _FIRST_WINS_SQL = """

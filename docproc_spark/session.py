@@ -12,6 +12,39 @@ import os
 
 from pyspark.sql import SparkSession
 
+_ACCUM_FILTER_INSTALLED = False
+
+
+def _install_benign_accumulator_filter(spark: SparkSession) -> None:
+    """DENY the known-benign `DAGScheduler: Failed to update accumulator`
+    records (PythonAccumulatorV2 updates racing a Python accumulator
+    server that a stopped session already closed — explicitly non-fatal
+    in DAGScheduler.updateAccumulators, but logged at ERROR). Multi-
+    session drivers (the bench) otherwise capture hundreds of these
+    stack traces per run, burying real failures in the recorded tail
+    (r5 verdict item #2). Scoped by MESSAGE, not by level: a log4j
+    RegexFilter matching only this record class — genuine scheduler
+    errors still log. Installed once per JVM (the gateway outlives
+    SparkSession.stop())."""
+    global _ACCUM_FILTER_INSTALLED
+    if _ACCUM_FILTER_INSTALLED:
+        return
+    try:
+        jvm = spark.sparkContext._jvm
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        cfg = ctx.getConfiguration()
+        lc = cfg.getLoggerConfig("org.apache.spark.scheduler.DAGScheduler")
+        result = jvm.org.apache.logging.log4j.core.Filter.Result
+        flt = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+            ".*Failed to update accumulator.*", None, False,
+            result.DENY, result.NEUTRAL,
+        )
+        lc.addFilter(flt)
+        ctx.updateLoggers()
+        _ACCUM_FILTER_INSTALLED = True
+    except Exception:  # pragma: no cover — log4j internals shifted
+        pass  # cosmetic: never fail session creation over log noise
+
 
 def get_spark(
     app_name: str = "docproc_spark",
@@ -69,4 +102,5 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _install_benign_accumulator_filter(spark)
     return spark
