@@ -184,7 +184,12 @@ def boilerplate_kind_col(sanitized: Column) -> Column:
 
     first_line / n_lines use literal string ops (substring_index; a
     replace-based newline count) instead of regexp_extract + regex
-    split — same values including NULL propagation, no regex engine."""
+    split — same values including NULL propagation, no regex engine.
+    (r6 note: adding a `sanitized != first_line` guard before the
+    whole-text rlike is a pure logic identity but measured SLOWER — for
+    1-line spans the "saved" full-text scan is the same bytes as the
+    first-line scan, while the extra first_line references re-evaluate
+    the pystrip regexes outside CSE. Left as the plain disjunction.)"""
     first_line = pystrip_col(F.substring_index(sanitized, "\n", 1))
     n_lines = (
         F.length(sanitized) - F.length(F.replace(sanitized, F.lit("\n"))) + 1
