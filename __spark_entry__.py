@@ -38,15 +38,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _fan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+def _fan(df: DataFrame, key: str = "doc_id", min_bytes: int = 0) -> DataFrame:
     """Scan fanout for compute-heavy per-row work: the sf tables are
     single-row-group parquet files, which scan as ONE task — per-token
     hashing / regex chains then run serially regardless of core count
     (guide §2.5 input skew). One cheap keyed exchange first; no-op when
-    the input is already well-split (see docproc_spark/partition.py)."""
+    the input is already well-split (see docproc_spark/partition.py).
+    ``min_bytes`` opts light-per-row-work sites into the size gate:
+    below it the serial work is cheaper than the exchange."""
     from docproc_spark.partition import scan_fanout
 
-    return scan_fanout(df, key=key)
+    return scan_fanout(df, key=key, min_bytes=min_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -104,6 +106,20 @@ def _q3(spark, sf):
     # partner before it meets the big side). Inner-join reassociation:
     # o_custkey is unique per order, so (li⋈o)⋈c ≡ li⋈(o⋈c) row-for-row.
     oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")
+    # Keyed fanout on the join/group key (guide §2.4/§2.5): the sf
+    # lineitem files carry 1-6 row groups, so the probe + 300k-group
+    # partial agg otherwise runs at effective parallelism <= 6 on a
+    # 32-core session; hash-partitioning by l_orderkey is REUSED by the
+    # groupBy (no second exchange). Projected to the 3 consumed columns
+    # first so the exchange never carries the other 8. min_bytes gates
+    # the light probe work: below ~8 MB the serial probe is cheaper than
+    # the exchange (measured 0.300 vs 0.383 s at sf0.1; 0.931 vs 0.667 s
+    # at sf1.0 where the gate passes).
+    li = _fan(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        key="l_orderkey",
+        min_bytes=8 << 20,
+    )
     return (
         li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey")
@@ -1366,8 +1382,13 @@ FROM o
 def _cosine_topk(spark, sf):
     from docproc_spark.operators.similarity import brute_force_topk
 
+    # min_bytes: a 64-dim dot product per row is light work — below ~2 MB
+    # (sf0.1's 2k vectors) the fanout exchange costs more than the serial
+    # scan it parallelizes; at sf1.0+ (>=3 MB) the fanout is a 2-4× win.
     return brute_force_topk(
-        _fan(_t(spark, sf, "embeddings"), key="vec_id"), query_vec_id=0, k=10
+        _fan(_t(spark, sf, "embeddings"), key="vec_id", min_bytes=2 << 20),
+        query_vec_id=0,
+        k=10,
     )
 
 

@@ -25,6 +25,7 @@ def scan_fanout(
     df: DataFrame,
     key: str | Column | None = None,
     target: int | None = None,
+    min_bytes: int = 0,
 ) -> DataFrame:
     """Repartition ``df`` up to session parallelism when its plan yields
     fewer partitions — otherwise return it unchanged.
@@ -34,10 +35,20 @@ def scan_fanout(
     REUSED rather than added — guide §2.4). Without a key the exchange is
     round-robin (pays the deterministic local sort; fine for small rows).
 
-    Partition-count inspection is driver-side plan work only (no job).
-    Row values are untouched, so results are partition-order-independent
-    for every relational consumer (aggregations, windows keyed on columns,
-    joins); callers relying on physical row order should not use this.
+    ``min_bytes``: opt-in size gate for call sites whose per-row work is
+    LIGHT (a broadcast probe, a dot product — not a regex chain or a
+    Python kernel): skip the fanout when Catalyst's estimate of the input
+    (column-pruned) is below this many bytes, because spreading a few MB
+    over the session's cores costs more in exchange latency than the
+    serial work it parallelizes (guide §2.3: the exchange itself is the
+    cost to beat). Callers with heavy per-row kernels should leave it 0 —
+    for them even a sub-MB input amortizes the exchange.
+
+    Partition-count and size inspection are driver-side plan work only
+    (no job). Row values are untouched, so results are
+    partition-order-independent for every relational consumer
+    (aggregations, windows keyed on columns, joins); callers relying on
+    physical row order should not use this.
     """
     spark = df.sparkSession
     t = target or spark.sparkContext.defaultParallelism
@@ -47,6 +58,15 @@ def scan_fanout(
         return df
     if n >= t:
         return df
+    if min_bytes > 0:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # pragma: no cover — stats unavailable
+            est = None
+        if est is not None and est < min_bytes:
+            return df
     if key is not None:
         key_col = F.col(key) if isinstance(key, str) else key
         return df.repartition(t, key_col)

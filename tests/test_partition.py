@@ -35,6 +35,28 @@ def test_scan_fanout_respects_explicit_target(spark, tmp_path):
     assert out.rdd.getNumPartitions() == 4
 
 
+def test_scan_fanout_min_bytes_gate(spark, tmp_path):
+    """min_bytes is the light-per-row-work opt-in: a low-split input
+    SMALLER than the threshold passes through (the exchange would cost
+    more than the serial work), one bigger than it still fans out."""
+    src = str(tmp_path / "tiny")
+    spark.range(1000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    ).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est > 0
+    # gate above the estimate → pass-through; at/below it → fanout fires
+    assert scan_fanout(df, key="k", min_bytes=est * 10) is df
+    out = scan_fanout(df, key="k", min_bytes=max(1, est // 10))
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # default stays ungated: min_bytes=0 fans even a tiny input
+    assert (
+        scan_fanout(df, key="k").rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
 def test_minhash_band_exclusion_not_pushed_below_exchange(spark, tmp_path):
     """The NULL-signature exclusion must ride inside the posexplode, not
     as a filter: a pushable predicate on the computed mh0 re-runs the
